@@ -1,0 +1,280 @@
+"""Deduplication operators for large-scale text/embedding corpora.
+
+Beyond the reference's key/row dedup (Airbnb_Listings_ETL.py:46-49,
+Airbnb_Review_ETL.py:40-43), a 100 TB training-data pipeline needs
+near-duplicate detection. Every operator here is built so that:
+
+- the per-document signature work (shingling, hashing) is a pure column
+  expression — embarrassingly parallel, whole-stage-codegen'd, NO shuffle;
+- the candidate generation is an equi-join on a blocking key (LSH band,
+  simhash chunk, shared shingle, label) — never an O(n^2) cross join;
+- the final verify step runs only on candidate pairs.
+
+That shape survives a 1000-executor scale-up: signatures stream through
+the map side; the only shuffles are the band/bucket joins whose key
+cardinality grows with data size (no hot keys by construction — hash
+values are uniform).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.arrays import as_double_array, cosine
+from ..functions.hashing import hash60
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one row per distinct
+    (normalized) text, keeping the minimum id — deterministic at any
+    parallelism, unlike pandas keep='first'."""
+    return (
+        df.withColumn("h", F.md5(F.lower(F.col(text_col))))
+        .groupBy("h")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dupes"))
+    )
+
+
+def tokens_col(text_col: str) -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def shingles_col(text_col: str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array column (0-based SQL array indexing).
+
+    Pure per-row expression: no shuffle, no UDF.
+    """
+    parts = ", ".join(f"tok[i + {j}]" for j in range(n))
+    return F.expr(
+        f"transform(sequence(0, size(split({text_col}, ' ')) - {n}), "
+        f"i -> concat_ws(' ', {parts}))"
+    ).alias("shingles")
+
+
+def _shingles_expr(text_col: str, n: int = 3) -> str:
+    parts = ", ".join(f"tok[i + {j}]" for j in range(n))
+    return (
+        f"transform(sequence(0, size(tok) - {n}), i -> concat_ws(' ', {parts}))"
+    )
+
+
+def with_shingles(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
+    """Add a `shingles` array column; drops rows with fewer than n tokens."""
+    return (
+        df.withColumn("tok", tokens_col(text_col))
+        .filter(F.size("tok") >= n)
+        .withColumn("shingles", F.expr(_shingles_expr(text_col, n)))
+        .drop("tok")
+    )
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, shingle: int = 3
+) -> DataFrame:
+    """MinHash signature: h_j = min over shingles of hash60(shingle || '#j').
+
+    Column-expression only — the signature of a 100 TB corpus is one
+    map-side pass. Returns (id_col, h0..h{k-1}).
+    """
+    sh = with_shingles(df, text_col, shingle)
+
+    def seeded(seed: str):
+        # NB: must be a one-parameter lambda — a `lambda s, j=j` default
+        # arg makes PySpark treat it as an (element, index) lambda and
+        # bind the seed to the index column.
+        return lambda s: hash60(F.concat(s, F.lit(seed)))
+
+    sig_cols = [
+        F.array_min(F.transform(F.col("shingles"), seeded(f"#{j}"))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.select(F.col(id_col), *sig_cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs via LSH banding + signature-agreement verify.
+
+    shingle -> minhash -> band -> bucket-equi-join -> estimate. The band
+    join is the scale path: each band key is (band_idx, h_a, h_b), uniform
+    by construction, so the shuffle has no skew and candidate generation
+    is linear in the number of truly-colliding docs, never O(n^2).
+
+    Returns (doc_a, doc_b, est_jaccard) with est >= threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle).cache()
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            *[F.col(f"h{b * rows_per_band + r}").alias(f"k{r}") for r in range(rows_per_band)],
+        )
+        for b in range(bands)
+    ]
+    exploded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, "bk")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("doc_a"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(num_hashes)])
+    sb = sig.select(F.col(id_col).alias("doc_b"), *[F.col(f"h{j}").alias(f"b{j}") for j in range(num_hashes)])
+    agree = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(num_hashes)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", F.round(agree / F.lit(float(num_hashes)), 4))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def simhash_signature(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """SimHash over distinct tokens: bit b is the sign of the sum of
+    (+1/-1) votes from each token's hash bit b. Pure column expression."""
+    votes = " + ".join(
+        f"(CASE WHEN aggregate(transform(th, h -> CASE WHEN (shiftright(h, {b}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END), 0, (a, x) -> a + x) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return (
+        df.withColumn("tok", F.array_distinct(tokens_col(text_col)))
+        .withColumn(
+            "th", F.transform(F.col("tok"), lambda t: hash60(t))
+        )
+        .select(F.col(id_col), F.expr(f"cast({votes} as bigint)").alias("simhash"))
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    chunks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs. Pigeonhole blocking: with 4 chunks of a
+    16-bit hash, any pair at hamming distance <= 3 shares a chunk — so an
+    equi-join on (chunk_idx, chunk_value) finds all candidates without a
+    cross join; exact hamming verify runs on candidates only."""
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    sig = simhash_signature(df, id_col, text_col, bits).cache()
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("ci"),
+            (F.shiftright("simhash", i * chunk_bits).bitwiseAND(F.lit(mask))).alias("cv"),
+        )
+        for i in range(chunks)
+    ]
+    exploded = sig.select(
+        F.col(id_col), "simhash", F.explode(F.array(*chunk_structs)).alias("ck")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.ck") == F.col("b.ck")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs that share >= 1 shingle.
+
+    Shared-shingle blocking is the classic inverted-index join; uniform
+    shingle hashes keep the bucket sizes bounded. Jaccard is computed on
+    distinct-shingle arrays with array_intersect/array_union.
+    """
+    sh = (
+        with_shingles(df, text_col, shingle)
+        .select(F.col(id_col), F.array_distinct("shingles").alias("s"))
+        .cache()
+    )
+    ex = sh.select(id_col, F.explode("s").alias("g"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    cand = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("s").alias("sb"))
+    jac = F.round(
+        F.size(F.array_intersect("sa", "sb"))
+        / F.size(F.array_union("sa", "sb")).cast("double"),
+        4,
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a blocking key.
+
+    The block join stands in for ANN blocking (at 100 TB: LSH buckets or
+    IVF cells — see operators/similarity.py); cosine itself is a
+    JVM-side column expression.
+    """
+    v = df.select(
+        F.col(id_col), F.col(block_col).alias("blk"), as_double_array(vec_col).alias("v")
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    cos = F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            "cos_sim",
+        )
+    )

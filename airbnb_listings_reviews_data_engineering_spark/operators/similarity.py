@@ -1,0 +1,88 @@
+"""Similarity search over embedding columns.
+
+Baseline: brute-force cosine top-k (exact, one map-side pass + a top-k
+reduce — Spark's takeOrdered-style sort-limit is a per-partition heap
+followed by a driver merge of k*partitions rows, NOT a full sort).
+
+Scale path: LSH bucketing with data-derived hyperplanes — the bucket id
+is a per-row column expression, so index build is shuffle-free; a query
+probes one bucket (an equi-join), turning the 100 TB scan into a
+1/2^planes slice. IVF (k-means cells) would follow the same plan shape
+with learned centroids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.arrays import as_double_array, cosine, dot
+
+
+def brute_force_topk(
+    df: DataFrame, id_col: str, vec_col: str, query: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine to the (single-row) query vector.
+
+    The query side is broadcast; scores round to 6 dp for cross-engine
+    determinism; ties break on id.
+    """
+    q = F.broadcast(query.select(as_double_array(vec_col).alias("qv")))
+    scored = (
+        df.select(F.col(id_col), as_double_array(vec_col).alias("v"))
+        .crossJoin(q)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def with_lsh_bucket(
+    df: DataFrame, id_col: str, vec_col: str, planes: DataFrame, plane_id: str, n_planes: int
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector.
+
+    ``planes`` is a tiny (n_planes-row) DataFrame of hyperplane vectors —
+    broadcast; bucket bit j = sign(dot(v, plane_j)). One cross join against
+    n_planes rows + a groupBy on the id: both scale linearly.
+    """
+    v = df.select(F.col(id_col), as_double_array(vec_col).alias("v"))
+    p = F.broadcast(
+        planes.select(F.col(plane_id).alias("pid"), as_double_array(vec_col).alias("pv"))
+    )
+    bits = v.crossJoin(p).select(
+        F.col(id_col),
+        F.when(
+            dot(F.col("v"), F.col("pv")) > 0,
+            F.expr("shiftleft(1, cast(pid - 1 as int))"),
+        )
+        .otherwise(0)
+        .alias("bit"),
+    )
+    buckets = bits.groupBy(id_col).agg(F.sum("bit").cast("bigint").alias("bucket"))
+    return df.join(buckets, id_col)
+
+
+def lsh_probe(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: DataFrame,
+    plane_id: str,
+    n_planes: int,
+    query_id: int,
+) -> DataFrame:
+    """ANN probe: score only the vectors in the query's LSH bucket."""
+    bucketed = with_lsh_bucket(df, id_col, vec_col, planes, plane_id, n_planes).cache()
+    qrow = bucketed.filter(F.col(id_col) == query_id).select(
+        F.col("bucket").alias("qbucket"), as_double_array(vec_col).alias("qv")
+    )
+    return (
+        bucketed.join(F.broadcast(qrow), F.col("bucket") == F.col("qbucket"))
+        .select(
+            F.col(id_col),
+            F.round(cosine(as_double_array(vec_col), F.col("qv")), 6).alias("cos_sim"),
+        )
+    )

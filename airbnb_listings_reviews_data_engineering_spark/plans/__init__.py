@@ -1,0 +1,22 @@
+"""Query plans.
+
+``registry`` holds the driver-contract query registry; importing
+``all_queries`` pulls in every module that registers queries.
+"""
+
+from __future__ import annotations
+
+from .registry import REGISTRY, QuerySpec, register  # noqa: F401
+
+
+def all_queries() -> dict[str, "QuerySpec"]:
+    """Import every query module and return the full registry."""
+    from . import (  # noqa: F401
+        docmodel,
+        merge_queries,
+        pipeline_ext,
+        relational,
+        streaming_q,
+    )
+
+    return dict(REGISTRY)

@@ -1,0 +1,145 @@
+"""Document-model queries (SURVEY.md §2.3 dedup_set_accum, §2.5
+agg_collect_struct, §2.1 sink_doc_array_merge, §2.8 inc_doc_accum).
+
+The reference's document store is MongoDB: one doc per listing with a
+nested ``reviews`` array-of-structs accumulated with $addToSet
+(Airbnb_Review_ETL.py:82-111). In this engine the document model is just a
+DataFrame whose schema contains ArrayType(StructType) — one engine, not
+two stores. Arrays are sorted before output: Mongo's arrival-order array
+is not reproducible in a distributed engine, set-ness is the contract.
+
+Nested arrays-of-structs are serialized with to_json for the oracle
+comparison (verified byte-identical between Spark and DuckDB for
+int/string/long fields).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.merge import merge_array_accum
+from .registry import load, register
+
+
+@register(
+    "agg_collect_struct",
+    oracle="""
+SELECT l_orderkey,
+       to_json(list_sort(list(struct_pack(ln := l_linenumber, qty := CAST(l_quantity AS BIGINT)))))
+         AS items_json
+FROM lineitem GROUP BY l_orderkey
+""",
+)
+def agg_collect_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group rows into an array-of-structs per key — the Mongo document shape.
+
+    Reference: the effect of the per-row $addToSet loop grouping reviews
+    under their listing (Airbnb_Review_ETL.py:82-111). Spark:
+    collect_list(struct(...)) — a single shuffle with partial aggregation;
+    array_sort for determinism.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.to_json(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("l_linenumber").alias("ln"),
+                            F.col("l_quantity").cast("bigint").alias("qty"),
+                        )
+                    )
+                )
+            ).alias("items_json")
+        )
+    )
+
+
+@register(
+    "dedup_set_accum",
+    oracle="""
+SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+FROM events GROUP BY user_id
+""",
+)
+def dedup_set_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-semantics accumulation: $addToSet — no duplicates across runs.
+
+    Reference: Airbnb_Review_ETL.py:102,106-111. Spark: collect_set (hash
+    set per group, map-side partial), sorted + joined for a deterministic
+    comparable value.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types")
+    )
+
+
+_ELEM = "event_type || ':' || CAST(event_id AS VARCHAR)"
+
+_ARRAY_MERGE_SQL = f"""
+WITH old AS (
+  SELECT user_id, list(DISTINCT {_ELEM}) AS arr
+  FROM events WHERE event_id % 3 <> 0 GROUP BY user_id
+), new AS (
+  SELECT user_id, list(DISTINCT {_ELEM}) AS arr
+  FROM events WHERE event_id % 2 = 0 GROUP BY user_id
+)
+SELECT coalesce(o.user_id, n.user_id) AS user_id,
+       array_to_string(
+         list_sort(list_distinct(coalesce(o.arr, []) || coalesce(n.arr, []))), ',') AS merged
+FROM old o FULL OUTER JOIN new n ON o.user_id = n.user_id
+"""
+
+
+def _event_sets(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    ev = load(spark, sf_dir, "events").withColumn(
+        "elem", F.concat_ws(":", F.col("event_type"), F.col("event_id").cast("string"))
+    )
+    old = (
+        ev.filter(F.col("event_id") % 3 != 0)
+        .groupBy("user_id")
+        .agg(F.collect_set("elem").alias("arr"))
+    )
+    new = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy("user_id")
+        .agg(F.collect_set("elem").alias("arr"))
+    )
+    return old, new
+
+
+@register("sink_doc_array_merge", oracle=_ARRAY_MERGE_SQL)
+def sink_doc_array_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-array accumulate sink: merge a new batch of per-key elements
+    into existing per-key arrays with set semantics.
+
+    Reference: per-review update_one($addToSet, upsert=True) — one RPC per
+    row (Airbnb_Review_ETL.py:58-116). Spark: groupBy + collect_set on the
+    batch, one full-outer merge against the stored table
+    (operators/merge.py::merge_array_accum).
+    """
+    old, new = _event_sets(spark, sf_dir)
+    merged = merge_array_accum(old, new, "user_id", "arr")
+    return merged.select(
+        "user_id", F.array_join(F.col("arr"), ",").alias("merged")
+    )
+
+
+@register("inc_doc_accum", oracle=_ARRAY_MERGE_SQL)
+def inc_doc_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental accumulation is exactly-once per distinct element:
+    re-delivering the same batch leaves the arrays unchanged.
+
+    Reference: daily $addToSet re-runs (Airbnb_Review_ETL.py:102,132). The
+    Spark side applies the batch TWICE; the oracle applies it once — the
+    hash-match proves idempotence.
+    """
+    old, new = _event_sets(spark, sf_dir)
+    once = merge_array_accum(old, new, "user_id", "arr")
+    twice = merge_array_accum(once, new, "user_id", "arr")
+    return twice.select(
+        "user_id", F.array_join(F.col("arr"), ",").alias("merged")
+    )

@@ -1,0 +1,125 @@
+"""Upsert/merge and incremental-semantics queries (SURVEY.md §2.1 sinks,
+§2.4 join_merge_key, §2.8 incremental).
+
+The 'base snapshot' and 'update batch' are both carved deterministically
+out of the testdata tables so the merge result is SQL-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.merge import merge_full_outer, upsert_snapshot
+from .registry import load, register
+
+_JDBC_UPSERT_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 4 <> 0
+), upd AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd
+UNION ALL
+SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice
+FROM base b LEFT JOIN upd u ON b.o_orderkey = u.o_orderkey
+WHERE u.o_orderkey IS NULL
+"""
+
+
+def _orders_base_and_updates(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    base = o.filter(F.col("o_orderkey") % 4 != 0)
+    updates = o.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    return base, updates
+
+
+@register("sink_jdbc_upsert", oracle=_JDBC_UPSERT_SQL)
+def sink_jdbc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational upsert sink keyed on id: updates replace, new rows insert.
+
+    Reference: insert_rows(upsert=True, replace=True, replace_index='id')
+    into 5 tables, Airbnb_Listings_ETL.py:143-151 (row-at-a-time RPCs).
+    Spark: one set-oriented anti-join + union — a single shuffle on the
+    key, idempotent, safe to re-run (operators/merge.py).
+    """
+    base, updates = _orders_base_and_updates(spark, sf_dir)
+    return upsert_snapshot(base, updates, ["o_orderkey"])
+
+
+_DOC_UPSERT_SQL = """
+WITH base AS (
+  SELECT c_custkey, c_name, c_mktsegment FROM customer
+), upd AS (
+  SELECT c_custkey, c_name, 'UPDATED' AS c_mktsegment FROM customer WHERE c_custkey % 5 = 0
+)
+SELECT c_custkey, c_name, c_mktsegment FROM upd
+UNION ALL
+SELECT b.c_custkey, b.c_name, b.c_mktsegment
+FROM base b LEFT JOIN upd u ON b.c_custkey = u.c_custkey AND b.c_name = u.c_name
+WHERE u.c_custkey IS NULL
+"""
+
+
+@register("sink_doc_upsert", oracle=_DOC_UPSERT_SQL)
+def sink_doc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document upsert keyed on the composite (id, listing_url).
+
+    Reference: replace_one(filter={'id','listing_url'}, upsert=True) per
+    document in a Python loop — one RPC per doc
+    (Airbnb_Listings_ETL.py:182-207). Spark: the same composite-key merge
+    as the relational sink; one shuffle, no loop.
+    """
+    docs = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    updates = docs.filter(F.col("c_custkey") % 5 == 0).withColumn(
+        "c_mktsegment", F.lit("UPDATED")
+    )
+    return upsert_snapshot(docs, updates, ["c_custkey", "c_name"])
+
+
+_MERGE_KEY_SQL = """
+WITH base AS (
+  SELECT s_suppkey, s_name, s_acctbal FROM supplier WHERE s_suppkey % 3 <> 0
+), upd AS (
+  SELECT s_suppkey, s_name, s_acctbal + 500.0 AS s_acctbal
+  FROM supplier WHERE s_suppkey % 2 = 0
+)
+SELECT coalesce(u.s_suppkey, b.s_suppkey) AS s_suppkey,
+       coalesce(u.s_name, b.s_name) AS s_name,
+       coalesce(u.s_acctbal, b.s_acctbal) AS s_acctbal
+FROM base b FULL OUTER JOIN upd u ON b.s_suppkey = u.s_suppkey
+"""
+
+
+@register("join_merge_key", oracle=_MERGE_KEY_SQL)
+def join_merge_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-matched merge join: MERGE INTO emulation via full-outer + COALESCE.
+
+    Reference: the sink-side key-matched upsert joins
+    (Airbnb_Listings_ETL.py:182-207, Airbnb_Review_ETL.py:100-111). With a
+    Delta/Iceberg catalog this is literally `MERGE INTO`; without the jar
+    the engine emulates it with one full-outer join (SURVEY.md §4).
+    """
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    base = s.filter(F.col("s_suppkey") % 3 != 0)
+    updates = s.filter(F.col("s_suppkey") % 2 == 0).withColumn(
+        "s_acctbal", F.col("s_acctbal") + 500.0
+    )
+    return merge_full_outer(base, updates, ["s_suppkey"])
+
+
+@register("inc_daily_snapshot", oracle=_JDBC_UPSERT_SQL)
+def inc_daily_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily re-run idempotence: applying the same batch twice == once.
+
+    Reference: daily schedule + upsert (Airbnb_Listings_ETL.py:229,143-151)
+    relies on the DB for idempotence; here the merge operator itself is
+    idempotent — this query applies the batch TWICE and the oracle applies
+    it once, so the hash-match proves f(f(x)) = f(x).
+    """
+    base, updates = _orders_base_and_updates(spark, sf_dir)
+    once = upsert_snapshot(base, updates, ["o_orderkey"])
+    return upsert_snapshot(once, updates, ["o_orderkey"])

@@ -1,0 +1,392 @@
+"""Training-data pipeline extension queries (BASELINE.json north star):
+deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+cosine), similarity search (brute-force + LSH-bucketed ANN), text
+analysis, and multimodal binary plumbing.
+
+The testdata corpus has no near-duplicates, so near-dup queries build a
+variant corpus on the fly (documents UNION documents-with-first-word-
+dropped, ids offset by 100000) — both engines derive it identically.
+
+Oracle SQL for MinHash/SimHash is generated programmatically from the same
+parameters as the Spark side; both rest on the md5-derived hash60 (see
+functions/hashing.py) which is bitwise-equal across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.arrays import as_double_array, cosine
+from ..functions.hashing import hash60_duckdb_sql
+from ..operators import dedup as D
+from ..operators import multimodal as MM
+from ..operators import similarity as S
+from ..operators import text as TX
+from .registry import load, register
+
+# --- shared corpus builders -------------------------------------------------
+
+_VARIANT_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, regexp_replace(text, '^[a-z]+ ', '') AS text
+  FROM documents
+)
+"""
+
+
+def _variant_corpus(spark: SparkSession, sf_dir: str, max_id: int | None = None) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    if max_id is not None:
+        docs = docs.filter(F.col("doc_id") < max_id)
+    variants = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace("text", r"^[a-z]+ ", "").alias("text"),
+    )
+    return docs.unionByName(variants)
+
+
+_NUM_HASHES = 8
+_BANDS = 4
+
+
+def _minhash_sig_sql() -> str:
+    """DuckDB CTEs computing the same MinHash signature as
+    operators/dedup.py::minhash_signature."""
+    hcols = ",\n  ".join(
+        "list_min(list_transform(shingles, s -> "
+        + hash60_duckdb_sql(f"s || '#{j}'")
+        + f")) AS h{j}"
+        for j in range(_NUM_HASHES)
+    )
+    return f"""
+tokd AS (SELECT doc_id, string_split(text, ' ') AS tok FROM corpus),
+shd AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(tok) - 2),
+                        i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]) AS shingles
+  FROM tokd WHERE len(tok) >= 3
+),
+sig AS (SELECT doc_id, {hcols} FROM shd)
+"""
+
+
+def _minhash_pairs_sql() -> str:
+    band_cond = " OR ".join(
+        "(" + " AND ".join(f"a.h{b*2+r} = b.h{b*2+r}" for r in range(2)) + ")"
+        for b in range(_BANDS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END)" for j in range(_NUM_HASHES)
+    )
+    return f"""
+WITH {_VARIANT_CORPUS_SQL.strip().rstrip()},
+{_minhash_sig_sql().strip()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(({agree}) / {float(_NUM_HASHES)}, 4) AS est_jaccard
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_cond})
+WHERE round(({agree}) / {float(_NUM_HASHES)}, 4) >= 0.5
+"""
+
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_sql() -> str:
+    th = (
+        "list_transform(list_distinct(string_split(text, ' ')), "
+        f"t -> {hash60_duckdb_sql('t')})"
+    )
+    votes = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+WITH {_VARIANT_CORPUS_SQL.strip()},
+hashed AS (SELECT doc_id, {th} AS th FROM corpus),
+sig AS (SELECT doc_id, CAST({votes} AS BIGINT) AS simhash FROM hashed)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b
+  ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+# --- dedup ------------------------------------------------------------------
+
+_DEDUP_EXACT_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+)
+SELECT md5(lower(text)) AS h, min(doc_id) AS keep_id, count(*) AS n_dupes
+FROM corpus GROUP BY md5(lower(text))
+"""
+
+
+@register("dedup_exact", oracle=_DEDUP_EXACT_SQL)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy keeping the min id.
+
+    Every-5th doc is duplicated under a shifted id so the operator has
+    real work. One shuffle on a uniform 128-bit key — no skew at any SF.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return D.exact_dedup(docs.unionByName(dupes), "doc_id", "text")
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_pairs_sql())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup pairs: shingle → minhash → band → bucket join.
+
+    Signatures are one map-side pass; only band-key collisions shuffle.
+    """
+    corpus = _variant_corpus(spark, sf_dir)
+    return D.minhash_lsh_pairs(
+        corpus, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5
+    )
+
+
+@register("dedup_simhash", oracle=_simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with pigeonhole chunk blocking."""
+    corpus = _variant_corpus(spark, sf_dir)
+    return D.simhash_pairs(corpus, "doc_id", "text", bits=_SIMHASH_BITS)
+
+
+_NGRAM_JACCARD_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, regexp_replace(text, '^[a-z]+ ', '') AS text
+  FROM documents WHERE doc_id < 200
+),
+tokd AS (SELECT doc_id, string_split(text, ' ') AS tok FROM corpus),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(tok) - 2),
+                       i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS s
+  FROM tokd WHERE len(tok) >= 3
+),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+             / len(list_distinct(x.s || y.s)), 4) AS jaccard
+FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+WHERE round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+            / len(list_distinct(x.s || y.s)), 4) >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard on shared-shingle candidate pairs (inverted-
+    index blocking), restricted to a 400-doc corpus slice."""
+    corpus = _variant_corpus(spark, sf_dir, max_id=200)
+    return D.ngram_jaccard_pairs(corpus, "doc_id", "text", shingle=3, threshold=0.5)
+
+
+_EMB_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+_EMB_NEAR_DUP_SQL = f"""
+WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+corpus AS (
+  SELECT vec_id, label, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, label, [v[1] + 0.01] || v[2:] AS v FROM base
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_EMB_COS.format(a='a.v', b='b.v')}, 4) AS cos_sim
+FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({_EMB_COS.format(a='a.v', b='b.v')}, 4) >= 0.99
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_EMB_NEAR_DUP_SQL)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label.
+
+    A perturbed copy of each vector (first coord +0.01) joins the corpus
+    so true near-dups exist. At 100 TB the label block becomes an LSH/IVF
+    bucket — same plan shape.
+    """
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    )
+    perturbed = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "label",
+        F.concat(
+            F.array(F.element_at("v", 1) + 0.01), F.slice("v", 2, 63)
+        ).alias("v"),
+    )
+    corpus = base.unionByName(perturbed)
+    return D.embedding_near_dup_pairs(corpus, "vec_id", "v", "label", threshold=0.99)
+
+
+# --- similarity search -------------------------------------------------------
+
+_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT vec_id, round({_EMB_COS.format(a='v', b='qv')}, 6) AS cos_sim
+FROM e, q
+ORDER BY round({_EMB_COS.format(a='v', b='qv')}, 6) DESC, vec_id
+LIMIT 10
+"""
+
+
+@register("sim_cosine_topk", oracle=_TOPK_SQL)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k (the ANN baseline).
+
+    orderBy+limit compiles to TakeOrderedAndProject — per-partition heaps,
+    no global sort.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return S.brute_force_topk(emb, "vec_id", "embedding", query, k=10)
+
+
+_LSH_PROBE_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pl AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id BETWEEN 1 AND 8),
+bk AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN list_dot_product(e.v, pl.pv) > 0
+                       THEN 1 << CAST(pl.pid - 1 AS INT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM e CROSS JOIN pl GROUP BY e.vec_id
+),
+q AS (SELECT bucket AS qbucket FROM bk WHERE vec_id = 0),
+qv AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT e.vec_id, round({_EMB_COS.format(a='e.v', b='qv')}, 6) AS cos_sim
+FROM e JOIN bk ON e.vec_id = bk.vec_id, q, qv
+WHERE bk.bucket = q.qbucket
+"""
+
+
+@register("sim_lsh_bucketed", oracle=_LSH_PROBE_SQL)
+def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN probe: hyperplane bucket id per vector (map-side),
+    then score only the query's bucket — the scale path for similarity
+    search (scan 1/2^planes of the corpus instead of all of it).
+
+    Hyperplanes are data-derived (vectors 1..8) so both engines construct
+    identical buckets.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    planes = emb.filter(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").cast("int").alias("pid"), "embedding"
+    )
+    return S.lsh_probe(emb, "vec_id", "embedding", planes, "pid", 8, query_id=0)
+
+
+# --- text analysis ------------------------------------------------------------
+
+_LANG_ID_SQL = """
+SELECT doc_id,
+  round(CAST(len(list_filter(string_split(text, ' '),
+        t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+        / len(string_split(text, ' ')), 4) AS stop_ratio,
+  CASE WHEN round(CAST(len(list_filter(string_split(text, ' '),
+        t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+        / len(string_split(text, ' ')), 4) >= 0.05
+       THEN 'en' ELSE 'unk' END AS lang_pred
+FROM documents
+"""
+
+
+@register("text_lang_id", oracle=_LANG_ID_SQL)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic via stopword token ratio (column-expression
+    only — runs at scan speed)."""
+    return TX.lang_id(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_QUALITY_SQL = """
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / len(string_split(text, ' ')), 4) AS uniq_ratio,
+  round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        / len(string_split(text, ' ')), 4) AS avg_token_len,
+  round(0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')))
+      + 0.5 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0),
+        4) AS quality
+FROM documents
+"""
+
+
+@register("text_quality_score", oracle=_QUALITY_SQL)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: token count, lexical diversity, mean token
+    length, blended score."""
+    df = TX.quality_score(load(spark, sf_dir, "documents"), "doc_id", "text")
+    return df.withColumn("n_tok", F.col("n_tok").cast("bigint"))
+
+
+_TOKEN_COUNT_SQL = """
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_word_runs
+FROM documents
+"""
+
+
+@register("text_token_count", oracle=_TOKEN_COUNT_SQL)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + regex-run token counting."""
+    df = TX.token_counts(load(spark, sf_dir, "documents"), "doc_id", "text")
+    return df.select(
+        "doc_id",
+        F.col("n_ws_tokens").cast("bigint").alias("n_ws_tokens"),
+        F.col("n_word_runs").cast("bigint").alias("n_word_runs"),
+    )
+
+
+_FINGERPRINT_SQL = """
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+    AS fingerprint
+FROM documents
+"""
+
+
+@register("text_fingerprint", oracle=_FINGERPRINT_SQL)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive token-set fingerprint (md5)."""
+    return TX.fingerprint(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# --- multimodal ---------------------------------------------------------------
+
+_BINARY_META_SQL = """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest
+FROM documents
+"""
+
+
+@register("mm_binary_meta", oracle=_BINARY_META_SQL)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payload column processed through
+    an Arrow-batched mapInPandas (the real hot path for decode/feature
+    extraction — see operators/multimodal.py for the stubbed decoders)."""
+    docs = load(spark, sf_dir, "documents")
+    packed = MM.pack_binary(docs, "doc_id", "text")
+    return MM.extract_binary_meta(packed)

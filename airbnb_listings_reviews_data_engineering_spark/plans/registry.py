@@ -1,0 +1,89 @@
+"""Registry of driver-contract queries.
+
+Each operator key from SURVEY.md §2 (plus the large-scale pipeline
+extensions) registers a Spark query callable ``(spark, sf_dir) ->
+DataFrame`` and, when SQL-expressible, an equivalent ANSI-SQL oracle that
+DuckDB runs over the same parquet tables. The driver compares row count +
+schema + order-insensitive value hash, sorting columns by name — so every
+computed column is aliased identically on both sides.
+
+Determinism rules used throughout (verified cross-engine, see tests):
+- floats produced by arithmetic are ``round(x, 4)`` on both sides
+  (Spark ROUND and DuckDB round are both half-up for positives);
+- parquet-sourced doubles passed through untouched are compared exactly;
+- md5-derived 60-bit integer hashes (`conv(substr(md5(s),1,15),16,10)` ==
+  DuckDB `CAST('0x'||substr(md5(s),1,15) AS BIGINT)`) are bitwise equal;
+- arrays are sorted (`sort_array` / `list_sort`) before comparison;
+- timestamps are emitted as formatted strings (session TZ pinned UTC).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    key: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
+    doc: str
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a driver-contract query under ``key``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if key in REGISTRY:
+            raise ValueError(f"duplicate query key: {key}")
+        REGISTRY[key] = QuerySpec(key=key, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (parquet, explicit path).
+
+    events.ts is INT64 TIMESTAMP(NANOS), which Spark 4 rejects by default
+    (PARQUET_TYPE_ILLEGAL) — read it as nanos-long and derive the
+    microsecond timestamp (floor division, matching DuckDB's ns->us
+    truncation).
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+        )
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (for spark.sql plans)."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,121 @@
+"""Simulate the driver's t2 correctness gate locally.
+
+Runs every ``queries()[name]`` on Spark and the matching ``oracle_sql()[name]``
+on DuckDB over the same parquet tables, comparing row count, sorted column
+names, and an order-insensitive value multiset (stringified, floats rounded).
+
+Usage: python scripts/oracle_check.py [sf_dir] [key ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from __spark_entry__ import oracle_sql, queries  # noqa: E402
+from airbnb_listings_reviews_data_engineering_spark.plans.registry import (  # noqa: E402
+    TABLES,
+)
+from airbnb_listings_reviews_data_engineering_spark.session import (  # noqa: E402
+    get_spark,
+)
+
+
+def norm_cell(v):
+    import datetime
+    import decimal
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    if isinstance(v, decimal.Decimal):
+        return f"{float(v):.6g}"
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{norm_cell(v[k])}" for k in sorted(v)) + "}"
+    if hasattr(v, "asDict"):
+        d = v.asDict()
+        return "{" + ",".join(f"{k}:{norm_cell(d[k])}" for k in sorted(d)) + "}"
+    return str(v)
+
+
+def frame_sig(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    sorted_cols = [cols[i] for i in order]
+    sig = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+    return sorted_cols, sig
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs = queries()
+    oracles = oracle_sql()
+    failures = []
+    for key, fn in qs.items():
+        if only and key not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            failures.append((key, f"SPARK ERROR: {e}"))
+            print(f"FAIL {key}: spark error: {e}")
+            continue
+        if key not in oracles:
+            print(f"ok   {key}: rows-only ({len(srows)} rows)")
+            continue
+        try:
+            rel = con.execute(oracles[key])
+            ocols = [d[0] for d in rel.description]
+            orows = rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append((key, f"DUCKDB ERROR: {e}"))
+            print(f"FAIL {key}: duckdb error: {e}")
+            continue
+        sc, ss = frame_sig(scols, srows)
+        oc, os_ = frame_sig(ocols, orows)
+        if len(srows) != len(orows):
+            failures.append((key, f"rowcount {len(srows)} vs {len(orows)}"))
+            print(f"FAIL {key}: rowcount {len(srows)} vs {len(orows)}")
+        elif sc != oc:
+            failures.append((key, f"cols {sc} vs {oc}"))
+            print(f"FAIL {key}: cols {sc} vs {oc}")
+        elif ss != os_:
+            diff = next(
+                (i for i, (a, b) in enumerate(zip(ss, os_)) if a != b), None
+            )
+            detail = (
+                f"first diff row {diff}:\n  spark: {ss[diff][:300]}\n  duck:  {os_[diff][:300]}"
+                if diff is not None
+                else "??"
+            )
+            failures.append((key, "value mismatch"))
+            print(f"FAIL {key}: value mismatch; {detail}")
+        else:
+            print(f"ok   {key}: {len(srows)} rows match")
+    print(f"\n{len(failures)} failures / {len(only) if only else len(qs)} checked")
+    for k, m in failures:
+        print(f"  {k}: {m.splitlines()[0]}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
