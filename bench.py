@@ -1,0 +1,69 @@
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "headline_total", "value": <sec>, "unit": "sec",
+   "queries": {"join_eq3": <sec>, ...}, "sf": <float>}
+
+Each query's full physical plan is executed via the noop sink (no
+collect-to-driver, no file writes) so the timing reflects scan + shuffle +
+compute — the part that matters at scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from airbnb_listings_reviews_data_engineering_spark.plans import all_queries  # noqa: E402
+from airbnb_listings_reviews_data_engineering_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "join_eq3",           # 3-way star join + agg (the reference's Q2-Q4 shape)
+    "join_semi_inlist",   # left-semi over regex doc match (Q1/Q5 shape)
+    "join_agg_agg",       # join of two grouped subqueries + theta filter (Q4)
+    "agg_percentile",     # exact median per group (Q3)
+    "agg_collect_struct", # array-of-structs accumulation (Mongo doc shape)
+    "filt_regex_and_or",  # multi-field regex conjunction (Q5 filter)
+    "dedup_exact",        # hash-groupBy dedup over documents
+    "dedup_minhash_lsh",  # shingle -> minhash -> band -> bucket join
+    "sim_cosine_topk",    # brute-force cosine top-k over embeddings
+    "text_quality_score", # text-quality heuristics over documents
+    "stream_window_agg",  # tumbling-window event aggregation
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark()
+    qs = all_queries()
+
+    # Warm the JVM + parquet footer caches outside the timed region.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        fn = qs[key].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[key] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
