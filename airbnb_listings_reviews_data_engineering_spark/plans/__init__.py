@@ -17,6 +17,7 @@ def all_queries() -> dict[str, "QuerySpec"]:
         pipeline_ext,
         relational,
         streaming_q,
+        window_ext,
     )
 
     return dict(REGISTRY)

@@ -295,6 +295,82 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_probe(emb, "vec_id", "embedding", planes, "pid", 8, query_id=0)
 
 
+_IVF_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8),
+scored AS (
+  SELECT e.vec_id, e.v, c.cell,
+         round({_EMB_COS.format(a='e.v', b='c.cv')}, 6) AS cos_c
+  FROM e CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cell) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+qcells AS (
+  SELECT cell FROM (
+    SELECT cell, row_number() OVER (ORDER BY cos_c DESC, cell) AS rn
+    FROM scored WHERE vec_id = 0
+  ) WHERE rn <= 2
+),
+qv AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT a.vec_id, round({_EMB_COS.format(a='a.v', b='qv')}, 6) AS cos_sim
+FROM assigned a JOIN qcells USING (cell), qv
+ORDER BY round({_EMB_COS.format(a='a.v', b='qv')}, 6) DESC, a.vec_id
+LIMIT 10
+"""
+
+
+@register("sim_ivf_topk", oracle=_IVF_TOPK_SQL)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest cell (centroids =
+    vectors 1..8, deterministic seed), probe the query's 2 nearest cells,
+    and take exact top-10 within the probed cells only.
+
+    The scale shape: centroid assignment is a broadcast cross-join against
+    K tiny rows + a per-row argmax (map-side, no shuffle of the corpus);
+    the probe scans ~nprobe/K of the data. At 100 TB the assigned corpus
+    would be written partitioned by cell so a probe is partition pruning.
+    """
+    from pyspark.sql import Window as W
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    cents = emb.filter(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("cv")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "cell", F.round(cosine(F.col("v"), F.col("cv")), 6).alias("cos_c")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), "cell")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cell")
+    )
+    qcells = (
+        scored.filter(F.col("vec_id") == 0)
+        .orderBy(F.desc("cos_c"), "cell")
+        .limit(2)
+        .select("cell")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    return (
+        assigned.join(F.broadcast(qcells), "cell")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
 # --- text analysis ------------------------------------------------------------
 
 _LANG_ID_SQL = """

@@ -1,0 +1,595 @@
+"""Extension surface beyond reference parity (SURVEY.md §2.6 notes the
+reference has no window functions, sorts, limits, or set operators — these
+are capabilities a user of a real analytics engine expects, so the engine
+provides them as first-class, oracle-checked queries).
+
+Scale notes baked into each plan:
+- window functions partition on high-cardinality keys (custkey/user_id) —
+  the shuffle is one hash exchange, no global sort;
+- global top-k compiles to TakeOrderedAndProject (per-partition heaps +
+  driver merge of k*partitions rows), never a full sort;
+- the as-of join is the union-window formulation: one shuffle on the join
+  key, linear in |events| + |orders|, instead of the quadratic
+  join-then-filter-then-argmax shape;
+- sessionization is lag + running-sum — two window passes over one
+  partitioning, reused exchange.
+
+Determinism: every window ORDER BY ends in a unique key (orderkey /
+event_id) so frames are total orders; running double sums accumulate in
+the same sequence on both engines; timestamps are emitted as formatted
+strings (session TZ = UTC on both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+# ---------------------------------------------------------------------------
+# window functions
+# ---------------------------------------------------------------------------
+
+_ROW_NUMBER_SQL = """
+SELECT o_orderkey, o_custkey,
+       row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS rn
+FROM orders
+"""
+
+
+@register("win_row_number", oracle=_ROW_NUMBER_SQL)
+def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order sequence number. One hash exchange on o_custkey;
+    ORDER BY ends in the unique o_orderkey so numbering is deterministic."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", F.row_number().over(w).alias("rn"))
+    )
+
+
+_TOPK_GROUP_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+@register("win_topk_per_group", oracle=_TOPK_GROUP_SQL)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price. The rank filter is pushed below
+    the final project; at scale AQE coalesces the post-filter partitions."""
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+_LAG_LEAD_SQL = """
+SELECT event_id, user_id,
+       lag(value)  OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       round(value - lag(value) OVER w, 4) AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("win_lag_lead", oracle=_LAG_LEAD_SQL)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over each user's event stream — both offsets share one
+    window spec, so Spark computes them in a single pass."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+    )
+
+
+_RUNNING_SUM_SQL = """
+SELECT o_orderkey, o_custkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+FROM orders
+"""
+
+
+@register("win_running_sum", oracle=_RUNNING_SUM_SQL)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running revenue. Explicit ROWS frame (not the default
+    RANGE) + unique ordering key = identical accumulation sequence on both
+    engines, so the doubles agree bitwise before rounding."""
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("running_total"),
+    )
+
+
+_MOVING_AVG_SQL = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3
+FROM events
+"""
+
+
+@register("win_moving_avg", oracle=_MOVING_AVG_SQL)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average per user — bounded ROWS frame, single pass."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("mavg3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sort / limit
+# ---------------------------------------------------------------------------
+
+_SORT_LIMIT_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@register("sort_limit_topk", oracle=_SORT_LIMIT_SQL)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100: compiles to TakeOrderedAndProject — per-partition
+    size-100 heaps merged on the driver, NO global sort of 100 TB."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operators
+# ---------------------------------------------------------------------------
+
+_UNION_SQL = """
+SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+UNION
+SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000
+"""
+
+
+@register("setop_union", oracle=_UNION_SQL)
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — union + aggregate-free distinct, one shuffle."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").cast("int").alias("nationkey"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").cast("int").alias("nationkey"))
+    )
+    return c.union(s).distinct()
+
+
+_INTERSECT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9500
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9500
+"""
+
+
+@register("setop_intersect", oracle=_INTERSECT_SQL)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT — Catalyst rewrites to a left-semi join over distincts."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9500)
+        .select(F.col("c_nationkey").cast("int").alias("nationkey"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9500)
+        .select(F.col("s_nationkey").cast("int").alias("nationkey"))
+    )
+    return c.intersect(s)
+
+
+_EXCEPT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9900
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9900
+"""
+
+
+@register("setop_except", oracle=_EXCEPT_SQL)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT — Catalyst rewrites to a left-anti join over distincts."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9900)
+        .select(F.col("c_nationkey").cast("int").alias("nationkey"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9900)
+        .select(F.col("s_nationkey").cast("int").alias("nationkey"))
+    )
+    return c.subtract(s)
+
+
+# ---------------------------------------------------------------------------
+# grouping extensions
+# ---------------------------------------------------------------------------
+
+_ROLLUP_SQL = """
+SELECT r_name, n_name,
+       GROUPING(r_name, n_name) AS gid,
+       count(*) AS n_suppliers,
+       round(sum(s_acctbal), 2) AS total_bal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@register("agg_rollup", oracle=_ROLLUP_SQL)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (region, nation): nation, region, and grand totals in
+    one pass — Spark expands grouping sets map-side, still one shuffle."""
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    joined = sup.join(
+        F.broadcast(nat), sup.s_nationkey == nat.n_nationkey
+    ).join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+        .select("r_name", "n_name", "gid", "n_suppliers", "total_bal")
+    )
+
+
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("agg_cube", oracle=_CUBE_SQL)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping sets in one shuffle."""
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+    )
+
+
+_HAVING_SQL = """
+SELECT o_custkey, count(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 15
+"""
+
+
+@register("agg_having", oracle=_HAVING_SQL)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING — the post-aggregation filter runs after the
+    final agg, before any result materialization."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+_DISTINCT_AGG_SQL = """
+SELECT c_mktsegment AS segment,
+       count(*) AS n_customers,
+       count(DISTINCT c_nationkey) AS n_nations
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@register("agg_distinct", oracle=_DISTINCT_AGG_SQL)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count + count(DISTINCT) in one aggregation — Spark plans the
+    two-phase expand/partial/final distinct aggregate automatically."""
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# join extensions
+# ---------------------------------------------------------------------------
+
+_LEFT_OUTER_SQL = """
+SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+FROM customer c
+LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+"""
+
+
+@register("join_left_outer", oracle=_LEFT_OUTER_SQL)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders —
+    count(o_orderkey) counts only matched rows."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+_FULL_OUTER_SQL = """
+SELECT coalesce(c.k, s.k) AS nationkey,
+       c.k IS NOT NULL AS has_customer,
+       s.k IS NOT NULL AS has_supplier
+FROM (SELECT DISTINCT c_nationkey AS k FROM customer WHERE c_nationkey < 20) c
+FULL JOIN (SELECT DISTINCT s_nationkey AS k FROM supplier WHERE s_nationkey >= 5) s
+  ON c.k = s.k
+"""
+
+
+@register("join_full_outer", oracle=_FULL_OUTER_SQL)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with presence flags on both sides."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < 20)
+        .select(F.col("c_nationkey").cast("int").alias("ck"))
+        .distinct()
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") >= 5)
+        .select(F.col("s_nationkey").cast("int").alias("sk"))
+        .distinct()
+    )
+    return c.join(s, c.ck == s.sk, "full").select(
+        F.coalesce("ck", "sk").alias("nationkey"),
+        F.col("ck").isNotNull().alias("has_customer"),
+        F.col("sk").isNotNull().alias("has_supplier"),
+    )
+
+
+_ANTI_SQL = """
+SELECT c_custkey
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+"""
+
+
+@register("join_anti", oracle=_ANTI_SQL)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no order above 300k. The filter on
+    the right side is pushed below the join (smaller build side)."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    big = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+    )
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+
+
+_CROSS_SQL = """
+SELECT a.r_name AS region_a, b.r_name AS region_b
+FROM region a CROSS JOIN region b
+"""
+
+
+@register("join_cross", oracle=_CROSS_SQL)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product of two tiny dims (only ever valid for
+    broadcast-size inputs; Spark requires the explicit crossJoin call)."""
+    a = load(spark, sf_dir, "region").select(F.col("r_name").alias("region_a"))
+    b = load(spark, sf_dir, "region").select(F.col("r_name").alias("region_b"))
+    return a.crossJoin(b)
+
+
+_ASOF_SQL = """
+WITH u AS (
+  SELECT o_custkey AS user_id, o_orderdate AS t, 0 AS kind,
+         o_orderkey AS seq, o_totalprice AS price, NULL::BIGINT AS event_id
+  FROM orders
+  UNION ALL
+  SELECT user_id, ts AS t, 1 AS kind, event_id AS seq,
+         NULL::DOUBLE AS price, event_id
+  FROM events
+),
+marked AS (
+  SELECT event_id, user_id, kind,
+         last_value(price IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t, kind, seq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_order_price
+  FROM u
+)
+SELECT event_id, user_id, last_order_price FROM marked WHERE kind = 1
+"""
+
+
+@register("join_asof", oracle=_ASOF_SQL)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: each event picks the price of the user's most
+    recent order at-or-before the event timestamp.
+
+    Union-window formulation — the scale path: one shuffle on user_id and
+    a linear window pass, instead of joining every event to every prior
+    order and arg-maxing (quadratic in orders-per-user). Orders sort before
+    events at equal timestamps (kind 0 < 1), so `<=` semantics hold; seq
+    (orderkey / event_id) makes the order total and deterministic.
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("kind"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    events = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("seq"),
+        F.lit(None).cast("double").alias("price"),
+        "event_id",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", "kind", "seq")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        orders.unionByName(events)
+        .withColumn("last_order_price", F.last("price", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select("event_id", "user_id", "last_order_price")
+    )
+
+
+_RANGE_JOIN_SQL = """
+SELECT a.event_id,
+       count(*) AS n_prev_1d,
+       round(sum(b.value), 4) AS sum_prev_1d
+FROM events a
+JOIN events b
+  ON b.user_id = a.user_id
+ AND b.ts < a.ts
+ AND b.ts >= a.ts - INTERVAL 1 DAY
+GROUP BY a.event_id
+"""
+
+
+@register("join_range", oracle=_RANGE_JOIN_SQL)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: each event joined to the same user's events in the
+    preceding 24 h. The equi half (user_id) drives the shuffle; the range
+    predicate filters co-located rows — no banding needed because the equi
+    key already bounds bucket size. (At 100 TB with a pure-range key, add
+    day-bucket banding: equi-join on (user_id, day) for day and day+1.)"""
+    a = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    b = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"), "value"
+    )
+    joined = a.join(
+        b,
+        (b.b_user == a.user_id)
+        & (b.b_ts < a.ts)
+        & (b.b_ts >= a.ts - F.expr("INTERVAL 1 DAYS")),
+    )
+    return joined.groupBy("event_id").agg(
+        F.count("*").alias("n_prev_1d"),
+        F.round(F.sum("value"), 4).alias("sum_prev_1d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sessionization
+# ---------------------------------------------------------------------------
+
+_SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, event_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, session_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM s
+GROUP BY user_id, session_id
+"""
+
+
+@register("sessionize", oracle=_SESSIONIZE_SQL)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) via lag + running
+    sum — the batch formulation of a session window. Both window passes
+    share one (user_id)-partitioning, so Spark reuses a single exchange;
+    the follow-up groupBy re-partitions on (user_id, session_id)."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    events = (
+        load(spark, sf_dir, "events")
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_sess").over(wrun))
+    )
+    return events.groupBy("user_id", "session_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
