@@ -11,8 +11,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..streaming.ingest import read_events_stream, run_available_now, windowed_counts
-from .registry import register
+from ..streaming.ingest import (
+    read_events_stream,
+    run_available_now,
+    session_windows,
+    stateful_user_stats,
+    windowed_counts,
+)
+from .registry import load, register
 
 _WINDOW_AGG_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
@@ -35,3 +41,85 @@ def stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sum_value",
     )
+
+
+_SESSION_WINDOW_SQL = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+@register("stream_session_window", oracle=_SESSION_WINDOW_SQL)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session_window (30-min gap) per user, drained with
+    availableNow. Oracle = the batch lag/running-sum sessionization with
+    the same half-open boundary (new session when gap >= 30 min) — the
+    stream/batch equivalence statement for session windows."""
+    events = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = session_windows(events, gap="30 minutes", watermark="2 hours")
+    result = run_available_now(agg, query_name="stream_session_window")
+    return result.select(
+        "user_id",
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+        "sum_value",
+    )
+
+
+_STATEFUL_SQL = """
+SELECT user_id, count(*) AS n_events, max(value) AS max_value
+FROM events GROUP BY user_id
+"""
+
+
+@register("stream_stateful_stats", oracle=_STATEFUL_SQL)
+def stream_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    running per-user count + max. Drained availableNow in update mode;
+    with the whole file as one batch each key emits its final state, which
+    must equal the batch GROUP BY — the correctness statement for
+    arbitrary stateful processing."""
+    events = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    stats = stateful_user_stats(events)
+    return run_available_now(
+        stats, query_name="stream_stateful_stats", output_mode="update"
+    )
+
+
+_STREAM_STATIC_SQL = """
+SELECT c.c_mktsegment AS segment, count(*) AS n_events,
+       round(sum(e.value), 4) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("stream_static_join", oracle=_STREAM_STATIC_SQL)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the static
+    customer dimension (broadcast per micro-batch — no stream state), then
+    aggregated per segment."""
+    events = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = events.join(F.broadcast(cust), events.user_id == cust.c_custkey)
+    agg = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+    return run_available_now(agg, query_name="stream_static_join")

@@ -66,10 +66,56 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
     )
 
 
-def run_available_now(agg: DataFrame, query_name: str | None = None) -> DataFrame:
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based session windows per user (session_window merges events
+    whose [ts, ts+gap) intervals overlap; an event at exactly prev+gap
+    starts a new session — half-open semantics)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful per-key streaming (applyInPandasWithState):
+    running event count + max value per user. The state schema is the
+    cross-batch contract; Arrow moves each group's rows as pandas batches.
+
+    This is the extension point the reference lacks entirely — custom
+    stateful operators beyond what windowed SQL can express."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, max_value double"
+    state_schema = "n bigint, mx double"
+
+    def update(key, pdfs, state: GroupState):
+        n, mx = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            if len(pdf):
+                n += len(pdf)
+                m = float(pdf["value"].max())
+                mx = m if mx is None else max(mx, m)
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_available_now(
+    agg: DataFrame, query_name: str | None = None, output_mode: str = "complete"
+) -> DataFrame:
     """Drain the stream synchronously into a memory sink and return the
     final result as a batch DataFrame (complete mode so every window,
-    including the last open one, is emitted)."""
+    including the last open one, is emitted; stateful flatMap operators
+    require update mode)."""
     spark = agg.sparkSession
     name = query_name or f"stream_{uuid.uuid4().hex[:8]}"
     # fresh checkpoint per run: the memory sink has no recovery story
@@ -77,7 +123,7 @@ def run_available_now(agg: DataFrame, query_name: str | None = None) -> DataFram
         tempfile.gettempdir(), "airbnb_spark_ckpt", f"{name}_{uuid.uuid4().hex[:8]}"
     )
     q = (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .option("checkpointLocation", checkpoint)
