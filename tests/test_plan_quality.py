@@ -1,0 +1,62 @@
+"""Physical-plan assertions: the plans the engine claims to produce are
+the plans Catalyst actually produces (100 TB posture, SURVEY.md §4).
+
+These guard against regressions that correctness tests can't see — a
+filter that stops reaching the parquet scan, a broadcast that silently
+becomes a cartesian product, a top-k that becomes a global sort."""
+
+from __future__ import annotations
+
+import pytest
+
+from airbnb_listings_reviews_data_engineering_spark.plans import all_queries
+
+
+def _plan(spark, sf_dir, key: str) -> str:
+    df = all_queries()[key].fn(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filt_eq")
+    assert "PushedFilters: [" in plan
+    # the equality predicate itself is pushed, not just IsNotNull
+    assert "EqualTo" in plan
+
+
+def test_star_join_broadcasts_and_prunes(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_eq3")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # column pruning: lineitem scan must not read all 11 columns
+    assert "l_comment" not in plan
+
+
+def test_semi_join_is_single_engine(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_semi_inlist")
+    assert "LeftSemi" in plan or "BroadcastHashJoin" in plan
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sort_limit_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_blocking_has_no_cartesian(spark, sf_dir):
+    for key in ("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard"):
+        plan = _plan(spark, sf_dir, key)
+        assert "CartesianProduct" not in plan, key
+
+
+def test_aqe_enabled_everywhere(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_avg_group")
+    assert "AdaptiveSparkPlan" in plan
+
+
+@pytest.mark.parametrize("key", ["win_row_number", "sessionize"])
+def test_window_plans_single_exchange_per_partitioning(spark, sf_dir, key):
+    plan = _plan(spark, sf_dir, key)
+    # window partitioning reuses one hash exchange on the partition key
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
