@@ -72,21 +72,23 @@ def with_shingles(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
 def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, shingle: int = 3
 ) -> DataFrame:
-    """MinHash signature: h_j = min over shingles of hash60(shingle || '#j').
+    """MinHash signature via XOR permutations:
+    h_j = min over shingles of (hash60(shingle) XOR seed_j).
 
+    md5 runs ONCE per shingle; each permutation is a single bigint XOR
+    (a bijection on the hash space, so a valid min-wise permutation).
     Column-expression only — the signature of a 100 TB corpus is one
     map-side pass. Returns (id_col, h0..h{k-1}).
     """
-    sh = with_shingles(df, text_col, shingle)
+    from ..functions.hashing import XOR_SEEDS
 
-    def seeded(seed: str):
-        # NB: must be a one-parameter lambda — a `lambda s, j=j` default
-        # arg makes PySpark treat it as an (element, index) lambda and
-        # bind the seed to the index column.
-        return lambda s: hash60(F.concat(s, F.lit(seed)))
-
+    if num_hashes > len(XOR_SEEDS):
+        raise ValueError(f"at most {len(XOR_SEEDS)} permutations available")
+    sh = with_shingles(df, text_col, shingle).withColumn(
+        "bh", F.transform(F.col("shingles"), lambda s: hash60(s))
+    )
     sig_cols = [
-        F.array_min(F.transform(F.col("shingles"), seeded(f"#{j}"))).alias(f"h{j}")
+        F.array_min(F.expr(f"transform(bh, h -> h ^ {XOR_SEEDS[j]}L)")).alias(f"h{j}")
         for j in range(num_hashes)
     ]
     return sh.select(F.col(id_col), *sig_cols)
@@ -111,7 +113,7 @@ def minhash_lsh_pairs(
     Returns (doc_a, doc_b, est_jaccard) with est >= threshold.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle).cache()
+    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -119,32 +121,35 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
+    # Carry the full signature through the band explode: the bucket join
+    # then yields both signatures directly — one shuffle join total,
+    # instead of join + distinct + two signature re-joins. The extra
+    # shuffle width (num_hashes bigints per row) is the price; at 100 TB
+    # that is ~64 bytes/row against two avoided full re-shuffles of sig.
+    hcols = [f"h{j}" for j in range(num_hashes)]
     exploded = sig.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
-    ).select(id_col, "bk")
+        F.col(id_col), *hcols, F.explode(F.array(*band_structs)).alias("bk")
+    )
     a = exploded.alias("a")
     b = exploded.alias("b")
-    cand = (
-        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .distinct()
-    )
-    sa = sig.select(F.col(id_col).alias("doc_a"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(num_hashes)])
-    sb = sig.select(F.col(id_col).alias("doc_b"), *[F.col(f"h{j}").alias(f"b{j}") for j in range(num_hashes)])
     agree = sum(
-        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(num_hashes)
+        F.when(F.col(f"a.h{j}") == F.col(f"b.h{j}"), 1).otherwise(0)
+        for j in range(num_hashes)
     )
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("est_jaccard", F.round(agree / F.lit(float(num_hashes)), 4))
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.round(agree / F.lit(float(num_hashes)), 4).alias("est_jaccard"),
+        )
+        .distinct()  # a pair may collide in several bands
         .filter(F.col("est_jaccard") >= threshold)
-        .select("doc_a", "doc_b", "est_jaccard")
     )
 
 
 def simhash_signature(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+    df: DataFrame, id_col: str, text_col: str, bits: int = 60
 ) -> DataFrame:
     """SimHash over distinct tokens: bit b is the sign of the sum of
     (+1/-1) votes from each token's hash bit b. Pure column expression."""
@@ -166,14 +171,16 @@ def simhash_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    bits: int = 16,
+    bits: int = 60,
     chunks: int = 4,
     max_hamming: int = 3,
 ) -> DataFrame:
     """SimHash near-dup pairs. Pigeonhole blocking: with 4 chunks of a
-    16-bit hash, any pair at hamming distance <= 3 shares a chunk — so an
+    60-bit hash, any pair at hamming distance <= 3 shares a chunk — so an
     equi-join on (chunk_idx, chunk_value) finds all candidates without a
-    cross join; exact hamming verify runs on candidates only."""
+    cross join; exact hamming verify runs on candidates only. Chunk width
+    (bits/chunks = 15) sets the random-collision rate: ~n^2/2^15 spurious
+    candidates per chunk, linear in practice for uniform hashes."""
     chunk_bits = bits // chunks
     mask = (1 << chunk_bits) - 1
     sig = simhash_signature(df, id_col, text_col, bits).cache()

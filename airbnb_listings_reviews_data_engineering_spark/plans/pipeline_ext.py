@@ -54,11 +54,12 @@ _BANDS = 4
 
 def _minhash_sig_sql() -> str:
     """DuckDB CTEs computing the same MinHash signature as
-    operators/dedup.py::minhash_signature."""
+    operators/dedup.py::minhash_signature (md5 once per shingle, XOR
+    permutation per h_j — see functions/hashing.py::XOR_SEEDS)."""
+    from ..functions.hashing import XOR_SEEDS
+
     hcols = ",\n  ".join(
-        "list_min(list_transform(shingles, s -> "
-        + hash60_duckdb_sql(f"s || '#{j}'")
-        + f")) AS h{j}"
+        f"list_min(list_transform(bh, h -> xor(h, {XOR_SEEDS[j]}))) AS h{j}"
         for j in range(_NUM_HASHES)
     )
     return f"""
@@ -69,7 +70,8 @@ shd AS (
                         i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]) AS shingles
   FROM tokd WHERE len(tok) >= 3
 ),
-sig AS (SELECT doc_id, {hcols} FROM shd)
+bhd AS (SELECT doc_id, list_transform(shingles, s -> {hash60_duckdb_sql('s')}) AS bh FROM shd),
+sig AS (SELECT doc_id, {hcols} FROM bhd)
 """
 
 
@@ -91,7 +93,11 @@ WHERE round(({agree}) / {float(_NUM_HASHES)}, 4) >= 0.5
 """
 
 
-_SIMHASH_BITS = 16
+# 60 bits (the full hash60 width) with 15-bit pigeonhole chunks: 4 chunks
+# still guarantee every hamming<=3 pair shares a chunk, while the 32768-value
+# chunk space keeps random bucket collisions ~2000x rarer than 4-bit chunks —
+# candidate generation stays linear instead of degenerating to a cross join.
+_SIMHASH_BITS = 60
 
 
 def _simhash_sql() -> str:
