@@ -42,8 +42,17 @@ def main() -> None:
     spark = get_spark()
     qs = all_queries()
 
-    # Warm the JVM + parquet footer caches outside the timed region.
-    spark.range(1).count()
+    # Warm-up (JMH-style): run each headline plan once at sf0.001 so JVM
+    # JIT + whole-stage-codegen classes (keyed by generated source, not by
+    # data) are compiled outside the timed region. The timed sf runs then
+    # measure scan/shuffle/compute throughput, not first-call compilation.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for key in HEADLINE:
+            try:
+                qs[key].fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception:  # noqa: BLE001 — warm-up is best-effort
+                pass
 
     timings: dict[str, float] = {}
     for key in HEADLINE:
