@@ -39,6 +39,37 @@ def brute_force_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
+def brute_force_topk_pandas(
+    df: DataFrame, id_col: str, vec_col: str, query: DataFrame, k: int = 10
+) -> DataFrame:
+    """Same exact top-k as :func:`brute_force_topk`, scored by an
+    Arrow-vectorized Pandas UDF (numpy matmul per batch) instead of the
+    JVM higher-order functions — the faster path for very wide vectors,
+    and the template for any scoring the built-ins can't express."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    qv = np.asarray(query.select(vec_col).first()[0], dtype=np.float64)
+    qn = float(np.sqrt(qv @ qv))
+
+    def _cos(v):
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        dots = m @ qv
+        norms = np.sqrt((m * m).sum(axis=1)) * qn
+        return pd.Series(np.round(dots / norms, 6))
+
+    # NB: lambda-style registration — `from __future__ import annotations`
+    # stringifies type hints, which pandas_udf cannot resolve for locally
+    # imported pandas.
+    cos = pandas_udf(_cos, "double")
+
+    scored = df.select(
+        F.col(id_col), cos(as_double_array(vec_col)).alias("cos_sim")
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
 def with_lsh_bucket(
     df: DataFrame, id_col: str, vec_col: str, planes: DataFrame, plane_id: str, n_planes: int
 ) -> DataFrame:

@@ -377,6 +377,16 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim_cosine_topk_pandas", oracle=_TOPK_SQL)
+def sim_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k via an Arrow-batched Pandas UDF (numpy matmul) —
+    identical result to sim_cosine_topk, demonstrating the vectorized
+    Python path for scoring the JVM built-ins can't express. Same oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return S.brute_force_topk_pandas(emb, "vec_id", "embedding", query, k=10)
+
+
 # --- text analysis ------------------------------------------------------------
 
 _LANG_ID_SQL = """
@@ -472,3 +482,48 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     packed = MM.pack_binary(docs, "doc_id", "text")
     return MM.extract_binary_meta(packed)
+
+
+# The deterministic fake decode derives (width, height, mean) from md5
+# digest bytes, so the oracle reproduces it from hex substrings — the
+# plumbing (Arrow batches, schema, partitioning) is verified end to end
+# even though the real codec is stubbed (none in this container).
+_DECODE_FAKE_SQL = """
+SELECT doc_id,
+       CAST(16 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 64 AS INT) AS width,
+       CAST(16 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 64 AS INT) AS height,
+       CAST('0x' || substr(md5(text), 5, 2) AS INT) / 255.0 AS mean_intensity
+FROM documents
+"""
+
+
+@register("mm_decode_fake", oracle=_DECODE_FAKE_SQL)
+def mm_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed image decode over mapInPandas: deterministic md5-derived
+    (width, height, mean_intensity) per payload. Swap _fake_decode for a
+    real codec on a cluster that has one — schema and batching identical."""
+    docs = load(spark, sf_dir, "documents")
+    packed = MM.pack_binary(docs, "doc_id", "text")
+    return MM.decode_image(packed, fake=True)
+
+
+_FRAME_SAMPLE_SQL = """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
+f AS (
+  SELECT doc_id, nb,
+         unnest(generate_series(0, CAST(ceil(nb / 64.0) AS INT) - 1)) AS fi
+  FROM d WHERE nb > 0
+)
+SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+       CAST(least(64, nb - fi * 64) AS INT) AS frame_bytes
+FROM f
+"""
+
+
+@register("mm_frame_sample", oracle=_FRAME_SAMPLE_SQL)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for binary payloads (video-style 1-row-in,
+    N-rows-out inside mapInPandas): 64-byte frames with tail size."""
+    docs = load(spark, sf_dir, "documents")
+    packed = MM.pack_binary(docs, "doc_id", "text")
+    return MM.frame_sample(packed, every_n_bytes=64)
