@@ -16,6 +16,7 @@ def all_queries() -> dict[str, "QuerySpec"]:
         merge_queries,
         pipeline_ext,
         relational,
+        scale_ext,
         streaming_q,
         window_ext,
     )

@@ -60,3 +60,24 @@ def test_window_plans_single_exchange_per_partitioning(spark, sf_dir, key):
     plan = _plan(spark, sf_dir, key)
     # window partitioning reuses one hash exchange on the partition key
     assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    df = __import__(
+        "airbnb_listings_reviews_data_engineering_spark.plans.scale_ext",
+        fromlist=["join_bucketed"],
+    ).join_bucketed(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "SortMergeJoin" in plan
+    # the join reads co-located buckets: the only exchange is the final agg's
+    join_part = plan.split("SortMergeJoin")[0]
+    assert "Exchange hashpartitioning" not in join_part, join_part[-1500:]
+    assert "Bucketed: true" in plan
+
+
+def test_partition_pruning_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "src_partition_pruning")
+    assert "PartitionFilters: [" in plan
+    assert "event_type" in plan.split("PartitionFilters")[1][:200]
