@@ -31,8 +31,12 @@ HEADLINE = [
     "dedup_exact",        # hash-groupBy dedup over documents
     "dedup_minhash_lsh",  # shingle -> minhash -> band -> bucket join
     "sim_cosine_topk",    # brute-force cosine top-k over embeddings
+    "sim_ivf_topk",       # IVF-cell-pruned ANN probe
     "text_quality_score", # text-quality heuristics over documents
     "stream_window_agg",  # tumbling-window event aggregation
+    "win_topk_per_group", # per-group top-k window
+    "join_asof",          # as-of join (union-window formulation)
+    "sessionize",         # gap-based sessionization
 ]
 
 
