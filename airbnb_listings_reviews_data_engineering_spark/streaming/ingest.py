@@ -66,6 +66,58 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
     )
 
 
+def available_now_merge_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    target_path: str,
+    keys: list[str],
+    checkpoint: str,
+    fmt: str = "csv",
+) -> DataFrame:
+    """Incremental file ingest with upsert semantics — the Structured
+    Streaming form of the reference's daily re-run (inc_daily_snapshot,
+    SURVEY.md §2.8).
+
+    readStream over a drop directory; each availableNow drain runs
+    foreachBatch, which MERGEs the micro-batch into the parquet target
+    (updates win on key collision). The checkpoint makes re-runs skip
+    already-ingested files, so retries and daily re-triggers are
+    exactly-once without any coordinator — the property the reference
+    gets from Airflow retries + DB upserts.
+    """
+    from ..operators.merge import upsert_snapshot
+
+    reader = spark.readStream.schema(schema)
+    stream = (
+        reader.option("header", True).csv(source_dir)
+        if fmt == "csv"
+        else reader.parquet(source_dir)
+    )
+
+    def merge_batch(batch: DataFrame, _batch_id: int) -> None:
+        batch = batch.dropDuplicates(keys)
+        try:
+            base = batch.sparkSession.read.parquet(target_path)
+            merged = upsert_snapshot(base, batch, keys)
+        except Exception:  # first batch — no target yet  # noqa: BLE001
+            merged = batch
+        staged = target_path.rstrip("/") + "_staged"
+        merged.write.mode("overwrite").parquet(staged)
+        batch.sparkSession.read.parquet(staged).write.mode("overwrite").parquet(
+            target_path
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target_path)
+
+
 def session_windows(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:
