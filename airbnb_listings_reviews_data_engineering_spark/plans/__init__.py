@@ -14,6 +14,7 @@ def all_queries() -> dict[str, "QuerySpec"]:
     from . import (  # noqa: F401
         docmodel,
         merge_queries,
+        misc_ext,
         pipeline_ext,
         relational,
         scale_ext,

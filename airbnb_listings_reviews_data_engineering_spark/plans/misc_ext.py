@@ -1,0 +1,173 @@
+"""Scalar-function and aggregate extension surface: date math, JSON
+extraction, statistical aggregates, pivot, and positional explode.
+
+The reference's function surface stops at string ops and casts
+(SURVEY.md §2.7: 'Math/date functions: none beyond casts'); an analytics
+engine a reference user switches TO needs the everyday rest. All pure
+column expressions / standard aggregates — codegen'd, shuffle only where
+the aggregation requires it."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+_DATE_TRUNC_SQL = """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+       count(*) AS n_orders
+FROM orders GROUP BY date_trunc('month', o_orderdate)
+"""
+
+
+@register("fn_date_trunc", oracle=_DATE_TRUNC_SQL)
+def fn_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar truncation: orders per month."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "order_month"
+            )
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+_EXTRACT_SQL = """
+SELECT CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+       CAST(extract(quarter FROM o_orderdate) AS INT) AS qtr,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY 1, 2
+"""
+
+
+@register("fn_extract", oracle=_EXTRACT_SQL)
+def fn_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction: per (year, quarter) order totals."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+_DATEDIFF_SQL = """
+SELECT o_orderkey,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_epoch
+FROM orders WHERE o_orderkey % 97 = 0
+"""
+
+
+@register("fn_datediff", oracle=_DATEDIFF_SQL)
+def fn_datediff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day difference against a fixed date (sampled 1-in-97 keys)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+            .cast("long")
+            .alias("days_to_epoch"),
+        )
+    )
+
+
+_JSON_EXTRACT_SQL = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events WHERE event_id % 53 = 0
+"""
+
+
+@register("fn_json_extract", oracle=_JSON_EXTRACT_SQL)
+def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events.props payload column
+    (get_json_object — JVM-side JSON path, no UDF)."""
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 53 == 0)
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+    )
+
+
+_STATS_SQL = """
+SELECT c_mktsegment AS segment,
+       round(avg(c_acctbal), 4) AS mean_bal,
+       round(stddev_samp(c_acctbal), 4) AS sd_bal,
+       round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+@register("agg_stats", oracle=_STATS_SQL)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per group (mean / sample stddev / min / max)."""
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.round(F.avg("c_acctbal"), 4).alias("mean_bal"),
+            F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+    )
+
+
+_PIVOT_SQL = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("agg_pivot", oracle=_PIVOT_SQL)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts by priority x status. Explicit value list so the
+    plan needs no extra distinct-values pass (required at 100 TB)."""
+    pv = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return pv.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("status_f"),
+        F.coalesce("O", F.lit(0)).alias("status_o"),
+        F.coalesce("P", F.lit(0)).alias("status_p"),
+    )
+
+
+_POSEXPLODE_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM documents WHERE doc_id < 20
+)
+SELECT doc_id, u.pos, u.token FROM (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(tok)),
+                i -> struct_pack(pos := i - 1, token := tok[i]))) AS u
+  FROM t
+)
+"""
+
+
+@register("fn_posexplode", oracle=_POSEXPLODE_SQL)
+def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode: one row per (token, 0-based position)."""
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+    )

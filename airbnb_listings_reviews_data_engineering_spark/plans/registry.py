@@ -71,6 +71,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microsecond timestamp (floor division, matching DuckDB's ns->us
     truncation).
     """
+    # The driver may hand us a session without UTC pinned; every
+    # timestamp-formatting query depends on it for oracle parity.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         from pyspark.sql import functions as F
