@@ -150,6 +150,35 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STRING_FAMILY_SQL = """
+SELECT c_custkey,
+       upper(c_name) AS uname,
+       trim(lower(c_mktsegment)) AS lseg,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+       reverse(c_name) AS rname,
+       levenshtein(c_mktsegment, 'BUILDING') AS lev_building
+FROM customer WHERE c_custkey % 29 = 0
+"""
+
+
+@register("fn_string_family", oracle=_STRING_FAMILY_SQL)
+def fn_string_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function battery: case, trim, pad, reverse, edit distance —
+    all JVM-side codegen'd expressions."""
+    return (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 29 == 0)
+        .select(
+            "c_custkey",
+            F.upper("c_name").alias("uname"),
+            F.trim(F.lower("c_mktsegment")).alias("lseg"),
+            F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+            F.reverse("c_name").alias("rname"),
+            F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("lev_building"),
+        )
+    )
+
+
 _POSEXPLODE_SQL = """
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS tok FROM documents WHERE doc_id < 20

@@ -148,6 +148,86 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANK_FAMILY_SQL = """
+SELECT o_orderkey, o_custkey,
+       dense_rank()   OVER w AS drank,
+       round(percent_rank() OVER w, 6) AS prank,
+       round(cume_dist()    OVER w, 6) AS cdist,
+       ntile(4)       OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@register("win_rank_family", oracle=_RANK_FAMILY_SQL)
+def win_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking family in one window pass (shared spec => one
+    exchange + one sort). Ordering ends in the unique o_orderkey, so
+    every rank is deterministic."""
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.dense_rank().over(w).alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+_FIRST_LAST_SQL = """
+SELECT o_orderkey, o_custkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice)  OVER w AS last_price,
+       nth_value(o_totalprice, 2) OVER w AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@register("win_first_last", oracle=_FIRST_LAST_SQL)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value over an explicit full-partition frame (the
+    default growing frame makes last_value() a footgun — pinned here)."""
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    price = F.col("o_totalprice")
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.first(price).over(w).alias("first_price"),
+        F.last(price).over(w).alias("last_price"),
+        F.nth_value(price, 2).over(w).alias("second_price"),
+    )
+
+
+_MINMAX_BY_SQL = """
+SELECT o_custkey,
+       arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+       arg_max(o_orderkey, o_totalprice) AS priciest_order
+FROM orders GROUP BY o_custkey
+"""
+
+
+@register("agg_minmax_by", oracle=_MINMAX_BY_SQL)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (argmin/argmax) aggregates — one pass, no window.
+    (o_totalprice is continuous so per-customer ties don't occur; for a
+    tie-prone ordering key, pack a unique tiebreaker into the value.)"""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # sort / limit
 # ---------------------------------------------------------------------------
