@@ -1,0 +1,78 @@
+"""Iterative clustering on DataFrames (k-means / Lloyd).
+
+The loop shape matters more than the model: each iteration is
+  assign  — broadcast K centroids, per-row argmin distance (map-side,
+            no shuffle of the corpus);
+  update  — element-wise mean per cluster (posexplode -> one shuffle on
+            (cluster, dim) -> rebuild the centroid arrays).
+At 100 TB only the K-row centroid table moves between iterations; the
+corpus is re-scanned (or cached) but never reshuffled for assignment.
+
+Determinism contract (for the cross-engine oracle): distances accumulate
+sequentially (zip_with + aggregate) and are rounded to 6 dp before the
+argmin (ties break on cluster id); recomputed centroid coordinates are
+rounded to 6 dp. The oracle SQL mirrors both rounding points exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.arrays import as_double_array
+
+
+def _sq_dist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_fixed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    dims: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Lloyd's algorithm with deterministic seeding (centroids = the
+    vectors with ids 1..k) and a fixed iteration count. Returns one row
+    per surviving cluster: (cid, n_points, c1..c{dims}).
+    """
+    v = df.select(
+        F.col(id_col), F.slice(as_double_array(vec_col), 1, dims).alias("v")
+    )
+    cents = v.filter(F.col(id_col).between(1, k)).select(
+        (F.col(id_col) - 1).cast("int").alias("cid"), F.col("v").alias("cv")
+    )
+    assigned = None
+    for _ in range(iters):
+        scored = v.crossJoin(F.broadcast(cents)).select(
+            id_col,
+            "v",
+            "cid",
+            F.round(_sq_dist(F.col("v"), F.col("cv")), 6).alias("d2"),
+        )
+        w = Window.partitionBy(id_col).orderBy("d2", "cid")
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, "v", "cid")
+        )
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+        )
+        cents = means.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+    counts = assigned.groupBy("cid").agg(F.count("*").alias("n_points"))
+    flat = [F.element_at("cv", d + 1).alias(f"c{d + 1}") for d in range(dims)]
+    return counts.join(cents, "cid").select("cid", "n_points", *flat)

@@ -256,6 +256,68 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iter: int = 15
+) -> DataFrame:
+    """Connected components over near-dup pairs — the cluster-assignment
+    step that turns pairwise matches into dedup groups (keep one doc per
+    component). Iterative min-label propagation on DataFrames:
+
+      label(v) <- min(label(v), min over neighbors u of label(u))
+
+    until a fixpoint (bounded by ``max_iter``; rounds needed = graph
+    diameter, which is tiny for near-dup clusters). Each iteration is one
+    join + one aggregation; labels are cached per round to truncate
+    lineage — on a real cluster checkpoint() instead every few rounds.
+    Returns (node, component) with component = min doc id in the group.
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("lbl").alias("dlbl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dlbl").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nmin", "lbl")).alias("lbl"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("lbl").alias("component"))
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,

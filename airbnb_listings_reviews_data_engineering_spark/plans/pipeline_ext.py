@@ -97,6 +97,58 @@ WHERE round(({agree}) / {float(_NUM_HASHES)}, 4) >= 0.5
 # still guarantee every hamming<=3 pair shares a chunk, while the 32768-value
 # chunk space keeps random bucket collisions ~2000x rarer than 4-bit chunks —
 # candidate generation stays linear instead of degenerating to a cross join.
+def _components_sql() -> str:
+    """Recursive-CTE oracle for connected components over the MinHash
+    near-dup pairs (restricted corpus slice keeps the closure tiny)."""
+    band_cond = " OR ".join(
+        "(" + " AND ".join(f"a.h{b*2+r} = b.h{b*2+r}" for r in range(2)) + ")"
+        for b in range(_BANDS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END)" for j in range(_NUM_HASHES)
+    )
+    corpus = """
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 500
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, regexp_replace(text, '^[a-z]+ ', '') AS text
+  FROM documents WHERE doc_id < 500
+)
+"""
+    return f"""
+WITH RECURSIVE {corpus.strip()},
+{_minhash_sig_sql().strip()},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_cond})
+  WHERE round(({agree}) / {float(_NUM_HASHES)}, 4) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.d = r.node
+)
+SELECT node, min(lbl) AS component FROM reach GROUP BY node
+"""
+
+
+@register("dedup_components", oracle=_components_sql())
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over MinHash near-dup pairs: pairwise matches
+    -> dedup groups (keep min-id doc per component). Spark side is
+    iterative min-label propagation (operators/dedup.py); the oracle is a
+    recursive transitive-closure CTE — two very different formulations
+    agreeing exactly is the correctness statement for the iteration."""
+    corpus = _variant_corpus(spark, sf_dir, max_id=500)
+    pairs = D.minhash_lsh_pairs(corpus, "doc_id", "text", _NUM_HASHES, _BANDS, 0.5, 3)
+    return D.connected_components(pairs)
+
+
 _SIMHASH_BITS = 60
 
 
@@ -385,6 +437,76 @@ def sim_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
     return S.brute_force_topk_pandas(emb, "vec_id", "embedding", query, k=10)
+
+
+_KM_K = 4
+_KM_DIMS = 8
+_KM_ITERS = 2
+
+
+def _kmeans_sql() -> str:
+    """Unrolled Lloyd iterations as generated CTEs, mirroring
+    operators/clustering.py::kmeans_fixed's two rounding points."""
+    d2 = (
+        "round(list_sum(list_transform(generate_series(1, {dims}), "
+        "d -> (e.v[d] - c.cv[d]) * (e.v[d] - c.cv[d]))), 6)"
+    ).format(dims=_KM_DIMS)
+    blocks = [
+        f"""
+e AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, {_KM_DIMS}), d -> CAST(embedding[d] AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (SELECT CAST(vec_id - 1 AS INT) AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {_KM_K})
+"""
+    ]
+    for it in range(1, _KM_ITERS + 1):
+        prev = f"c{it - 1}"
+        blocks.append(
+            f"""
+a{it} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cid) AS rn
+    FROM e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+c{it} AS (
+  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+    SELECT cid, u.pos AS pos, round(avg(u.val), 6) AS m FROM (
+      SELECT cid,
+             unnest(list_transform(generate_series(1, {_KM_DIMS}),
+                    d -> struct_pack(pos := d, val := v[d]))) AS u
+      FROM a{it}
+    ) GROUP BY cid, u.pos
+  ) GROUP BY cid
+)
+"""
+        )
+    flat = ", ".join(f"c.cv[{d}] AS c{d}" for d in range(1, _KM_DIMS + 1))
+    return (
+        "WITH "
+        + ",".join(b.strip() for b in blocks)
+        + f"""
+SELECT c.cid, n.n_points, {flat}
+FROM c{_KM_ITERS} c
+JOIN (SELECT cid, count(*) AS n_points FROM a{_KM_ITERS} GROUP BY cid) n USING (cid)
+"""
+    )
+
+
+@register("ml_kmeans", oracle=_kmeans_sql())
+def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 2-iteration Lloyd k-means (k=4, first 8 dims,
+    centroids seeded from vectors 1..4) — the iterative-algorithm shape:
+    broadcast-assign (no corpus shuffle) + per-(cluster,dim) mean. The
+    oracle unrolls both iterations as CTEs; agreement across the two
+    formulations checks the whole loop, not just one step."""
+    from ..operators.clustering import kmeans_fixed
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kmeans_fixed(emb, "vec_id", "embedding", k=_KM_K, dims=_KM_DIMS, iters=_KM_ITERS)
 
 
 # --- text analysis ------------------------------------------------------------
