@@ -103,6 +103,61 @@ def stream_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_STREAM_SQL = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       round(p.value, 4) AS purchase_value
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
+@register("stream_stream_join", oracle=_STREAM_STREAM_SQL)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: clicks joined to the same
+    user's purchases within the following hour. Both sides carry
+    watermarks and the join has a two-sided time bound, so state is
+    evictable — the shape that runs forever on an unbounded stream.
+    Drained availableNow; the oracle is the equivalent batch interval
+    join (stream/batch equivalence again)."""
+    events = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (purchases.p_user == clicks.user_id)
+        & (purchases.p_ts >= clicks.click_ts)
+        & (purchases.p_ts <= clicks.click_ts + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.round("value", 4).alias("purchase_value"),
+    )
+    return run_available_now(
+        joined, query_name="stream_stream_join", output_mode="append"
+    )
+
+
 _STREAM_STATIC_SQL = """
 SELECT c.c_mktsegment AS segment, count(*) AS n_events,
        round(sum(e.value), 4) AS sum_value
