@@ -148,6 +148,31 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TIME_RANGE_SQL = """
+SELECT o_orderkey, o_custkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey
+         ORDER BY date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+         RANGE BETWEEN 29 PRECEDING AND CURRENT ROW), 2) AS sum_30d
+FROM orders
+"""
+
+
+@register("win_time_range", oracle=_TIME_RANGE_SQL)
+def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per-customer rolling 30-day revenue.
+    Ordering is the integer day number so the range frame is value-based
+    (all same-day orders enter together — deterministic under ties,
+    unlike a ROWS frame). The continuous-rollup shape for time series."""
+    day = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
+    w = W.partitionBy("o_custkey").orderBy(day).rangeBetween(-29, 0)
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("sum_30d"),
+    )
+
+
 _RANK_FAMILY_SQL = """
 SELECT o_orderkey, o_custkey,
        dense_rank()   OVER w AS drank,
