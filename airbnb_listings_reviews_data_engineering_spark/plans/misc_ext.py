@@ -150,6 +150,36 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUANTILES_SQL = """
+SELECT c_mktsegment AS segment,
+       round(quantile_cont(c_acctbal, 0.25), 4) AS q25,
+       round(quantile_cont(c_acctbal, 0.50), 4) AS q50,
+       round(quantile_cont(c_acctbal, 0.75), 4) AS q75,
+       quantile_disc(c_acctbal, 0.5) AS median_disc
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+@register("agg_quantiles", oracle=_QUANTILES_SQL)
+def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous quantiles (q25/q50/q75) + discrete median per
+    group — exact `percentile`, not approx (both engines interpolate with
+    the same (1-g)*a + g*b rule; the discrete variant picks an actual
+    data value, no interpolation)."""
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.round(F.expr("percentile(c_acctbal, 0.25)"), 4).alias("q25"),
+            F.round(F.expr("percentile(c_acctbal, 0.50)"), 4).alias("q50"),
+            F.round(F.expr("percentile(c_acctbal, 0.75)"), 4).alias("q75"),
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal)"
+            ).alias("median_disc"),
+        )
+    )
+
+
 _STRING_FAMILY_SQL = """
 SELECT c_custkey,
        upper(c_name) AS uname,
