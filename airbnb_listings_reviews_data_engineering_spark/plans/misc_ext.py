@@ -150,6 +150,104 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONDITIONAL_SQL = """
+SELECT s_suppkey,
+       coalesce(NULLIF(s_name, ''), 'unknown') AS name_or_unknown,
+       greatest(s_acctbal, 0.0) AS bal_floor0,
+       least(s_acctbal, 5000.0) AS bal_cap5k,
+       CASE WHEN s_acctbal IS NULL THEN 'missing'
+            WHEN s_acctbal < 0 THEN 'debit' ELSE 'credit' END AS bal_class
+FROM supplier WHERE s_suppkey % 7 = 0
+"""
+
+
+@register("fn_conditional", oracle=_CONDITIONAL_SQL)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional battery: coalesce/nullif/greatest/least/searched CASE."""
+    bal = F.col("s_acctbal")
+    return (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 7 == 0)
+        .select(
+            "s_suppkey",
+            F.coalesce(F.nullif(F.col("s_name"), F.lit("")), F.lit("unknown")).alias(
+                "name_or_unknown"
+            ),
+            F.greatest(bal, F.lit(0.0)).alias("bal_floor0"),
+            F.least(bal, F.lit(5000.0)).alias("bal_cap5k"),
+            F.when(bal.isNull(), "missing")
+            .when(bal < 0, "debit")
+            .otherwise("credit")
+            .alias("bal_class"),
+        )
+    )
+
+
+_MATH_SQL = """
+SELECT p_partkey,
+       round(sqrt(p_retailprice), 4) AS sqrt_price,
+       round(ln(p_retailprice), 4) AS ln_price,
+       round(pow(p_size, 2), 4) AS size_sq,
+       abs(p_size - 25) AS size_dev,
+       CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+       CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+       CAST(sign(p_size - 25) AS INT) AS size_sign
+FROM part WHERE p_partkey % 13 = 0
+"""
+
+
+@register("fn_math", oracle=_MATH_SQL)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery: sqrt/ln/pow/abs/floor/ceil/sign (rounded where the
+    platform libm could differ in the last ulp)."""
+    price = F.col("p_retailprice")
+    size = F.col("p_size")
+    return (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 13 == 0)
+        .select(
+            "p_partkey",
+            F.round(F.sqrt(price), 4).alias("sqrt_price"),
+            F.round(F.log(price), 4).alias("ln_price"),
+            F.round(F.pow(size, F.lit(2)), 4).alias("size_sq"),
+            F.abs(size - 25).alias("size_dev"),
+            F.floor(price).cast("long").alias("floor_price"),
+            F.ceil(price).cast("long").alias("ceil_price"),
+            F.signum((size - 25).cast("double")).cast("int").alias("size_sign"),
+        )
+    )
+
+
+# NB: DATE + 90 (integer days), NOT "+ INTERVAL 90 DAY": DuckDB interval
+# equality normalizes 1 month = 30 days, so its common-subexpression
+# elimination would merge "+ INTERVAL 90 DAY" with "+ INTERVAL 3 MONTH"
+# and silently return the same column twice.
+_INTERVAL_SQL = """
+SELECT o_orderkey,
+       strftime(CAST(o_orderdate AS DATE) + 90, '%Y-%m-%d') AS due_date,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3mo
+FROM orders WHERE o_orderkey % 101 = 0
+"""
+
+
+@register("fn_interval_arith", oracle=_INTERVAL_SQL)
+def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic: +days, month end, add_months (calendar
+    clamping semantics agree across engines)."""
+    d = F.col("o_orderdate").cast("date")
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 101 == 0)
+        .select(
+            "o_orderkey",
+            F.date_format(F.date_add(d, 90), "yyyy-MM-dd").alias("due_date"),
+            F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+            F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3mo"),
+        )
+    )
+
+
 _QUANTILES_SQL = """
 SELECT c_mktsegment AS segment,
        round(quantile_cont(c_acctbal, 0.25), 4) AS q25,

@@ -350,6 +350,52 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.subtract(s)
 
 
+_INTERSECT_ALL_SQL = """
+SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9500
+INTERSECT ALL
+SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000
+"""
+
+
+@register("setop_intersect_all", oracle=_INTERSECT_ALL_SQL)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: each value appears min(m, n) times."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9500)
+        .select(F.col("c_nationkey").cast("int").alias("nationkey"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").cast("int").alias("nationkey"))
+    )
+    return c.intersectAll(s)
+
+
+_EXCEPT_ALL_SQL = """
+SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9500
+EXCEPT ALL
+SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000
+"""
+
+
+@register("setop_except_all", oracle=_EXCEPT_ALL_SQL)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag semantics: each value appears max(m - n, 0) times."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9500)
+        .select(F.col("c_nationkey").cast("int").alias("nationkey"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").cast("int").alias("nationkey"))
+    )
+    return c.exceptAll(s)
+
+
 # ---------------------------------------------------------------------------
 # grouping extensions
 # ---------------------------------------------------------------------------
