@@ -150,6 +150,36 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ARRAY_OPS_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents WHERE doc_id < 100)
+SELECT doc_id,
+       array_to_string(list_slice(tok, 1, 3), ' ') AS first3,
+       CAST(coalesce(list_position(tok, 'the'), 0) AS INT) AS pos_the,
+       list_reverse(tok)[1] AS last_tok,
+       CAST(len(list_distinct(tok)) AS INT) AS n_distinct
+FROM t
+"""
+
+
+@register("fn_array_ops", oracle=_ARRAY_OPS_SQL)
+def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function battery: slice / position / reverse / distinct size
+    (1-based indexing on both engines; Spark array_position returns 0 for
+    absent where DuckDB returns NULL — coalesced in the oracle)."""
+    tok = F.split(F.col("text"), " ")
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.array_join(F.slice(tok, 1, 3), " ").alias("first3"),
+            F.array_position(tok, "the").cast("int").alias("pos_the"),
+            F.element_at(F.reverse(tok), 1).alias("last_tok"),
+            F.size(F.array_distinct(tok)).alias("n_distinct"),
+        )
+    )
+
+
 _CONDITIONAL_SQL = """
 SELECT s_suppkey,
        coalesce(NULLIF(s_name, ''), 'unknown') AS name_or_unknown,
