@@ -587,6 +587,140 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.fingerprint(load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+_NGRAM_FREQ_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(tok) - 1),
+                i -> tok[i] || ' ' || tok[i+1])) AS bigram
+  FROM t WHERE len(tok) >= 2
+)
+SELECT bigram, count(*) AS freq, count(DISTINCT doc_id) AS doc_freq
+FROM sh GROUP BY bigram
+ORDER BY count(*) DESC, bigram
+LIMIT 50
+"""
+
+
+@register("text_ngram_freq", oracle=_NGRAM_FREQ_SQL)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 bigrams with document frequency — explode +
+    count + TakeOrdered; the corpus-statistics pass every text pipeline
+    starts with. Bigram name breaks count ties deterministically."""
+    docs = load(spark, sf_dir, "documents")
+    tok = F.split("text", " ")
+    bigrams = (
+        docs.withColumn("tok", tok)
+        .filter(F.size("tok") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(tok) - 2), "
+                    "i -> concat_ws(' ', tok[i], tok[i+1]))"
+                )
+            ).alias("bigram"),
+        )
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(
+            F.count("*").alias("freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("freq"), "bigram")
+        .limit(50)
+    )
+
+
+_TFIDF_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents WHERE doc_id < 1000),
+n_docs AS (SELECT count(*) AS n FROM t),
+terms AS (SELECT doc_id, unnest(tok) AS term FROM t),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term)
+SELECT tf.doc_id, tf.term,
+       round(tf.tf * ln(n.n / df.df), 4) AS tfidf
+FROM tf JOIN df USING (term), n_docs n
+WHERE tf.tf >= 3
+"""
+
+
+@register("text_tfidf", oracle=_TFIDF_SQL)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF over a corpus slice: term frequency per doc joined with
+    document frequency (broadcast — the vocabulary is small relative to
+    the corpus) and the corpus size. Kept to tf >= 3 terms for output
+    size; the plan shape (two aggregations + broadcast join) is the
+    scalable one — the corpus is scanned twice, never cross-joined."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    terms = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    n_docs = docs.count()
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .filter(F.col("tf") >= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+
+
+_LABEL_CENTROID_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (
+  SELECT label, list(m ORDER BY pos) AS cv FROM (
+    SELECT label, u.pos AS pos, avg(u.val) AS m FROM (
+      SELECT label,
+             unnest(list_transform(generate_series(1, 64),
+                    d -> struct_pack(pos := d, val := v[d]))) AS u
+      FROM e
+    ) GROUP BY label, u.pos
+  ) GROUP BY label
+)
+SELECT e.vec_id, e.label,
+       round({_EMB_COS.format(a='e.v', b='cent.cv')}, 4) AS cos_to_centroid
+FROM e JOIN cent USING (label)
+WHERE e.vec_id % 17 = 0
+"""
+
+
+@register("emb_label_centroid", oracle=_LABEL_CENTROID_SQL)
+def emb_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + each sampled vector's cosine to its own
+    centroid — the embedding-quality / outlier-score pass. Centroid is a
+    per-(label,dim) mean (one shuffle), broadcast back to the corpus."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    )
+    means = (
+        emb.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("m"))
+    )
+    cents = means.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("cv")
+    )
+    return (
+        emb.filter(F.col("vec_id") % 17 == 0)
+        .join(F.broadcast(cents), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("v"), F.col("cv")), 4).alias("cos_to_centroid"),
+        )
+    )
+
+
 # --- multimodal ---------------------------------------------------------------
 
 _BINARY_META_SQL = """
