@@ -150,6 +150,36 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MAP_OPS_SQL = """
+WITH m AS (
+  SELECT n_nationkey,
+         map(['name', 'region'], [n_name, CAST(n_regionkey AS VARCHAR)]) AS meta
+  FROM nation
+)
+SELECT n_nationkey,
+       meta['name'][1] AS name_val,
+       meta['region'][1] AS region_val,
+       CAST(cardinality(meta) AS INT) AS n_keys
+FROM m
+"""
+
+
+@register("fn_map_ops", oracle=_MAP_OPS_SQL)
+def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type battery: build a map column, extract by key, count keys
+    (map stays internal; output is scalar for cross-engine comparison)."""
+    meta = F.create_map(
+        F.lit("name"), F.col("n_name"),
+        F.lit("region"), F.col("n_regionkey").cast("string"),
+    )
+    return load(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.element_at(meta, "name").alias("name_val"),
+        F.element_at(meta, "region").alias("region_val"),
+        F.size(meta).alias("n_keys"),
+    )
+
+
 _ARRAY_OPS_SQL = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents WHERE doc_id < 100)
 SELECT doc_id,
