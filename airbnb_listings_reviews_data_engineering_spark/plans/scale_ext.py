@@ -109,6 +109,61 @@ def src_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JSONL_SQL = "SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id < 300"
+
+
+@register("src_jsonl", oracle=_JSONL_SQL)
+def src_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source/sink roundtrip — the interchange format of LLM data
+    pipelines. Write with an explicit schema, read back schema-first (a
+    schemaless JSON read over 100 TB costs a full inference scan)."""
+    tag = _sf_tag(sf_dir)
+    staged = os.path.join(_STAGE_ROOT, f"docs_jsonl_{tag}")
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    docs.write.mode("overwrite").json(staged)
+    return spark.read.json(staged, schema=docs.schema).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+_ORC_SQL = "SELECT p_partkey, p_name, p_brand, p_retailprice FROM part WHERE p_partkey < 500"
+
+
+@register("src_orc", oracle=_ORC_SQL)
+def src_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink roundtrip — second columnar format, same
+    vectorized reader + predicate pushdown path as parquet."""
+    tag = _sf_tag(sf_dir)
+    staged = os.path.join(_STAGE_ROOT, f"part_orc_{tag}")
+    part = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    part.write.mode("overwrite").orc(staged)
+    return spark.read.orc(staged).select(
+        "p_partkey", "p_name", "p_brand", "p_retailprice"
+    )
+
+
+_THETA_ONLY_SQL = """
+SELECT r.r_name, count(*) AS n_higher_nations
+FROM region r JOIN nation n ON n.n_regionkey > r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+@register("join_theta_only", oracle=_THETA_ONLY_SQL)
+def join_theta_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure theta join (no equi key) — compiles to
+    BroadcastNestedLoopJoin; legitimate ONLY when one side is tiny
+    (dims here). The engine supports it; the plan test pins that the big
+    fact tables never take this path."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return (
+        r.join(F.broadcast(n), n.n_regionkey > r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_higher_nations"))
+    )
+
+
 _SALTED_SQL = """
 SELECT n.n_name, count(*) AS n_customers, round(sum(c.c_acctbal), 2) AS total_bal
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -158,6 +158,31 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_DEDUP_SQL = """
+SELECT event_id, user_id, event_type FROM events WHERE event_id % 11 = 0
+"""
+
+
+@register("stream_dedup", oracle=_STREAM_DEDUP_SQL)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup: the same file read as TWO streams and
+    unioned (every event duplicated), then dropDuplicates on event_id
+    within the watermark — the exactly-once guard for at-least-once
+    sources. Result equals the batch DISTINCT."""
+    path = f"{sf_dir}/events.parquet"
+    a = read_events_stream(spark, path)
+    b = read_events_stream(spark, path)
+    dup = a.unionByName(b).filter(F.col("event_id") % 11 == 0)
+    deduped = (
+        dup.withWatermark("ts", "2 hours")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return run_available_now(
+        deduped, query_name="stream_dedup", output_mode="append"
+    )
+
+
 _STREAM_STATIC_SQL = """
 SELECT c.c_mktsegment AS segment, count(*) AS n_events,
        round(sum(e.value), 4) AS sum_value
