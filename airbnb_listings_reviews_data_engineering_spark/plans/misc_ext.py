@@ -150,6 +150,95 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .registry import register_views  # noqa: E402
+
+_EXISTS_SUBQ_SQL = """
+SELECT c_custkey, c_acctbal
+FROM customer c
+WHERE c_acctbal > 9990
+  AND EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+"""
+
+
+@register("filt_exists_subquery", oracle=_EXISTS_SUBQ_SQL)
+def filt_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery — the IDENTICAL SQL text runs on both
+    engines; Catalyst decorrelates it into a left-semi join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_EXISTS_SUBQ_SQL)
+
+
+_SCALAR_SUBQ_SQL = """
+SELECT o_orderkey, round(o_totalprice, 2) AS price,
+       round(o_totalprice - (SELECT avg(o_totalprice) FROM orders), 2) AS vs_avg
+FROM orders WHERE o_orderkey % 211 = 0
+"""
+
+
+@register("fn_scalar_subquery", oracle=_SCALAR_SUBQ_SQL)
+def fn_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (global average computed once and
+    broadcast into the projection) — identical SQL text on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SCALAR_SUBQ_SQL)
+
+
+_UNPIVOT_SQL = """
+SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+FROM part WHERE p_partkey % 31 = 0
+UNION ALL
+SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value
+FROM part WHERE p_partkey % 31 = 0
+"""
+
+
+@register("agg_unpivot", oracle=_UNPIVOT_SQL)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide numeric columns -> (metric, value) rows; the
+    inverse of agg_pivot. Spark's unpivot is a single Expand node — one
+    pass, no join; the oracle spells it as UNION ALL."""
+    return (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 31 == 0)
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").alias("retailprice"),
+        )
+        .unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
+    )
+
+
+_REGEX_FAMILY_SQL = r"""
+SELECT doc_id,
+       regexp_extract(text, '([a-z]+)o([a-z]+)', 1) AS pre_o,
+       CAST(len(regexp_extract_all(text, '\b[a-z]{4}\b')) AS INT) AS n_4letter,
+       regexp_replace(text[1:40], '[aeiou]', '_', 'g') AS devoweled_head
+FROM documents WHERE doc_id < 50
+"""
+
+
+@register("fn_regex_family", oracle=_REGEX_FAMILY_SQL)
+def fn_regex_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex battery: group extraction, match counting, global replace
+    (Spark replaces globally by default; DuckDB needs the 'g' flag)."""
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.regexp_extract("text", r"([a-z]+)o([a-z]+)", 1).alias("pre_o"),
+            F.size(F.expr(r"regexp_extract_all(text, '\\b[a-z]{4}\\b', 0)")).alias(
+                "n_4letter"
+            ),
+            F.regexp_replace(F.substring("text", 1, 40), "[aeiou]", "_").alias(
+                "devoweled_head"
+            ),
+        )
+    )
+
+
 _MAP_OPS_SQL = """
 WITH m AS (
   SELECT n_nationkey,
