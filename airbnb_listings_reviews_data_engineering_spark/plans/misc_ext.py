@@ -152,6 +152,88 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .registry import register_views  # noqa: E402
 
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register("agg_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (beyond rollup/cube lattices) — identical
+    SQL text on both engines; Spark plans one Expand + one shuffle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+_NULL_SAFE_EQ_SQL = """
+WITH a AS (SELECT o_orderkey, CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                                   ELSE o_orderstatus END AS k
+           FROM orders WHERE o_orderkey % 307 = 0),
+b AS (SELECT DISTINCT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                           ELSE o_orderstatus END AS k
+      FROM orders WHERE o_orderkey < 1000)
+SELECT a.o_orderkey, a.k
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+"""
+
+
+@register("filt_null_safe_eq", oracle=_NULL_SAFE_EQ_SQL)
+def filt_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping — required for dimension keys
+    with genuine missing values."""
+    orders = load(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 307 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("k"),
+    )
+    b = (
+        orders.filter(F.col("o_orderkey") < 1000)
+        .select(
+            F.when(F.col("o_orderkey") % 7 == 0, None)
+            .otherwise(F.col("o_orderstatus"))
+            .alias("bk")
+        )
+        .distinct()
+    )
+    return a.join(b, a.k.eqNullSafe(b.bk)).select("o_orderkey", "k")
+
+
+_HIGHER_ORDER_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents WHERE doc_id < 80)
+SELECT doc_id,
+       CAST(list_sum(list_transform(list_filter(tok, t -> len(t) > 3),
+                                    t -> len(t))) AS BIGINT) AS long_token_chars,
+       CAST(len(list_filter(tok, t -> t LIKE 's%')) AS INT) AS n_s_words
+FROM t
+"""
+
+
+@register("fn_higher_order", oracle=_HIGHER_ORDER_SQL)
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order functions (transform/filter/aggregate over arrays) —
+    per-row lambdas executed JVM-side, zero UDFs."""
+    tok = F.split("text", " ")
+    long_toks = F.filter(tok, lambda t: F.length(t) > 3)
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select(
+            "doc_id",
+            F.aggregate(
+                F.transform(long_toks, lambda t: F.length(t).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("long_token_chars"),
+            F.size(F.filter(tok, lambda t: t.startswith("s"))).alias("n_s_words"),
+        )
+    )
+
+
 _EXISTS_SUBQ_SQL = """
 SELECT c_custkey, c_acctbal
 FROM customer c
