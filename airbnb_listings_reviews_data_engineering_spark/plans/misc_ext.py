@@ -152,6 +152,129 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .registry import register_views  # noqa: E402
 
+_BITWISE_SQL = """
+SELECT n_nationkey,
+       n_nationkey & 12 AS b_and,
+       n_nationkey | 3 AS b_or,
+       xor(n_nationkey, 21) AS b_xor,
+       n_nationkey << 2 AS b_shl,
+       n_nationkey >> 1 AS b_shr,
+       CAST(bit_count(CAST(n_nationkey AS BIGINT)) AS INT) AS popcount
+FROM nation
+"""
+
+
+@register("fn_bitwise", oracle=_BITWISE_SQL)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise battery: and/or/xor/shifts/popcount."""
+    k = F.col("n_nationkey")
+    return load(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        k.bitwiseAND(F.lit(12)).alias("b_and"),
+        k.bitwiseOR(F.lit(3)).alias("b_or"),
+        k.bitwiseXOR(F.lit(21)).alias("b_xor"),
+        F.shiftleft(k, 2).alias("b_shl"),
+        F.shiftright(k, 1).alias("b_shr"),
+        F.bit_count(k.cast("bigint")).cast("int").alias("popcount"),
+    )
+
+
+_HASH_ENCODE_SQL = """
+SELECT r_regionkey,
+       md5(r_name) AS h_md5,
+       sha256(r_name) AS h_sha256,
+       to_base64(encode(r_name)) AS b64,
+       to_hex(r_regionkey) AS k_hex
+FROM region
+"""
+
+
+@register("fn_hash_encode", oracle=_HASH_ENCODE_SQL)
+def fn_hash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash + encoding battery: md5 / sha256 / base64 / hex — byte-exact
+    across engines (the basis of the cross-engine hash60, see
+    functions/hashing.py)."""
+    return load(spark, sf_dir, "region").select(
+        "r_regionkey",
+        F.md5("r_name").alias("h_md5"),
+        F.sha2("r_name", 256).alias("h_sha256"),
+        F.base64(F.encode("r_name", "utf-8")).alias("b64"),
+        F.hex(F.col("r_regionkey")).alias("k_hex"),
+    )
+
+
+# "+ 0" after round: rounding a tiny negative to zero yields IEEE -0.0,
+# and the engines disagree on its sign; adding +0.0 normalizes to +0.0.
+_CORR_SQL = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 4) + 0 AS qty_price_corr,
+       round(covar_samp(l_discount, l_tax), 6) + 0 AS disc_tax_covar
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("agg_corr_covar", oracle=_CORR_SQL)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: Pearson correlation + sample
+    covariance (negative zero normalized, see oracle comment)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + F.lit(0.0)).alias(
+                "qty_price_corr"
+            ),
+            (F.round(F.covar_samp("l_discount", "l_tax"), 6) + F.lit(0.0)).alias(
+                "disc_tax_covar"
+            ),
+        )
+    )
+
+
+_BOOL_AGG_SQL = """
+SELECT o_orderpriority,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_totalprice > 400000) AS any_over_400k
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("agg_bool", oracle=_BOOL_AGG_SQL)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (universal / existential per group)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        )
+    )
+
+
+_STRING_AGG_SQL = """
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+FROM nation GROUP BY n_regionkey
+"""
+
+
+@register("agg_string_concat", oracle=_STRING_AGG_SQL)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg/string_agg): collect + sort +
+    join — explicit sort makes the concatenation order deterministic at
+    any parallelism."""
+    return (
+        load(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations_csv"
+            )
+        )
+    )
+
+
 _GROUPING_SETS_SQL = """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n
 FROM orders
