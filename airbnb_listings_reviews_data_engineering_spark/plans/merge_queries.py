@@ -7,6 +7,11 @@ out of the testdata tables so the merge result is SQL-checkable.
 
 from __future__ import annotations
 
+_DELETE_WHERE_SQL = """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+FROM supplier WHERE NOT (s_acctbal < 0 AND s_nationkey % 2 = 0)
+"""
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -123,3 +128,16 @@ def inc_daily_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, updates = _orders_base_and_updates(spark, sf_dir)
     once = upsert_snapshot(base, updates, ["o_orderkey"])
     return upsert_snapshot(once, updates, ["o_orderkey"])
+
+
+@register("sink_delete_where", oracle=_DELETE_WHERE_SQL)
+def sink_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE WHERE as the set-oriented rewrite: keep the complement and
+    rewrite the snapshot (what Delta/Iceberg DELETE does under the hood —
+    copy-on-write of affected files; here, the whole snapshot). Completes
+    the CRUD story next to the upsert/merge sinks."""
+    sup = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    condemned = (F.col("s_acctbal") < 0) & (F.col("s_nationkey") % 2 == 0)
+    return sup.filter(~condemned)
