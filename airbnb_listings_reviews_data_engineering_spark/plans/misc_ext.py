@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .registry import load, register
+from .registry import load, register, register_views
 
 _DATE_TRUNC_SQL = """
 SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
@@ -149,8 +149,6 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("P", F.lit(0)).alias("status_p"),
     )
 
-
-from .registry import register_views  # noqa: E402
 
 _BITWISE_SQL = """
 SELECT n_nationkey,
