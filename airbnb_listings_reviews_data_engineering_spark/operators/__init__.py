@@ -1,1 +1,3 @@
-"""Reusable DataFrame -> DataFrame operators."""
+"""Reusable DataFrame->DataFrame operators."""
+
+from . import clustering, dedup, merge, multimodal, similarity, text  # noqa: F401

@@ -266,9 +266,12 @@ def connected_components(
       label(v) <- min(label(v), min over neighbors u of label(u))
 
     until a fixpoint (bounded by ``max_iter``; rounds needed = graph
-    diameter, which is tiny for near-dup clusters). Each iteration is one
-    join + one aggregation; labels are cached per round to truncate
-    lineage — on a real cluster checkpoint() instead every few rounds.
+    diameter). Each iteration is one join + one aggregation; labels are
+    localCheckpoint'ed (EAGER) per round — lazy cache is NOT enough: the
+    per-round plan references the previous round's plan, so without true
+    lineage truncation the logical plan grows exponentially with the
+    diameter and the planner itself OOMs. On a real cluster use
+    ``checkpoint()`` to reliable storage instead (survives executor loss).
     Returns (node, component) with component = min doc id in the group.
     """
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -277,13 +280,13 @@ def connected_components(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -302,7 +305,7 @@ def connected_components(
                 "node",
                 F.least(F.col("lbl"), F.coalesce("nmin", "lbl")).alias("lbl"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -311,7 +314,6 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -1,0 +1,72 @@
+"""Unit tests for the iterative operators (connected components, k-means)
+on crafted inputs where the expected result is known by hand, plus a
+hypothesis property test for the cross-engine hash60."""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from airbnb_listings_reviews_data_engineering_spark.functions.hashing import (
+    hash60,
+    hash60_duckdb_sql,
+)
+from airbnb_listings_reviews_data_engineering_spark.operators.clustering import (
+    kmeans_fixed,
+)
+from airbnb_listings_reviews_data_engineering_spark.operators.dedup import (
+    connected_components,
+)
+
+settings.register_profile("spark_hash", max_examples=20, deadline=None)
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (one component), pair 10-11, singleton via self-pair 20-20
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)], "doc_a long, doc_b long"
+    )
+    out = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert {out[1], out[2], out[3], out[4]} == {1}
+    assert out[10] == 10 and out[11] == 10
+    assert out[20] == 20
+
+
+def test_connected_components_diameter_larger_than_one_round(spark):
+    # a long path needs multiple propagation rounds: 0-1-2-...-9
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_a long, doc_b long"
+    )
+    out = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert set(out.values()) == {0}
+    assert len(out) == 10
+
+
+def test_kmeans_separated_clusters(spark):
+    # two tight blobs; centroids seeded from ids 1..2 (one in each blob)
+    rows = [(1, [0.0, 0.0]), (3, [0.1, -0.1]), (4, [-0.1, 0.1]),
+            (2, [10.0, 10.0]), (5, [10.1, 9.9]), (6, [9.9, 10.1])]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = {r.cid: r for r in kmeans_fixed(df, "vec_id", "v", k=2, dims=2, iters=2).collect()}
+    assert out[0].n_points == 3 and out[1].n_points == 3
+    assert abs(out[0].c1) < 0.1 and abs(out[1].c1 - 10.0) < 0.1
+
+
+@given(st.lists(st.text(alphabet=st.characters(codec="ascii",
+                                               exclude_characters="'\x00"),
+                        min_size=0, max_size=40),
+                min_size=1, max_size=20, unique=True))
+@settings(max_examples=20, deadline=None)
+def test_hash60_cross_engine_equality(spark, strings):
+    sdf = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = {
+        r.s: r.h for r in sdf.select("s", hash60("s").alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for s in strings:
+        expected = con.execute(
+            f"SELECT {hash60_duckdb_sql('?')}", [s]
+        ).fetchone()[0]
+        assert got[s] == expected, s
