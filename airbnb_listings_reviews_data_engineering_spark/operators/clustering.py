@@ -67,12 +67,15 @@ def kmeans_fixed(
             .groupBy("cid", "pos")
             .agg(F.round(F.avg("val"), 6).alias("m"))
         )
+        # eager localCheckpoint: k tiny rows, but it truncates the plan —
+        # otherwise each round nests the previous round's full lineage
+        # (see operators/dedup.py::connected_components for the failure).
         cents = means.groupBy("cid").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))),
                 lambda s: s["m"],
             ).alias("cv")
-        )
+        ).localCheckpoint(eager=True)
     counts = assigned.groupBy("cid").agg(F.count("*").alias("n_points"))
     flat = [F.element_at("cv", d + 1).alias(f"c{d + 1}") for d in range(dims)]
     return counts.join(cents, "cid").select("cid", "n_points", *flat)
