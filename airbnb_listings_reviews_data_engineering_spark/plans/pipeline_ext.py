@@ -149,6 +149,41 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs)
 
 
+def _dedup_corpus_sql() -> str:
+    """Oracle: the deduplicated corpus = every doc minus non-canonical
+    members of each near-dup component (recursive closure again)."""
+    inner = _components_sql().strip()
+    return f"""
+WITH comp AS ({inner}),
+corpus2 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 500
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, regexp_replace(text, '^[a-z]+ ', '') AS text
+  FROM documents WHERE doc_id < 500
+)
+SELECT c.doc_id, md5(c.text) AS content_hash
+FROM corpus2 c
+WHERE c.doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+"""
+
+
+@register("pipeline_dedup_corpus", oracle=_dedup_corpus_sql())
+def pipeline_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end product of the dedup pipeline: shingle -> MinHash-LSH
+    pairs -> connected components -> keep each component's canonical
+    (min-id) doc -> anti-join the rest out of the corpus. What a 100 TB
+    training-data run actually ships."""
+    corpus = _variant_corpus(spark, sf_dir, max_id=500)
+    pairs = D.minhash_lsh_pairs(corpus, "doc_id", "text", _NUM_HASHES, _BANDS, 0.5, 3)
+    comp = D.connected_components(pairs)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return corpus.join(losers, "doc_id", "left_anti").select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+
+
 _SIMHASH_BITS = 60
 
 
