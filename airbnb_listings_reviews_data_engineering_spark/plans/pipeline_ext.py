@@ -622,6 +622,88 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.fingerprint(load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+_GROUPED_ZSCORE_SQL = """
+WITH stats AS (
+  SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id,
+       round((e.value - s.mu) / s.sd, 4) + 0 AS zscore
+FROM events e JOIN stats s USING (user_id)
+WHERE e.event_id % 13 = 0
+"""
+
+
+@register("grouped_pandas_zscore", oracle=_GROUPED_ZSCORE_SQL)
+def grouped_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch grouped-map applyInPandas: per-user z-score normalization —
+    each user's events arrive as ONE pandas frame (Arrow-batched), the
+    normalization runs vectorized, rows return with the group intact.
+    The template for per-group Python logic the built-ins can't express;
+    the oracle is the equivalent window/join formulation.
+
+    pandas mean/std(ddof=1) match avg/stddev_samp to float precision;
+    round(4) + negative-zero normalization on both sides."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    def zscore(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        mu = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)
+        out = pdf[["event_id", "user_id"]].copy()
+        out["zscore"] = ((pdf["value"] - mu) / sd).round(4) + 0.0
+        return out[out["event_id"] % 13 == 0]
+
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return events.groupBy("user_id").applyInPandas(
+        zscore, schema="event_id long, user_id long, zscore double"
+    )
+
+
+def _asof_sql() -> str:
+    from .window_ext import _ASOF_SQL
+
+    return _ASOF_SQL
+
+
+@register("cogrouped_pandas_asof", oracle=_asof_sql())
+def cogrouped_pandas_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas: events and orders cogrouped per user,
+    joined inside the worker with pandas merge_asof (backward, exact
+    matches allowed) — the pandas-native as-of join. Oracle = the same
+    union-window SQL as join_asof: two radically different formulations,
+    one answer."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    def asof(key, ev: "pd.DataFrame", od: "pd.DataFrame") -> "pd.DataFrame":
+        ev = ev.sort_values(["ts", "event_id"])
+        out = ev[["event_id", "user_id"]].copy()
+        if len(od) == 0:
+            out["last_order_price"] = None
+            return out
+        od = od.sort_values(["o_orderdate", "o_orderkey"])
+        merged = pd.merge_asof(
+            ev[["ts", "event_id"]],
+            od[["o_orderdate", "o_totalprice"]],
+            left_on="ts",
+            right_on="o_orderdate",
+            direction="backward",
+        )
+        out["last_order_price"] = merged["o_totalprice"].values
+        return out
+
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    return (
+        events.groupBy("user_id")
+        .cogroup(orders.groupBy("user_id"))
+        .applyInPandas(
+            asof, schema="event_id long, user_id long, last_order_price double"
+        )
+    )
+
+
 _NGRAM_FREQ_SQL = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
 sh AS (
