@@ -704,6 +704,96 @@ def cogrouped_pandas_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PII_SCRUB_SQL = r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text[1:80], '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+         '\d{3}-\d{2}-\d{4}', '<ID>', 'g') AS scrubbed_head,
+       CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\d{3}-\d{2}-\d{4}')) AS INT) AS n_ids
+FROM documents WHERE doc_id < 200
+"""
+
+
+@register("text_pii_scrub", oracle=_PII_SCRUB_SQL)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: redact email-like and SSN-like spans, count what
+    was found (the audit trail) — pure regexp_replace/extract_all, scan
+    speed, no UDF. The corpus here contains no real PII; the operator's
+    contract is the interesting part."""
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.substring("text", 1, 80),
+                    r"[a-z0-9.]+@[a-z0-9.]+",
+                    "<EMAIL>",
+                ),
+                r"\d{3}-\d{2}-\d{4}",
+                "<ID>",
+            ).alias("scrubbed_head"),
+            F.size(F.expr(r"regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+', 0)")).alias(
+                "n_emails"
+            ),
+            F.size(F.expr(r"regexp_extract_all(text, '\\d{3}-\\d{2}-\\d{4}', 0)")).alias(
+                "n_ids"
+            ),
+        )
+    )
+
+
+_QUALITY_PIPELINE_SQL = """
+WITH scored AS (
+  SELECT doc_id, text, string_split(text, ' ') AS tok FROM documents
+),
+kept AS (
+  SELECT doc_id, text,
+         len(tok) AS n_tok,
+         CAST(len(list_filter(tok, t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+           / len(tok) AS stop_ratio,
+         CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok) AS uniq_ratio
+  FROM scored
+),
+survivors AS (
+  SELECT doc_id, text FROM kept
+  WHERE n_tok BETWEEN 20 AND 2000 AND uniq_ratio >= 0.3
+),
+canon AS (
+  SELECT md5(lower(text)) AS h, min(doc_id) AS keep_id FROM survivors GROUP BY 1
+)
+SELECT s.doc_id FROM survivors s JOIN canon c ON s.doc_id = c.keep_id
+"""
+
+
+@register("pipeline_quality_filter", oracle=_QUALITY_PIPELINE_SQL)
+def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4-style cleaning composite in one plan: token-count bounds +
+    lexical-diversity floor + exact-dup collapse (keep min id). Length
+    heuristics are map-side; the only shuffle is the content-hash
+    groupBy — the shape that cleans 100 TB in one pass."""
+    docs = load(spark, sf_dir, "documents")
+    tok = F.split("text", " ")
+    kept = docs.select(
+        "doc_id",
+        "text",
+        F.size(tok).alias("n_tok"),
+        (F.size(F.array_distinct(tok)) / F.size(tok).cast("double")).alias(
+            "uniq_ratio"
+        ),
+    ).filter(
+        F.col("n_tok").between(20, 2000) & (F.col("uniq_ratio") >= 0.3)
+    )
+    canon = (
+        kept.groupBy(F.md5(F.lower("text")).alias("h"))
+        .agg(F.min("doc_id").alias("keep_id"))
+        .select(F.col("keep_id").alias("doc_id"))
+    )
+    return kept.join(canon, "doc_id", "left_semi").select("doc_id")
+
+
 _NGRAM_FREQ_SQL = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
 sh AS (
