@@ -150,6 +150,39 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRY_ARITH_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_discount = 0 THEN NULL
+            ELSE round(l_extendedprice / l_discount, 2) END AS price_per_disc,
+       round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charged
+FROM lineitem WHERE l_orderkey % 401 = 0
+"""
+
+
+@register("fn_try_arithmetic", oracle=_TRY_ARITH_SQL)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: try_divide yields NULL on zero denominators
+    instead of failing the job (the oracle spells it as a CASE guard) —
+    under ANSI mode a single bad row would otherwise kill a 100 TB job."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 401 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                F.try_divide(F.col("l_extendedprice"), F.col("l_discount")), 2
+            ).alias("price_per_disc"),
+            F.round(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
+                2,
+            ).alias("charged"),
+        )
+    )
+
+
 _BITWISE_SQL = """
 SELECT n_nationkey,
        n_nationkey & 12 AS b_and,
