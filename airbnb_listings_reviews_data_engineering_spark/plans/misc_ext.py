@@ -150,6 +150,46 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UDTF_JSON_KV_SQL = """
+WITH kv AS (
+  SELECT event_id, unnest(json_keys(props)) AS k, props
+  FROM events WHERE event_id % 97 = 0
+)
+SELECT event_id, k,
+       CAST(json_extract_string(props, '$.' || k) AS BIGINT) AS v
+FROM kv
+"""
+
+
+@register("udtf_json_kv", oracle=_UDTF_JSON_KV_SQL)
+def udtf_json_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one input row -> N (key, value)
+    rows from a JSON payload, used through SQL LATERAL. The extension
+    point for row-expanding Python logic; for this flat payload the
+    built-in json path functions would do — the UDTF wiring is the
+    point. Oracle: DuckDB json_each."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="k string, v bigint")
+    class ParseProps:
+        def eval(self, props: str):  # noqa: ANN001
+            import json
+
+            if props:
+                for k, v in json.loads(props).items():
+                    yield k, int(v)
+
+    spark.udtf.register("parse_props", ParseProps)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT e.event_id, p.k, p.v
+        FROM events e, LATERAL parse_props(e.props) p
+        WHERE e.event_id % 97 = 0
+        """
+    )
+
+
 _TRY_ARITH_SQL = """
 SELECT l_orderkey, l_linenumber,
        CASE WHEN l_discount = 0 THEN NULL
