@@ -142,6 +142,51 @@ def src_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CSV_PERMISSIVE_SQL = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+
+@register("src_csv_permissive", oracle=_CSV_PERMISSIVE_SQL)
+def src_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV ingest with corrupt-record quarantine: three
+    malformed lines are injected into the staged file; the reader parses
+    what it can, captures the rest in _corrupt_record, and the query
+    keeps the clean rows (the quarantined ones would go to a dead-letter
+    sink). At 100 TB one bad row must never kill the job (FAILFAST) nor
+    silently vanish (DROPMALFORMED without audit)."""
+    from pyspark.sql import types as T
+
+    tag = _sf_tag(sf_dir)
+    staged = os.path.join(_STAGE_ROOT, f"nation_dirty_{tag}")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    nat.coalesce(1).write.mode("overwrite").option("header", True).csv(staged)
+    # separate file, NOT an append: Spark's FileStatusCache pinned the
+    # part file's length at write time, and a length change fails the scan
+    with open(os.path.join(staged, "bad-rows.csv"), "w") as f:
+        f.write(
+            "n_nationkey,n_name,n_regionkey\n"
+            "not_a_number,Bad Row,xyz\n99,TooFewCols\nzz,,\n"
+        )
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    raw = spark.read.csv(
+        staged,
+        header=True,
+        schema=schema,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
+    return (
+        raw.filter(F.col("_corrupt_record").isNull())
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
 _THETA_ONLY_SQL = """
 SELECT r.r_name, count(*) AS n_higher_nations
 FROM region r JOIN nation n ON n.n_regionkey > r.r_regionkey
