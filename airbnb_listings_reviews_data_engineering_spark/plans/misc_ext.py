@@ -150,6 +150,28 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECURSIVE_CTE_SQL = """
+WITH RECURSIVE chain(k) AS (
+  SELECT CAST(0 AS BIGINT) AS k
+  UNION ALL
+  SELECT CAST(n.n_nationkey + 5 AS BIGINT)
+  FROM chain c JOIN nation n ON n.n_nationkey = c.k
+  WHERE n.n_nationkey + 5 < 25
+)
+SELECT c.k, n.n_name FROM chain c JOIN nation n ON n.n_nationkey = c.k
+"""
+
+
+@register("cte_recursive", oracle=_RECURSIVE_CTE_SQL)
+def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 feature): data-driven chain walk over the
+    nation table — the IDENTICAL SQL text runs on both engines. The
+    declarative sibling of the iterative DataFrame loops
+    (connected-components / k-means)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_CTE_SQL)
+
+
 _UDTF_JSON_KV_SQL = """
 WITH kv AS (
   SELECT event_id, unnest(json_keys(props)) AS k, props
