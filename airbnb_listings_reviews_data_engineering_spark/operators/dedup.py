@@ -113,7 +113,12 @@ def minhash_lsh_pairs(
     Returns (doc_a, doc_b, est_jaccard) with est >= threshold.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle)
+    # materialize the signature once: both sides of the self-join read it,
+    # and without this the shingle+md5 scan runs twice (the signature is
+    # (id, 8 longs) — tiny next to the corpus, always worth keeping)
+    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle).localCheckpoint(
+        eager=True
+    )
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
