@@ -188,7 +188,7 @@ def simhash_pairs(
     candidates per chunk, linear in practice for uniform hashes."""
     chunk_bits = bits // chunks
     mask = (1 << chunk_bits) - 1
-    sig = simhash_signature(df, id_col, text_col, bits).cache()
+    sig = simhash_signature(df, id_col, text_col, bits).localCheckpoint(eager=True)
     chunk_structs = [
         F.struct(
             F.lit(i).alias("ci"),
