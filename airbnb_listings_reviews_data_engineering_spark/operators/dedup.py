@@ -235,7 +235,7 @@ def ngram_jaccard_pairs(
     sh = (
         with_shingles(df, text_col, shingle)
         .select(F.col(id_col), F.array_distinct("shingles").alias("s"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     ex = sh.select(id_col, F.explode("s").alias("g"))
     a = ex.alias("a")

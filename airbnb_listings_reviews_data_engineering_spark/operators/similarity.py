@@ -106,7 +106,9 @@ def lsh_probe(
     query_id: int,
 ) -> DataFrame:
     """ANN probe: score only the vectors in the query's LSH bucket."""
-    bucketed = with_lsh_bucket(df, id_col, vec_col, planes, plane_id, n_planes).cache()
+    bucketed = with_lsh_bucket(
+        df, id_col, vec_col, planes, plane_id, n_planes
+    ).localCheckpoint(eager=True)
     qrow = bucketed.filter(F.col(id_col) == query_id).select(
         F.col("bucket").alias("qbucket"), as_double_array(vec_col).alias("qv")
     )
