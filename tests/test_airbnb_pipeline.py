@@ -212,6 +212,26 @@ def test_q6_automated_posting(docs_with_reviews):
     assert r.id == 2 and r.reviewer_id == 101 and r.cancel_days == 5
 
 
+def test_q6_day_count_defaults_to_one_without_digits(spark, clean):
+    docs = etl.build_listing_docs(clean)
+    reviews = spark.createDataFrame(
+        [
+            (1, "2024-02-01", 200, "Ed", "automated posting - no day count here"),
+            (1, "2024-02-02", 201, "Flo", "automated posting: canceled 12 days out"),
+        ],
+        "listing_id long, date string, reviewer_id long, reviewer_name string, comments string",
+    )
+    arrays = etl.reviews_to_arrays(reviews).withColumnRenamed("listing_id", "id")
+    out = {
+        r.reviewer_id: r.cancel_days
+        for r in analysis.q6_automated_posting_reviews(
+            docs.join(arrays, "id", "left")
+        ).collect()
+    }
+    assert out[200] == 1  # no digits -> default 1 (documented Q6 intent)
+    assert out[201] == 12
+
+
 def test_listings_etl_end_to_end(spark, raw_listings, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("airbnb_out"))
     csv_dir = str(tmp_path_factory.mktemp("airbnb_csv"))
