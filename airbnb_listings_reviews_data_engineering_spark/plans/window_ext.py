@@ -148,6 +148,30 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PARTITION_AGG_SQL = """
+SELECT o_orderkey, o_custkey,
+       round(o_totalprice - avg(o_totalprice) OVER w, 4) AS vs_cust_avg,
+       round(o_totalprice / max(o_totalprice) OVER w, 4) AS frac_of_max
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey)
+"""
+
+
+@register("win_partition_agg", oracle=_PARTITION_AGG_SQL)
+def win_partition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-partition window aggregates (no ORDER BY): each row compared
+    to its group's avg/max without collapsing the rows — the
+    analytic-vs-grouped distinction."""
+    w = W.partitionBy("o_custkey")
+    price = F.col("o_totalprice")
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(price - F.avg(price).over(w), 4).alias("vs_cust_avg"),
+        F.round(price / F.max(price).over(w), 4).alias("frac_of_max"),
+    )
+
+
 _TIME_RANGE_SQL = """
 SELECT o_orderkey, o_custkey,
        round(sum(o_totalprice) OVER (
