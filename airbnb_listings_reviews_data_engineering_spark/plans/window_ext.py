@@ -150,7 +150,8 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PARTITION_AGG_SQL = """
 SELECT o_orderkey, o_custkey,
-       round(o_totalprice - avg(o_totalprice) OVER w, 4) AS vs_cust_avg,
+       CAST(o_totalprice AS DECIMAL(18,2)) * count(*) OVER w
+         - sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS dev_scaled,
        round(o_totalprice / max(o_totalprice) OVER w, 4) AS frac_of_max
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey)
@@ -160,14 +161,21 @@ WINDOW w AS (PARTITION BY o_custkey)
 @register("win_partition_agg", oracle=_PARTITION_AGG_SQL)
 def win_partition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-partition window aggregates (no ORDER BY): each row compared
-    to its group's avg/max without collapsing the rows — the
-    analytic-vs-grouped distinction."""
+    to its group's sum/max without collapsing the rows — the
+    analytic-vs-grouped distinction.
+
+    Deviation-from-mean is emitted count-scaled (price*n - sum) in exact
+    DECIMAL: the float mean is engine-order-dependent, and price - mean
+    lands on exact half-boundaries systematically (means of small
+    groups), where Spark's BigDecimal rounding and DuckDB's float
+    rounding disagree. Exact decimal arithmetic needs no rounding at all."""
     w = W.partitionBy("o_custkey")
     price = F.col("o_totalprice")
+    dec = price.cast("decimal(18,2)")
     return load(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
-        F.round(price - F.avg(price).over(w), 4).alias("vs_cust_avg"),
+        (dec * F.count("*").over(w) - F.sum(dec).over(w)).alias("dev_scaled"),
         F.round(price / F.max(price).over(w), 4).alias("frac_of_max"),
     )
 

@@ -34,9 +34,11 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        # exact repr, matching tests/test_driver_oracle.py: every query's
+        # determinism contract makes floats bitwise-equal cross-engine
+        return repr(v)
     if isinstance(v, decimal.Decimal):
-        return f"{float(v):.6g}"
+        return str(v.normalize())
     if isinstance(v, (datetime.date, datetime.datetime)):
         return v.isoformat()
     if isinstance(v, (list, tuple)):

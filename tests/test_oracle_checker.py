@@ -48,13 +48,16 @@ def test_null_vs_zero_distinct():
 
 
 def test_float_decimal_date_normalization():
-    # Decimal 1.50 and float 1.5 normalize identically; dates are ISO
-    assert oc.norm_cell(Decimal("1.50")) == oc.norm_cell(1.5)
+    # Decimal trailing zeros normalize away; dates are ISO
+    assert oc.norm_cell(Decimal("1.50")) == oc.norm_cell(Decimal("1.5"))
     assert oc.norm_cell(datetime.date(2024, 1, 2)) == "2024-01-02"
     assert oc.norm_cell([1, None, "x"]) == "[1,NULL,x]"
 
 
-def test_float_formatting_tolerance_boundary():
-    # 6 significant digits: values differing beyond that are distinct
-    assert oc.norm_cell(1.0000001) == oc.norm_cell(1.0000002)  # below 6 sig figs
-    assert oc.norm_cell(1.00002) != oc.norm_cell(1.00003)
+def test_float_comparison_is_exact():
+    # repr-based: any bit difference is a mismatch (matches the pytest
+    # oracle gate; every query's determinism contract guarantees
+    # bitwise-equal floats cross-engine)
+    assert oc.norm_cell(1.0000001) != oc.norm_cell(1.0000002)
+    assert oc.norm_cell(0.1 + 0.2) != oc.norm_cell(0.3)
+    assert oc.norm_cell(1.5) == oc.norm_cell(1.5)
