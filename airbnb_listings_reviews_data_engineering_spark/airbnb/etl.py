@@ -30,6 +30,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators.merge import merge_array_accum, upsert_snapshot
+from ..sources.atomic import publish_parquet, read_published
 from .schemas import (
     DOC_TEXT_COLUMNS,
     LISTINGS_RAW_SCHEMA,
@@ -184,13 +185,19 @@ def run_listings_etl(
     """The whole listings DAG as one job: read -> clean -> cache -> fan out
     to 5 relational parquet tables + 1 document table. Daily-re-run
     semantics = snapshot overwrite (exact parity with the reference's
-    replace-style upsert under full reloads)."""
+    replace-style upsert under full reloads).
+
+    Each sink is an atomic publish: a crash mid-fan-out (the reference's
+    `retries=1` scenario, Airbnb_Listings_ETL.py:219-220) leaves every
+    already-published sink complete and every untouched sink at its
+    previous version — the retry re-runs the whole job and converges
+    (tests/test_airbnb_pipeline.py::test_listings_etl_retry_converges)."""
     clean = clean_listings(read_listings_csv(spark, csv_path)).cache()
     tables = split_tables(clean)
     for name, t in tables.items():
-        t.write.mode("overwrite").parquet(f"{out_dir}/{name}")
+        publish_parquet(t, f"{out_dir}/{name}")
     docs = build_listing_docs(clean)
-    docs.write.mode("overwrite").parquet(f"{out_dir}/listings_docs")
+    publish_parquet(docs, f"{out_dir}/listings_docs")
     tables["listings_docs"] = docs
     return tables
 
@@ -199,19 +206,20 @@ def run_reviews_etl(
     spark: SparkSession, csv_path: str, out_dir: str
 ) -> DataFrame:
     """The reviews DAG: read -> clean -> per-listing arrays, then MERGE
-    into the stored doc_reviews table if one exists (else first load)."""
+    into the stored doc_reviews table if one exists (else first load).
+
+    Publish is ONE write to a fresh version dir + an atomic pointer swap
+    (sources/atomic.py) — a crash anywhere mid-run leaves the previous
+    version published and readable. ``read_published`` returns None only
+    for a never-published target; real read errors propagate instead of
+    being mistaken for a first run.
+    """
     arrays = reviews_to_arrays(clean_reviews(read_reviews_csv(spark, csv_path)))
     target = f"{out_dir}/doc_reviews"
-    try:
-        base = spark.read.parquet(target)
-    except Exception:  # first run — no base table yet  # noqa: BLE001
-        base = None
+    base = read_published(spark, target)
     merged = arrays if base is None else merge_reviews_into_docs(base, arrays)
-    merged.write.mode("overwrite").parquet(f"{target}_staged")
-    # atomic swap is storage-layer specific; local harness rewrites in place
-    staged = spark.read.parquet(f"{target}_staged")
-    staged.write.mode("overwrite").parquet(target)
-    return spark.read.parquet(target)
+    publish_parquet(merged, target)
+    return read_published(spark, target)
 
 
 def upsert_table(base: DataFrame, updates: DataFrame) -> DataFrame:

@@ -12,6 +12,7 @@ from .registry import REGISTRY, QuerySpec, register  # noqa: F401
 def all_queries() -> dict[str, "QuerySpec"]:
     """Import every query module and return the full registry."""
     from . import (  # noqa: F401
+        approx_ext,
         composite,
         docmodel,
         merge_queries,

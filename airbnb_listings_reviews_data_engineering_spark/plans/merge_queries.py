@@ -130,6 +130,87 @@ def inc_daily_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsert_snapshot(once, updates, ["o_orderkey"])
 
 
+_INC_RETRY_SQL = """
+WITH c AS (
+  SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer
+), base AS (
+  SELECT * FROM c WHERE c_custkey % 7 <> 0
+), upd AS (
+  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal, c_nationkey
+  FROM c WHERE c_custkey % 3 = 0
+)
+SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM upd
+UNION ALL
+SELECT b.c_custkey, b.c_name, b.c_acctbal, b.c_nationkey
+FROM base b LEFT JOIN upd u ON b.c_custkey = u.c_custkey
+WHERE u.c_custkey IS NULL
+"""
+
+
+class _SimulatedTaskFailure(Exception):
+    """Stand-in for an executor/VM loss killing the fan-out mid-DAG."""
+
+
+@register("inc_retry", oracle=_INC_RETRY_SQL)
+def inc_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Task-retry convergence: a fan-out that CRASHES after writing 2 of
+    4 sinks, then is re-run whole, converges to the single-run result.
+
+    Reference: `retries=1, retry_delay=timedelta(minutes=5)`
+    (Airbnb_Listings_ETL.py:219-220, Airbnb_Review_ETL.py:123-124) — an
+    Airflow retry re-executes the task against sinks some of which
+    already received the batch. Safety needs BOTH halves demonstrated
+    here: each sink write is an idempotent upsert (f(f(x)) = f(x)) and an
+    atomic publish (the simulated crash can never leave a half-written
+    table). Sinks that saw the batch before the crash absorb it again as
+    a no-op; sinks that missed it catch up; the oracle is the once-only
+    result, so the hash-match IS the convergence proof.
+    """
+    import shutil
+    import tempfile
+    from functools import reduce
+
+    from ..sources.atomic import publish_parquet, read_published
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    base = c.filter(F.col("c_custkey") % 7 != 0)
+    batch = c.filter(F.col("c_custkey") % 3 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100.0
+    )
+    sinks = range(4)  # vertical fan-out, like the reference's 6 tables
+    out = tempfile.mkdtemp(prefix="inc_retry_")
+    try:
+
+        def write_sink(i: int, part: DataFrame) -> None:
+            tgt = f"{out}/sink_{i}"
+            prev = read_published(spark, tgt)
+            merged = part if prev is None else upsert_snapshot(prev, part, ["c_custkey"])
+            publish_parquet(merged, tgt)
+
+        def run_fanout(df: DataFrame, fail_at: int | None = None) -> None:
+            for i in sinks:
+                if i == fail_at:
+                    raise _SimulatedTaskFailure(f"crash before sink_{i}")
+                write_sink(i, df.filter(F.col("c_nationkey") % 4 == i))
+
+        run_fanout(base)  # yesterday's complete snapshot run
+        try:
+            run_fanout(batch, fail_at=2)  # today's run dies mid-fan-out
+        except _SimulatedTaskFailure:
+            pass
+        run_fanout(batch)  # the Airflow retry: re-run the WHOLE task
+
+        parts = [read_published(spark, f"{out}/sink_{i}") for i in sinks]
+        # materialize before the scratch dir vanishes
+        return reduce(lambda a, b: a.unionByName(b), parts).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 @register("sink_delete_where", oracle=_DELETE_WHERE_SQL)
 def sink_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELETE WHERE as the set-oriented rewrite: keep the complement and

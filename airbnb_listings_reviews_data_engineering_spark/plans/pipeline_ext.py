@@ -269,9 +269,16 @@ sh AS (
   FROM tokd WHERE len(tok) >= 3
 ),
 ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+-- prefix filtering: drop shingles present in > 50 docs before the
+-- candidate self-join (mirrors ngram_jaccard_pairs max_df=50)
+exf AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM ex
+  ) WHERE df <= 50
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  FROM exf a JOIN exf b ON a.g = b.g AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b,
        round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
@@ -285,9 +292,12 @@ WHERE round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
 @register("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_SQL)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard on shared-shingle candidate pairs (inverted-
-    index blocking), restricted to a 400-doc corpus slice."""
+    index blocking with a df<=50 prefix filter), restricted to a 400-doc
+    corpus slice."""
     corpus = _variant_corpus(spark, sf_dir, max_id=200)
-    return D.ngram_jaccard_pairs(corpus, "doc_id", "text", shingle=3, threshold=0.5)
+    return D.ngram_jaccard_pairs(
+        corpus, "doc_id", "text", shingle=3, threshold=0.5, max_df=50
+    )
 
 
 _EMB_COS = (

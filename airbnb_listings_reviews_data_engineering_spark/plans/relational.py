@@ -633,16 +633,19 @@ GROUP BY c.c_mktsegment
 def join_eq3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way inner equi-join (location ⋈ facilities ⋈ price ON id, Q2-Q4).
 
-    Reference: Airbnb_Analysis.py:74-76. The dimension (customer) is
-    broadcast; the fact-fact join (orders ⋈ lineitem) shuffles on the
+    Reference: Airbnb_Analysis.py:74-76. No broadcast hint: customer
+    GROWS with SF, so a hard-coded F.broadcast would OOM at 100×
+    (VERDICT r1). Catalyst's size estimate picks broadcast-hash while
+    customer fits under autoBroadcastJoinThreshold (asserted at sf0.01 by
+    tests/test_plan_quality.py) and AQE re-plans to sort-merge when it
+    outgrows it. The fact-fact join (orders ⋈ lineitem) shuffles on the
     shared key once — at 100 TB, bucketing both by orderkey removes it.
     """
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     return (
-        F.broadcast(c)
-        .join(o, c.c_custkey == o.o_custkey)
+        c.join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(

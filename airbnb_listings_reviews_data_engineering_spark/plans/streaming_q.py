@@ -45,7 +45,7 @@ def stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSION_WINDOW_SQL = """
 WITH g AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
               THEN 1 ELSE 0 END AS new_sess
@@ -54,7 +54,7 @@ WITH g AS (
 ),
 s AS (
   SELECT user_id, ts, value,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM g
 )

@@ -87,6 +87,7 @@ def available_now_merge_ingest(
     gets from Airflow retries + DB upserts.
     """
     from ..operators.merge import upsert_snapshot
+    from ..sources.atomic import publish_parquet, read_published
 
     reader = spark.readStream.schema(schema)
     stream = (
@@ -97,16 +98,15 @@ def available_now_merge_ingest(
 
     def merge_batch(batch: DataFrame, _batch_id: int) -> None:
         batch = batch.dropDuplicates(keys)
-        try:
-            base = batch.sparkSession.read.parquet(target_path)
-            merged = upsert_snapshot(base, batch, keys)
-        except Exception:  # first batch — no target yet  # noqa: BLE001
-            merged = batch
-        staged = target_path.rstrip("/") + "_staged"
-        merged.write.mode("overwrite").parquet(staged)
-        batch.sparkSession.read.parquet(staged).write.mode("overwrite").parquet(
-            target_path
-        )
+        # read_published returns None ONLY when the target was never
+        # published; corruption / IO / permission errors propagate and
+        # fail the batch (retried by the stream) instead of silently
+        # replacing the base table with this batch alone.
+        base = read_published(batch.sparkSession, target_path)
+        merged = batch if base is None else upsert_snapshot(base, batch, keys)
+        # one write + atomic pointer swap; previous version stays
+        # readable if this batch dies mid-write
+        publish_parquet(merged, target_path)
 
     q = (
         stream.writeStream.foreachBatch(merge_batch)
@@ -115,7 +115,9 @@ def available_now_merge_ingest(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(target_path)
+    from ..sources.atomic import read_published
+
+    return read_published(spark, target_path)
 
 
 def session_windows(

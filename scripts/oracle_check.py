@@ -2,7 +2,9 @@
 
 Runs every ``queries()[name]`` on Spark and the matching ``oracle_sql()[name]``
 on DuckDB over the same parquet tables, comparing row count, sorted column
-names, and an order-insensitive value multiset (stringified, floats rounded).
+names, and an order-insensitive value multiset (stringified; floats compared
+bitwise via repr() — every query's determinism contract makes floats
+bitwise-equal cross-engine).
 
 Usage: python scripts/oracle_check.py [sf_dir] [key ...]
 """

@@ -245,6 +245,44 @@ def test_listings_etl_end_to_end(spark, raw_listings, tmp_path_factory):
     assert tables2["hotel_location"].count() == 9
 
 
+def test_listings_etl_retry_converges(
+    spark, raw_listings, tmp_path_factory, monkeypatch
+):
+    """inc_retry at the pipeline level (SURVEY §2.8; reference
+    Airbnb_Listings_ETL.py:219-220): the fan-out crashes after publishing
+    3 of 6 sinks; the Airflow-style retry re-runs the WHOLE job; every
+    sink must equal a clean single run."""
+    csv_dir = str(tmp_path_factory.mktemp("retry_csv"))
+    raw_listings.write.mode("overwrite").option("header", True).csv(csv_dir)
+
+    ref_out = str(tmp_path_factory.mktemp("retry_ref"))
+    etl.run_listings_etl(spark, csv_dir, ref_out)
+
+    out = str(tmp_path_factory.mktemp("retry_out"))
+    real_publish = etl.publish_parquet
+    calls = {"n": 0}
+
+    def flaky_publish(df, target):
+        calls["n"] += 1
+        if calls["n"] == 4:
+            raise RuntimeError("simulated executor loss mid-fan-out")
+        return real_publish(df, target)
+
+    monkeypatch.setattr(etl, "publish_parquet", flaky_publish)
+    with pytest.raises(RuntimeError, match="simulated"):
+        etl.run_listings_etl(spark, csv_dir, out)
+    monkeypatch.setattr(etl, "publish_parquet", real_publish)
+
+    etl.run_listings_etl(spark, csv_dir, out)  # the retry
+
+    for name in [*TABLE_SCHEMA, "listings_docs"]:
+        got = spark.read.parquet(f"{out}/{name}")
+        want = spark.read.parquet(f"{ref_out}/{name}")
+        assert sorted(map(str, got.collect())) == sorted(
+            map(str, want.collect())
+        ), name
+
+
 def test_reviews_etl_incremental(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("reviews_out"))
     csv_dir = str(tmp_path_factory.mktemp("reviews_csv"))

@@ -1,0 +1,106 @@
+"""Atomic single-write publish (sources/atomic.py): crash-safety and
+first-run-vs-error discrimination — VERDICT r1 "What's wrong #4" and
+ADVICE r1 (broad except treating corruption as first run)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbnb_listings_reviews_data_engineering_spark.sources.atomic import (
+    current_version,
+    publish_parquet,
+    read_published,
+)
+
+
+def _df(spark, tag: str, n: int = 10):
+    return spark.range(n).select(
+        F.col("id").alias("k"), F.lit(tag).alias("v")
+    )
+
+
+def test_publish_then_read_roundtrip(spark, tmp_path):
+    target = str(tmp_path / "tbl")
+    publish_parquet(_df(spark, "v1"), target)
+    out = read_published(spark, target)
+    assert out.count() == 10
+    assert out.select("v").distinct().collect()[0][0] == "v1"
+    # published path is a symlink into the versions dir
+    assert os.path.islink(target)
+
+
+def test_read_published_none_only_when_never_published(spark, tmp_path):
+    assert read_published(spark, str(tmp_path / "never")) is None
+
+
+def test_read_published_raises_on_corrupt_target(spark, tmp_path):
+    # a target that EXISTS but is unreadable must raise, not be treated
+    # as a first run (the silent-base-table-loss failure mode)
+    target = tmp_path / "corrupt"
+    target.mkdir()
+    (target / "part-0.parquet").write_bytes(b"not parquet at all")
+    with pytest.raises(Exception):
+        df = read_published(spark, str(target))
+        assert df is not None
+        df.collect()
+
+
+def test_failed_write_leaves_previous_version_published(spark, tmp_path):
+    target = str(tmp_path / "tbl")
+    publish_parquet(_df(spark, "v1"), target)
+    v1 = current_version(target)
+
+    # a new version whose evaluation fails mid-write (ANSI div by zero)
+    bad = spark.range(10).select((F.lit(1) / (F.col("id") - 5)).alias("x"))
+    with pytest.raises(Exception):
+        publish_parquet(bad, target)
+
+    # pointer never moved; previous version fully readable
+    assert current_version(target) == v1
+    out = read_published(spark, target)
+    assert out.count() == 10
+    assert out.select("v").distinct().collect()[0][0] == "v1"
+
+    # recovery: the next successful publish supersedes cleanly
+    publish_parquet(_df(spark, "v3", n=7), target)
+    out = read_published(spark, target)
+    assert out.count() == 7
+    assert out.select("v").distinct().collect()[0][0] == "v3"
+
+
+def test_publish_reading_own_previous_version(spark, tmp_path):
+    # read-modify-publish with NO staging copy: the new version is
+    # written while its lineage reads the current one
+    target = str(tmp_path / "tbl")
+    publish_parquet(_df(spark, "v1"), target)
+    base = read_published(spark, target)
+    merged = base.withColumn("v", F.lit("v2"))
+    publish_parquet(merged, target)
+    out = read_published(spark, target)
+    assert out.count() == 10
+    assert out.select("v").distinct().collect()[0][0] == "v2"
+
+
+def test_migrates_plain_directory_target(spark, tmp_path):
+    # pre-existing plain parquet dir (written before atomic publish
+    # existed) is adopted as version 1, then swapped atomically
+    target = str(tmp_path / "tbl")
+    _df(spark, "v0").write.parquet(target)
+    assert os.path.isdir(target) and not os.path.islink(target)
+    publish_parquet(_df(spark, "v1", n=4), target)
+    assert os.path.islink(target)
+    out = read_published(spark, target)
+    assert out.count() == 4
+
+
+def test_old_versions_garbage_collected(spark, tmp_path):
+    target = str(tmp_path / "tbl")
+    for i in range(4):
+        publish_parquet(_df(spark, f"v{i}"), target)
+    versions_dir = os.path.join(str(tmp_path), ".tbl_versions")
+    kept = sorted(d for d in os.listdir(versions_dir) if d.startswith("v_"))
+    assert len(kept) == 2  # current + previous
+    assert current_version(target).endswith(kept[-1])

@@ -40,7 +40,9 @@ def _norm(v):
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NULL"
+            # "NaN", not "NULL": the driver gate distinguishes a Spark NaN
+            # from a DuckDB NULL, so the local mirror must too
+            return "NaN"
         return repr(v)
     if isinstance(v, Decimal):
         return str(v.normalize())
