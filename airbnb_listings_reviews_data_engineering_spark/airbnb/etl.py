@@ -44,16 +44,65 @@ MONEY_TYPE = "decimal(12,2)"
 
 
 def read_listings_csv(spark: SparkSession, path: str) -> DataFrame:
-    """Listings CSV scan — header + explicit schema, no inference pass.
+    """Listings CSV scan matching the real dump's shape.
 
-    Reference: pd.read_csv, Airbnb_Listings_ETL.py:15-27."""
-    return spark.read.csv(path, header=True, schema=LISTINGS_RAW_SCHEMA)
+    Reference: pd.read_csv + df[selected_columns]
+    (Airbnb_Listings_ETL.py:15-27,40-41) — name-based selection over a
+    WIDER raw file (the InsideAirbnb dump has ~95 columns; the pipeline
+    uses 61). Mirrored here: read every column as string by header name
+    (no inference pass), select the 61 by NAME (robust to extra columns
+    and reordering, exactly like pandas), then try_cast to the canonical
+    types. RFC-4180 realities of the actual dump: quoted fields with
+    embedded commas AND newlines (`multiLine`), doubled-quote escaping
+    (`escape='"'` — Spark's default backslash escape mis-parses
+    `"{TV,""Cable TV""}"`), and t/f booleans (cast handles them).
+
+    Scale note: multiLine disables intra-file split, so one task parses
+    one file; the dump ships as many per-city files, which is where the
+    parallelism comes from (and a 100 TB lake would land the raw CSV
+    into parquet once, making this a one-time cost).
+    """
+    raw = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(path)
+    )
+    missing = [f.name for f in LISTINGS_RAW_SCHEMA.fields if f.name not in raw.columns]
+    if missing:
+        raise ValueError(f"listings CSV lacks selected columns: {missing}")
+    return raw.select(
+        *[
+            F.col(f.name).try_cast(f.dataType).alias(f.name)
+            for f in LISTINGS_RAW_SCHEMA.fields
+        ]
+    )
 
 
 def read_reviews_csv(spark: SparkSession, path: str) -> DataFrame:
-    """Reviews CSV scan, ISO-8859-1 (Airbnb_Review_ETL.py:22)."""
-    return spark.read.csv(
-        path, header=True, schema=REVIEWS_RAW_SCHEMA, encoding="ISO-8859-1"
+    """Reviews CSV scan, ISO-8859-1 (Airbnb_Review_ETL.py:22).
+
+    Name-based like the listings scan: the real Reviews.csv carries a
+    review `id` column the pipeline never uses, and comments contain
+    quoted embedded newlines — positional schema application would
+    misalign on the extra column, so select the 5 used columns by header
+    name and cast after.
+    """
+    raw = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .option("encoding", "ISO-8859-1")
+        .csv(path)
+    )
+    missing = [f.name for f in REVIEWS_RAW_SCHEMA.fields if f.name not in raw.columns]
+    if missing:
+        raise ValueError(f"reviews CSV lacks selected columns: {missing}")
+    return raw.select(
+        *[
+            F.col(f.name).try_cast(f.dataType).alias(f.name)
+            for f in REVIEWS_RAW_SCHEMA.fields
+        ]
     )
 
 

@@ -203,3 +203,97 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value")
     )
     return run_available_now(agg, query_name="stream_static_join")
+
+
+_LATE_DATA_SQL = """
+WITH f1 AS (
+  SELECT ts, event_type, value FROM events WHERE event_id % 5 <> 0
+), wm AS (
+  SELECT max(ts) - INTERVAL 1 HOUR AS w FROM f1
+)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM f1, wm
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+@register("stream_late_data", oracle=_LATE_DATA_SQL)
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark DROP semantics under out-of-order arrival (append mode).
+
+    Three single-file micro-batches (maxFilesPerTrigger=1, mtime+path
+    ordered). Spark filters late input with the watermark computed TWO
+    triggers back (the value in effect during the previous batch) and
+    evicts state with the one computed from the previous batch (verified
+    empirically — a 2-batch fixture can never observe a drop because the
+    late batch is filtered against the initial 1970 watermark). So:
+    batch 1 = all on-time events (event_id % 5 != 0); batch 2 = an EMPTY
+    file, whose only job is to advance the late-filter watermark to
+    max(on-time) - 1h; batch 3 = the late batch, every event_id % 5 == 0
+    row shifted SIX HOURS into the past — all of batch 3 then sits below
+    the filter watermark and must be dropped
+    (numRowsDroppedByWatermark). Append mode emits exactly the finalized
+    windows; the oracle states the on-time-only content in SQL. If late
+    rows were NOT dropped they would re-create evicted window state and
+    re-emit those windows (duplicate rows) or inflate still-open windows
+    — either way a gate mismatch, so the hash-match IS the
+    drop-semantics proof.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.ingest import EVENTS_SCHEMA
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    six_hours_ns = 6 * 3600 * 1_000_000_000
+    batches = [
+        ("a_batch1.parquet", raw.filter(F.col("event_id") % 5 != 0)),
+        ("b_batch2.parquet", raw.limit(0)),  # watermark-advancing empty batch
+        (
+            "c_batch3.parquet",
+            raw.filter(F.col("event_id") % 5 == 0).withColumn(
+                "ts", F.col("ts") - F.lit(six_hours_ns)
+            ),
+        ),
+    ]
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), "airbnb_spark_late", uuid.uuid4().hex[:12]
+    )
+    os.makedirs(stream_dir)
+    for i, (name, df) in enumerate(batches):
+        staged = os.path.join(stream_dir, f"_stage_{i}")
+        df.coalesce(1).write.parquet(staged)
+        part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        dest = os.path.join(stream_dir, name)
+        shutil.move(part, dest)
+        shutil.rmtree(staged)
+        # belt and braces: mtime AND lexicographic path both order batch1
+        # first, so the file source's batch assignment is deterministic
+        os.utime(dest, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)")))
+    )
+    agg = windowed_counts(stream, window="1 hour", watermark="1 hour")
+    result = run_available_now(
+        agg, query_name="stream_late_data", output_mode="append"
+    )
+    out = result.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    return out

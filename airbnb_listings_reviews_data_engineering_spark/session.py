@@ -36,7 +36,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 16g: local mode puts every "executor" in the driver JVM; an 8g
+        # heap GC-thrashes the localCheckpoint-heavy dedup paths at the
+        # 100x scale smoke (20.2s -> 10.1s for the LSH stage, SCALING.md)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
