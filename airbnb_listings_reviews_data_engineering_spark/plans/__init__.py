@@ -19,6 +19,7 @@ def all_queries() -> dict[str, "QuerySpec"]:
         misc_ext,
         pipeline_ext,
         relational,
+        sampling_ext,
         scale_ext,
         streaming_q,
         window_ext,

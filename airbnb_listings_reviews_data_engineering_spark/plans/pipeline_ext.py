@@ -866,10 +866,14 @@ WHERE tf.tf >= 3
 @register("text_tfidf", oracle=_TFIDF_SQL)
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF over a corpus slice: term frequency per doc joined with
-    document frequency (broadcast — the vocabulary is small relative to
-    the corpus) and the corpus size. Kept to tf >= 3 terms for output
-    size; the plan shape (two aggregations + broadcast join) is the
-    scalable one — the corpus is scanned twice, never cross-joined."""
+    document frequency and the corpus size. No broadcast hint on the df
+    side: the vocabulary GROWS with the corpus (a web-scale corpus has
+    hundreds of millions of distinct tokens), so a forced broadcast is
+    the join_eq3 OOM pattern — Catalyst broadcasts while df fits under
+    the threshold and AQE switches to a shuffle join on `term` (which tf
+    needs anyway) beyond it. Kept to tf >= 3 terms for output size; the
+    plan shape (two aggregations + key join) is the scalable one — the
+    corpus is scanned twice, never cross-joined."""
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     terms = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
@@ -878,8 +882,8 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     return (
-        tf.join(F.broadcast(df), "term")
-        .filter(F.col("tf") >= 3)
+        tf.filter(F.col("tf") >= 3)
+        .join(df, "term")
         .select(
             "doc_id",
             "term",

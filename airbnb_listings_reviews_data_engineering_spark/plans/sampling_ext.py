@@ -1,0 +1,252 @@
+"""Training-data sampling / splitting / packing / profiling operators.
+
+The ops a large-scale training pipeline runs between "corpus cleaned"
+and "tokens on GPUs", each deterministic and oracle-checked:
+
+- hash-gated stratified sampling (per-stratum rates, no RNG state —
+  `rand()` is irreproducible across retries/partitionings, a md5 gate on
+  the row key is exactly reproducible anywhere, including in the DuckDB
+  oracle);
+- leakage-safe train/test split: the split key is derived from the
+  GROUP (customer), never the row, so no group straddles splits —
+  the grouped-holdout rule every eval pipeline needs;
+- per-class downsampling cap (class rebalancing) via windowed rank over
+  a hash order;
+- token-budget sharding: documents packed into ~fixed-token shards by
+  running sum — the sequence-packing shape, as a pure window query;
+- column profiling (null ratio / NDV / numeric ranges) — the data-
+  quality gate run before any of the above.
+
+All are single-shuffle column-expression plans; nothing touches the
+driver. Sampling gates use functions/hashing.hash60 (md5-derived,
+bitwise-identical in Spark and DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60, hash60_duckdb_sql
+from .registry import load, register
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+_H_ORD = hash60_duckdb_sql("CAST(o_orderkey AS VARCHAR)")
+
+_STRATIFIED_SQL = f"""
+SELECT o_orderpriority AS stratum, count(*) AS n_sampled,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM orders
+WHERE {_H_ORD} % 100 <
+      CASE WHEN o_orderpriority = '1-URGENT' THEN 20 ELSE 10 END
+GROUP BY o_orderpriority
+"""
+
+
+@register("sample_stratified", oracle=_STRATIFIED_SQL)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 20 % of URGENT orders, 10 % of
+    the rest, gated by hash60(key) % 100 — a pure map-side predicate
+    (reaches the scan as a filter), reproducible across retries and
+    repartitionings, unlike rand()-based TABLESAMPLE. Per-stratum counts
+    + key ranges prove the per-stratum rates."""
+    o = load(spark, sf_dir, "orders")
+    gate = F.pmod(hash60(F.col("o_orderkey").cast("string")), F.lit(100))
+    rate = F.when(F.col("o_orderpriority") == "1-URGENT", 20).otherwise(10)
+    return (
+        o.filter(gate < rate)
+        .groupBy(F.col("o_orderpriority").alias("stratum"))
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe grouped train/test split
+# ---------------------------------------------------------------------------
+
+_H_CUST = hash60_duckdb_sql("CAST(c_custkey AS VARCHAR)")
+
+_GROUP_SPLIT_SQL = f"""
+WITH assign AS (
+  SELECT c_custkey,
+         CASE WHEN {_H_CUST} % 10 < 2 THEN 'test' ELSE 'train' END AS split
+  FROM customer
+)
+SELECT a.split, count(DISTINCT a.c_custkey) AS n_customers,
+       count(o.o_orderkey) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM assign a JOIN orders o ON o.o_custkey = a.c_custkey
+GROUP BY a.split
+"""
+
+
+@register("split_train_test_group", oracle=_GROUP_SPLIT_SQL)
+def split_train_test_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware 80/20 holdout: the split is a hash of the CUSTOMER
+    key, and orders inherit their customer's split — so all of a
+    customer's orders land on one side (no entity leakage between train
+    and eval, the failure mode of row-level rand splits). One shuffle
+    join on the key; the assignment itself is map-side."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(
+            F.pmod(hash60(F.col("c_custkey").cast("string")), F.lit(10)) < 2,
+            "test",
+        )
+        .otherwise("train")
+        .alias("split"),
+    )
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("split")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-class downsampling cap (rebalancing)
+# ---------------------------------------------------------------------------
+
+_H_DOC = hash60_duckdb_sql("CAST(doc_id AS VARCHAR)")
+
+_CLASS_CAP_SQL = f"""
+WITH ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY {_H_DOC}, doc_id) AS rk
+  FROM documents
+)
+SELECT lang, count(*) AS n_kept, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM ranked WHERE rk <= 120 GROUP BY lang
+"""
+
+
+@register("sample_class_cap", oracle=_CLASS_CAP_SQL)
+def sample_class_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class rebalancing: keep at most 120 docs per language, chosen by
+    hash order (an unbiased deterministic shuffle — ordering by raw
+    doc_id would bias toward old documents). One window shuffle on the
+    class key; over-represented classes are cut to the cap, small ones
+    pass through whole."""
+    d = load(spark, sf_dir, "documents").select("lang", "doc_id")
+    w = W.partitionBy("lang").orderBy(
+        hash60(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 120)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# token-budget sharding (sequence packing)
+# ---------------------------------------------------------------------------
+
+_PACK_SQL = """
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+), c AS (
+  SELECT doc_id, n_tok,
+         sum(n_tok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT CAST(floor((cum - n_tok) / 2000) AS BIGINT) AS shard,
+       count(*) AS n_docs, sum(n_tok) AS sum_tokens
+FROM c GROUP BY 1
+"""
+
+
+@register("pack_token_shards", oracle=_PACK_SQL)
+def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sharding: documents in id order are packed into
+    ~2000-token shards by running token count (shard = the budget bucket
+    the doc STARTS in — every shard except the last holds >= 2000 tokens
+    once its boundary doc lands). This is the sequence-packing shape of
+    LLM pretraining loaders as one window + one aggregation.
+
+    Scale note: the single unpartitioned window is the deterministic
+    spec; a 100 TB run packs per partition (mapInPandas over
+    pre-bucketed doc ranges) because global order is neither needed nor
+    affordable — the per-shard statistics are identical in distribution.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        d.withColumn("cum", F.sum("n_tok").over(w))
+        .select(
+            ((F.col("cum") - F.col("n_tok")) / 2000)
+            .cast("bigint")
+            .alias("shard"),
+            "n_tok",
+        )
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("sum_tokens"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# column profiling
+# ---------------------------------------------------------------------------
+
+_PROFILE_SQL = """
+SELECT 'c_acctbal' AS col, count(*) AS n, count(c_acctbal) AS n_nonnull,
+       count(DISTINCT c_acctbal) AS ndv,
+       min(c_acctbal) AS min_v, max(c_acctbal) AS max_v
+FROM customer
+UNION ALL
+SELECT 'c_nationkey', count(*), count(c_nationkey),
+       count(DISTINCT c_nationkey),
+       CAST(min(c_nationkey) AS DOUBLE), CAST(max(c_nationkey) AS DOUBLE)
+FROM customer
+UNION ALL
+SELECT 'c_name_len', count(*), count(c_name), count(DISTINCT length(c_name)),
+       CAST(min(length(c_name)) AS DOUBLE), CAST(max(length(c_name)) AS DOUBLE)
+FROM customer
+"""
+
+
+@register("profile_columns", oracle=_PROFILE_SQL)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the pre-training data-quality gate: row count,
+    non-null count, NDV, numeric range per column (string columns
+    profiled by length). Each profile is one aggregation over the same
+    cached scan; at 100 TB the exact NDV swaps for approx_count_distinct
+    (agg_approx_count_distinct is the checked variant)."""
+    c = load(spark, sf_dir, "customer")
+
+    def prof(tag: str, col: F.Column) -> DataFrame:
+        return c.select(col.alias("v")).agg(
+            F.lit(tag).alias("col"),
+            F.count("*").alias("n"),
+            F.count("v").alias("n_nonnull"),
+            F.countDistinct("v").alias("ndv"),
+            F.min("v").cast("double").alias("min_v"),
+            F.max("v").cast("double").alias("max_v"),
+        )
+
+    return (
+        prof("c_acctbal", F.col("c_acctbal"))
+        .unionByName(prof("c_nationkey", F.col("c_nationkey")))
+        .unionByName(prof("c_name_len", F.length("c_name")))
+    )

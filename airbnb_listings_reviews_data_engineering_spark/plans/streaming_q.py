@@ -194,11 +194,13 @@ GROUP BY c.c_mktsegment
 @register("stream_static_join", oracle=_STREAM_STATIC_SQL)
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched against the static
-    customer dimension (broadcast per micro-batch — no stream state), then
-    aggregated per segment."""
+    dimension (no stream state). No broadcast hint: customer grows with
+    SF, and the per-micro-batch planner already picks broadcast-hash
+    from the static side's size while it fits — hinting it would OOM at
+    100x exactly like the join_eq3 case."""
     events = read_events_stream(spark, f"{sf_dir}/events.parquet")
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    joined = events.join(F.broadcast(cust), events.user_id == cust.c_custkey)
+    joined = events.join(cust, events.user_id == cust.c_custkey)
     agg = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value")
     )
