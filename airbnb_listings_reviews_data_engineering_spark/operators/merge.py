@@ -54,6 +54,64 @@ def merge_full_outer(
     return joined.select(*cols)
 
 
+def merge_scd2(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    tracked: Sequence[str],
+    effective: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge.
+
+    ``base`` is the history table (columns = keys + tracked +
+    valid_from/valid_to/is_current); ``updates`` carries keys + tracked +
+    an ``effective`` date column. A key whose tracked attributes changed
+    gets its current row CLOSED (valid_to = effective, is_current =
+    false) and a new current row appended; unchanged keys and already-
+    closed history pass through untouched; unseen keys insert. One
+    shuffle join on the key — the set-oriented form of the per-row
+    UPDATE+INSERT a row-store runs, and what MERGE INTO + a history
+    table does on Delta/Iceberg.
+    """
+    keys = list(keys)
+    tracked = list(tracked)
+    changed_pred = None
+    for t in tracked:
+        p = ~F.col(f"b.{t}").eqNullSafe(F.col(f"u.{t}"))
+        changed_pred = p if changed_pred is None else (changed_pred | p)
+
+    current = base.filter(F.col("is_current")).alias("b")
+    history = base.filter(~F.col("is_current"))
+    u = updates.alias("u")
+
+    joined = current.join(u, on=[F.col(f"b.{k}") == F.col(f"u.{k}") for k in keys], how="left")
+    unchanged = joined.filter(F.col(f"u.{keys[0]}").isNull() | ~changed_pred).select("b.*")
+    closed = (
+        joined.filter(F.col(f"u.{keys[0]}").isNotNull() & changed_pred)
+        .select(
+            *[F.col(f"b.{c}").alias(c) for c in base.columns if c != "valid_to" and c != "is_current"],
+            F.col(f"u.{effective}").alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        )
+        .select(*base.columns)
+    )
+    fresh_src = u.join(
+        current, on=[F.col(f"u.{k}") == F.col(f"b.{k}") for k in keys], how="left"
+    )
+    fresh = (
+        fresh_src.filter(F.col(f"b.{keys[0]}").isNull() | changed_pred)
+        .select(
+            *[F.col(f"u.{k}").alias(k) for k in keys],
+            *[F.col(f"u.{t}").alias(t) for t in tracked],
+            F.col(f"u.{effective}").alias("valid_from"),
+            F.lit(None).cast(dict(base.dtypes)["valid_to"]).alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        .select(*base.columns)
+    )
+    return history.unionByName(unchanged).unionByName(closed).unionByName(fresh)
+
+
 def merge_array_accum(
     base: DataFrame,
     batch: DataFrame,

@@ -15,7 +15,7 @@ FROM supplier WHERE NOT (s_acctbal < 0 AND s_nationkey % 2 = 0)
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.merge import merge_full_outer, upsert_snapshot
+from ..operators.merge import merge_full_outer, merge_scd2, upsert_snapshot
 from .registry import load, register
 
 _JDBC_UPSERT_SQL = """
@@ -130,6 +130,72 @@ def inc_daily_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsert_snapshot(once, updates, ["o_orderkey"])
 
 
+_SCD2_SQL = """
+WITH cur AS (
+  SELECT c_custkey, c_mktsegment, '2024-01-01' AS valid_from,
+         CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+  FROM customer
+), hist AS (
+  SELECT c_custkey, 'OLD' AS c_mktsegment, '2023-01-01' AS valid_from,
+         '2024-01-01' AS valid_to, FALSE AS is_current
+  FROM customer WHERE c_custkey % 10 = 0
+), upd AS (
+  SELECT c_custkey, 'MACHINERY' AS c_mktsegment, '2024-06-01' AS eff
+  FROM customer WHERE c_custkey % 4 = 0
+), changed AS (
+  SELECT cur.c_custkey FROM cur JOIN upd USING (c_custkey)
+  WHERE cur.c_mktsegment <> upd.c_mktsegment
+)
+SELECT * FROM hist
+UNION ALL
+SELECT * FROM cur WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+UNION ALL
+SELECT cur.c_custkey, cur.c_mktsegment, cur.valid_from, upd.eff AS valid_to,
+       FALSE AS is_current
+FROM cur JOIN changed USING (c_custkey) JOIN upd USING (c_custkey)
+UNION ALL
+SELECT upd.c_custkey, upd.c_mktsegment, upd.eff AS valid_from,
+       CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+FROM upd JOIN changed USING (c_custkey)
+"""
+
+
+@register("sink_scd2", oracle=_SCD2_SQL)
+def sink_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge: a segment-change batch
+    closes each changed key's current row (valid_to = effective date)
+    and appends the new version; unchanged keys (including updates that
+    carry the same value — the no-op case) and closed history pass
+    through. The reference's replace-style upsert (Airbnb_Listings_ETL
+    .py:143-151) destroys history; SCD2 is what a warehouse keeps
+    instead, and it is one shuffle join here (operators/merge.py
+    merge_scd2), not a per-row UPDATE loop."""
+    c = load(spark, sf_dir, "customer")
+    cur = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("2024-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    hist = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.lit("OLD").alias("c_mktsegment"),
+        F.lit("2023-01-01").alias("valid_from"),
+        F.lit("2024-01-01").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    base = cur.unionByName(hist)
+    updates = c.filter(F.col("c_custkey") % 4 == 0).select(
+        "c_custkey",
+        F.lit("MACHINERY").alias("c_mktsegment"),
+        F.lit("2024-06-01").alias("eff"),
+    )
+    return merge_scd2(
+        base, updates, keys=["c_custkey"], tracked=["c_mktsegment"], effective="eff"
+    )
+
+
 _INC_RETRY_SQL = """
 WITH c AS (
   SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer
@@ -207,6 +273,37 @@ def inc_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
         return reduce(lambda a, b: a.unionByName(b), parts).localCheckpoint(
             eager=True
         )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+_COMPACT_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+"""
+
+
+@register("maintenance_compact", oracle=_COMPACT_SQL)
+def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction (OPTIMIZE): a 64-file fragmented table is
+    rewritten into block-sized files as a new atomic version; the oracle
+    proves content is bit-identical (compaction must be a physical-only
+    change). File-count reduction is asserted in
+    tests/test_atomic_publish.py::test_compaction_reduces_files."""
+    import shutil
+    import tempfile
+
+    from ..sources.atomic import publish_parquet, read_published
+    from ..sources.parquet import compact_published
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    out = tempfile.mkdtemp(prefix="compact_")
+    try:
+        target = f"{out}/orders_frag"
+        publish_parquet(o.repartition(64), target)
+        compact_published(spark, target)
+        return read_published(spark, target).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 

@@ -40,6 +40,16 @@ def get_spark(
         # heap GC-thrashes the localCheckpoint-heavy dedup paths at the
         # 100x scale smoke (20.2s -> 10.1s for the LSH stage, SCALING.md)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Local-harness split size: the sf0.1 tables are single sub-16MB
+        # parquet files, so the cluster default (128m) leaves every scan
+        # stage at parallelism 1 and serializes compute-heavy scans
+        # (md5-per-shingle in the dedup family). 512k splits them across
+        # the 32 local cores; a real cluster reading 100 TB keeps the
+        # 128m default (set SPARK_GRAFT_MAX_PARTITION_BYTES).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "512k"),
+        )
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

@@ -53,8 +53,27 @@ def current_version(target_path: str) -> str | None:
     return None
 
 
-def read_published(spark: SparkSession, target_path: str) -> DataFrame | None:
+def list_versions(target_path: str) -> list[int]:
+    """Version numbers retained on disk (ascending; at most
+    KEEP_VERSIONS). The newest is the published one."""
+    versions = _versions_dir(target_path)
+    if not os.path.isdir(versions):
+        return []
+    return sorted(
+        int(d[2:]) for d in os.listdir(versions) if d.startswith("v_")
+    )
+
+
+def read_published(
+    spark: SparkSession, target_path: str, version: int | None = None
+) -> DataFrame | None:
     """Read the published table, or None if it has never been published.
+
+    ``version`` time-travels to a retained older snapshot (Delta-style
+    `VERSION AS OF`, bounded by KEEP_VERSIONS): published versions are
+    immutable directories, so an old reader keeps a consistent view
+    while new publishes land. Asking for a GC'd or unknown version
+    raises.
 
     Only the does-the-path-exist probe is allowed to return None
     (ADVICE r1: a broad `except Exception` here would treat corruption,
@@ -62,10 +81,19 @@ def read_published(spark: SparkSession, target_path: str) -> DataFrame | None:
     overwrite the base table with a single batch). Any error reading a
     path that DOES exist propagates.
     """
-    version = current_version(target_path)
-    if version is None:
+    if version is not None:
+        if version not in list_versions(target_path):
+            raise ValueError(
+                f"version {version} of {target_path} not on disk "
+                f"(retained: {list_versions(target_path)})"
+            )
+        return spark.read.parquet(
+            os.path.join(_versions_dir(target_path), f"v_{version:010d}")
+        )
+    current = current_version(target_path)
+    if current is None:
         return None
-    return spark.read.parquet(version)
+    return spark.read.parquet(current)
 
 
 def _migrate_plain_dir(target: str, versions: str) -> None:
@@ -119,6 +147,7 @@ def publish_parquet(df: DataFrame, target_path: str) -> str:
 __all__ = [
     "AnalysisException",
     "current_version",
+    "list_versions",
     "publish_parquet",
     "read_published",
 ]

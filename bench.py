@@ -58,12 +58,19 @@ def main() -> None:
             except Exception:  # noqa: BLE001 — warm-up is best-effort
                 pass
 
+    # min-of-N per query (default 2): the shared box has ~15 % run-to-run
+    # noise; the minimum is the least-interfered measurement of the same
+    # deterministic plan, which is what cross-round comparison wants
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for key in HEADLINE:
         fn = qs[key].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[key] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[key] = round(best, 3)
 
     print(
         json.dumps(

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from airbnb_listings_reviews_data_engineering_spark.sources.atomic import (
     current_version,
+    list_versions,
     publish_parquet,
     read_published,
 )
@@ -94,6 +95,35 @@ def test_migrates_plain_directory_target(spark, tmp_path):
     assert os.path.islink(target)
     out = read_published(spark, target)
     assert out.count() == 4
+
+
+def test_time_travel_to_retained_version(spark, tmp_path):
+    target = str(tmp_path / "tbl")
+    publish_parquet(_df(spark, "v1", n=5), target)
+    publish_parquet(_df(spark, "v2", n=9), target)
+    vs = list_versions(target)
+    assert len(vs) == 2
+    old = read_published(spark, target, version=vs[0])
+    assert old.count() == 5
+    assert old.select("v").distinct().collect()[0][0] == "v1"
+    assert read_published(spark, target).count() == 9  # head unchanged
+    with pytest.raises(ValueError, match="not on disk"):
+        read_published(spark, target, version=999)
+
+
+def test_compaction_reduces_files(spark, tmp_path):
+    from airbnb_listings_reviews_data_engineering_spark.sources.parquet import (
+        compact_published,
+    )
+
+    target = str(tmp_path / "frag")
+    publish_parquet(_df(spark, "x", n=10_000).repartition(40), target)
+    before, after = compact_published(spark, target)
+    assert before == 40 and after == 1  # tiny table -> one block-sized file
+    out = read_published(spark, target)
+    assert out.count() == 10_000  # content untouched
+    # compaction is itself an atomic publish: old version still retained
+    assert len(list_versions(target)) == 2
 
 
 def test_old_versions_garbage_collected(spark, tmp_path):
