@@ -189,10 +189,12 @@ def udtf_json_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows from a JSON payload, used through SQL LATERAL. The extension
     point for row-expanding Python logic; for this flat payload the
     built-in json path functions would do — the UDTF wiring is the
-    point. Oracle: DuckDB json_each."""
+    point. useArrow=True keeps it off the row-pickling path
+    (ArrowEvalPythonUDTF, batch transfer — the engine's plan audit
+    rejects BatchEvalPython). Oracle: DuckDB json_each."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="k string, v bigint")
+    @udtf(returnType="k string, v bigint", useArrow=True)
     class ParseProps:
         def eval(self, props: str):  # noqa: ANN001
             import json

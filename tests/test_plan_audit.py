@@ -1,0 +1,55 @@
+"""Plan-lint pinning: the scale anti-patterns scripts/plan_audit.py
+hunts for must stay absent from the risk-bearing queries (every key
+with a join, a python stage, or a self-join blocking structure).
+
+The full 161-plan sweep is `python scripts/plan_audit.py` (writes
+PLAN_AUDIT.md); this test keeps the expensive subset in CI."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from scripts.plan_audit import NESTED_LOOP_ALLOWED, run  # noqa: E402
+
+RISK_KEYS = sorted(
+    {
+        # joins of growing tables — must never go nested-loop
+        "join_eq2", "join_eq3", "join_semi_inlist", "join_agg_agg",
+        "join_merge_key", "join_anti", "join_outer_full", "join_asof",
+        "join_salted", "sink_scd2", "split_train_test_group",
+        # blocked self-joins — must never go cartesian
+        "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+        "dedup_embedding_cosine", "pipeline_dedup_corpus",
+        # python-bearing — must be Arrow, never row-pickling
+        "udtf_json_kv", "grouped_pandas_zscore", "cogrouped_pandas_asof",
+        "sim_cosine_topk_pandas", "mm_binary_meta", "mm_frame_sample",
+        # allowed nested-loop keys — pinned so the allowlist stays honest
+        *NESTED_LOOP_ALLOWED,
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def audit_rows(spark):
+    from airbnb_listings_reviews_data_engineering_spark.plans import all_queries
+
+    keys = [k for k in RISK_KEYS if k in all_queries()]
+    return {r["key"]: r for r in run(keys)}
+
+
+def test_no_plan_flags_on_risk_keys(audit_rows):
+    flagged = {k: r["flags"] for k, r in audit_rows.items() if r["flags"]}
+    assert flagged == {}, flagged
+
+
+def test_allowlisted_keys_exist(audit_rows):
+    # an allowlist entry for a deleted key would silently mask a future
+    # regression under a reused name
+    from airbnb_listings_reviews_data_engineering_spark.plans import all_queries
+
+    missing = NESTED_LOOP_ALLOWED - set(all_queries())
+    assert missing == set(), missing
