@@ -219,17 +219,22 @@ def ngram_jaccard_pairs(
     *non-ubiquitous* shingle.
 
     Shared-shingle blocking is the classic inverted-index join, with
-    standard prefix-filtering on document frequency: a shingle occurring
-    in more than ``max_df`` docs ("of the and"-style stop-phrases) is
-    dropped from the index BEFORE the candidate self-join — without the
-    cap, one shingle shared by k docs emits k²/2 candidate pairs and one
-    hot shuffle key, a quadratic blowup at corpus scale (VERDICT r1).
-    The df count is a window over the same hash partitioning the
-    self-join needs, so the cap costs no extra shuffle. Jaccard itself
-    is still computed on the FULL distinct-shingle arrays with
-    array_intersect/array_union, so scores are unaffected; only pairs
-    whose every shared shingle is ubiquitous are pruned (and those are
-    overwhelmingly below any useful threshold).
+    prefix-filtering on document frequency: a shingle occurring in more
+    than ``max_df`` docs ("of the and"-style stop-phrases) is dropped
+    from the index BEFORE the candidate self-join — without the cap, one
+    shingle shared by k docs emits k²/2 candidate pairs and one hot
+    shuffle key, a quadratic blowup at corpus scale (VERDICT r1). Each
+    document ALWAYS retains its minimum-df shingle even above the cap:
+    otherwise a cluster duplicated more than max_df times (boilerplate —
+    the prime dedup target) has every posting pruned and is never
+    paired at all. The retained-rarest postings reintroduce buckets
+    only for documents made entirely of ubiquitous shingles, and those
+    clusters' pairs are genuine near-dups (quadratic in the CLUSTER
+    size is inherent to emitting its pairs, not an index artifact).
+    The df count and the per-doc min are two windows over the same
+    hash partitionings the self-join and the explode already need.
+    Jaccard itself is still computed on the FULL distinct-shingle
+    arrays with array_intersect/array_union, so scores are unaffected.
     """
     sh = (
         with_shingles(df, text_col, shingle)
@@ -242,8 +247,11 @@ def ngram_jaccard_pairs(
 
         ex = (
             ex.withColumn("df", F.count("*").over(Window.partitionBy("g")))
-            .filter(F.col("df") <= max_df)
-            .drop("df")
+            .withColumn(
+                "min_df", F.min("df").over(Window.partitionBy(id_col))
+            )
+            .filter((F.col("df") <= max_df) | (F.col("df") == F.col("min_df")))
+            .drop("df", "min_df")
         )
     a = ex.alias("a")
     b = ex.alias("b")

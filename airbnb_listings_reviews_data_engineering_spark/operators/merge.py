@@ -72,9 +72,28 @@ def merge_scd2(
     shuffle join on the key — the set-oriented form of the per-row
     UPDATE+INSERT a row-store runs, and what MERGE INTO + a history
     table does on Delta/Iceberg.
+
+    A batch carrying several rows for one key would match the current
+    row several times and emit several `is_current` rows — so updates
+    are first deduplicated to the LATEST effective date per key (ties
+    broken by tracked values for determinism), matching what MERGE INTO
+    requires of its source. Multi-step history in one batch needs an
+    ordered per-key fold, which is a different operator.
     """
     keys = list(keys)
     tracked = list(tracked)
+    if not tracked:
+        raise ValueError("merge_scd2 needs at least one tracked column")
+    from pyspark.sql import Window as W
+
+    latest = F.row_number().over(
+        W.partitionBy(*keys).orderBy(
+            F.col(effective).desc(), *[F.col(t).asc_nulls_last() for t in tracked]
+        )
+    )
+    updates = (
+        updates.withColumn("_rk", latest).filter(F.col("_rk") == 1).drop("_rk")
+    )
     changed_pred = None
     for t in tracked:
         p = ~F.col(f"b.{t}").eqNullSafe(F.col(f"u.{t}"))

@@ -270,11 +270,14 @@ sh AS (
 ),
 ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
 -- prefix filtering: drop shingles present in > 50 docs before the
--- candidate self-join (mirrors ngram_jaccard_pairs max_df=50)
+-- candidate self-join, but always keep each doc's rarest shingle so
+-- oversized duplicate clusters stay discoverable (mirrors
+-- ngram_jaccard_pairs max_df=50)
 exf AS (
   SELECT doc_id, g FROM (
-    SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM ex
-  ) WHERE df <= 50
+    SELECT doc_id, g, df, min(df) OVER (PARTITION BY doc_id) AS min_df
+    FROM (SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM ex)
+  ) WHERE df <= 50 OR df = min_df
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

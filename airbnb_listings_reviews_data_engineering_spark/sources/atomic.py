@@ -44,18 +44,34 @@ def _versions_dir(target_path: str) -> str:
 
 
 def current_version(target_path: str) -> str | None:
-    """Resolve the published version directory, or None if never published."""
+    """Resolve the published version directory, or None if never published.
+
+    If the pointer symlink is missing but complete ``v_N`` versions
+    exist (a crash landed between `_migrate_plain_dir`'s rename and its
+    symlink creation), recover to the NEWEST retained version instead of
+    returning None — returning None here would make the next merge treat
+    a populated table as a first run and publish a lone batch over it
+    (the silent-base-loss mode this module exists to prevent). Safe
+    because ``v_N`` dirs are rename(2)d into place only after a complete
+    write — a partial version is never visible under a ``v_N`` name.
+    """
     target = os.path.abspath(target_path.rstrip("/"))
     if os.path.islink(target):
         return os.path.realpath(target)
     if os.path.isdir(target):  # pre-migration plain directory
         return target
+    retained = list_versions(target_path)
+    if retained:
+        return os.path.join(_versions_dir(target_path), f"v_{retained[-1]:010d}")
     return None
 
 
 def list_versions(target_path: str) -> list[int]:
-    """Version numbers retained on disk (ascending; at most
-    KEEP_VERSIONS). The newest is the published one."""
+    """COMPLETE version numbers retained on disk (ascending; at most
+    KEEP_VERSIONS; in-flight ``.tmp-*`` staging dirs never appear). The
+    newest is the published one, except in the crash window between a
+    version landing and its pointer swap — where it is the recovery
+    target (see current_version)."""
     versions = _versions_dir(target_path)
     if not os.path.isdir(versions):
         return []
@@ -114,24 +130,40 @@ def _migrate_plain_dir(target: str, versions: str) -> None:
 
 
 def publish_parquet(df: DataFrame, target_path: str) -> str:
-    """Write ``df`` ONCE to a fresh version dir, then atomically repoint
-    the published symlink. Returns the new version directory.
+    """Write ``df`` ONCE, then atomically repoint the published symlink.
+    Returns the new version directory.
+
+    The write lands in a ``.tmp-*`` staging dir and is rename(2)d to its
+    ``v_N`` name only after Spark finishes — so a ``v_N`` directory, once
+    visible, is COMPLETE by construction. A publish that dies mid-write
+    leaves only a ``.tmp-*`` orphan, which version listing ignores, the
+    next publish sweeps, and the GC never counts (counting a partial
+    ``v_N`` would make the retention logic delete the good previous
+    version while keeping the corrupt one).
 
     Safe to call with a ``df`` whose lineage reads the currently
     published version (the write lands in a sibling dir, so Spark never
     overwrites its own input).
     """
+    import uuid
+
     target = os.path.abspath(target_path.rstrip("/"))
     versions = _versions_dir(target)
     if os.path.isdir(target) and not os.path.islink(target):
         _migrate_plain_dir(target, versions)
     os.makedirs(versions, exist_ok=True)
 
+    for orphan in os.listdir(versions):  # crashed earlier publishes
+        if orphan.startswith(".tmp-"):
+            shutil.rmtree(os.path.join(versions, orphan), ignore_errors=True)
+
     existing = sorted(d for d in os.listdir(versions) if d.startswith("v_"))
     next_n = 1 + (int(existing[-1][2:]) if existing else 0)
     new_version = os.path.join(versions, f"v_{next_n:010d}")
+    staging = os.path.join(versions, f".tmp-{uuid.uuid4().hex[:12]}")
 
-    df.write.mode("overwrite").parquet(new_version)  # the ONE write
+    df.write.mode("overwrite").parquet(staging)  # the ONE write
+    os.rename(staging, new_version)  # v_N appears complete or not at all
 
     tmp_link = target + ".ln.tmp"
     if os.path.lexists(tmp_link):

@@ -115,8 +115,6 @@ def available_now_merge_ingest(
         .start()
     )
     q.awaitTermination()
-    from ..sources.atomic import read_published
-
     return read_published(spark, target_path)
 
 

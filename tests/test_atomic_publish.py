@@ -39,14 +39,18 @@ def test_read_published_none_only_when_never_published(spark, tmp_path):
 
 def test_read_published_raises_on_corrupt_target(spark, tmp_path):
     # a target that EXISTS but is unreadable must raise, not be treated
-    # as a first run (the silent-base-table-loss failure mode)
+    # as a first run (the silent-base-table-loss failure mode). The
+    # None-check sits OUTSIDE the raises block: an AssertionError inside
+    # it would satisfy pytest.raises and mask a regression to None.
     target = tmp_path / "corrupt"
     target.mkdir()
     (target / "part-0.parquet").write_bytes(b"not parquet at all")
-    with pytest.raises(Exception):
+    with pytest.raises(Exception) as exc_info:
         df = read_published(spark, str(target))
-        assert df is not None
+        assert df is not None, "regressed to None for existing target"
         df.collect()
+    # the raise must be the read failing, not the None-assert tripping
+    assert "regressed to None" not in str(exc_info.value)
 
 
 def test_failed_write_leaves_previous_version_published(spark, tmp_path):
@@ -95,6 +99,39 @@ def test_migrates_plain_directory_target(spark, tmp_path):
     assert os.path.islink(target)
     out = read_published(spark, target)
     assert out.count() == 4
+
+
+def test_failed_publish_never_pollutes_versions(spark, tmp_path):
+    # a publish that dies mid-write must leave NO v_N dir: a partial
+    # version would corrupt time-travel and trick the GC into deleting
+    # the good previous version while retaining the broken one
+    target = str(tmp_path / "tbl")
+    publish_parquet(_df(spark, "v1"), target)
+    bad = spark.range(10).select((F.lit(1) / (F.col("id") - 5)).alias("x"))
+    with pytest.raises(Exception):
+        publish_parquet(bad, target)
+    assert list_versions(target) == [1]  # no phantom v2
+    # the NEXT publish numbers from the real head and retains v1 as prev
+    publish_parquet(_df(spark, "v2"), target)
+    assert list_versions(target) == [1, 2]
+    assert read_published(spark, target, version=1).count() == 10
+
+
+def test_missing_pointer_recovers_to_newest_version(spark, tmp_path):
+    # crash window in _migrate_plain_dir: data renamed into the versions
+    # dir but the symlink never created — reads must recover, not
+    # pretend the table was never published
+    target = str(tmp_path / "tbl")
+    publish_parquet(_df(spark, "v1"), target)
+    os.remove(target)  # simulate the lost pointer
+    assert current_version(target) is not None
+    out = read_published(spark, target)
+    assert out.count() == 10
+    assert out.select("v").distinct().collect()[0][0] == "v1"
+    # and publishing on top repairs the pointer
+    publish_parquet(_df(spark, "v2", n=3), target)
+    assert os.path.islink(target)
+    assert read_published(spark, target).count() == 3
 
 
 def test_time_travel_to_retained_version(spark, tmp_path):

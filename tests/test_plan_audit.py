@@ -19,7 +19,7 @@ RISK_KEYS = sorted(
     {
         # joins of growing tables — must never go nested-loop
         "join_eq2", "join_eq3", "join_semi_inlist", "join_agg_agg",
-        "join_merge_key", "join_anti", "join_outer_full", "join_asof",
+        "join_merge_key", "join_anti", "join_full_outer", "join_asof",
         "join_salted", "sink_scd2", "split_train_test_group",
         # blocked self-joins — must never go cartesian
         "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
@@ -37,8 +37,10 @@ RISK_KEYS = sorted(
 def audit_rows(spark):
     from airbnb_listings_reviews_data_engineering_spark.plans import all_queries
 
-    keys = [k for k in RISK_KEYS if k in all_queries()]
-    return {r["key"]: r for r in run(keys)}
+    # a RISK_KEYS typo must fail loudly, not silently skip the key
+    unknown = set(RISK_KEYS) - set(all_queries())
+    assert unknown == set(), f"RISK_KEYS not in registry: {unknown}"
+    return {r["key"]: r for r in run(sorted(RISK_KEYS))}
 
 
 def test_no_plan_flags_on_risk_keys(audit_rows):

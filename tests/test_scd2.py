@@ -56,6 +56,24 @@ def test_scd2_idempotent_reapply(spark):
     assert sorted(map(str, once.collect())) == sorted(map(str, twice.collect()))
 
 
+def test_scd2_multi_row_batch_keeps_latest_per_key(spark):
+    updates = spark.createDataFrame(
+        [(1, "mid", "2024-03-01"), (1, "late", "2024-06-01")],
+        "k long, attr string, eff string",
+    )
+    out = merge_scd2(_base(spark), updates, ["k"], ["attr"], "eff")
+    cur = out.filter(F.col("is_current") & (F.col("k") == 1)).collect()
+    assert len(cur) == 1  # exactly ONE current row per key, always
+    assert cur[0].attr == "late" and cur[0].valid_from == "2024-06-01"
+
+
+def test_scd2_requires_tracked_columns(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tracked"):
+        merge_scd2(_base(spark), _base(spark), ["k"], [], "eff")
+
+
 def test_scd2_null_safe_change_detection(spark):
     base = spark.createDataFrame(
         [(1, None, "2024-01-01", None, True)], BASE_SCHEMA
