@@ -70,3 +70,26 @@ def test_hash60_cross_engine_equality(spark, strings):
             f"SELECT {hash60_duckdb_sql('?')}", [s]
         ).fetchone()[0]
         assert got[s] == expected, s
+
+
+def test_ngram_cap_still_pairs_oversized_clusters(spark):
+    """A doc duplicated beyond max_df (boilerplate — the prime dedup
+    target) must still produce candidate pairs: every shingle's df
+    exceeds the cap, so only the retained-rarest rule makes the cluster
+    discoverable (review finding, round 2)."""
+    from pyspark.sql import functions as F
+
+    from airbnb_listings_reviews_data_engineering_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    boiler = "terms of service apply to all users of this site always"
+    rows = [(i, boiler) for i in range(60)] + [
+        (100 + i, f"unique document number {i} about topic {i} entirely") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", shingle=3, threshold=0.9, max_df=50)
+    boiler_pairs = pairs.filter((F.col("doc_a") < 60) & (F.col("doc_b") < 60))
+    # all 60*59/2 identical pairs survive the df cap
+    assert boiler_pairs.count() == 60 * 59 // 2
+    assert pairs.filter(F.col("jaccard") < 0.9).count() == 0
