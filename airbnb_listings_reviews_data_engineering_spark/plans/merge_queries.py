@@ -277,6 +277,68 @@ def inc_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out, ignore_errors=True)
 
 
+_CHANGES_SQL = """
+WITH v1 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 5 <> 0
+), upd AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice + 50.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0
+), v2 AS (
+  SELECT * FROM (
+    SELECT * FROM upd
+    UNION ALL
+    SELECT b.* FROM v1 b LEFT JOIN upd u ON b.o_orderkey = u.o_orderkey
+    WHERE u.o_orderkey IS NULL
+  ) WHERE o_orderkey % 7 <> 0
+)
+SELECT n.o_orderkey, n.o_orderstatus, n.o_totalprice, 'insert' AS _change_type
+FROM v2 n LEFT JOIN v1 o ON o.o_orderkey = n.o_orderkey WHERE o.o_orderkey IS NULL
+UNION ALL
+SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice, 'delete'
+FROM v1 o LEFT JOIN v2 n ON o.o_orderkey = n.o_orderkey WHERE n.o_orderkey IS NULL
+UNION ALL
+SELECT n.o_orderkey, n.o_orderstatus, n.o_totalprice, 'update_postimage'
+FROM v1 o JOIN v2 n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_totalprice <> n.o_totalprice OR o.o_orderstatus <> n.o_orderstatus
+"""
+
+
+@register("table_changes_feed", oracle=_CHANGES_SQL)
+def table_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change feed between two published versions of a table
+    (Delta CDF / `table_changes` analog on the atomic-publish layer):
+    version 2 applies a price-update batch and deletes every 7th key,
+    and the feed labels each row insert / delete / update_postimage via
+    one full-outer join over the retained snapshots — the incremental-
+    consumption path that saves downstream 100 TB re-reads."""
+    import shutil
+    import tempfile
+
+    from ..operators.merge import upsert_snapshot
+    from ..sources.atomic import diff_versions, publish_parquet
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v1 = o.filter(F.col("o_orderkey") % 5 != 0)
+    upd = o.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 50.0
+    )
+    v2 = upsert_snapshot(v1, upd, ["o_orderkey"]).filter(
+        F.col("o_orderkey") % 7 != 0
+    )
+    out = tempfile.mkdtemp(prefix="changes_")
+    try:
+        target = f"{out}/orders_versioned"
+        publish_parquet(v1, target)
+        publish_parquet(v2, target)
+        return diff_versions(
+            spark, target, 1, 2, keys=["o_orderkey"]
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 _COMPACT_SQL = """
 SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
 """

@@ -21,6 +21,7 @@ RISK_KEYS = sorted(
         "join_eq2", "join_eq3", "join_semi_inlist", "join_agg_agg",
         "join_merge_key", "join_anti", "join_full_outer", "join_asof",
         "join_salted", "sink_scd2", "split_train_test_group",
+        "table_changes_feed",
         # blocked self-joins — must never go cartesian
         "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
         "dedup_embedding_cosine", "pipeline_dedup_corpus",
