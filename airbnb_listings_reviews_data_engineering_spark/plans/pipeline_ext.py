@@ -1007,3 +1007,67 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     packed = MM.pack_binary(docs, "doc_id", "text")
     return MM.frame_sample(packed, every_n_bytes=64)
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+_DECONTAM_SQL = """
+WITH bench AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0
+), corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, regexp_replace(text, '^[a-z]+ ', '') AS text
+  FROM documents WHERE doc_id % 17 = 0
+),
+bsh AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(list_distinct(list_transform(
+             generate_series(1, len(tok) - 4),
+             i -> tok[i]||' '||tok[i+1]||' '||tok[i+2]||' '||tok[i+3]||' '||tok[i+4]))) AS g
+    FROM (SELECT string_split(text, ' ') AS tok FROM bench) WHERE len(tok) >= 5
+  )
+),
+csh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(tok) - 4),
+           i -> tok[i]||' '||tok[i+1]||' '||tok[i+2]||' '||tok[i+3]||' '||tok[i+4]))) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM corpus) WHERE len(tok) >= 5
+)
+SELECT c.doc_id, count(*) AS n_hits
+FROM csh c JOIN bsh b ON c.g = b.g
+GROUP BY c.doc_id
+"""
+
+
+@register("pipeline_decontaminate", oracle=_DECONTAM_SQL)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    5-gram with the held-out eval set (every 17th doc stands in as the
+    benchmark; near-copies of it are planted in the corpus so true
+    contamination exists). The match is an inverted-index equi-join —
+    benchmark 5-grams on one side, corpus postings on the other — the
+    same linear blocking shape as the dedup family, never corpus x
+    bench. At 100 TB the benchmark side is tiny (eval sets are KBs-MBs)
+    and broadcasts; n_hits per doc feeds the drop/keep policy."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    planted = bench.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.regexp_replace("text", r"^[a-z]+ ", "").alias("text"),
+    )
+    corpus = docs.filter(F.col("doc_id") % 17 != 0).unionByName(planted)
+
+    bgrams = (
+        D.with_shingles(bench, "text", n=5)
+        .select(F.explode(F.array_distinct("shingles")).alias("g"))
+        .distinct()
+    )
+    cgrams = D.with_shingles(corpus, "text", n=5).select(
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("g")
+    )
+    return (
+        cgrams.join(bgrams, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )

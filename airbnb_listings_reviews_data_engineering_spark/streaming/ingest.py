@@ -184,3 +184,57 @@ def run_available_now(
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def available_now_scd2_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    target_path: str,
+    keys: list[str],
+    tracked: list[str],
+    effective: str,
+    checkpoint: str,
+    fmt: str = "csv",
+) -> DataFrame:
+    """Streaming SCD2: each availableNow drain folds the micro-batch
+    into a type-2 history table (operators/merge.merge_scd2) and
+    publishes atomically — the incremental dimension-history pipeline
+    (stream of attribute changes in, queryable valid_from/valid_to
+    history out). The checkpoint gives exactly-once across re-runs;
+    merge_scd2's per-key latest-effective dedup makes a batch holding
+    several changes for one key deterministic.
+    """
+    from ..operators.merge import merge_scd2
+    from ..sources.atomic import publish_parquet, read_published
+
+    reader = spark.readStream.schema(schema)
+    stream = (
+        reader.option("header", True).csv(source_dir)
+        if fmt == "csv"
+        else reader.parquet(source_dir)
+    )
+    hist_schema = T.StructType(
+        [f for f in schema.fields if f.name != effective]
+        + [
+            T.StructField("valid_from", T.StringType()),
+            T.StructField("valid_to", T.StringType()),
+            T.StructField("is_current", T.BooleanType()),
+        ]
+    )
+
+    def scd2_batch(batch: DataFrame, _batch_id: int) -> None:
+        base = read_published(batch.sparkSession, target_path)
+        if base is None:
+            base = batch.sparkSession.createDataFrame([], hist_schema)
+        merged = merge_scd2(base, batch, keys, tracked, effective)
+        publish_parquet(merged, target_path)
+
+    q = (
+        stream.writeStream.foreachBatch(scd2_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_published(spark, target_path)

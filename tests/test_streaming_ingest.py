@@ -60,3 +60,53 @@ def test_incremental_merge_ingest(spark, tmp_path):
         (2, 250.0),
         (3, 300.0),
     }
+
+
+def test_available_now_scd2_ingest(spark, tmp_path_factory):
+    """Two file drops through the streaming SCD2 fold: drop 2 closes a
+    changed key at its effective date and inserts a new key; re-running
+    with no new files is a no-op (checkpointed exactly-once)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from airbnb_listings_reviews_data_engineering_spark.streaming.ingest import (
+        available_now_scd2_ingest,
+    )
+
+    src = str(tmp_path_factory.mktemp("scd2_src"))
+    out = str(tmp_path_factory.mktemp("scd2_out")) + "/dim_hist"
+    ckpt = str(tmp_path_factory.mktemp("scd2_ckpt"))
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("attr", T.StringType()),
+            T.StructField("eff", T.StringType()),
+        ]
+    )
+
+    def ingest():
+        return available_now_scd2_ingest(
+            spark, src, schema, out, ["k"], ["attr"], "eff", ckpt
+        )
+
+    with open(f"{src}/drop1.csv", "w") as f:
+        f.write("k,attr,eff\n1,a,2024-01-01\n2,b,2024-01-01\n")
+    hist = ingest()
+    assert hist.count() == 2
+    assert hist.filter(F.col("is_current")).count() == 2
+
+    with open(f"{src}/drop2.csv", "w") as f:
+        f.write("k,attr,eff\n1,a2,2024-06-01\n3,c,2024-06-01\n")
+    hist = ingest()
+    rows = {(r.k, r.attr): r for r in hist.collect()}
+    assert len(rows) == 4
+    assert rows[(1, "a")].valid_to == "2024-06-01" and not rows[(1, "a")].is_current
+    assert rows[(1, "a2")].is_current and rows[(1, "a2")].valid_from == "2024-06-01"
+    assert rows[(2, "b")].is_current  # untouched
+    assert rows[(3, "c")].is_current  # inserted
+    # exactly one current row per key, always
+    cur = hist.filter(F.col("is_current")).groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in cur)
+
+    again = ingest()  # no new files -> checkpoint makes this a no-op
+    assert sorted(map(str, again.collect())) == sorted(map(str, hist.collect()))
