@@ -112,3 +112,125 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_bytes"])
 
     return df.mapInPandas(batches, schema="doc_id long, frame_idx int, frame_bytes int")
+
+
+# --- real container-format probing ------------------------------------------
+# Pixel/sample DECODE needs codec libs this container lacks, but container
+# HEADER parsing (what metadata extraction and schema inference need at
+# ingest) is pure struct unpacking — so that part is implemented for real:
+# the synthesizer below emits fully valid PNG (zlib IDAT, correct CRCs)
+# and PCM WAV files, and probe_media parses them back from raw bytes.
+
+PROBE_SCHEMA = (
+    "doc_id long, fmt string, width int, height int, "
+    "sample_rate int, n_channels int"
+)
+
+
+def _png_bytes(width: int, height: int) -> bytes:
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # 8-bit gray
+    raw = b"".join(
+        b"\x00" + bytes((x * 7 + y * 13) % 256 for x in range(width))
+        for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _wav_bytes(sample_rate: int, n_channels: int, n_samples: int) -> bytes:
+    import struct
+
+    data = b"\x00\x00" * n_samples * n_channels
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * n_channels * 2, n_channels * 2, 16,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synthesize_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL media files per row: even ids get a valid PNG
+    whose dims derive from the id, odd ids a PCM WAV — Arrow-batched."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            payloads = [
+                _png_bytes(16 + i % 48, 16 + (i * 7) % 48)
+                if i % 2 == 0
+                else _wav_bytes(8000 + (i % 5) * 4000, 2, 64)
+                for i in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(batches, schema="doc_id long, payload binary")
+
+
+def probe_media(df: DataFrame) -> DataFrame:
+    """Parse container headers from raw bytes (no codec libraries):
+    PNG dims from the IHDR chunk, WAV sample-rate/channels from the RIFF
+    fmt chunk, JPEG dims from the first SOF marker. Unknown formats
+    surface as fmt=NULL rather than failing the batch."""
+    import struct
+
+    def probe(b: bytes):
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", b[16:24])
+            return ("png", w, h, None, None)
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            off = 12
+            while off + 8 <= len(b):
+                cid, size = b[off : off + 4], struct.unpack("<I", b[off + 4 : off + 8])[0]
+                if cid == b"fmt ":
+                    _, ch, sr = struct.unpack("<HHI", b[off + 8 : off + 16])
+                    return ("wav", None, None, sr, ch)
+                off += 8 + size + (size & 1)
+            return ("wav", None, None, None, None)
+        if b[:2] == b"\xff\xd8":  # JPEG: scan to the first SOF marker
+            off = 2
+            while off + 9 <= len(b):
+                if b[off] != 0xFF:
+                    break
+                marker, size = b[off + 1], struct.unpack(">H", b[off + 2 : off + 4])[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", b[off + 5 : off + 9])
+                    return ("jpeg", w, h, None, None)
+                off += 2 + size
+            return ("jpeg", None, None, None, None)
+        return (None, None, None, None, None)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            probed = [probe(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": [p[0] for p in probed],
+                    "width": pd.array([p[1] for p in probed], dtype="Int32"),
+                    "height": pd.array([p[2] for p in probed], dtype="Int32"),
+                    "sample_rate": pd.array([p[3] for p in probed], dtype="Int32"),
+                    "n_channels": pd.array([p[4] for p in probed], dtype="Int32"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=PROBE_SCHEMA)

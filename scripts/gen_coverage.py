@@ -70,7 +70,8 @@ SECTIONS = [
         "text_fingerprint", "text_ngram_freq", "text_tfidf",
         "text_pii_scrub"]),
     ("Multimodal (north star)", [
-        "mm_binary_meta", "mm_decode_fake", "mm_frame_sample"]),
+        "mm_binary_meta", "mm_decode_fake", "mm_frame_sample",
+        "mm_probe_media"]),
     ("Sampling / splitting / packing / profiling (training-data ops)", [
         "sample_stratified", "split_train_test_group", "sample_class_cap",
         "pack_token_shards", "profile_columns"]),

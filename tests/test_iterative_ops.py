@@ -93,3 +93,24 @@ def test_ngram_cap_still_pairs_oversized_clusters(spark):
     # all 60*59/2 identical pairs survive the df cap
     assert boiler_pairs.count() == 60 * 59 // 2
     assert pairs.filter(F.col("jaccard") < 0.9).count() == 0
+
+
+def test_probe_media_parses_real_jpeg_header(spark):
+    """probe_media's JPEG path, fed a hand-built SOF0 header (the
+    registered key covers PNG/WAV; this pins the third format)."""
+    import struct
+
+    from airbnb_listings_reviews_data_engineering_spark.operators.multimodal import (
+        probe_media,
+    )
+
+    h, w = 123, 456
+    sof0 = b"\xff\xc0" + struct.pack(">H", 8 + 9) + b"\x08" + struct.pack(">HH", h, w) + b"\x03" + b"\x00" * 9
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    jpeg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    df = spark.createDataFrame([(1, bytearray(jpeg))], "doc_id long, payload binary")
+    row = probe_media(df).first()
+    assert row.fmt == "jpeg" and row.width == w and row.height == h
+    # and garbage bytes surface as fmt NULL, not a crashed batch
+    junk = spark.createDataFrame([(2, bytearray(b"not media"))], "doc_id long, payload binary")
+    assert probe_media(junk).first().fmt is None
