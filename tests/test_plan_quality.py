@@ -34,6 +34,21 @@ def test_star_join_broadcasts_and_prunes(spark, sf_dir):
     assert "l_comment" not in plan
 
 
+def test_star_join_broadcast_is_size_driven(spark, sf_dir):
+    """join_eq3 carries NO broadcast hint (a hard-coded hint OOMs at
+    100x, VERDICT r1): the broadcast above must come from Catalyst's
+    size estimate. Prove it by pushing the threshold to -1 and watching
+    the same plan fall back to shuffle joins."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(spark, sf_dir, "join_eq3")
+        assert "BroadcastHashJoin" not in plan, plan[:1500]
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_semi_join_is_single_engine(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_semi_inlist")
     assert "LeftSemi" in plan or "BroadcastHashJoin" in plan
