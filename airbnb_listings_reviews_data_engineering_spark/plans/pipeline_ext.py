@@ -1103,3 +1103,31 @@ def mm_probe_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = MM.synthesize_media(docs, "doc_id")
     return MM.probe_media(media)
+
+
+def _cluster_stats_sql() -> str:
+    inner = _components_sql().strip()
+    return f"""
+WITH comp AS ({inner})
+SELECT cluster_size, count(*) AS n_clusters
+FROM (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+GROUP BY cluster_size
+"""
+
+
+@register("dedup_cluster_stats", oracle=_cluster_stats_sql())
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the near-dup graph — the observability
+    a production dedup run needs BEFORE committing to a candidate-pair
+    budget: a fat tail here (one giant component) is the early warning
+    for quadratic pair emission and hot shuffle keys. Two aggregations
+    over the component labels; no new joins."""
+    corpus = _variant_corpus(spark, sf_dir, max_id=500)
+    pairs = D.minhash_lsh_pairs(corpus, "doc_id", "text", _NUM_HASHES, _BANDS, 0.5, 3)
+    comp = D.connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+    )

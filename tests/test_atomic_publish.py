@@ -171,3 +171,20 @@ def test_old_versions_garbage_collected(spark, tmp_path):
     kept = sorted(d for d in os.listdir(versions_dir) if d.startswith("v_"))
     assert len(kept) == 2  # current + previous
     assert current_version(target).endswith(kept[-1])
+
+
+def test_reader_grace_window_spans_one_publish(spark, tmp_path):
+    """A reader that resolved the current version keeps a consistent
+    view across the NEXT publish (versions are immutable and
+    KEEP_VERSIONS=2 retains current+previous) — the documented reader
+    grace window. Beyond that the old dir is GC'd, so long-lived readers
+    must re-resolve; that boundary is pinned here too."""
+    target = str(tmp_path / "tbl")
+    publish_parquet(_df(spark, "v1"), target)
+    reader = read_published(spark, target)  # lazily pinned to v1's dir
+    publish_parquet(_df(spark, "v2", n=4), target)
+    assert reader.count() == 10  # still v1: one publish is safe
+    assert reader.select("v").distinct().collect()[0][0] == "v1"
+    publish_parquet(_df(spark, "v3", n=2), target)  # v1 now GC'd
+    assert read_published(spark, target).count() == 2
+    assert list_versions(target) == [2, 3]
