@@ -29,6 +29,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def any_column_changed(
+    cols: Sequence[str], left_alias: str, right_alias: str
+) -> F.Column:
+    """Null-safe "any of these columns differs" OR-fold between two
+    aliased sides — the change-detection predicate shared by merge_scd2
+    and sources/atomic.diff_versions (one definition, so a semantics fix
+    reaches both)."""
+    pred = F.lit(False)
+    for c in cols:
+        pred = pred | ~F.col(f"{left_alias}.{c}").eqNullSafe(
+            F.col(f"{right_alias}.{c}")
+        )
+    return pred
+
+
 def upsert_snapshot(base: DataFrame, updates: DataFrame, keys: Sequence[str]) -> DataFrame:
     """Replace-style upsert: rows from ``updates`` win on key collision,
     unmatched ``base`` rows are kept. Schemas must match by name."""
@@ -94,10 +109,7 @@ def merge_scd2(
     updates = (
         updates.withColumn("_rk", latest).filter(F.col("_rk") == 1).drop("_rk")
     )
-    changed_pred = None
-    for t in tracked:
-        p = ~F.col(f"b.{t}").eqNullSafe(F.col(f"u.{t}"))
-        changed_pred = p if changed_pred is None else (changed_pred | p)
+    changed_pred = any_column_changed(tracked, "b", "u")
 
     current = base.filter(F.col("is_current")).alias("b")
     history = base.filter(~F.col("is_current"))

@@ -189,18 +189,32 @@ def synthesize_media(df: DataFrame, id_col: str) -> DataFrame:
 def probe_media(df: DataFrame) -> DataFrame:
     """Parse container headers from raw bytes (no codec libraries):
     PNG dims from the IHDR chunk, WAV sample-rate/channels from the RIFF
-    fmt chunk, JPEG dims from the first SOF marker. Unknown formats
-    surface as fmt=NULL rather than failing the batch."""
+    fmt chunk, JPEG dims from the first SOF marker.
+
+    Robustness contract, enforced not just documented (round-2 review):
+    a NULL payload, a truncated header (magic bytes present but the
+    struct fields missing), an out-of-int32-range dimension, or any
+    other malformed object surfaces as fmt=NULL / field=NULL — ONE bad
+    object in a 100 TB lake must never abort the ingest job.
+    """
     import struct
 
-    def probe(b: bytes):
+    _I32 = 2**31 - 1
+
+    def _clamp(v):
+        return v if v is not None and 0 <= v <= _I32 else None
+
+    def _probe_raw(b: bytes):
         if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+            if len(b) < 24:  # magic present, IHDR fields truncated
+                return ("png", None, None, None, None)
             w, h = struct.unpack(">II", b[16:24])
             return ("png", w, h, None, None)
         if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
             off = 12
-            while off + 8 <= len(b):
-                cid, size = b[off : off + 4], struct.unpack("<I", b[off + 4 : off + 8])[0]
+            while off + 16 <= len(b):
+                cid = b[off : off + 4]
+                size = struct.unpack("<I", b[off + 4 : off + 8])[0]
                 if cid == b"fmt ":
                     _, ch, sr = struct.unpack("<HHI", b[off + 8 : off + 16])
                     return ("wav", None, None, sr, ch)
@@ -211,7 +225,8 @@ def probe_media(df: DataFrame) -> DataFrame:
             while off + 9 <= len(b):
                 if b[off] != 0xFF:
                     break
-                marker, size = b[off + 1], struct.unpack(">H", b[off + 2 : off + 4])[0]
+                marker = b[off + 1]
+                size = struct.unpack(">H", b[off + 2 : off + 4])[0]
                 if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                     h, w = struct.unpack(">HH", b[off + 5 : off + 9])
                     return ("jpeg", w, h, None, None)
@@ -219,9 +234,16 @@ def probe_media(df: DataFrame) -> DataFrame:
             return ("jpeg", None, None, None, None)
         return (None, None, None, None, None)
 
+    def probe(p):
+        try:
+            fmt, w, h, sr, ch = _probe_raw(bytes(p))
+            return (fmt, _clamp(w), _clamp(h), _clamp(sr), _clamp(ch))
+        except Exception:  # noqa: BLE001 — malformed object, not a job error
+            return (None, None, None, None, None)
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            probed = [probe(bytes(p)) for p in pdf["payload"]]
+            probed = [probe(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -268,20 +268,13 @@ sh AS (
                        i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS s
   FROM tokd WHERE len(tok) >= 3
 ),
+-- pure shared-any-shingle semantics: the Spark side's prefix filtering
+-- (AllPairs/PPJoin rule, operators/dedup.py) provably finds every pair
+-- with jaccard >= threshold, so the oracle needs no pruning mirror
 ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
--- prefix filtering: drop shingles present in > 50 docs before the
--- candidate self-join, but always keep each doc's rarest shingle so
--- oversized duplicate clusters stay discoverable (mirrors
--- ngram_jaccard_pairs max_df=50)
-exf AS (
-  SELECT doc_id, g FROM (
-    SELECT doc_id, g, df, min(df) OVER (PARTITION BY doc_id) AS min_df
-    FROM (SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM ex)
-  ) WHERE df <= 50 OR df = min_df
-),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM exf a JOIN exf b ON a.g = b.g AND a.doc_id < b.doc_id
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b,
        round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
@@ -295,12 +288,11 @@ WHERE round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
 @register("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_SQL)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard on shared-shingle candidate pairs (inverted-
-    index blocking with a df<=50 prefix filter), restricted to a 400-doc
-    corpus slice."""
+    index blocking with AllPairs prefix filtering — provably lossless at
+    the threshold, so the oracle is the exhaustive formulation),
+    restricted to a 400-doc corpus slice."""
     corpus = _variant_corpus(spark, sf_dir, max_id=200)
-    return D.ngram_jaccard_pairs(
-        corpus, "doc_id", "text", shingle=3, threshold=0.5, max_df=50
-    )
+    return D.ngram_jaccard_pairs(corpus, "doc_id", "text", shingle=3, threshold=0.5)
 
 
 _EMB_COS = (

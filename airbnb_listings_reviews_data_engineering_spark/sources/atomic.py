@@ -157,6 +157,17 @@ def publish_parquet(df: DataFrame, target_path: str) -> str:
         if orphan.startswith(".tmp-"):
             shutil.rmtree(os.path.join(versions, orphan), ignore_errors=True)
 
+    # a publish that crashed BETWEEN the v_N rename and the pointer swap
+    # leaves a complete-but-never-committed v_N above the published one;
+    # counting it would make the GC below retire the last actually-
+    # published version one publish early (round-2 review). The pointer
+    # is the commit record: discard any version newer than it.
+    if os.path.islink(target):
+        published_n = int(os.path.basename(os.path.realpath(target))[2:])
+        for d in os.listdir(versions):
+            if d.startswith("v_") and int(d[2:]) > published_n:
+                shutil.rmtree(os.path.join(versions, d), ignore_errors=True)
+
     existing = sorted(d for d in os.listdir(versions) if d.startswith("v_"))
     next_n = 1 + (int(existing[-1][2:]) if existing else 0)
     new_version = os.path.join(versions, f"v_{next_n:010d}")
@@ -188,31 +199,44 @@ def diff_versions(
 
     Full outer join on the key set; a row is an ``insert`` (key only in
     v_to), ``delete`` (only in v_from), or ``update_postimage`` (key in
-    both, any non-key column differing — null-safe). Unchanged rows are
-    dropped. One shuffle join; downstream consumers replay the feed
-    instead of re-reading the snapshot — the incremental-consumption
-    shape a 100 TB table needs.
+    both, any non-key column differing — null-safe,
+    operators/merge.any_column_changed). Unchanged rows are dropped.
+    Key comparison is eqNullSafe and presence is read from explicit
+    marker literals, NOT from key-column nullness — a NULL in a key
+    column would otherwise split one unchanged row into a phantom
+    insert+delete that a downstream replayer double-applies (round-2
+    review). One shuffle join; consumers replay the feed instead of
+    re-reading the snapshot — the incremental-consumption shape a
+    100 TB table needs.
     """
     from pyspark.sql import functions as F
 
-    old = read_published(spark, target_path, version=v_from).alias("o")
-    new = read_published(spark, target_path, version=v_to).alias("n")
-    cols = [c for c in new.columns]
-    nonkey = [c for c in cols if c not in keys]
-    cond = [F.col(f"o.{k}") == F.col(f"n.{k}") for k in keys]
-    joined = old.join(new, cond, "full_outer")
-    changed = None
-    for c in nonkey:
-        p = ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
-        changed = p if changed is None else (changed | p)
-    change_type = (
-        F.when(F.col(f"o.{keys[0]}").isNull(), "insert")
-        .when(F.col(f"n.{keys[0]}").isNull(), "delete")
-        .when(changed if changed is not None else F.lit(False), "update_postimage")
+    from ..operators.merge import any_column_changed
+
+    old = (
+        read_published(spark, target_path, version=v_from)
+        .withColumn("_present", F.lit(True))
+        .alias("o")
     )
-    side = F.when(F.col(f"n.{keys[0]}").isNull(), "o").otherwise("n")
+    new = (
+        read_published(spark, target_path, version=v_to)
+        .withColumn("_present", F.lit(True))
+        .alias("n")
+    )
+    cols = [c for c in new.columns if c != "_present"]
+    nonkey = [c for c in cols if c not in keys]
+    cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys]
+    joined = old.join(new, cond, "full_outer")
+    changed = any_column_changed(nonkey, "o", "n") if nonkey else F.lit(False)
+    in_old = F.col("o._present").isNotNull()
+    in_new = F.col("n._present").isNotNull()
+    change_type = (
+        F.when(~in_old, "insert")
+        .when(~in_new, "delete")
+        .when(changed, "update_postimage")
+    )
     out_cols = [
-        F.when(side == "o", F.col(f"o.{c}")).otherwise(F.col(f"n.{c}")).alias(c)
+        F.when(in_new, F.col(f"n.{c}")).otherwise(F.col(f"o.{c}")).alias(c)
         for c in cols
     ]
     return (

@@ -66,6 +66,34 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
     )
 
 
+def _drain_files_into(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    checkpoint: str,
+    fmt: str,
+    batch_fn,
+) -> None:
+    """Shared availableNow drain harness: file-source stream over a drop
+    directory, each micro-batch handed to ``batch_fn`` via foreachBatch,
+    checkpointed so re-runs skip already-ingested files (exactly-once
+    without a coordinator). Both merge-style ingests below ride this one
+    definition — a fix to the drain shape cannot diverge between them."""
+    reader = spark.readStream.schema(schema)
+    stream = (
+        reader.option("header", True).csv(source_dir)
+        if fmt == "csv"
+        else reader.parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def available_now_merge_ingest(
     spark: SparkSession,
     source_dir: str,
@@ -77,24 +105,13 @@ def available_now_merge_ingest(
 ) -> DataFrame:
     """Incremental file ingest with upsert semantics — the Structured
     Streaming form of the reference's daily re-run (inc_daily_snapshot,
-    SURVEY.md §2.8).
-
-    readStream over a drop directory; each availableNow drain runs
-    foreachBatch, which MERGEs the micro-batch into the parquet target
-    (updates win on key collision). The checkpoint makes re-runs skip
-    already-ingested files, so retries and daily re-triggers are
-    exactly-once without any coordinator — the property the reference
-    gets from Airflow retries + DB upserts.
+    SURVEY.md §2.8): each micro-batch MERGEs into the parquet target
+    (updates win on key collision); retries and daily re-triggers are
+    exactly-once — the property the reference gets from Airflow retries
+    + DB upserts.
     """
     from ..operators.merge import upsert_snapshot
     from ..sources.atomic import publish_parquet, read_published
-
-    reader = spark.readStream.schema(schema)
-    stream = (
-        reader.option("header", True).csv(source_dir)
-        if fmt == "csv"
-        else reader.parquet(source_dir)
-    )
 
     def merge_batch(batch: DataFrame, _batch_id: int) -> None:
         batch = batch.dropDuplicates(keys)
@@ -108,13 +125,7 @@ def available_now_merge_ingest(
         # readable if this batch dies mid-write
         publish_parquet(merged, target_path)
 
-    q = (
-        stream.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    _drain_files_into(spark, source_dir, schema, checkpoint, fmt, merge_batch)
     return read_published(spark, target_path)
 
 
@@ -208,12 +219,6 @@ def available_now_scd2_ingest(
     from ..operators.merge import merge_scd2
     from ..sources.atomic import publish_parquet, read_published
 
-    reader = spark.readStream.schema(schema)
-    stream = (
-        reader.option("header", True).csv(source_dir)
-        if fmt == "csv"
-        else reader.parquet(source_dir)
-    )
     hist_schema = T.StructType(
         [f for f in schema.fields if f.name != effective]
         + [
@@ -230,11 +235,5 @@ def available_now_scd2_ingest(
         merged = merge_scd2(base, batch, keys, tracked, effective)
         publish_parquet(merged, target_path)
 
-    q = (
-        stream.writeStream.foreachBatch(scd2_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    _drain_files_into(spark, source_dir, schema, checkpoint, fmt, scd2_batch)
     return read_published(spark, target_path)

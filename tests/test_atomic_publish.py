@@ -188,3 +188,27 @@ def test_reader_grace_window_spans_one_publish(spark, tmp_path):
     publish_parquet(_df(spark, "v3", n=2), target)  # v1 now GC'd
     assert read_published(spark, target).count() == 2
     assert list_versions(target) == [2, 3]
+
+
+def test_uncommitted_orphan_version_is_discarded(spark, tmp_path):
+    """Crash window between the v_N rename and the pointer swap: a
+    complete-but-never-published v_N must not count as a version — the
+    next publish discards it, numbers from the real (published) head,
+    and the GC retains the last PUBLISHED version as rollback."""
+    import shutil
+
+    target = str(tmp_path / "tbl")
+    publish_parquet(_df(spark, "v1"), target)
+    publish_parquet(_df(spark, "v2", n=7), target)
+    versions_dir = os.path.join(str(tmp_path), ".tbl_versions")
+    # fabricate the orphan: a complete v3 dir, pointer still at v2
+    shutil.copytree(
+        os.path.join(versions_dir, "v_0000000002"),
+        os.path.join(versions_dir, "v_0000000003"),
+    )
+    assert current_version(target).endswith("v_0000000002")
+
+    publish_parquet(_df(spark, "v3real", n=4), target)
+    assert list_versions(target) == [2, 3]  # v2 retained, orphan replaced
+    assert read_published(spark, target).count() == 4
+    assert read_published(spark, target, version=2).count() == 7  # real rollback

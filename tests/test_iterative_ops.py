@@ -72,11 +72,10 @@ def test_hash60_cross_engine_equality(spark, strings):
         assert got[s] == expected, s
 
 
-def test_ngram_cap_still_pairs_oversized_clusters(spark):
-    """A doc duplicated beyond max_df (boilerplate — the prime dedup
-    target) must still produce candidate pairs: every shingle's df
-    exceeds the cap, so only the retained-rarest rule makes the cluster
-    discoverable (review finding, round 2)."""
+def test_ngram_prefix_filter_pairs_oversized_clusters(spark):
+    """Boilerplate duplicated 60x (every shingle ubiquitous) must still
+    produce all C(60,2) pairs — prefix filtering keeps one posting per
+    identical doc, never zero (round-2 review finding #2/#6)."""
     from pyspark.sql import functions as F
 
     from airbnb_listings_reviews_data_engineering_spark.operators.dedup import (
@@ -88,11 +87,36 @@ def test_ngram_cap_still_pairs_oversized_clusters(spark):
         (100 + i, f"unique document number {i} about topic {i} entirely") for i in range(20)
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    pairs = ngram_jaccard_pairs(df, "doc_id", "text", shingle=3, threshold=0.9, max_df=50)
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", shingle=3, threshold=0.9)
     boiler_pairs = pairs.filter((F.col("doc_a") < 60) & (F.col("doc_b") < 60))
-    # all 60*59/2 identical pairs survive the df cap
     assert boiler_pairs.count() == 60 * 59 // 2
-    assert pairs.filter(F.col("jaccard") < 0.9).count() == 0
+    # the unique docs share no shingles: no pair may involve them
+    assert pairs.filter((F.col("doc_a") >= 100) | (F.col("doc_b") >= 100)).count() == 0
+
+
+def test_ngram_prefix_filter_is_lossless_across_df_profiles(spark):
+    """The ad-hoc df-cap failure mode: group A = pure boilerplate X,
+    group B = X plus a suffix, where A retains only X-shingles and B
+    only suffix-shingles under a min-df-keep rule, silently losing every
+    cross-group pair. Prefix filtering's theorem forbids that — the
+    thresholded output must equal the exhaustive (unfiltered)
+    formulation on exactly this adversarial corpus."""
+    from airbnb_listings_reviews_data_engineering_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    x = "all your base are belong to this standard footer text now"
+    rows = [(i, x) for i in range(60)] + [
+        (200 + i, x + " extra suffix words here") for i in range(55)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    filtered = ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.5, prefix_filter=True)
+    exhaustive = ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.5, prefix_filter=False)
+    assert sorted(map(str, filtered.collect())) == sorted(
+        map(str, exhaustive.collect())
+    )
+    # cross-group near-dups exist and are found (jaccard 10/14 ~ 0.71)
+    assert filtered.filter("doc_a < 60 and doc_b >= 200").count() == 60 * 55
 
 
 def test_probe_media_parses_real_jpeg_header(spark):
@@ -111,6 +135,19 @@ def test_probe_media_parses_real_jpeg_header(spark):
     df = spark.createDataFrame([(1, bytearray(jpeg))], "doc_id long, payload binary")
     row = probe_media(df).first()
     assert row.fmt == "jpeg" and row.width == w and row.height == h
-    # and garbage bytes surface as fmt NULL, not a crashed batch
-    junk = spark.createDataFrame([(2, bytearray(b"not media"))], "doc_id long, payload binary")
-    assert probe_media(junk).first().fmt is None
+    # malformed objects surface as NULLs, never a crashed batch:
+    # garbage, truncated-after-magic PNG, truncated WAV fmt, NULL payload
+    bad = spark.createDataFrame(
+        [
+            (2, bytearray(b"not media")),
+            (3, bytearray(b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR")),
+            (4, bytearray(b"RIFF\x10\x00\x00\x00WAVEfmt ")),
+            (5, None),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in probe_media(bad).collect()}
+    assert rows[2].fmt is None
+    assert rows[3].fmt == "png" and rows[3].width is None  # magic ok, dims gone
+    assert rows[4].fmt == "wav" and rows[4].sample_rate is None
+    assert rows[5].fmt is None
