@@ -80,3 +80,76 @@ def test_zipcode_normalizer_invariants(spark, zips):
             assert z.startswith(got)
             if len(z) <= 5:
                 assert got == z
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),   # key
+            st.sampled_from(["a", "b", "c", None]),  # new attr value
+            st.sampled_from(["2024-03-01", "2024-06-01", "2024-09-01"]),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_scd2_invariants_hold_for_any_batch(spark, batch_rows):
+    """merge_scd2 invariants over arbitrary batches: at most one current
+    row per key, closed history is never mutated, and re-applying the
+    same batch is a no-op (idempotence)."""
+    from airbnb_listings_reviews_data_engineering_spark.operators.merge import (
+        merge_scd2,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (0, "a", "2024-01-01", None, True),
+            (1, "b", "2024-01-01", None, True),
+            (1, "old", "2023-01-01", "2024-01-01", False),
+            (2, None, "2024-01-01", None, True),
+        ],
+        "k long, attr string, valid_from string, valid_to string, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        batch_rows, "k long, attr string, eff string"
+    )
+    out = merge_scd2(base, updates, ["k"], ["attr"], "eff")
+    rows = out.collect()
+    # at most one current row per key
+    from collections import Counter
+
+    cur = Counter(r.k for r in rows if r.is_current)
+    assert all(v == 1 for v in cur.values()), cur
+    # pre-existing closed history is untouched
+    closed = [(r.k, r.attr, r.valid_from, r.valid_to) for r in rows if not r.is_current]
+    assert (1, "old", "2023-01-01", "2024-01-01") in closed
+    # idempotence: same batch again changes nothing
+    again = merge_scd2(out, updates, ["k"], ["attr"], "eff")
+    assert sorted(map(str, again.collect())) == sorted(map(str, rows))
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=4), min_size=4, max_size=14),
+    st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=10, deadline=None)
+def test_prefix_filter_lossless_on_random_corpora(spark, word_ids, seed):
+    """AllPairs prefix filtering must return exactly the exhaustive
+    thresholded pairs on arbitrary small corpora (the theorem, checked
+    empirically over random shingle-overlap structures)."""
+    from airbnb_listings_reviews_data_engineering_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    vocab = ["alpha", "bravo", "charlie", "delta", "echo"]
+    docs = []
+    for i in range(len(word_ids) - 3):
+        toks = [vocab[(w + seed * (j + 1)) % 5] for j, w in enumerate(word_ids[i : i + 4])]
+        docs.append((i, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    filtered = ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.5, prefix_filter=True)
+    exhaustive = ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.5, prefix_filter=False)
+    assert sorted(map(str, filtered.collect())) == sorted(
+        map(str, exhaustive.collect())
+    )

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import types as T
 
 from airbnb_listings_reviews_data_engineering_spark.streaming.ingest import (
@@ -110,3 +111,54 @@ def test_available_now_scd2_ingest(spark, tmp_path_factory):
 
     again = ingest()  # no new files -> checkpoint makes this a no-op
     assert sorted(map(str, again.collect())) == sorted(map(str, hist.collect()))
+
+
+def test_scd2_ingest_retry_after_post_publish_crash(spark, tmp_path_factory, monkeypatch):
+    """The worst-ordering crash: the batch's publish is durable but the
+    streaming checkpoint never commits, so the retry REPROCESSES a batch
+    whose effects are already in the table. merge_scd2's idempotence
+    (same batch -> no-op) makes the rerun converge to the single-run
+    state instead of double-closing rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from airbnb_listings_reviews_data_engineering_spark.sources import atomic
+    from airbnb_listings_reviews_data_engineering_spark.streaming.ingest import (
+        available_now_scd2_ingest,
+    )
+
+    src = str(tmp_path_factory.mktemp("crash_src"))
+    out = str(tmp_path_factory.mktemp("crash_out")) + "/dim_hist"
+    ckpt = str(tmp_path_factory.mktemp("crash_ckpt"))
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("attr", T.StringType()),
+            T.StructField("eff", T.StringType()),
+        ]
+    )
+    with open(f"{src}/drop1.csv", "w") as f:
+        f.write("k,attr,eff\n1,a,2024-01-01\n2,b,2024-01-01\n")
+
+    real_publish = atomic.publish_parquet
+
+    def publish_then_die(df, target):
+        real_publish(df, target)  # durable effects land...
+        raise RuntimeError("simulated crash before checkpoint commit")
+
+    monkeypatch.setattr(atomic, "publish_parquet", publish_then_die)
+    with pytest.raises(Exception, match="simulated crash"):
+        available_now_scd2_ingest(
+            spark, src, schema, out, ["k"], ["attr"], "eff", ckpt
+        )
+    monkeypatch.setattr(atomic, "publish_parquet", real_publish)
+
+    hist = available_now_scd2_ingest(  # the retry reprocesses drop1
+        spark, src, schema, out, ["k"], ["attr"], "eff", ckpt
+    )
+    rows = sorted((r.k, r.attr, r.valid_from, r.valid_to, r.is_current)
+                  for r in hist.collect())
+    assert rows == [
+        (1, "a", "2024-01-01", None, True),
+        (2, "b", "2024-01-01", None, True),
+    ]
