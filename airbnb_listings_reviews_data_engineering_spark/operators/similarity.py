@@ -119,3 +119,55 @@ def lsh_probe(
             F.round(cosine(as_double_array(vec_col), F.col("qv")), 6).alias("cos_sim"),
         )
     )
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    n_salt: int = 32,
+) -> DataFrame:
+    """Batch k-NN join: exact cosine top-k neighbors for EVERY query row.
+
+    The query side must be small (it is broadcast); `queries` needs
+    columns (q_id, qv). Scoring is one broadcast-nested-loop pass over
+    the corpus — linear, no shuffle. The top-k-per-query step is the
+    scale hazard: a plain window over q_id would shuffle the ENTIRE
+    scored corpus onto |queries| partitions (5 queries -> 5 hot tasks
+    holding N/5 rows each). Instead, two-stage salted top-k:
+
+      stage 1: row_number over (q_id, salt) — n_salt * |queries| uniform
+               keys, each task ranks ~N/(|q|*n_salt) rows, keeps k;
+      stage 2: row_number over q_id on the <= k*n_salt survivors — a
+               trivially small exchange.
+
+    Same result as the single-window formulation (top-k of a union of
+    per-salt top-ks is the global top-k since every candidate's global
+    rank <= its salt-local rank); ties break on id so ranks are
+    deterministic. This is the distributed-top-k-per-group pattern that
+    survives 100x corpus growth with fixed per-task memory.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    scored = (
+        corpus.select(F.col(id_col), as_double_array(vec_col).alias("v"))
+        .crossJoin(F.broadcast(queries))
+        .select(
+            "q_id",
+            F.col(id_col),
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+            (F.crc32(F.col(id_col).cast("string")) % n_salt).alias("salt"),
+        )
+    )
+    w_local = Window.partitionBy("q_id", "salt").orderBy(F.desc("cos_sim"), id_col)
+    w_global = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), id_col)
+    return (
+        scored.withColumn("r", F.row_number().over(w_local))
+        .filter(F.col("r") <= k)
+        .drop("r", "salt")
+        .withColumn("rnk", F.row_number().over(w_global))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", F.col(id_col), "cos_sim", F.col("rnk").cast("int").alias("rnk"))
+    )

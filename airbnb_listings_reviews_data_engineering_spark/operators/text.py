@@ -72,3 +72,76 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             "fingerprint"
         ),
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition statistics per document.
+
+    ``dup_frac`` = 1 - distinct_tokens / total_tokens (how much of the
+    document is repeated material) and ``top_frac`` = share of the single
+    most frequent token — the two cheapest of the repetition filters used
+    to drop degenerate documents (keyboard mash, boilerplate loops, SEO
+    keyword stuffing) from web-scale training corpora.
+
+    Shape: explode to (doc, token) -> two partial-aggregating groupBys.
+    Both shuffles are keyed by doc_id (then (doc_id, tok)), which is
+    unique/near-unique — no hot keys regardless of corpus size, and the
+    map-side combine collapses each document's token counts before the
+    exchange, so shuffle volume is O(distinct tokens), not O(tokens).
+    """
+    counts = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .groupBy(id_col, "tok")
+        .count()
+    )
+    stats = counts.groupBy(id_col).agg(
+        F.sum("count").alias("n_tok"),
+        F.count("*").alias("n_distinct"),
+        F.max("count").alias("top_c"),
+    )
+    return stats.select(
+        F.col(id_col),
+        (F.round(1.0 - F.col("n_distinct") / F.col("n_tok").cast("double"), 4) + 0).alias(
+            "dup_frac"
+        ),
+        (F.round(F.col("top_c") / F.col("n_tok").cast("double"), 4) + 0).alias(
+            "top_frac"
+        ),
+    )
+
+
+ROLLING_HASH_MOD = 1_000_000_007
+ROLLING_HASH_BASE = 31
+
+
+def rolling_hash_fingerprint(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Rabin-Karp rolling-hash document fingerprints (pure column exprs).
+
+    ``doc_hash`` folds the whole character stream through h = (h*B + c)
+    mod M — the incremental polynomial hash that underlies rsync/Rabin
+    fingerprinting. ``min_kgram_hash`` is the minimum over all k-char-gram
+    polynomial hashes (winnowing-style: the min-hash of the k-gram set),
+    which survives content insertion far from the minimizing gram — the
+    building block for locality-preserving chunk fingerprints.
+
+    Everything is a higher-order-function expression over the character
+    sequence: whole-stage codegen, zero shuffles, zero Python — runs at
+    scan speed. Work is O(len·k) per document, constant memory.
+    """
+    m, b = ROLLING_HASH_MOD, ROLLING_HASH_BASE
+    doc_hash = (
+        f"aggregate(transform(sequence(1, length({text_col})), "
+        f"j -> ascii(substring({text_col}, j, 1))), 0L, (h, c) -> (h * {b} + c) % {m})"
+    )
+    min_kgram = (
+        f"array_min(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
+        f"i -> aggregate(transform(sequence(i, least(i + {k - 1}, length({text_col}))), "
+        f"j -> ascii(substring({text_col}, j, 1))), 0L, (h, c) -> (h * {b} + c) % {m})))"
+    )
+    return df.select(
+        F.col(id_col),
+        F.expr(doc_hash).alias("doc_hash"),
+        F.expr(min_kgram).alias("min_kgram_hash"),
+    )

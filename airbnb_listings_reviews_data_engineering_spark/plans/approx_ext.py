@@ -116,3 +116,50 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable HLL sketches: per-partition build, cross-partition union
+# ---------------------------------------------------------------------------
+
+_HLL_ROLLUP_SQL = """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_exact, TRUE AS ok
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("agg_hll_sketch_rollup", oracle=_HLL_ROLLUP_SQL)
+def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: DataSketches HLL built per (priority,
+    month), then UNION-merged across months per priority — the pattern
+    that makes 100 TB NDV rollups cheap: fine-grained sketches are
+    materialized once at ingest partition granularity (KBs each), and
+    ANY coarser slice is answered by merging sketches instead of
+    re-scanning raw data. `hll_union_agg` is exactly the re-aggregation
+    `approx_count_distinct` cannot do (its estimate is final; sketches
+    compose). The estimate is checked against the exact NDV within 6 %
+    (the lgConfigK=12 default gives ~1.6 % rsd; deterministic because
+    the sketch hash is fixed), and the oracle asserts the same contract.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
+        "o_custkey",
+    )
+    sketches = o.groupBy("o_orderpriority", "mon").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    est = sketches.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_apx")
+    )
+    exact = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    return est.join(exact, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_exact",
+        (
+            F.abs(F.col("n_apx") - F.col("n_exact")) / F.col("n_exact").cast("double")
+            <= F.lit(0.06)
+        ).alias("ok"),
+    )

@@ -1123,3 +1123,168 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster_size")
         .agg(F.count("*").alias("n_clusters"))
     )
+
+
+# --- round-2 additions: repetition filter, rolling hash, quantization, kNN join
+
+
+_REPETITION_SQL = """
+WITH counts AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+), stats AS (
+  SELECT doc_id, sum(c) AS n_tok, count(*) AS n_distinct, max(c) AS top_c
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id,
+  round(1.0 - n_distinct / CAST(n_tok AS DOUBLE), 4) + 0 AS dup_frac,
+  round(top_c / CAST(n_tok AS DOUBLE), 4) + 0 AS top_frac,
+  (round(1.0 - n_distinct / CAST(n_tok AS DOUBLE), 4) + 0 > 0.7
+   OR round(top_c / CAST(n_tok AS DOUBLE), 4) + 0 > 0.2) AS repetitive
+FROM stats
+"""
+
+
+@register("text_repetition_filter", oracle=_REPETITION_SQL)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: duplicate-token fraction + most-
+    frequent-token share per document, with the drop flag (dup_frac >
+    0.7 OR top_frac > 0.2) used to kill degenerate documents (keyword
+    stuffing, boilerplate loops) in web-scale corpus cleaning. Two
+    doc-keyed aggregations with map-side combine — shuffle volume is
+    O(distinct tokens per doc), uniform keys, no Python."""
+    rep = TX.repetition_stats(load(spark, sf_dir, "documents"), "doc_id", "text")
+    return rep.select(
+        "doc_id",
+        "dup_frac",
+        "top_frac",
+        ((F.col("dup_frac") > 0.7) | (F.col("top_frac") > 0.2)).alias("repetitive"),
+    )
+
+
+_ROLLING_HASH_SQL = f"""
+SELECT doc_id,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, len(text)+1), j -> ascii(text[j]))),
+    (h, c) -> (h*{TX.ROLLING_HASH_BASE} + c) % {TX.ROLLING_HASH_MOD}) AS doc_hash,
+  list_min(list_transform(range(1, greatest(len(text)-7, 1)+1), i ->
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(i, least(i+7, len(text))+1), j -> ascii(text[j]))),
+      (h, c) -> (h*{TX.ROLLING_HASH_BASE} + c) % {TX.ROLLING_HASH_MOD}))) AS min_kgram_hash
+FROM documents
+"""
+
+
+@register("text_rolling_hash", oracle=_ROLLING_HASH_SQL)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash fingerprints: whole-document polynomial
+    fold + winnowing-style minimum k-gram hash (k=8). Pure higher-order
+    column expressions over the character sequence — scan-speed, no
+    shuffle, no UDF; the integer mod arithmetic is bitwise identical
+    cross-engine (the oracle folds the same recurrence with DuckDB list
+    lambdas)."""
+    return TX.rolling_hash_fingerprint(
+        load(spark, sf_dir, "documents"), "doc_id", "text", k=8
+    )
+
+
+_EMB_QUANTIZE_SQL = """
+WITH mm AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vd,
+         list_min(embedding::DOUBLE[]) AS mn, list_max(embedding::DOUBLE[]) AS mx
+  FROM embeddings
+), q AS (
+  SELECT vec_id, vd, mn, (mx - mn) / 255.0 AS scale,
+    CASE WHEN mx > mn THEN
+      list_transform(vd, x -> CAST(floor((x - mn) / ((mx - mn) / 255.0) + 0.5) AS BIGINT))
+    ELSE list_transform(vd, x -> CAST(0 AS BIGINT)) END AS qv
+  FROM mm
+)
+SELECT vec_id,
+  list_reduce(list_prepend(CAST(0 AS BIGINT), qv), (a, b) -> a + b) AS q_checksum,
+  list_min(qv) >= 0 AND list_max(qv) <= 255 AND
+  list_max(list_transform(range(1, len(qv)+1), i -> abs(mn + qv[i]*scale - vd[i])))
+    <= scale * 0.5000001 AS ok
+FROM q
+"""
+
+
+@register("emb_quantize", oracle=_EMB_QUANTIZE_SQL)
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the 4x storage
+    / bandwidth lever for vector search at 100 TB (float32 -> uint8 with
+    per-vector min/max scaling, as used by FAISS SQ8). All higher-order
+    expressions; the oracle re-derives the quantization and both engines
+    assert the reconstruction-error contract |dequant - x| <= scale/2
+    (+ 1 ulp slack), so a broken quantizer fails the gate, not just
+    drifts. Output is the integer checksum of the quantized codes
+    (engine-stable) plus the per-vector `ok` bound flag."""
+    emb = load(spark, sf_dir, "embeddings")
+    mm = emb.select(
+        "vec_id",
+        as_double_array("embedding").alias("vd"),
+    ).select(
+        "vec_id", "vd", F.array_min("vd").alias("mn"), F.array_max("vd").alias("mx")
+    )
+    q = mm.select(
+        "vec_id",
+        "vd",
+        "mn",
+        ((F.col("mx") - F.col("mn")) / 255.0).alias("scale"),
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.expr(
+                "transform(vd, x -> cast(floor((x - mn) / ((mx - mn) / 255.0) + 0.5) as bigint))"
+            ),
+        )
+        .otherwise(F.expr("transform(vd, x -> 0L)"))
+        .alias("qv"),
+    )
+    return q.select(
+        "vec_id",
+        F.expr("aggregate(qv, 0L, (a, b) -> a + b)").alias("q_checksum"),
+        F.expr(
+            "array_min(qv) >= 0 AND array_max(qv) <= 255 AND "
+            "array_max(transform(sequence(1, size(qv)), "
+            "i -> abs(mn + element_at(qv, i)*scale - element_at(vd, i)))) "
+            "<= scale * 0.5000001"
+        ).alias("ok"),
+    )
+
+
+_KNN_JOIN_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 401 = 0 AND vec_id < 2005),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+    round({_EMB_COS.format(a='e.v', b='q.qv')}, 6) AS cos_sim
+  FROM e, q WHERE NOT (e.vec_id % 401 = 0 AND e.vec_id < 2005)
+)
+SELECT q_id, vec_id, cos_sim,
+  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rnk
+FROM scored
+QUALIFY rnk <= 3
+"""
+
+
+@register("sim_knn_join", oracle=_KNN_JOIN_SQL)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN JOIN: exact top-3 cosine neighbors for every vector in
+    a small query set (vec_id % 401 == 0), in one plan. Scoring is a
+    broadcast-nested-loop pass (linear in the corpus); the per-query
+    top-k uses the two-stage salted formulation in
+    operators/similarity.py:knn_join — rank within (q_id, salt) first,
+    then rank the <= k*n_salt survivors — so no task ever holds more
+    than ~N/(|q|*n_salt) scored rows. The naive single window over q_id
+    would funnel the whole corpus onto |q| hot partitions at 100x. The
+    query set is FIXED-cardinality (vec_id < 2005 cap -> at most 6
+    queries at any SF), so the broadcast side does not grow with scale —
+    the same contract the plan-audit nested-loop allowlist enforces."""
+    emb = load(spark, sf_dir, "embeddings")
+    is_q = (F.col("vec_id") % 401 == 0) & (F.col("vec_id") < 2005)
+    qs = emb.filter(is_q).select(
+        F.col("vec_id").alias("q_id"), as_double_array("embedding").alias("qv")
+    )
+    corpus = emb.filter(~is_q)
+    return S.knn_join(corpus, qs, "vec_id", "embedding", k=3, n_salt=32)

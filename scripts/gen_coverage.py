@@ -39,7 +39,7 @@ SECTIONS = [
         "agg_minmax_by", "agg_quantiles", "agg_unpivot",
         "agg_grouping_sets", "agg_corr_covar", "agg_bool",
         "agg_string_concat", "agg_percentile_approx",
-        "agg_approx_count_distinct"]),
+        "agg_approx_count_distinct", "agg_hll_sketch_rollup"]),
     ("Windows / sort / set ops (§2.6 extension surface)", [
         "win_row_number", "win_topk_per_group", "win_lag_lead",
         "win_running_sum", "win_moving_avg", "win_rank_family",
@@ -65,11 +65,12 @@ SECTIONS = [
         "stream_late_data"]),
     ("Similarity search (north star)", [
         "sim_cosine_topk", "sim_cosine_topk_pandas", "sim_lsh_bucketed",
-        "sim_ivf_topk", "emb_label_centroid"]),
+        "sim_ivf_topk", "sim_knn_join", "emb_label_centroid",
+        "emb_quantize"]),
     ("Text analysis (north star)", [
         "text_lang_id", "text_quality_score", "text_token_count",
         "text_fingerprint", "text_ngram_freq", "text_tfidf",
-        "text_pii_scrub"]),
+        "text_pii_scrub", "text_repetition_filter", "text_rolling_hash"]),
     ("Multimodal (north star)", [
         "mm_binary_meta", "mm_decode_fake", "mm_frame_sample",
         "mm_probe_media"]),

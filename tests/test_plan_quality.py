@@ -96,3 +96,31 @@ def test_partition_pruning_reaches_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "src_partition_pruning")
     assert "PartitionFilters: [" in plan
     assert "event_type" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_knn_join_topk_is_two_stage_salted(spark, sf_dir):
+    # sim_knn_join must NOT funnel the whole scored corpus onto |queries|
+    # partitions: stage 1 ranks within (q_id, salt), stage 2 ranks the
+    # <= k*n_salt survivors per q_id. Plan shape: two Window nodes, the
+    # first partitioned by (q_id, salt), the second by q_id alone.
+    plan = _plan(spark, sf_dir, "sim_knn_join")
+    # two ranking stages, each with the rank-filter pushed into a
+    # WindowGroupLimit (pre-shuffle partial top-k), the first salted
+    assert plan.count("Window (") == 2, plan[:2000]
+    assert plan.count("WindowGroupLimit") >= 2, plan[:2000]
+    assert "salt" in plan, plan[:2000]
+    # the broadcast side is the capped query set, never the corpus
+    assert "LessThan(vec_id,2005)" in plan.split("BroadcastExchange")[1]
+
+
+def test_rolling_hash_is_shuffle_free(spark, sf_dir):
+    # pure column-expression fingerprints: scan -> project, no exchange
+    plan = _plan(spark, sf_dir, "text_rolling_hash")
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_hll_rollup_merges_sketches(spark, sf_dir):
+    # two HashAggregate levels over sketches: build per (priority, month),
+    # union-merge per priority — never a re-scan of raw values
+    plan = _plan(spark, sf_dir, "agg_hll_sketch_rollup")
+    assert "hll_union_agg" in plan or "hll_sketch_agg" in plan, plan[:2000]
