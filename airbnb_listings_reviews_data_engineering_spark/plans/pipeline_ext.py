@@ -1288,3 +1288,113 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.filter(~is_q)
     return S.knn_join(corpus, qs, "vec_id", "embedding", k=3, n_salt=32)
+
+
+_CORPUS_PREP_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text, string_split(text, ' ') AS tok
+  FROM documents WHERE doc_id % 17 <> 0
+),
+scored AS (
+  SELECT doc_id, text, len(tok) AS n_tok,
+    CAST(len(list_filter(tok, t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+      / len(tok) AS stop_ratio,
+    CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok) AS uniq_ratio
+  FROM corpus
+),
+kept AS (
+  SELECT doc_id, text, n_tok FROM scored
+  WHERE n_tok BETWEEN 20 AND 2000 AND uniq_ratio >= 0.3 AND stop_ratio >= 0.05
+),
+canon AS (
+  SELECT md5(lower(text)) AS h, min(doc_id) AS keep_id FROM kept GROUP BY 1
+),
+bsh AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(list_distinct(list_transform(
+             generate_series(1, len(tok) - 4),
+             i -> tok[i]||' '||tok[i+1]||' '||tok[i+2]||' '||tok[i+3]||' '||tok[i+4]))) AS g
+    FROM (SELECT string_split(text, ' ') AS tok FROM documents WHERE doc_id % 17 = 0)
+    WHERE len(tok) >= 5
+  )
+),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, len(tok) - 4),
+             i -> tok[i]||' '||tok[i+1]||' '||tok[i+2]||' '||tok[i+3]||' '||tok[i+4]))) AS g
+    FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM kept) WHERE len(tok) >= 5
+  ) c WHERE g IN (SELECT g FROM bsh)
+)
+SELECT k.doc_id, md5(lower(k.text)) AS content_hash, CAST(k.n_tok AS BIGINT) AS n_tok
+FROM kept k
+JOIN canon c ON k.doc_id = c.keep_id
+WHERE k.doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
+
+@register("pipeline_corpus_prep", oracle=_CORPUS_PREP_SQL)
+def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-preparation pipeline in ONE lazy plan — what a
+    training-data run actually executes end to end: language gate
+    (stopword-ratio heuristic) -> C4-style quality bounds (token count,
+    lexical diversity) -> exact-dup collapse (content-hash groupBy,
+    keep min id) -> benchmark decontamination (drop any doc sharing a
+    5-gram with the held-out eval slice, doc_id % 17). Every filter is
+    map-side; the shuffles are the canon groupBy (unique hash keys) and
+    the decontam inverted-index join (bench side is tiny and broadcasts
+    at 100 TB). The filtered corpus is materialized ONCE (eager
+    localCheckpoint — this repo's shared-intermediate pattern) and the
+    three downstream consumers (canon groupBy, decontam postings, final
+    project) read that compact survivor set instead of re-scanning and
+    re-filtering raw documents three times."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+
+    tok = F.split("text", " ")
+    n_stop = F.size(F.filter(tok, lambda t: t.isin(*TX.EN_STOPWORDS)))
+    scored = corpus.select(
+        "doc_id",
+        "text",
+        F.size(tok).alias("n_tok"),
+        (n_stop / F.size(tok).cast("double")).alias("stop_ratio"),
+        (F.size(F.array_distinct(tok)) / F.size(tok).cast("double")).alias(
+            "uniq_ratio"
+        ),
+    )
+    kept = (
+        scored.filter(
+            F.col("n_tok").between(20, 2000)
+            & (F.col("uniq_ratio") >= 0.3)
+            & (F.col("stop_ratio") >= 0.05)
+        )
+        .select("doc_id", "text", "n_tok")
+        .localCheckpoint(eager=True)
+    )
+    canon = (
+        kept.groupBy(F.md5(F.lower("text")).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    bgrams = (
+        D.with_shingles(bench, "text", n=5)
+        .select(F.explode(F.array_distinct("shingles")).alias("g"))
+        .distinct()
+    )
+    contaminated = (
+        D.with_shingles(kept.select("doc_id", "text"), "text", n=5)
+        .select("doc_id", F.explode(F.array_distinct("shingles")).alias("g"))
+        .join(bgrams, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        kept.join(canon, "doc_id", "left_semi")
+        .join(contaminated, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.md5(F.lower("text")).alias("content_hash"),
+            F.col("n_tok").cast("bigint").alias("n_tok"),
+        )
+    )

@@ -86,7 +86,7 @@ SECTIONS = [
     ("Composite pipelines (full Q1/Q5 shapes, one plan)", [
         "pipeline_q1_analog", "pipeline_q5_analog",
         "pipeline_dedup_corpus", "pipeline_quality_filter",
-        "pipeline_decontaminate"]),
+        "pipeline_decontaminate", "pipeline_corpus_prep"]),
 ]
 
 
