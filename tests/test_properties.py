@@ -153,3 +153,97 @@ def test_prefix_filter_lossless_on_random_corpora(spark, word_ids, seed):
     assert sorted(map(str, filtered.collect())) == sorted(
         map(str, exhaustive.collect())
     )
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=8,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=10)
+def test_salted_knn_equals_naive_window_topk(spark, vecs, k):
+    """The two-stage salted top-k in operators/similarity.py:knn_join must
+    return EXACTLY the rows of the naive single-window formulation for any
+    vector set — the decomposition is pure plan-shape, never semantics."""
+    from pyspark.sql.window import Window
+
+    from airbnb_listings_reviews_data_engineering_spark.functions.arrays import (
+        as_double_array,
+        cosine,
+    )
+    from airbnb_listings_reviews_data_engineering_spark.operators.similarity import (
+        knn_join,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    # drop zero vectors (cosine undefined) and use the first two as queries
+    rows = [(i, v) for i, v in rows if any(x != 0.0 for x in v)]
+    if len(rows) < 3:
+        return
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = df.limit(2).select(
+        F.col("vec_id").alias("q_id"), as_double_array("embedding").alias("qv")
+    )
+    corpus = df.join(qs.select(F.col("q_id").alias("vec_id")), "vec_id", "left_anti")
+
+    got = {
+        tuple(r)
+        for r in knn_join(corpus, qs, "vec_id", "embedding", k=k, n_salt=4).collect()
+    }
+    naive_w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "vec_id")
+    naive = {
+        tuple(r)
+        for r in corpus.select(
+            F.col("vec_id"), as_double_array("embedding").alias("v")
+        )
+        .crossJoin(F.broadcast(qs))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(naive_w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
+        .collect()
+    }
+    assert got == naive
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-1000, max_value=1000, allow_nan=False, width=32),
+            min_size=2,
+            max_size=16,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=10)
+def test_int8_quantization_error_bound(spark, vecs):
+    """emb_quantize's reconstruction contract |dequant - x| <= scale/2
+    (+1 ulp) and code range [0, 255] hold for ANY float vector, including
+    constant vectors (scale 0 -> all-zero codes)."""
+    from airbnb_listings_reviews_data_engineering_spark.plans.pipeline_ext import (
+        emb_quantize,
+    )
+    import os
+    import tempfile
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).write.parquet(os.path.join(td, "embeddings.parquet"))
+        out = emb_quantize(spark, td).collect()
+    assert len(out) == len(rows)
+    assert all(r.ok for r in out), [tuple(r) for r in out if not r.ok]
