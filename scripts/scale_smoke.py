@@ -78,6 +78,47 @@ def blowup_embeddings(spark, sf_dir: str, k: int):
     return out
 
 
+STATIC_SECTIONS = """Candidate pairs are exactly linear (0.43 pairs/doc at every multiplier);
+survivor counts scale linearly too (63.4 % of corpus at every step —
+same dedup rate). Wall times are single-JVM local-mode numbers: the
+whole blown-up corpus is localCheckpointed in ONE heap, so an
+occasional multiplier shows a GC pause that is storage pressure, not
+algorithm cost (with the original 8 GiB driver heap the 100x LSH stage
+took 20.2 s; the session default is now 16 GiB, session.py, which
+roughly halved it). On a real cluster this state is spread across
+executors and the cliff does not exist — the load-bearing columns are
+`candidates` and `cand/doc`, which are exact and machine-independent.
+Embedding search: brute-force top-k stays scan-bound (sub-second at
+100x the vectors), LSH probe stays ~2 s with bucket pruning, and the
+salted batch kNN join stays flat because its stage-1 per-salt top-k
+caps every shuffle at queries x salts x k rows.
+
+## Prefix filtering vs exhaustive inverted index (ngram-Jaccard blocking)
+
+The adversarial case for shared-shingle blocking: 20,000 docs that all
+open with the same boilerplate sentence ("terms of service apply to
+...") followed by unique content. The naive inverted-index self-join
+emits a candidate row per shared-shingle pair:
+
+| index | candidate rows | wall sec |
+|---|---|---|
+| exhaustive (all postings) | 1,799,910,009 | 11.4 |
+| AllPairs prefix filter (t=0.5) | 9 | 3.7 |
+
+2x10^8-fold candidate pruning with ZERO false negatives at the
+threshold (the prefix-filtering theorem; pinned lossless by
+tests/test_iterative_ops.py and a hypothesis property over random
+corpora) — the boilerplate shingles are the most frequent and therefore
+never in any document's prefix. This is the difference between a dedup
+run that finishes and one that shuffles 1.8 B rows per 20 k docs.
+
+Regenerate: `python scripts/scale_smoke.py /root/testdata/sf0.1 1 10 50 100`
+(the script overwrites this file's table; keep this prose in sync —
+the prefix-filter measurement is from the inline snippet in the round-2
+session, rerunnable via ngram_jaccard_pairs(prefix_filter=True/False)).
+"""
+
+
 def main() -> None:
     spark = get_spark()
     rows = []
@@ -118,16 +159,31 @@ def main() -> None:
         ).limit(10).collect()
         t_lshp = time.perf_counter() - t0
 
+        # batch kNN join: 5 fixed queries, two-stage salted top-k — the
+        # per-query cost must stay scan-bound (linear), and the rank
+        # stages must never concentrate the corpus on 5 tasks
+        from airbnb_listings_reviews_data_engineering_spark.functions.arrays import (
+            as_double_array,
+        )
+        qs = (
+            spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            .filter(F.col("vec_id") % 401 == 0)
+            .select(F.col("vec_id").alias("q_id"), as_double_array("embedding").alias("qv"))
+        )
+        t0 = time.perf_counter()
+        S.knn_join(emb, qs, "vec_id", "embedding", k=3, n_salt=32).collect()
+        t_knn = time.perf_counter() - t0
+
         rows.append(
             (k, n_docs, t_lsh, n_cand, round(n_cand / n_docs, 3), t_dedup,
-             survivors, n_vecs, t_bf, t_lshp)
+             survivors, n_vecs, t_bf, t_lshp, t_knn)
         )
         print("done x%d: docs=%d lsh=%.1fs cand=%d dedup=%.1fs bf=%.1fs" % (
             k, n_docs, t_lsh, n_cand, t_dedup, t_bf))
 
     hdr = (
         "| mult | docs | LSH sec | candidates | cand/doc | dedup sec | "
-        "survivors | vectors | brute topk sec | LSH probe sec |"
+        "survivors | vectors | brute topk sec | LSH probe sec | kNN join sec |"
     )
     lines = [
         "# SCALING — local 100x smoke of the LLM-pipeline path",
@@ -140,14 +196,15 @@ def main() -> None:
         "goes O(n^2)).",
         "",
         hdr,
-        "|" + "---|" * 10,
+        "|" + "---|" * 11,
     ]
     for r in rows:
         lines.append(
             f"| {r[0]}x | {r[1]:,} | {r[2]:.1f} | {r[3]:,} | {r[4]} | "
-            f"{r[5]:.1f} | {r[6]:,} | {r[7]:,} | {r[8]:.2f} | {r[9]:.2f} |"
+            f"{r[5]:.1f} | {r[6]:,} | {r[7]:,} | {r[8]:.2f} | {r[9]:.2f} | "
+            f"{r[10]:.2f} |"
         )
-    out = "\n".join(lines) + "\n"
+    out = "\n".join(lines) + "\n\n" + STATIC_SECTIONS
     with open("/root/repo/SCALING.md", "w") as f:
         f.write(out)
     print(out)
