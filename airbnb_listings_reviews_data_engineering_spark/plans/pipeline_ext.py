@@ -1398,3 +1398,253 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tok").cast("bigint").alias("n_tok"),
         )
     )
+
+
+# --- ranked retrieval -------------------------------------------------------
+
+_BM25_TERMS = ("join", "filter", "window")
+# Identical SQL text runs on both engines (all float literals in e-notation
+# so DuckDB parses doubles, not decimals; parenthesization fixed so both
+# engines build the same fp expression tree).
+_BM25_CONTRIB = (
+    "ln((n - df + 0.5e0) / (df + 0.5e0) + 1e0)"
+    " * ((tf * 2.2e0) / (tf + 1.2e0 * (0.25e0 + 0.75e0 * (dl / avgdl))))"
+)
+
+_BM25_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+stats AS (SELECT count(*) AS n, avg(len(tok)) AS avgdl FROM t),
+terms AS (
+  SELECT doc_id, len(tok) AS dl, unnest(tok) AS term FROM t
+),
+qterms AS (
+  SELECT doc_id, dl, term FROM terms
+  WHERE term IN ('{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}', '{_BM25_TERMS[2]}')
+),
+tf AS (
+  SELECT doc_id, term, max(dl) AS dl, count(*) AS tf
+  FROM qterms GROUP BY doc_id, term
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM qterms GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id, tf.term, {_BM25_CONTRIB} AS c
+  FROM tf JOIN df USING (term), stats
+),
+pivoted AS (
+  SELECT doc_id,
+         max(CASE WHEN term = '{_BM25_TERMS[0]}' THEN c END) AS c0,
+         max(CASE WHEN term = '{_BM25_TERMS[1]}' THEN c END) AS c1,
+         max(CASE WHEN term = '{_BM25_TERMS[2]}' THEN c END) AS c2
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id,
+       round(coalesce(c0, 0e0) + coalesce(c1, 0e0) + coalesce(c2, 0e0), 4) AS bm25
+FROM pivoted
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
+@register("text_bm25", oracle=_BM25_SQL)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75, Lucene's +1 idf floor) for
+    a fixed keyword query — the relevance-scoring pass of a corpus
+    search/retrieval pipeline. Plan shape: one corpus scan feeds tf (per
+    doc-term agg) and df (per term agg); corpus-level N/avgdl is a
+    1-row aggregate broadcast back via crossJoin, never a driver
+    collect. The per-doc score sums the (<= 3) term contributions in a
+    FIXED pivot order — a bare SUM's partial-aggregation order is
+    nondeterministic in floating point across engines, the pivot makes
+    it bitwise-reproducible (same trick as the oracle). Top-20 by
+    (rounded score, doc_id) compiles to TakeOrderedAndProject: per-
+    partition heaps, no global sort at any SF."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tok")
+    )
+    stats = docs.agg(
+        F.count("*").alias("n"), F.avg(F.size("tok")).alias("avgdl")
+    )
+    qterms = (
+        docs.select(
+            "doc_id",
+            F.size("tok").alias("dl"),
+            F.explode("tok").alias("term"),
+        )
+        .filter(F.col("term").isin(*_BM25_TERMS))
+    )
+    tf = qterms.groupBy("doc_id", "term").agg(
+        F.max("dl").alias("dl"), F.count("*").alias("tf")
+    )
+    df = qterms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    contrib = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", F.expr(_BM25_CONTRIB).alias("c"))
+    )
+    pivoted = contrib.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("c"))).alias(f"c{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ]
+    )
+    return (
+        pivoted.select(
+            "doc_id",
+            F.round(
+                F.coalesce("c0", F.lit(0.0))
+                + F.coalesce("c1", F.lit(0.0))
+                + F.coalesce("c2", F.lit(0.0)),
+                4,
+            ).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+def _keep_best_sql() -> str:
+    """Oracle: recursive-closure components + keep the longest doc per
+    component (ties -> min doc_id) — singleton docs are their own
+    component via the LEFT JOIN / coalesce."""
+    inner = _components_sql().strip()
+    return f"""
+WITH comp AS ({inner}),
+corpus2 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 500
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, regexp_replace(text, '^[a-z]+ ', '') AS text
+  FROM documents WHERE doc_id < 500
+),
+lab AS (
+  SELECT c.doc_id, coalesce(k.component, c.doc_id) AS component,
+         len(string_split(c.text, ' ')) AS n_tok
+  FROM corpus2 c LEFT JOIN comp k ON c.doc_id = k.node
+)
+SELECT doc_id, component, n_tok FROM (
+  SELECT doc_id, component, n_tok,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY n_tok DESC, doc_id) AS rn
+  FROM lab
+) WHERE rn = 1
+"""
+
+
+@register("dedup_keep_best", oracle=_keep_best_sql())
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution keeping the BEST member, not the
+    min-id one: near-dup pairs -> connected components -> per component
+    keep the longest document (ties by min id). This is what production
+    corpus dedup actually ships — when a page and its truncated mirror
+    collide, you keep the complete one. Window over `component` is safe
+    at any SF: near-dup components are small by construction (the
+    cluster-size histogram query is the guard), so no partition skew.
+    The variant corpus makes the choice observable: variants drop their
+    first token, so keep-best must always pick the original — the
+    opposite of what min-id would pick for none."""
+    from pyspark.sql import Window
+
+    corpus = _variant_corpus(spark, sf_dir, max_id=500)
+    pairs = D.minhash_lsh_pairs(corpus, "doc_id", "text", _NUM_HASHES, _BANDS, 0.5, 3)
+    comp = D.connected_components(pairs)
+    lab = (
+        corpus.join(comp, corpus.doc_id == comp.node, "left")
+        .select(
+            corpus.doc_id,
+            F.coalesce("component", corpus.doc_id).alias("component"),
+            F.size(F.split("text", " ")).alias("n_tok"),
+        )
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n_tok"), F.asc("doc_id"))
+    return (
+        lab.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "component", F.col("n_tok").cast("bigint").alias("n_tok"))
+    )
+
+
+# --- substring-level dedup --------------------------------------------------
+
+_SPAN_W = 6          # tokens per span window
+_SPAN_DF_CAP = 50    # drop span hashes shared by more than this many docs
+_SPAN_MIN_SHARED = 3  # report pairs sharing at least this many spans
+
+_SHARED_SPANS_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, regexp_replace(text, '^[a-z]+ ', '') AS text
+  FROM documents WHERE doc_id < 300
+),
+tokd AS (SELECT doc_id, string_split(text, ' ') AS tok FROM corpus),
+sp AS (
+  SELECT DISTINCT doc_id, h FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(tok) - {_SPAN_W - 1}),
+             i -> CAST('0x' || substr(md5(array_to_string(tok[i:i+{_SPAN_W - 1}], ' ')), 1, 15) AS BIGINT))) AS h
+    FROM tokd WHERE len(tok) >= {_SPAN_W})
+),
+keep AS (
+  SELECT h FROM sp GROUP BY h
+  HAVING count(*) >= 2 AND count(*) <= {_SPAN_DF_CAP}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_spans
+FROM sp a JOIN sp b ON a.h = b.h AND a.doc_id < b.doc_id
+WHERE a.h IN (SELECT h FROM keep)
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {_SPAN_MIN_SHARED}
+"""
+
+
+@register("dedup_shared_spans", oracle=_SHARED_SPANS_SQL)
+def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication: document pairs sharing >= 3 distinct
+    6-token spans (rolling window -> hash60 -> inverted-index
+    equi-join). Catches copied passages inside otherwise-different
+    documents — the case whole-document MinHash misses and the reason
+    training-data dedup also runs at the span level ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2021 —
+    re-expressed as blocked joins, not suffix arrays). The posting
+    lists are document-frequency-capped (50) BEFORE the
+    self-join — the same boilerplate-span guard the ngram-Jaccard path
+    uses (SCALING.md): an uncapped ubiquitous span emits k^2/2
+    candidates and one hot shuffle key. Span hashes are md5-derived
+    (hash60), bitwise-equal cross-engine."""
+    corpus = _variant_corpus(spark, sf_dir, max_id=300)
+    spans = (
+        corpus.withColumn("tok", F.split("text", " "))
+        .filter(F.size("tok") >= _SPAN_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(tok) - {_SPAN_W}), i -> "
+                    "cast(conv(substr(md5(concat_ws(' ', "
+                    f"slice(tok, i + 1, {_SPAN_W}))), 1, 15), 16, 10) as bigint))"
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    keep = (
+        spans.groupBy("h")
+        .agg(F.count("*").alias("pdf"))
+        .filter((F.col("pdf") >= 2) & (F.col("pdf") <= _SPAN_DF_CAP))
+        .select("h")
+    )
+    common = spans.join(keep, "h")
+    a = common.alias("a")
+    b = common.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared_spans"))
+        .filter(F.col("n_shared_spans") >= _SPAN_MIN_SHARED)
+    )

@@ -242,3 +242,39 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+_BLOOM_PREFILTER_SQL = """
+SELECT l.l_returnflag AS flag, count(*) AS n_lines,
+       round(sum(l.l_quantity), 2) AS sum_qty
+FROM lineitem l
+WHERE l.l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)
+GROUP BY l.l_returnflag
+"""
+
+
+@register("join_bloom_prefilter", oracle=_BLOOM_PREFILTER_SQL)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective fact-dim semi-join with an explicit Bloom prefilter
+    (operators/bloomjoin.py): the filtered supplier keys fold into a
+    single-row map<int,bigint> bit array, broadcast to every lineitem
+    task, and probed map-side (xxhash64 x5 + bit tests, pure codegen) so
+    non-matching fact rows are dropped BEFORE the join exchange. No
+    false negatives, and the exact semi-join afterwards removes the
+    ~<1 % false positives — hence the oracle is the plain IN-subquery:
+    the prefilter must be semantically invisible. At 100 TB this is the
+    shuffle-volume lever for selective joins; Spark's own runtime
+    bloomFilter does the same when it fires (the explicit form also
+    covers reusing one built filter across many queries)."""
+    from ..operators import bloomjoin as B
+
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5)
+    pruned = B.bloom_prefilter_semi_join(li, supp, "l_suppkey", "s_suppkey")
+    return (
+        pruned.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )

@@ -27,7 +27,7 @@ SECTIONS = [
         "dedup_key", "dedup_row", "dedup_set_accum", "dedup_exact",
         "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
         "dedup_embedding_cosine", "dedup_components",
-        "dedup_cluster_stats"]),
+        "dedup_cluster_stats", "dedup_keep_best", "dedup_shared_spans"]),
     ("Joins (§2.4 + extensions)", [
         "join_eq2", "join_eq3", "join_semi_inlist", "join_agg_agg",
         "join_merge_key", "join_left_outer", "join_full_outer", "join_anti",
@@ -70,7 +70,8 @@ SECTIONS = [
     ("Text analysis (north star)", [
         "text_lang_id", "text_quality_score", "text_token_count",
         "text_fingerprint", "text_ngram_freq", "text_tfidf",
-        "text_pii_scrub", "text_repetition_filter", "text_rolling_hash"]),
+        "text_pii_scrub", "text_repetition_filter", "text_rolling_hash",
+        "text_bm25"]),
     ("Multimodal (north star)", [
         "mm_binary_meta", "mm_decode_fake", "mm_frame_sample",
         "mm_probe_media"]),
@@ -79,7 +80,7 @@ SECTIONS = [
         "pack_token_shards", "profile_columns"]),
     ("Scale techniques (100 TB levers)", [
         "join_bucketed", "src_partition_pruning", "join_salted",
-        "maintenance_compact"]),
+        "maintenance_compact", "join_bloom_prefilter"]),
     ("Grouped-map / cogrouped Pandas (Arrow batch APIs)", [
         "grouped_pandas_zscore", "cogrouped_pandas_asof", "udtf_json_kv"]),
     ("Iterative algorithms", ["ml_kmeans"]),
