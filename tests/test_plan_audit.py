@@ -2,7 +2,7 @@
 hunts for must stay absent from the risk-bearing queries (every key
 with a join, a python stage, or a self-join blocking structure).
 
-The full 161-plan sweep is `python scripts/plan_audit.py` (writes
+The full all-plan sweep is `python scripts/plan_audit.py` (writes
 PLAN_AUDIT.md); this test keeps the expensive subset in CI."""
 
 from __future__ import annotations
