@@ -250,3 +250,154 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(prof("c_nationkey", F.col("c_nationkey")))
         .unionByName(prof("c_name_len", F.length("c_name")))
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled domain mixture (multilingual/multi-domain rebalancing)
+# ---------------------------------------------------------------------------
+
+# domain = first digit of the source id: 'src1' + 'src10'..'src19' share
+# digit '1', so one domain holds ~55 % of the corpus — real skew to flatten.
+_TEMP_SQL = f"""
+WITH d AS (SELECT doc_id, substr(source, 4, 1) AS domain FROM documents),
+c AS (SELECT domain, count(*) AS n_docs FROM d GROUP BY domain),
+r AS (
+  SELECT domain, n_docs,
+         CAST(floor(sqrt(n_docs / CAST(sum(n_docs) OVER () AS DOUBLE)) * 1000000e0) AS BIGINT) AS thr,
+         round(sqrt(n_docs / CAST(sum(n_docs) OVER () AS DOUBLE)), 4) AS target_rate
+  FROM c
+)
+SELECT r.domain, r.n_docs, r.target_rate, count(*) AS n_sampled
+FROM d JOIN r USING (domain)
+WHERE {_H_DOC} % 1000000 < r.thr
+GROUP BY r.domain, r.n_docs, r.target_rate
+"""
+
+
+@register("sample_temperature", oracle=_TEMP_SQL)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain sampling (T=2): each domain is kept
+    with probability sqrt(its corpus share) — the flattening used to
+    rebalance multi-domain/multilingual training mixes (dominant
+    domains down-weighted, tail domains relatively up-weighted; T->inf
+    would be uniform). Rates derive from EXACT per-domain counts (one
+    tiny aggregate; the window-total runs over #domains rows, not the
+    corpus), the gate is the usual hash60 predicate — reproducible
+    across retries, no RNG. sqrt is IEEE-correctly-rounded in both
+    engines, so thresholds are bitwise identical."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("source", 4, 1).alias("domain")
+    )
+    counts = docs.groupBy("domain").agg(F.count("*").alias("n_docs"))
+    rates = counts.select(
+        "domain",
+        "n_docs",
+        F.expr(
+            "cast(floor(sqrt(n_docs / cast(sum(n_docs) over () as double))"
+            " * 1000000e0) as bigint)"
+        ).alias("thr"),
+        F.expr(
+            "round(sqrt(n_docs / cast(sum(n_docs) over () as double)), 4)"
+        ).alias("target_rate"),
+    )
+    gate = F.pmod(hash60(F.col("doc_id").cast("string")), F.lit(1000000))
+    return (
+        docs.join(rates, "domain")
+        .filter(gate < F.col("thr"))
+        .groupBy("domain", "n_docs", "target_rate")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# config-driven domain mixture (explicit weights table)
+# ---------------------------------------------------------------------------
+
+_MIXTURE_WEIGHTS = (("1", 40), ("2", 25), ("3", 25))  # pct; others default 10
+
+_MIXTURE_SQL = f"""
+WITH d AS (SELECT doc_id, substr(source, 4, 1) AS domain FROM documents),
+w(domain, pct) AS (VALUES {", ".join(f"('{d}', {p})" for d, p in _MIXTURE_WEIGHTS)})
+SELECT d.domain, coalesce(w.pct, 10) AS pct, count(*) AS n_sampled,
+       min(d.doc_id) AS min_id, max(d.doc_id) AS max_id
+FROM d LEFT JOIN w ON d.domain = w.domain
+WHERE {_H_DOC} % 100 < coalesce(w.pct, 10)
+GROUP BY d.domain, coalesce(w.pct, 10)
+"""
+
+
+@register("sample_domain_mixture", oracle=_MIXTURE_SQL)
+def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mix sampling driven by an explicit weights CONFIG table
+    (domain -> sampling pct, default 10) instead of a hard-coded CASE —
+    the form a mixture spec actually arrives in (a config artifact
+    reviewed per training run). The weights relation is tiny and fixed,
+    broadcast by Catalyst; the gate stays a map-side hash predicate, so
+    the whole sample is one scan + one broadcast join at any SF."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("source", 4, 1).alias("domain")
+    )
+    weights = spark.createDataFrame(
+        list(_MIXTURE_WEIGHTS), "domain string, pct int"
+    )
+    gate = F.pmod(hash60(F.col("doc_id").cast("string")), F.lit(100))
+    return (
+        docs.join(weights, "domain", "left")
+        .select("doc_id", "domain", F.coalesce("pct", F.lit(10)).alias("pct"))
+        .filter(gate < F.col("pct"))
+        .groupBy("domain", "pct")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# curriculum schedule: score buckets + interleaved ordering
+# ---------------------------------------------------------------------------
+
+_BUCKET_EXPR = (
+    "cast(least(9, floor(((n_chars - mn) * 10) / cast(mx - mn + 1 as double))) as int)"
+)
+
+_CURRICULUM_SQL = f"""
+WITH d AS (SELECT doc_id, n_chars FROM documents WHERE doc_id < 200),
+mm AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM d),
+b AS (SELECT doc_id, {_BUCKET_EXPR} AS bucket FROM d, mm)
+SELECT doc_id, bucket,
+       row_number() OVER (PARTITION BY bucket ORDER BY {_H_DOC}, doc_id) AS pos,
+       (row_number() OVER (PARTITION BY bucket ORDER BY {_H_DOC}, doc_id) - 1) * 10
+         + bucket AS sched_ord
+FROM b
+"""
+
+
+@register("sample_curriculum", oracle=_CURRICULUM_SQL)
+def sample_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule: equal-WIDTH difficulty buckets (via a 1-row
+    min/max broadcast — a map-side bucket assignment, unlike global
+    ntile which needs a total sort) + a hash-shuffled position within
+    each bucket + the round-robin interleave ordinal `sched_ord` that a
+    curriculum loader sorts by (bucket b, position p) -> p*10 + b: one
+    doc from every difficulty level per cycle. The within-bucket window
+    partitions on 10 keys — fine for a schedule slice; a full-corpus
+    run shards the window key to (bucket, hash % n_shards) per loader
+    worker, same plan shape."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars").filter(
+        F.col("doc_id") < 200
+    )
+    mm = docs.agg(F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"))
+    b = docs.crossJoin(F.broadcast(mm)).select(
+        "doc_id", F.expr(_BUCKET_EXPR).alias("bucket")
+    )
+    w = W.partitionBy("bucket").orderBy(
+        hash60(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return b.select(
+        "doc_id",
+        "bucket",
+        F.row_number().over(w).alias("pos"),
+        ((F.row_number().over(w) - 1) * 10 + F.col("bucket")).alias("sched_ord"),
+    )
