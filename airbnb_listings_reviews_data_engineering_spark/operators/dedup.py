@@ -374,3 +374,61 @@ def embedding_near_dup_pairs(
             "cos_sim",
         )
     )
+
+
+def minhash_lsh_join(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle: int = 3,
+) -> DataFrame:
+    """Near-dup matches of a NEW batch against an EXISTING corpus — the
+    incremental-ingest form of LSH dedup (`minhash_lsh_pairs` is the
+    backfill/self-join form). Production runs this shape daily: the
+    corpus side's signature is a persisted index (computed once, stored
+    as a bucketed table on the band key); only the batch is shingled
+    fresh, and the band equi-join touches corpus signatures that share
+    a bucket with the batch — cost is O(batch + collisions), never
+    O(corpus).
+
+    Returns (batch_id, corpus_id, est_jaccard) with est >= threshold.
+    """
+    rows_per_band = num_hashes // bands
+    hcols = [f"h{j}" for j in range(num_hashes)]
+
+    def exploded(df: DataFrame) -> DataFrame:
+        sig = minhash_signature(df, id_col, text_col, num_hashes, shingle)
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                *[
+                    F.col(f"h{b * rows_per_band + r}").alias(f"k{r}")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+        return sig.localCheckpoint(eager=True).select(
+            F.col(id_col), *hcols, F.explode(F.array(*band_structs)).alias("bk")
+        )
+
+    a = exploded(batch).alias("a")
+    b = exploded(corpus).alias("b")
+    agree = sum(
+        F.when(F.col(f"a.h{j}") == F.col(f"b.h{j}"), 1).otherwise(0)
+        for j in range(num_hashes)
+    )
+    return (
+        a.join(b, F.col("a.bk") == F.col("b.bk"))
+        .select(
+            F.col(f"a.{id_col}").alias("batch_id"),
+            F.col(f"b.{id_col}").alias("corpus_id"),
+            F.round(agree / F.lit(float(num_hashes)), 4).alias("est_jaccard"),
+        )
+        .distinct()  # a pair may collide in several bands
+        .filter(F.col("est_jaccard") >= threshold)
+    )

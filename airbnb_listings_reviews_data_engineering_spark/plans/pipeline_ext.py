@@ -1648,3 +1648,114 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared_spans"))
         .filter(F.col("n_shared_spans") >= _SPAN_MIN_SHARED)
     )
+
+
+# --- incremental dedup (batch vs corpus index) ------------------------------
+
+
+def _batch_sig_sql(src: str, name: str) -> str:
+    """DuckDB signature CTE chain for an arbitrary (doc_id, text) source
+    — same MinHash parameters as the Spark side."""
+    from ..functions.hashing import XOR_SEEDS
+
+    hcols = ",\n  ".join(
+        f"list_min(list_transform(bh_{name}, h -> xor(h, {XOR_SEEDS[j]}))) AS h{j}"
+        for j in range(_NUM_HASHES)
+    )
+    return f"""
+t_{name} AS (SELECT doc_id, string_split(text, ' ') AS tok FROM {src}),
+s_{name} AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(tok) - 2),
+                       i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS sh
+  FROM t_{name} WHERE len(tok) >= 3
+),
+b_{name} AS (SELECT doc_id, list_transform(sh, s -> {hash60_duckdb_sql('s')}) AS bh_{name} FROM s_{name}),
+sig_{name} AS (SELECT doc_id, {hcols} FROM b_{name})
+"""
+
+
+def _incremental_sql() -> str:
+    band_cond = " OR ".join(
+        "(" + " AND ".join(f"b.h{bd*2+r} = c.h{bd*2+r}" for r in range(2)) + ")"
+        for bd in range(_BANDS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN b.h{j} = c.h{j} THEN 1 ELSE 0 END)" for j in range(_NUM_HASHES)
+    )
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+batch AS (
+  SELECT doc_id + 100000 AS doc_id, regexp_replace(text, '^[a-z]+ ', '') AS text
+  FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text
+  FROM documents WHERE doc_id >= 400 AND doc_id < 500
+),
+{_batch_sig_sql("batch", "bt").strip()},
+{_batch_sig_sql("corpus", "cp").strip()},
+cand AS (
+  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+         round(({agree}) / {float(_NUM_HASHES)}, 4) AS est
+  FROM sig_bt b JOIN sig_cp c ON ({band_cond})
+  WHERE round(({agree}) / {float(_NUM_HASHES)}, 4) >= 0.5
+),
+matches AS (
+  SELECT batch_id, count(*) AS n_matches, min(corpus_id) AS best_match,
+         max(est) AS max_est
+  FROM cand GROUP BY batch_id
+)
+SELECT b.doc_id AS batch_id,
+       coalesce(m.n_matches, 0) AS n_matches,
+       m.best_match, m.max_est,
+       m.n_matches IS NOT NULL AS is_dup
+FROM batch b LEFT JOIN matches m ON b.doc_id = m.batch_id
+"""
+
+
+@register("dedup_incremental", oracle=_incremental_sql())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a NEW ingest batch checked against the
+    EXISTING corpus index — the shape a production pipeline runs daily
+    (the self-join backfill runs once; this runs forever after). The
+    batch mixes true near-dups (first-token-dropped variants of corpus
+    docs) with genuinely new docs; each batch doc gets its match count,
+    best (min-id) corpus match, and max estimated Jaccard, with
+    is_dup=false rows preserved via the left join. Cost at scale is
+    O(batch + band collisions): the corpus side is a precomputed
+    signature index (bucketed on band key in production — here
+    recomputed, same plan shape), and the band equi-join only touches
+    colliding buckets, never the full corpus."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = (
+        docs.filter(F.col("doc_id") < 150)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.regexp_replace("text", r"^[a-z]+ ", "").alias("text"),
+        )
+        .unionByName(
+            docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 500)).select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "text"
+            )
+        )
+    )
+    cand = D.minhash_lsh_join(
+        batch, corpus, "doc_id", "text", _NUM_HASHES, _BANDS, 0.5, 3
+    )
+    matches = cand.groupBy("batch_id").agg(
+        F.count("*").alias("n_matches"),
+        F.min("corpus_id").alias("best_match"),
+        F.max("est_jaccard").alias("max_est"),
+    )
+    return (
+        batch.select(F.col("doc_id").alias("batch_id"))
+        .join(matches, "batch_id", "left")
+        .select(
+            "batch_id",
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            "best_match",
+            "max_est",
+            F.col("n_matches").isNotNull().alias("is_dup"),
+        )
+    )

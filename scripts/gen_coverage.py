@@ -27,7 +27,8 @@ SECTIONS = [
         "dedup_key", "dedup_row", "dedup_set_accum", "dedup_exact",
         "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
         "dedup_embedding_cosine", "dedup_components",
-        "dedup_cluster_stats", "dedup_keep_best", "dedup_shared_spans"]),
+        "dedup_cluster_stats", "dedup_keep_best", "dedup_shared_spans",
+        "dedup_incremental"]),
     ("Joins (§2.4 + extensions)", [
         "join_eq2", "join_eq3", "join_semi_inlist", "join_agg_agg",
         "join_merge_key", "join_left_outer", "join_full_outer", "join_anti",

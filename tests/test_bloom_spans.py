@@ -121,3 +121,26 @@ def test_bm25_ranks_term_rich_docs_first(spark):
     scores = [r.bm25 for r in top]
     assert scores == sorted(scores, reverse=True)
     assert all(s > 0 for s in scores)
+
+
+def test_incremental_dedup_separates_variants_from_new_docs(spark):
+    from airbnb_listings_reviews_data_engineering_spark.plans.pipeline_ext import (
+        dedup_incremental,
+    )
+
+    rows = dedup_incremental(spark, "/root/testdata/sf0.001").collect()
+    variants = [r for r in rows if r.batch_id < 200_000]
+    new_docs = [r for r in rows if r.batch_id >= 200_000]
+    assert variants and new_docs
+    # most first-token-dropped variants must match their original
+    dup_rate_var = sum(r.is_dup for r in variants) / len(variants)
+    dup_rate_new = sum(r.is_dup for r in new_docs) / len(new_docs)
+    assert dup_rate_var > 0.5
+    # genuinely-new docs collide far less than true variants
+    assert dup_rate_new < dup_rate_var
+    # a matched variant's best match is its own original when flagged
+    for r in variants:
+        if r.is_dup and r.best_match == r.batch_id - 100_000:
+            break
+    else:
+        raise AssertionError("no variant matched its own original")
