@@ -91,9 +91,21 @@ def bloom_prefilter_semi_join(
     dim_key: str,
     m_bits: int = 1 << 16,
     k: int = 5,
+    barrier: bool = True,
 ) -> DataFrame:
     """Semi-join ``fact`` to ``dim`` with a Bloom prefilter ahead of the
     exact join: fact rows failing the bit test never reach the exchange.
+
+    ``barrier`` pins the probe-then-join order with a lazy
+    ``localCheckpoint`` on the pruned side. Without it, Catalyst's
+    ``PushDownLeftSemiAntiJoin`` rule (cost-independent) hoists the
+    exact semi-join BELOW the probe — legal, and harmless when the dim
+    broadcasts, but at a shuffle-sized dim it re-creates the full-fact
+    exchange the bloom exists to avoid. The checkpoint materializes
+    only the already-pruned survivors (the selective case is why the
+    bloom is there at all), which is the same trade a persisted
+    candidate table makes. Set ``barrier=False`` for broadcast-sized
+    dims where the reorder is free.
 
     The exact semi-join strategy is left to Catalyst/AQE (no broadcast
     hint: the dim grows with SF — the join_eq3 lesson).
@@ -104,5 +116,7 @@ def bloom_prefilter_semi_join(
         .filter(might_contain("bloom", fact_key, m_bits, k))
         .drop("bloom")
     )
+    if barrier:
+        pruned = pruned.localCheckpoint(eager=False)
     keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()
     return pruned.join(keys, fact_key, "left_semi")

@@ -268,7 +268,12 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers reusing one built filter across many queries)."""
     from ..operators import bloomjoin as B
 
-    li = load(spark, sf_dir, "lineitem")
+    # project BEFORE the operator: the probe-then-join barrier inside it
+    # (see bloomjoin.bloom_prefilter_semi_join) is a pruning boundary, so
+    # column pruning must happen upstream of the checkpoint
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_quantity", "l_returnflag"
+    )
     supp = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5)
     pruned = B.bloom_prefilter_semi_join(li, supp, "l_suppkey", "s_suppkey")
     return (
