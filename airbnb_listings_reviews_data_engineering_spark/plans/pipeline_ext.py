@@ -1759,3 +1759,59 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_matches").isNotNull().alias("is_dup"),
         )
     )
+
+
+# --- LM-style quality scoring ----------------------------------------------
+
+# Per-token surprisal rounded to 4 places and summed as DECIMAL(18,4):
+# decimal addition is exact and order-independent, so the per-doc sum is
+# bitwise reproducible even though float summation order differs across
+# engines — the trick that makes log-likelihood aggregation oracle-able.
+_SURPRISAL = "cast(round(-ln(freq / total_d), 4) as decimal(18,4))"
+
+_UNIGRAM_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+freqs AS (SELECT term, count(*) AS freq FROM terms GROUP BY term),
+tot AS (SELECT sum(freq) AS n FROM freqs),
+fr AS (SELECT term, freq, CAST(tot.n AS DOUBLE) AS total_d FROM freqs, tot),
+scored AS (
+  SELECT t.doc_id, {_SURPRISAL} AS s
+  FROM terms t JOIN fr ON t.term = fr.term
+)
+SELECT doc_id, count(*) AS n_tok,
+       round(CAST(sum(s) AS DOUBLE) / count(*), 4) + 0 AS avg_surprisal
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("text_unigram_logprob", oracle=_UNIGRAM_SQL)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: mean token surprisal -ln p(token) under
+    the corpus's own unigram distribution — the cheap stand-in for the
+    KenLM perplexity filter of CCNet/RefinedWeb-style cleaning (low
+    surprisal = boilerplate-ish, high = rare-token noise; both tails get
+    reviewed). Plan: one corpus scan feeds the term explode; the
+    frequency table joins back on `term` (vocabulary-keyed shuffle that
+    tf needs anyway — no broadcast hint, vocabulary grows with the
+    corpus); the corpus-total is a 1-row aggregate folded in BEFORE the
+    big join so only the tiny freq relation crosses it. Surprisal is
+    rounded then summed as DECIMAL — exact, order-independent addition —
+    making a floating-point log-likelihood bitwise-stable cross-engine."""
+    docs = load(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    freqs = terms.groupBy("term").agg(F.count("*").alias("freq"))
+    tot = freqs.agg(F.sum("freq").alias("n"))
+    fr = freqs.crossJoin(F.broadcast(tot)).select(
+        "term", "freq", F.col("n").cast("double").alias("total_d")
+    )
+    scored = terms.join(fr, "term").select(
+        "doc_id", F.expr(_SURPRISAL).alias("s")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        (F.round(F.sum("s").cast("double") / F.count("*"), 4) + F.lit(0)).alias(
+            "avg_surprisal"
+        ),
+    )

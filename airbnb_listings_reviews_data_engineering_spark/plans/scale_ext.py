@@ -283,3 +283,74 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         )
     )
+
+
+def _zvalue_sql(bx: str, by: str, bits: int, shift: str) -> str:
+    """Bit-interleave expression text: z = .. y1 x1 y0 x0 (x in odd
+    positions). ``shift`` is the engine's right-shift syntax with {v}
+    and {i} placeholders — DuckDB has the >> operator, Spark SQL spells
+    it shiftright()."""
+    terms = []
+    for i in range(bits):
+        xbit = f"({shift.format(v=bx, i=i)} & 1)"
+        ybit = f"({shift.format(v=by, i=i)} & 1)"
+        terms.append(f"{xbit} * {1 << (2 * i + 1)}")
+        terms.append(f"{ybit} * {1 << (2 * i)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+_Z_BITS = 8
+_Z_BUCKET = 4096  # 2^12 -> 16 z-buckets over the 16-bit z space
+
+_ZORDER_SQL = f"""
+WITH src AS (
+  SELECT l_orderkey, l_partkey % 256 AS bx, l_suppkey % 256 AS by
+  FROM lineitem
+),
+z AS (
+  SELECT l_orderkey, bx, by,
+         {_zvalue_sql('bx', 'by', _Z_BITS, '({v} >> {i})')} AS zval
+  FROM src
+)
+SELECT CAST(floor(zval / ({_Z_BUCKET} * 1.0e0)) AS INT) AS zbucket, count(*) AS n_rows,
+       min(bx) AS min_x, max(bx) AS max_x,
+       min(by) AS min_y, max(by) AS max_y
+FROM z GROUP BY CAST(floor(zval / ({_Z_BUCKET} * 1.0e0)) AS INT)
+"""
+
+
+@register("maintenance_zorder", oracle=_ZORDER_SQL)
+def maintenance_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering — the multi-column data-skipping
+    lever: interleaving the bits of two bucketed dimensions gives every
+    zval range locality in BOTH columns at once, so after
+    `repartitionByRange(zval) + sortWithinPartitions(zval)` each parquet
+    file's min/max stats are tight for x AND y and a predicate on either
+    column prunes files (single-column sort only prunes its own column).
+    The registered result is the skipping evidence, not the rewrite: per
+    z-bucket row counts and per-bucket min/max of both dimensions — each
+    16-bit-z bucket of 4096 spans at most a 64-value slice of bx and by
+    (sqrt locality), which is what makes the file-level stats selective.
+    The bit interleave is integer-exact column arithmetic, identical in
+    both engines modulo shift syntax."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_partkey") % 256).alias("bx"),
+        (F.col("l_suppkey") % 256).alias("by"),
+    )
+    z = li.withColumn(
+        "zval",
+        F.expr(_zvalue_sql("bx", "by", _Z_BITS, "shiftright({v}, {i})")),
+    )
+    return (
+        z.groupBy(
+            F.floor(F.col("zval") / (_Z_BUCKET * 1.0)).cast("int").alias("zbucket")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("bx").alias("min_x"),
+            F.max("bx").alias("max_x"),
+            F.min("by").alias("min_y"),
+            F.max("by").alias("max_y"),
+        )
+    )

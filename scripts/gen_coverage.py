@@ -72,7 +72,7 @@ SECTIONS = [
         "text_lang_id", "text_quality_score", "text_token_count",
         "text_fingerprint", "text_ngram_freq", "text_tfidf",
         "text_pii_scrub", "text_repetition_filter", "text_rolling_hash",
-        "text_bm25"]),
+        "text_bm25", "text_unigram_logprob"]),
     ("Multimodal (north star)", [
         "mm_binary_meta", "mm_decode_fake", "mm_frame_sample",
         "mm_probe_media"]),
@@ -82,7 +82,8 @@ SECTIONS = [
         "sample_domain_mixture", "sample_curriculum"]),
     ("Scale techniques (100 TB levers)", [
         "join_bucketed", "src_partition_pruning", "join_salted",
-        "maintenance_compact", "join_bloom_prefilter"]),
+        "maintenance_compact", "join_bloom_prefilter",
+        "maintenance_zorder"]),
     ("Grouped-map / cogrouped Pandas (Arrow batch APIs)", [
         "grouped_pandas_zscore", "cogrouped_pandas_asof", "udtf_json_kv"]),
     ("Iterative algorithms", ["ml_kmeans"]),
