@@ -66,10 +66,13 @@ def register(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (parquet, explicit path).
 
-    events.ts is INT64 TIMESTAMP(NANOS), which Spark 4 rejects by default
-    (PARQUET_TYPE_ILLEGAL) — read it as nanos-long and derive the
-    microsecond timestamp (floor division, matching DuckDB's ns->us
-    truncation).
+    events.ts has shipped in two physical shapes across testdata
+    generations: INT64 TIMESTAMP(NANOS) (Spark 4 rejects it by default,
+    PARQUET_TYPE_ILLEGAL — read as nanos-long, floor-divide to micros,
+    matching DuckDB's ns->us truncation) and plain TIMESTAMP(MICROS)
+    without UTC adjustment (reads as TIMESTAMP_NTZ). Both normalize to a
+    session-TZ TIMESTAMP so every downstream query sees one type; with
+    the session pinned to UTC the wall-clock values are identical.
     """
     # The driver may hand us a session without UTC pinned; every
     # timestamp-formatting query depends on it for oracle parity.
@@ -80,9 +83,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
-        )
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type == "long":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+            )
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

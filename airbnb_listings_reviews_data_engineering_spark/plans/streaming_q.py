@@ -251,18 +251,20 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.ingest import EVENTS_SCHEMA
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    # load() normalizes ts to a session-TZ TIMESTAMP regardless of the
+    # testdata generation (nanos-long vs micros-timestamp), so the staged
+    # batches always carry proper timestamps and the stream schema below
+    # is generation-independent.
+    raw = load(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
-    six_hours_ns = 6 * 3600 * 1_000_000_000
     batches = [
         ("a_batch1.parquet", raw.filter(F.col("event_id") % 5 != 0)),
         ("b_batch2.parquet", raw.limit(0)),  # watermark-advancing empty batch
         (
             "c_batch3.parquet",
             raw.filter(F.col("event_id") % 5 == 0).withColumn(
-                "ts", F.col("ts") - F.lit(six_hours_ns)
+                "ts", F.col("ts") - F.expr("INTERVAL 6 HOURS")
             ),
         ),
     ]
@@ -285,7 +287,6 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)")))
     )
     agg = windowed_counts(stream, window="1 hour", watermark="1 hour")
     result = run_available_now(

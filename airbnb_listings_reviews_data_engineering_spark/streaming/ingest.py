@@ -21,27 +21,50 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        # stored as INT64 TIMESTAMP(NANOS): read as nanos-long, convert below
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def events_schema(ts_nanos_long: bool) -> T.StructType:
+    """Schema for the events table. Two physical generations exist:
+    INT64 TIMESTAMP(NANOS) (``ts_nanos_long=True``: read as nanos-long,
+    convert after) and TIMESTAMP(MICROS) (read directly as timestamp)."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField(
+                "ts", T.LongType() if ts_nanos_long else T.TimestampType()
+            ),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+# Back-compat alias: the micros-timestamp generation is the current one.
+EVENTS_SCHEMA = events_schema(ts_nanos_long=False)
+
+
+def events_ts_is_nanos_long(path: str) -> bool:
+    """Probe the parquet footer (driver-side, no job) for the ts shape."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    if os.path.isdir(path):
+        parts = [p for p in sorted(os.listdir(path)) if p.endswith(".parquet")]
+        if not parts:
+            return False
+        path = os.path.join(path, parts[0])
+    field = pq.read_schema(path).field("ts")
+    return not pat.is_timestamp(field.type)
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over the events parquet (explicit schema —
-    streaming sources never infer).
+    streaming sources never infer; the ts shape is probed from the footer).
 
     The file source wants a directory; when given a single parquet file,
     stage a symlink directory around it (zero copy).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_nanos = events_ts_is_nanos_long(path)
     if path.endswith(".parquet") and os.path.isfile(path):
         d = os.path.join(
             tempfile.gettempdir(), "airbnb_spark_stream", path.strip("/").replace("/", "_")
@@ -51,10 +74,13 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
         if not os.path.exists(link):
             os.symlink(path, link)
         path = d
-    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
-    return stream.withColumn(
-        "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
-    )
+    stream = spark.readStream.schema(events_schema(ts_nanos)).parquet(path)
+    if ts_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+        )
+    return stream
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
