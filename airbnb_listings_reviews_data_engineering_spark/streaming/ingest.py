@@ -53,8 +53,10 @@ def events_ts_is_nanos_long(path: str) -> bool:
         if not parts:
             return False
         path = os.path.join(path, parts[0])
-    field = pq.read_schema(path).field("ts")
-    return not pat.is_timestamp(field.type)
+    t = pq.read_schema(path).field("ts").type
+    # TIMESTAMP(NANOS) surfaces as timestamp[ns] in pyarrow; Spark 4 can
+    # only read it as a nanos long. A bare INT64 ts is nanos by contract.
+    return (not pat.is_timestamp(t)) or t.unit == "ns"
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
