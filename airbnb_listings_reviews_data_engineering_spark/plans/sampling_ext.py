@@ -401,3 +401,77 @@ def sample_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("pos"),
         ((F.row_number().over(w) - 1) * 10 + F.col("bucket")).alias("sched_ord"),
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic epoch shuffle
+# ---------------------------------------------------------------------------
+
+_H_EPOCH = hash60_duckdb_sql("'ep42:' || CAST(doc_id AS VARCHAR)")
+
+_EPOCH_SHUFFLE_SQL = f"""
+WITH h AS (
+  SELECT doc_id, {_H_EPOCH} AS hk FROM documents
+)
+SELECT doc_id, row_number() OVER (ORDER BY hk, doc_id) AS shuffle_pos
+FROM h
+"""
+
+
+@register("shuffle_deterministic", oracle=_EPOCH_SHUFFLE_SQL)
+def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global shuffle — the per-epoch corpus
+    reshuffle of a training loader. Order = hash60('ep<seed>:' || id):
+    reproducible across retries and partitionings (no rand() state), a
+    new permutation per epoch seed.
+
+    The oracle states the spec as one global row_number; THIS plan never
+    runs a single-partition pass. It is the zipWithIndex decomposition:
+    repartitionByRange(hk) + sortWithinPartitions gives the total order
+    split across range partitions; each partition enumerates its rows
+    locally (Arrow-batched cumulative count, order-preserving narrow
+    op); global position = local position + the prefix sum of preceding
+    partitions' row counts (a partition-count-sized broadcast). The only
+    wide op is the range shuffle itself — exactly what 100 TB requires.
+    """
+    import pandas as pd
+
+    n_parts = 8
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn(
+            "hk", hash60(F.concat(F.lit("ep42:"), F.col("doc_id").cast("string")))
+        )
+        .repartitionByRange(n_parts, "hk", "doc_id")
+        .sortWithinPartitions("hk", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        # shared by the offsets job and the final projection: compute the
+        # range shuffle once (at cluster scale: persist(DISK) instead)
+        .localCheckpoint(eager=True)
+    )
+
+    def enumerate_local(batches):
+        seen = 0
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "pid": pdf["pid"],
+                    "local_pos": range(seen + 1, seen + 1 + len(pdf)),
+                }
+            )
+            seen += len(pdf)
+            yield out
+
+    local = d.mapInPandas(
+        enumerate_local, schema="doc_id long, pid int, local_pos long"
+    )
+    counts = d.groupBy("pid").agg(F.count("*").alias("cnt"))
+    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset")
+    )
+    return local.join(F.broadcast(offsets), "pid").select(
+        "doc_id", (F.col("offset") + F.col("local_pos")).alias("shuffle_pos")
+    )

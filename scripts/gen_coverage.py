@@ -79,7 +79,8 @@ SECTIONS = [
     ("Sampling / splitting / packing / profiling (training-data ops)", [
         "sample_stratified", "split_train_test_group", "sample_class_cap",
         "pack_token_shards", "profile_columns", "sample_temperature",
-        "sample_domain_mixture", "sample_curriculum"]),
+        "sample_domain_mixture", "sample_curriculum",
+        "shuffle_deterministic"]),
     ("Scale techniques (100 TB levers)", [
         "join_bucketed", "src_partition_pruning", "join_salted",
         "maintenance_compact", "join_bloom_prefilter",
