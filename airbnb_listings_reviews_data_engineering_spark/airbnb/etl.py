@@ -58,9 +58,10 @@ def read_listings_csv(spark: SparkSession, path: str) -> DataFrame:
     `"{TV,""Cable TV""}"`), and t/f booleans (cast handles them).
 
     Scale note: multiLine disables intra-file split, so one task parses
-    one file; the dump ships as many per-city files, which is where the
-    parallelism comes from (and a 100 TB lake would land the raw CSV
-    into parquet once, making this a one-time cost).
+    one file; the dump ships as many per-city files, which is where this
+    reader's parallelism comes from. For a single giant file use
+    :func:`read_listings_csv_splittable` — the re-chunk pre-pass that
+    makes the caveat a handled case.
     """
     raw = (
         spark.read.option("header", True)
@@ -68,6 +69,10 @@ def read_listings_csv(spark: SparkSession, path: str) -> DataFrame:
         .option("escape", '"')
         .csv(path)
     )
+    return _select_listings(raw)
+
+
+def _select_listings(raw: DataFrame) -> DataFrame:
     missing = [f.name for f in LISTINGS_RAW_SCHEMA.fields if f.name not in raw.columns]
     if missing:
         raise ValueError(f"listings CSV lacks selected columns: {missing}")
@@ -77,6 +82,26 @@ def read_listings_csv(spark: SparkSession, path: str) -> DataFrame:
             for f in LISTINGS_RAW_SCHEMA.fields
         ]
     )
+
+
+def read_listings_csv_splittable(
+    spark: SparkSession,
+    path: str,
+    stage_key: str = "listings_raw",
+    refresh: bool = True,
+) -> DataFrame:
+    """Scale variant of :func:`read_listings_csv`: one multiLine parse
+    lands the raw file as n-way parquet under the staging root
+    (sources/csv_rechunk.py), and the 61-column name-select + try_cast
+    runs over the splittable staged copy — a 1 TB single-file dump stops
+    being a one-core job after the one unavoidable parse pass.
+    ``refresh=False`` reuses the staged landing across runs."""
+    from ..sources.csv_rechunk import rechunk_multiline_csv
+
+    raw = rechunk_multiline_csv(
+        spark, path, stage_key=stage_key, refresh=refresh
+    )
+    return _select_listings(raw)
 
 
 def read_reviews_csv(spark: SparkSession, path: str) -> DataFrame:

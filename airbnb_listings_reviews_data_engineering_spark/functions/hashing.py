@@ -48,4 +48,31 @@ XOR_SEEDS = (
     0xA5A5A5A5A5A5A5A,
     0x123456789ABCDEF,
     0xFEDCBA987654321,
+    # seeds 8..31: splitmix64-style odd constants truncated to 15 hex
+    # digits — enough permutations for a 32-hash/16-band S-curve
+    # (scripts/dedup_quality.py measures what the larger budget buys)
+    0x7F4A7C15F39CC06,
+    0x1CE4E5B9E3779B9,
+    0x133111EB5586CCA,
+    0x6659FD94D049BB1,
+    0x5A5A5A5D6E8FEB8,
+    0x9ABCDEFA5A5A5A5,
+    0x7654321123456FE,
+    0x0F1E2D3C4B5A697,
+    0x8899AABBCCDDEEF,
+    0x1F2E3D4C5B6A798,
+    0x02468ACE13579BD,
+    0xBD9F86427531ECA,
+    0x5DEECE66D2B79F1,
+    0x2545F4914F6CDD1,
+    0x9E6C58D1B9F87A3,
+    0x41C64E6D3039FFF,
+    0x6C078965254DEAD,
+    0x3C6EF372FE94F82,
+    0xA54FF53A5F1D36F,
+    0x510E527FADE682D,
+    0x9B05688C2B3E6C1,
+    0x1F83D9ABFB41BD6,
+    0x5BE0CD19137E217,
+    0x71374491B5C0FBC,
 )

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..checkpoint import pin
+
 
 def _position_sql(key_expr: str, m_bits: int, i: int) -> str:
     """SQL text for the i-th bit position of ``key_expr`` in [0, m_bits)."""
@@ -97,7 +99,7 @@ def bloom_prefilter_semi_join(
     exact join: fact rows failing the bit test never reach the exchange.
 
     ``barrier`` pins the probe-then-join order with a lazy
-    ``localCheckpoint`` on the pruned side. Without it, Catalyst's
+    ``pin`` (checkpoint.py) on the pruned side. Without it, Catalyst's
     ``PushDownLeftSemiAntiJoin`` rule (cost-independent) hoists the
     exact semi-join BELOW the probe — legal, and harmless when the dim
     broadcasts, but at a shuffle-sized dim it re-creates the full-fact
@@ -117,6 +119,9 @@ def bloom_prefilter_semi_join(
         .drop("bloom")
     )
     if barrier:
-        pruned = pruned.localCheckpoint(eager=False)
+        # lazy pin: truncates the logical plan (the reorder barrier)
+        # without forcing materialization before the first action; the
+        # durability mode comes from checkpoint.py's session conf.
+        pruned = pin(pruned, eager=False, label="bloom_pruned")
     keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()
     return pruned.join(keys, fact_key, "left_semi")

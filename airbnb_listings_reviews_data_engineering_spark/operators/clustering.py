@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..checkpoint import pin
 from ..functions.arrays import as_double_array
 
 
@@ -67,15 +68,21 @@ def kmeans_fixed(
             .groupBy("cid", "pos")
             .agg(F.round(F.avg("val"), 6).alias("m"))
         )
-        # eager localCheckpoint: k tiny rows, but it truncates the plan —
-        # otherwise each round nests the previous round's full lineage
-        # (see operators/dedup.py::connected_components for the failure).
-        cents = means.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"],
-            ).alias("cv")
-        ).localCheckpoint(eager=True)
+        # eager pin: k tiny rows, but it truncates the plan — otherwise
+        # each round nests the previous round's full lineage (see
+        # operators/dedup.py::connected_components for the failure).
+        # Rounds are NOT released mid-loop: the final `assigned` lineage
+        # still references the previous round's centroids; the session
+        # harness frees all k-row pins via release_pins() after use.
+        cents = pin(
+            means.groupBy("cid").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            ),
+            label="kmeans_cents",
+        )
     counts = assigned.groupBy("cid").agg(F.count("*").alias("n_points"))
     flat = [F.element_at("cv", d + 1).alias(f"c{d + 1}") for d in range(dims)]
     return counts.join(cents, "cid").select("cid", "n_points", *flat)

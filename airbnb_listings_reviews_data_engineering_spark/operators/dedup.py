@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..checkpoint import pin, release
 from ..functions.arrays import as_double_array, cosine
 from ..functions.hashing import hash60
 
@@ -103,10 +104,11 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     # materialize the signature once: both sides of the self-join read it,
     # and without this the shingle+md5 scan runs twice (the signature is
-    # (id, 8 longs) — tiny next to the corpus, always worth keeping)
-    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle).localCheckpoint(
-        eager=True
-    )
+    # (id, 8 longs) — tiny next to the corpus, always worth keeping).
+    # pin() honors the session durability mode (checkpoint.py) — local
+    # blocks for dev, reliable/parquet for cluster runs.
+    sig = pin(minhash_signature(df, id_col, text_col, num_hashes, shingle),
+              label="minhash_sig")
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -176,7 +178,7 @@ def simhash_pairs(
     candidates per chunk, linear in practice for uniform hashes."""
     chunk_bits = bits // chunks
     mask = (1 << chunk_bits) - 1
-    sig = simhash_signature(df, id_col, text_col, bits).localCheckpoint(eager=True)
+    sig = pin(simhash_signature(df, id_col, text_col, bits), label="simhash_sig")
     chunk_structs = [
         F.struct(
             F.lit(i).alias("ci"),
@@ -237,10 +239,11 @@ def ngram_jaccard_pairs(
     Jaccard is still computed on the FULL distinct-shingle arrays, so
     scores are unaffected.
     """
-    sh = (
-        with_shingles(df, text_col, shingle)
-        .select(F.col(id_col), F.array_distinct("shingles").alias("s"))
-        .localCheckpoint(eager=True)
+    sh = pin(
+        with_shingles(df, text_col, shingle).select(
+            F.col(id_col), F.array_distinct("shingles").alias("s")
+        ),
+        label="jaccard_shingles",
     )
     ex = sh.select(id_col, F.size("s").alias("n_sh"), F.explode("s").alias("g"))
     if prefix_filter:
@@ -292,26 +295,28 @@ def connected_components(
 
     until a fixpoint (bounded by ``max_iter``; rounds needed = graph
     diameter). Each iteration is one join + one aggregation; labels are
-    localCheckpoint'ed (EAGER) per round — lazy cache is NOT enough: the
-    per-round plan references the previous round's plan, so without true
-    lineage truncation the logical plan grows exponentially with the
-    diameter and the planner itself OOMs. On a real cluster use
-    ``checkpoint()`` to reliable storage instead (survives executor loss).
+    pin()'ed EAGERLY per round — lazy cache is NOT enough: the per-round
+    plan references the previous round's plan, so without true lineage
+    truncation the logical plan grows exponentially with the diameter
+    and the planner itself OOMs. The pin durability mode (checkpoint.py)
+    picks local blocks for dev vs reliable storage for cluster runs
+    (survives executor loss); round N-1's labels are released as soon as
+    round N is both materialized and compared, so storage stays at two
+    label frames regardless of diameter.
     Returns (node, component) with component = min doc id in the group.
     """
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = (
+    edges = pin(
         edges.union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+        ).distinct(),
+        label="cc_edges",
     )
-    labels = (
+    labels = pin(
         edges.select(F.col("src").alias("node"))
         .distinct()
-        .withColumn("lbl", F.col("node"))
-        .localCheckpoint(eager=True)
+        .withColumn("lbl", F.col("node")),
+        label="cc_labels",
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -324,13 +329,12 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("dlbl").alias("nmin"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.src, "left")
-            .select(
+        new_labels = pin(
+            labels.join(nbr_min, labels.node == nbr_min.src, "left").select(
                 "node",
                 F.least(F.col("lbl"), F.coalesce("nmin", "lbl")).alias("lbl"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            label="cc_labels",
         )
         changed = (
             new_labels.alias("n")
@@ -339,6 +343,7 @@ def connected_components(
             .limit(1)
             .count()
         )
+        release(labels)  # round N-1 fully consumed by the join above
         labels = new_labels
         if changed == 0:
             break
@@ -412,7 +417,7 @@ def minhash_lsh_join(
             )
             for b in range(bands)
         ]
-        return sig.localCheckpoint(eager=True).select(
+        return pin(sig, label="lsh_join_sig").select(
             F.col(id_col), *hcols, F.explode(F.array(*band_structs)).alias("bk")
         )
 

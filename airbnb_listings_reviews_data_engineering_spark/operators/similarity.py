@@ -13,8 +13,10 @@ with learned centroids.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..checkpoint import pin
 
 from ..functions.arrays import as_double_array, cosine, dot
 
@@ -106,9 +108,10 @@ def lsh_probe(
     query_id: int,
 ) -> DataFrame:
     """ANN probe: score only the vectors in the query's LSH bucket."""
-    bucketed = with_lsh_bucket(
-        df, id_col, vec_col, planes, plane_id, n_planes
-    ).localCheckpoint(eager=True)
+    bucketed = pin(
+        with_lsh_bucket(df, id_col, vec_col, planes, plane_id, n_planes),
+        label="lsh_buckets",
+    )
     qrow = bucketed.filter(F.col(id_col) == query_id).select(
         F.col("bucket").alias("qbucket"), as_double_array(vec_col).alias("qv")
     )
@@ -119,6 +122,186 @@ def lsh_probe(
             F.round(cosine(as_double_array(vec_col), F.col("qv")), 6).alias("cos_sim"),
         )
     )
+
+
+def _salted_topk(
+    scored: DataFrame, id_col: str, k: int, n_salt: int
+) -> DataFrame:
+    """Two-stage salted top-k per q_id over (q_id, id, cos_sim) rows —
+    the distributed top-k-per-group pattern (see knn_join docstring):
+    per-(q_id, salt) heaps first, then a trivially small global rank."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    salted = scored.withColumn(
+        "salt", F.crc32(F.col(id_col).cast("string")) % n_salt
+    )
+    w_local = Window.partitionBy("q_id", "salt").orderBy(F.desc("cos_sim"), id_col)
+    w_global = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), id_col)
+    return (
+        salted.withColumn("r", F.row_number().over(w_local))
+        .filter(F.col("r") <= k)
+        .drop("r", "salt")
+        .withColumn("rnk", F.row_number().over(w_global))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", F.col(id_col), "cos_sim", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def _centroid_array(centroids: DataFrame) -> DataFrame:
+    """Collapse the K-row (cell, cv) centroid table to ONE broadcastable
+    row holding an array of structs — the shape that lets per-row argmax
+    run as a pure column expression with no shuffle and no window."""
+    return F.broadcast(
+        centroids.agg(
+            F.collect_list(F.struct(F.col("cell"), F.col("cv"))).alias("cents")
+        )
+    )
+
+
+def _cell_scores(vec: Column, tie_asc: bool = True) -> Column:
+    """transform(cents, c -> struct(score, tiebreak, cell)) — lexicographic
+    struct ordering gives argmax-by-score with ascending-cell tie-break."""
+    return F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            F.round(cosine(vec, c["cv"]), 6).alias("s"),
+            (-c["cell"]).alias("negc"),
+            c["cell"].alias("cell"),
+        ),
+    )
+
+
+def ivf_assign(
+    df: DataFrame, id_col: str, vec_col: str, centroids: DataFrame
+) -> DataFrame:
+    """Nearest-centroid cell per vector as a MAP-SIDE-ONLY expression.
+
+    The K centroids collapse to a single broadcast array row
+    (:func:`_centroid_array`); the per-row argmax is ``array_max`` over a
+    ``transform`` — no shuffle of the corpus, no per-row window (the
+    window formulation in plans/pipeline_ext.sim_ivf_topk shuffles the
+    whole corpus on vec_id; this is the index-build shape a 100 TB
+    corpus needs, writing the result partitioned by cell so probes
+    become partition pruning). Tie-break: lowest cell id, matching the
+    registered oracle's ``row_number ORDER BY cos DESC, cell``.
+    Returns (id, v, cell).
+    """
+    v = df.select(F.col(id_col), as_double_array(vec_col).alias("v"))
+    return v.crossJoin(_centroid_array(centroids)).select(
+        id_col,
+        "v",
+        F.array_max(_cell_scores(F.col("v")))["cell"].alias("cell"),
+    )
+
+
+def ivf_topk_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    n_salt: int = 8,
+) -> DataFrame:
+    """Batch IVF ANN: exact top-k within each query's ``nprobe`` nearest
+    cells, for EVERY query row at once.
+
+    ``queries`` needs (q_id, qv); ``centroids`` is the K-row (cell, cv)
+    table. Shape: corpus assignment is map-side (:func:`ivf_assign`);
+    each query explodes to its nprobe probe cells (broadcast — queries
+    are small); the probe is an equi-join on cell (partition pruning
+    once the assigned corpus is stored partitioned by cell); scoring
+    touches ~nprobe/K of the corpus; the per-query top-k is salted
+    two-stage. recall@k vs the exact :func:`knn_join` is measured in
+    SCALING.md — recall rises with nprobe and reaches 1.0 at nprobe=K
+    by construction.
+    """
+    assigned = ivf_assign(corpus, id_col, vec_col, centroids)
+    qcells = (
+        queries.crossJoin(_centroid_array(centroids))
+        .select(
+            "q_id",
+            "qv",
+            F.explode(
+                F.slice(
+                    F.reverse(F.array_sort(_cell_scores(F.col("qv")))), 1, nprobe
+                )
+            ).alias("pc"),
+        )
+        .select("q_id", "qv", F.col("pc")["cell"].alias("cell"))
+    )
+    scored = assigned.join(F.broadcast(qcells), "cell").select(
+        "q_id",
+        F.col(id_col),
+        F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+    )
+    return _salted_topk(scored, id_col, k, n_salt)
+
+
+def lsh_topk_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: DataFrame,
+    plane_id: str,
+    n_planes: int,
+    k: int = 10,
+    flips: int = 1,
+    n_salt: int = 8,
+) -> DataFrame:
+    """Batch multiprobe LSH ANN: top-k within each query's own hyperplane
+    bucket plus every bucket within ``flips`` bit flips (multiprobe — the
+    standard recall knob: a near neighbor that lands just across one
+    hyperplane is recovered by probing the 1-flip buckets).
+
+    ``queries`` needs (q_id, qv). Bucket ids are map-side column
+    expressions on both sides; the probe is an equi-join on bucket
+    against the exploded (1 + sum_{r<=flips} C(n_planes, r)) probe
+    buckets per query. recall@k vs exact is measured in SCALING.md.
+    """
+    from itertools import combinations  # noqa: PLC0415
+
+    bucketed = with_lsh_bucket(corpus, id_col, vec_col, planes, plane_id, n_planes)
+    p = F.broadcast(
+        planes.select(
+            F.col(plane_id).alias("pid"), as_double_array(vec_col).alias("pv")
+        )
+    )
+    qb = (
+        queries.crossJoin(p)
+        .select(
+            "q_id",
+            "qv",
+            F.when(
+                dot(F.col("qv"), F.col("pv")) > 0,
+                F.expr("shiftleft(1, cast(pid - 1 as int))"),
+            )
+            .otherwise(0)
+            .alias("bit"),
+        )
+        .groupBy("q_id")
+        .agg(F.first("qv").alias("qv"), F.sum("bit").cast("bigint").alias("qbucket"))
+    )
+    masks = [0] + [
+        sum(1 << b for b in c)
+        for r in range(1, flips + 1)
+        for c in combinations(range(n_planes), r)
+    ]
+    probes = qb.select(
+        "q_id",
+        "qv",
+        F.explode(
+            F.array(*[F.col("qbucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("bucket"),
+    )
+    scored = bucketed.join(F.broadcast(probes), "bucket").select(
+        "q_id",
+        F.col(id_col),
+        F.round(cosine(as_double_array(vec_col), F.col("qv")), 6).alias("cos_sim"),
+    )
+    return _salted_topk(scored, id_col, k, n_salt)
 
 
 def knn_join(

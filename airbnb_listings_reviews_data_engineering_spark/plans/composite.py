@@ -96,3 +96,73 @@ def pipeline_q5_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("number_of_docs"))
     )
+
+
+_Q6_ANALOG_SQL = r"""
+WITH reviews AS (
+  SELECT o_custkey AS listing_id, o_orderkey AS review_id,
+         strftime(o_orderdate, '%Y-%m-%d') AS review_date,
+         concat_ws(' ', o_orderstatus,
+                   CASE WHEN o_orderpriority = '5-LOW'
+                        THEN 'low priority posting'
+                        ELSE o_orderpriority END) AS comment
+  FROM orders
+),
+matched AS (
+  SELECT DISTINCT listing_id FROM reviews
+  WHERE regexp_matches(comment, '(?i)urgent')
+)
+SELECT r.listing_id, r.review_id, r.review_date,
+       CASE WHEN regexp_extract(r.comment, '\d+') = '' THEN 1
+            ELSE CAST(regexp_extract(r.comment, '\d+') AS INTEGER)
+       END AS cancel_days
+FROM reviews r
+WHERE r.listing_id IN (SELECT listing_id FROM matched)
+"""
+
+
+@register("pipeline_q6_analog", oracle=_Q6_ANALOG_SQL)
+def pipeline_q6_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 end-to-end shape (Airbnb_Analysis.py:185-220): the Mongo
+    pipeline `$match` on a nested review-comment regex -> `$project` of
+    nested review fields plus a `$cond`/`$regexMatch` day-count
+    extraction, as ONE Catalyst plan over the doc model.
+
+    Faithful to the doc shape: orders are packed into per-listing
+    review-struct arrays (collect_list — the docmodel idiom; review
+    count per listing is bounded, so the buffer is too), the listing
+    matches if ANY review comment matches '(?i)urgent' (higher-order
+    `exists`, the `$match` on an array field), matched docs explode
+    back to per-review rows (the `$project` over `reviews.*`), and
+    cancel_days = first digit run in the comment with `when/otherwise`
+    default 1 — the reference's broken `$cond` (it compares
+    `$regexMatch` to None, Airbnb_Analysis.py:202-208) resolved as
+    intent, matching airbnb/analysis.py Q6. The '5-LOW' -> 'low
+    priority posting' rewrite gives the default branch live rows, so
+    both `$cond` arms are exercised at every SF."""
+    comment = F.concat_ws(
+        " ",
+        F.col("o_orderstatus"),
+        F.when(F.col("o_orderpriority") == "5-LOW", "low priority posting")
+        .otherwise(F.col("o_orderpriority")),
+    )
+    reviews = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("listing_id"),
+        F.struct(
+            F.col("o_orderkey").alias("id"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("date"),
+            comment.alias("comment"),
+        ).alias("r"),
+    )
+    docs = reviews.groupBy("listing_id").agg(F.collect_list("r").alias("reviews"))
+    matched = docs.filter(
+        F.exists("reviews", lambda r: r["comment"].rlike("(?i)urgent"))
+    )
+    ex = matched.select("listing_id", F.explode("reviews").alias("r"))
+    day = F.regexp_extract(F.col("r.comment"), r"\d+", 0)
+    return ex.select(
+        "listing_id",
+        F.col("r.id").alias("review_id"),
+        F.col("r.date").alias("review_date"),
+        F.when(day == "", F.lit(1)).otherwise(day.cast("int")).alias("cancel_days"),
+    )

@@ -15,6 +15,8 @@ FROM supplier WHERE NOT (s_acctbal < 0 AND s_nationkey % 2 = 0)
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..checkpoint import pin
+
 from ..operators.merge import merge_full_outer, merge_scd2, upsert_snapshot
 from .registry import load, register
 
@@ -270,8 +272,8 @@ def inc_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         parts = [read_published(spark, f"{out}/sink_{i}") for i in sinks]
         # materialize before the scratch dir vanishes
-        return reduce(lambda a, b: a.unionByName(b), parts).localCheckpoint(
-            eager=True
+        return pin(
+            reduce(lambda a, b: a.unionByName(b), parts), label="xfer_fanout"
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
@@ -332,9 +334,10 @@ def table_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         target = f"{out}/orders_versioned"
         publish_parquet(v1, target)
         publish_parquet(v2, target)
-        return diff_versions(
-            spark, target, 1, 2, keys=["o_orderkey"]
-        ).localCheckpoint(eager=True)
+        return pin(
+            diff_versions(spark, target, 1, 2, keys=["o_orderkey"]),
+            label="changes_feed",
+        )
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -365,7 +368,7 @@ def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         target = f"{out}/orders_frag"
         publish_parquet(o.repartition(64), target)
         compact_published(spark, target)
-        return read_published(spark, target).localCheckpoint(eager=True)
+        return pin(read_published(spark, target), label="compacted")
     finally:
         shutil.rmtree(out, ignore_errors=True)
 

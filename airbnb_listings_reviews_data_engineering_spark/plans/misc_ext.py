@@ -709,22 +709,33 @@ FROM customer GROUP BY c_mktsegment
 
 @register("agg_quantiles", oracle=_QUANTILES_SQL)
 def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact continuous quantiles (q25/q50/q75) + discrete median per
-    group — exact `percentile`, not approx (both engines interpolate with
-    the same (1-g)*a + g*b rule; the discrete variant picks an actual
-    data value, no interpolation)."""
-    return (
-        load(spark, sf_dir, "customer")
-        .groupBy(F.col("c_mktsegment").alias("segment"))
-        .agg(
-            F.round(F.expr("percentile(c_acctbal, 0.25)"), 4).alias("q25"),
-            F.round(F.expr("percentile(c_acctbal, 0.50)"), 4).alias("q50"),
-            F.round(F.expr("percentile(c_acctbal, 0.75)"), 4).alias("q75"),
-            F.expr(
-                "percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal)"
-            ).alias("median_disc"),
-        )
+    """Continuous quantiles (q25/q50/q75) + discrete median per group,
+    scale-guarded (functions/percentile.py): exact `percentile` /
+    `percentile_disc` while every group fits the buffer budget (both
+    engines interpolate with the same (1-g)*a + g*b rule; disc picks an
+    actual data value), flipping to `approx_percentile` beyond it — the
+    GK sketch emits observed values, so it is the approx analog of the
+    disc form as well."""
+    from ..functions.percentile import exact_fits, guarded_percentile
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"), "c_acctbal"
     )
+    exact = exact_fits(cust, ["segment"], "c_acctbal")
+    out, _ = guarded_percentile(
+        cust,
+        ["segment"],
+        "c_acctbal",
+        {"q25": 0.25, "q50": 0.50, "q75": 0.75},
+        exact=exact,  # one probe guards both aggregations
+    )
+    disc = (
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal)")
+        if exact
+        else F.percentile_approx("c_acctbal", F.lit(0.5), 10000)
+    )
+    disc_df = cust.groupBy("segment").agg(disc.alias("median_disc"))
+    return out.join(disc_df, "segment")
 
 
 _STRING_FAMILY_SQL = """

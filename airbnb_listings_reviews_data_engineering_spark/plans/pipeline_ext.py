@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..checkpoint import pin
+
 from ..functions.arrays import as_double_array, cosine
 from ..functions.hashing import hash60_duckdb_sql
 from ..operators import dedup as D
@@ -466,6 +468,112 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
+    )
+
+
+_IVF_JOIN_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT e.vec_id, e.v, c.cell,
+         round({_EMB_COS.format(a='e.v', b='c.cv')}, 6) AS cos_c
+  FROM e CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cell) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+qcells AS (
+  SELECT q_id, qv, cell FROM (
+    SELECT q.q_id, q.qv, c.cell,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY round({_EMB_COS.format(a='q.qv', b='c.cv')}, 6) DESC, c.cell
+           ) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= 2
+),
+probe AS (
+  SELECT qc.q_id, a.vec_id,
+         round({_EMB_COS.format(a='a.v', b='qc.qv')}, 6) AS cos_sim
+  FROM assigned a JOIN qcells qc USING (cell)
+)
+SELECT q_id, vec_id, cos_sim,
+  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rnk
+FROM probe
+QUALIFY rnk <= 10
+"""
+
+
+@register("sim_ivf_join", oracle=_IVF_JOIN_SQL)
+def sim_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF ANN JOIN (operators/similarity.ivf_topk_join): top-10
+    within each query's 2 nearest cells, for every query at once — the
+    multi-query production shape of sim_ivf_topk. Assignment is a pure
+    map-side argmax over a broadcast centroid array (no per-row window,
+    unlike the single-query key); probes are an equi-join on cell;
+    per-query top-k is the two-stage salted rank. recall@k vs exact is
+    measured in SCALING.md (scripts/ann_recall.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), as_double_array("embedding").alias("qv")
+    )
+    cents = emb.filter(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        as_double_array("embedding").alias("cv"),
+    )
+    return S.ivf_topk_join(
+        emb, queries, "vec_id", "embedding", cents, k=10, nprobe=2
+    )
+
+
+_LSH_MULTIPROBE_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pl AS (SELECT CAST(vec_id AS INT) AS pid, v AS pv FROM e WHERE vec_id BETWEEN 1 AND 8),
+bk AS (
+  SELECT e.vec_id, e.v,
+         CAST(sum(CASE WHEN list_dot_product(e.v, pl.pv) > 0
+                       THEN 1 << CAST(pl.pid - 1 AS INT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM e CROSS JOIN pl GROUP BY e.vec_id, e.v
+),
+q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qbucket
+      FROM bk WHERE vec_id % 100 = 0),
+masks AS (SELECT * FROM (VALUES (0), (1), (2), (4), (8), (16), (32), (64), (128)) m(mask)),
+probes AS (SELECT q_id, qv, xor(qbucket, CAST(mask AS BIGINT)) AS bucket FROM q CROSS JOIN masks),
+scored AS (
+  SELECT p.q_id, b.vec_id,
+         round({_EMB_COS.format(a='b.v', b='p.qv')}, 6) AS cos_sim
+  FROM bk b JOIN probes p USING (bucket)
+)
+SELECT q_id, vec_id, cos_sim,
+  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rnk
+FROM scored
+QUALIFY rnk <= 10
+"""
+
+
+@register("sim_lsh_multiprobe", oracle=_LSH_MULTIPROBE_SQL)
+def sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch multiprobe LSH ANN (operators/similarity.lsh_topk_join):
+    top-10 from each query's own hyperplane bucket plus all 8 one-flip
+    buckets — the recall knob sim_lsh_bucketed lacks (a true neighbor
+    sitting one hyperplane away is recovered from the flip ring).
+    Bucket ids are map-side on both sides; the probe is an equi-join on
+    the 9 exploded probe buckets. recall-vs-flips measured in
+    SCALING.md."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), as_double_array("embedding").alias("qv")
+    )
+    planes = emb.filter(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").cast("int").alias("pid"), "embedding"
+    )
+    return S.lsh_topk_join(
+        emb, queries, "vec_id", "embedding", planes, "pid", 8, k=10, flips=1
     )
 
 
@@ -1370,8 +1478,8 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("stop_ratio") >= 0.05)
         )
         .select("doc_id", "text", "n_tok")
-        .localCheckpoint(eager=True)
     )
+    kept = pin(kept, label="corpus_kept")
     canon = (
         kept.groupBy(F.md5(F.lower("text")).alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))

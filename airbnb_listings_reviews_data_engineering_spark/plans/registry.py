@@ -90,6 +90,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # A third physical generation (millis, string, ...) must fail
+        # loudly here rather than flow downstream unnormalized.
+        final = df.schema["ts"].dataType.typeName()
+        if final != "timestamp":
+            raise TypeError(
+                f"unexpected events.ts physical type {ts_type!r} "
+                f"(normalized to {final!r}, want 'timestamp'); "
+                "add an explicit normalization branch for this generation"
+            )
         return df
     return spark.read.parquet(path)
 

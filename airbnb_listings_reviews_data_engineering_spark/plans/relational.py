@@ -10,22 +10,14 @@ identical ANSI SQL for DuckDB.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..sources.staging import staging_dir as _stage_dir  # noqa: F401 — shared root
 from .registry import load, register, register_views
-
-_STAGE_ROOT = os.path.join(tempfile.gettempdir(), "airbnb_spark_stage")
-
-
-def _stage_dir(key: str) -> str:
-    d = os.path.join(_STAGE_ROOT, key)
-    os.makedirs(_STAGE_ROOT, exist_ok=True)
-    return d
 
 
 # ---------------------------------------------------------------------------
@@ -796,21 +788,28 @@ FROM lineitem GROUP BY l_returnflag
 """,
 )
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact median: percentile_cont(0.5) WITHIN GROUP (Q3).
+    """Median per group: percentile_cont(0.5) WITHIN GROUP (Q3),
+    scale-guarded.
 
-    Reference: Airbnb_Analysis.py:89. Exact percentile (not
-    percentile_approx) — the oracle hash-match requires it; at 100 TB
-    swap to approx_percentile and accept the documented error bound.
+    Reference: Airbnb_Analysis.py:89. The exact/approx choice is
+    AUTOMATIC (functions/percentile.py): a count-only probe checks
+    whether any group exceeds ``spark.airbnb.percentile
+    .maxExactGroupRows``; within budget -> exact ``percentile`` (the
+    oracle hash-match needs exactness, and gate SF is far inside the
+    budget); beyond it -> ``approx_percentile`` with the documented
+    n/accuracy rank bound (plans/approx_ext.py), whose bounded
+    mergeable state is what 100 TB requires. The flip is visible in
+    the physical plan and pinned by tests/test_plan_quality.py.
     """
-    return (
-        load(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
-                "median_price"
-            )
-        )
+    from ..functions.percentile import guarded_percentile
+
+    out, _exact = guarded_percentile(
+        load(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        "l_extendedprice",
+        {"median_price": 0.5},
     )
+    return out
 
 
 @register(

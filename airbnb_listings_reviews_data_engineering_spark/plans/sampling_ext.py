@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..checkpoint import pin
+
 from ..functions.hashing import hash60, hash60_duckdb_sql
 from .registry import load, register
 
@@ -446,10 +448,12 @@ def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartitionByRange(n_parts, "hk", "doc_id")
         .sortWithinPartitions("hk", "doc_id")
         .withColumn("pid", F.spark_partition_id())
-        # shared by the offsets job and the final projection: compute the
-        # range shuffle once (at cluster scale: persist(DISK) instead)
-        .localCheckpoint(eager=True)
     )
+    # shared by the offsets job and the final projection: compute the
+    # range shuffle once; pin() tracks the blocks so the harness frees
+    # them between queries (release_pins) instead of accumulating
+    # per-invocation executor storage (ADVICE r2).
+    d = pin(d, label="epoch_shuffle")
 
     def enumerate_local(batches):
         seen = 0

@@ -19,14 +19,12 @@ PartitionFilters) so regressions are caught structurally, not by timing.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.staging import staging_root
 from .registry import load, register
-
-_STAGE_ROOT = os.path.join(tempfile.gettempdir(), "airbnb_spark_stage")
 
 
 def _sf_tag(sf_dir: str) -> str:
@@ -53,7 +51,7 @@ def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> None:
                 load(spark, sf_dir, src)
                 .write.bucketBy(8, key)
                 .sortBy(key)
-                .option("path", os.path.join(_STAGE_ROOT, tbl))
+                .option("path", os.path.join(staging_root(spark), tbl))
                 .mode("overwrite")
                 .saveAsTable(tbl)
             )
@@ -96,7 +94,7 @@ def src_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distributed analog of the reference's B-tree index lookups). At
     100 TB, partition-by-date + predicate = reading 1/365th of the data."""
     tag = _sf_tag(sf_dir)
-    staged = os.path.join(_STAGE_ROOT, f"events_by_type_{tag}")
+    staged = os.path.join(staging_root(spark), f"events_by_type_{tag}")
     if not os.path.exists(os.path.join(staged, "_SUCCESS")):
         load(spark, sf_dir, "events").write.partitionBy("event_type").mode(
             "overwrite"
@@ -118,7 +116,7 @@ def src_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines. Write with an explicit schema, read back schema-first (a
     schemaless JSON read over 100 TB costs a full inference scan)."""
     tag = _sf_tag(sf_dir)
-    staged = os.path.join(_STAGE_ROOT, f"docs_jsonl_{tag}")
+    staged = os.path.join(staging_root(spark), f"docs_jsonl_{tag}")
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     docs.write.mode("overwrite").json(staged)
     return spark.read.json(staged, schema=docs.schema).select(
@@ -134,7 +132,7 @@ def src_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source/sink roundtrip — second columnar format, same
     vectorized reader + predicate pushdown path as parquet."""
     tag = _sf_tag(sf_dir)
-    staged = os.path.join(_STAGE_ROOT, f"part_orc_{tag}")
+    staged = os.path.join(staging_root(spark), f"part_orc_{tag}")
     part = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
     part.write.mode("overwrite").orc(staged)
     return spark.read.orc(staged).select(
@@ -156,7 +154,7 @@ def src_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     tag = _sf_tag(sf_dir)
-    staged = os.path.join(_STAGE_ROOT, f"nation_dirty_{tag}")
+    staged = os.path.join(staging_root(spark), f"nation_dirty_{tag}")
     nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     nat.coalesce(1).write.mode("overwrite").option("header", True).csv(staged)
     # separate file, NOT an append: Spark's FileStatusCache pinned the
@@ -185,6 +183,53 @@ def src_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.filter(F.col("_corrupt_record").isNull())
         .select("n_nationkey", "n_name", "n_regionkey")
     )
+
+
+_CSV_MULTILINE_SPLIT_SQL = """
+SELECT doc_id, regexp_replace(text, ' ', chr(10), 'g') AS text_nl, lang
+FROM documents WHERE doc_id < 400
+"""
+
+
+@register("src_csv_multiline_split", oracle=_CSV_MULTILINE_SPLIT_SQL)
+def src_csv_multiline_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Splittable multiLine-CSV ingest via the re-chunk pre-pass
+    (sources/csv_rechunk.py — VERDICT r2 #5). The fixture turns every
+    document's spaces into embedded newlines, so every quoted field is
+    multi-line and the single-task multiLine parse is genuinely
+    exercised; the re-chunk lands it as n-way parquet, which is what
+    every downstream read scans — splittable even when the source was
+    ONE file. The single-task caveat of airbnb/etl.read_listings_csv is
+    thereby the handled case, not a docstring warning."""
+    from pyspark.sql import types as T
+
+    from ..sources.csv_rechunk import rechunk_multiline_csv
+
+    tag = _sf_tag(sf_dir)
+    staged_csv = os.path.join(staging_root(spark), f"docs_mlcsv_{tag}")
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select(
+            "doc_id",
+            F.regexp_replace("text", " ", "\n").alias("text_nl"),
+            "lang",
+        )
+    )
+    # ONE csv file -> the unsplittable worst case the re-chunk exists for
+    docs.coalesce(1).write.mode("overwrite").option("header", True).option(
+        "quote", '"'
+    ).option("escape", '"').csv(staged_csv)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text_nl", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    return rechunk_multiline_csv(
+        spark, staged_csv, schema, stage_key=f"docs_mlcsv_{tag}", partitions=8
+    ).select("doc_id", "text_nl", "lang")
 
 
 _THETA_ONLY_SQL = """

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..checkpoint import pin
+
 from ..streaming.ingest import (
     read_events_stream,
     run_available_now,
@@ -297,6 +299,7 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
         "sum_value",
-    ).localCheckpoint(eager=True)
+    )
+    out = pin(out, label="stream_late_data")
     shutil.rmtree(stream_dir, ignore_errors=True)
     return out

@@ -44,19 +44,39 @@ EVENTS_SCHEMA = events_schema(ts_nanos_long=False)
 
 
 def events_ts_is_nanos_long(path: str) -> bool:
-    """Probe the parquet footer (driver-side, no job) for the ts shape."""
+    """Probe the parquet footer (driver-side, no job) for the ts shape.
+
+    A directory is probed file-by-file: a stream source reads every file
+    with ONE explicit schema, so a drop dir mixing generations would have
+    the wrong-generation files silently mis-scaled (micros read as nanos
+    collapse to 1970). Mixed shapes therefore raise instead of guessing.
+    Footer reads are metadata-only, so probing all files stays cheap even
+    for thousands of parts.
+    """
     import pyarrow.parquet as pq
     import pyarrow.types as pat
+
+    def _is_nanos(one: str) -> bool:
+        t = pq.read_schema(one).field("ts").type
+        # TIMESTAMP(NANOS) surfaces as timestamp[ns] in pyarrow; Spark 4
+        # can only read it as a nanos long. Bare INT64 ts is nanos by
+        # contract.
+        return (not pat.is_timestamp(t)) or t.unit == "ns"
 
     if os.path.isdir(path):
         parts = [p for p in sorted(os.listdir(path)) if p.endswith(".parquet")]
         if not parts:
             return False
-        path = os.path.join(path, parts[0])
-    t = pq.read_schema(path).field("ts").type
-    # TIMESTAMP(NANOS) surfaces as timestamp[ns] in pyarrow; Spark 4 can
-    # only read it as a nanos long. A bare INT64 ts is nanos by contract.
-    return (not pat.is_timestamp(t)) or t.unit == "ns"
+        shapes = {p: _is_nanos(os.path.join(path, p)) for p in parts}
+        if len(set(shapes.values())) > 1:
+            raise ValueError(
+                "mixed events.ts parquet generations in one drop directory "
+                f"(nanos-long and micros-timestamp files together): {shapes}. "
+                "A stream source applies one schema to all files; split the "
+                "directory by generation."
+            )
+        return next(iter(shapes.values()))
+    return _is_nanos(path)
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:

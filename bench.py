@@ -18,6 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from airbnb_listings_reviews_data_engineering_spark.checkpoint import release_pins  # noqa: E402
 from airbnb_listings_reviews_data_engineering_spark.plans import all_queries  # noqa: E402
 from airbnb_listings_reviews_data_engineering_spark.session import get_spark  # noqa: E402
 
@@ -37,6 +38,11 @@ HEADLINE = [
     "win_topk_per_group", # per-group top-k window
     "join_asof",          # as-of join (union-window formulation)
     "sessionize",         # gap-based sessionization
+    # round-3 breadth (VERDICT r2 #7): regression-track the r2 families
+    "dedup_ngram_jaccard",# AllPairs prefix-filtered exact-Jaccard pairs
+    "sink_scd2",          # type-2 history fold over the version layer
+    "sample_temperature", # temperature-weighted domain sampling
+    "sim_ivf_join",       # batch IVF ANN probe (multi-query, salted topk)
 ]
 
 
@@ -57,6 +63,7 @@ def main() -> None:
                 qs[key].fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
             except Exception:  # noqa: BLE001 — warm-up is best-effort
                 pass
+        release_pins(spark)
 
     # min-of-N per query (default 2): the shared box has ~15 % run-to-run
     # noise; the minimum is the least-interfered measurement of the same
@@ -70,6 +77,7 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            release_pins(spark)  # free checkpoint blocks between reps
         timings[key] = round(best, 3)
 
     print(

@@ -66,7 +66,7 @@ SECTIONS = [
         "stream_late_data"]),
     ("Similarity search (north star)", [
         "sim_cosine_topk", "sim_cosine_topk_pandas", "sim_lsh_bucketed",
-        "sim_ivf_topk", "sim_knn_join", "emb_label_centroid",
+        "sim_ivf_topk", "sim_ivf_join", "sim_lsh_multiprobe", "sim_knn_join", "emb_label_centroid",
         "emb_quantize"]),
     ("Text analysis (north star)", [
         "text_lang_id", "text_quality_score", "text_token_count",
@@ -89,7 +89,7 @@ SECTIONS = [
         "grouped_pandas_zscore", "cogrouped_pandas_asof", "udtf_json_kv"]),
     ("Iterative algorithms", ["ml_kmeans"]),
     ("Composite pipelines (full Q1/Q5 shapes, one plan)", [
-        "pipeline_q1_analog", "pipeline_q5_analog",
+        "pipeline_q1_analog", "pipeline_q5_analog", "pipeline_q6_analog",
         "pipeline_dedup_corpus", "pipeline_quality_filter",
         "pipeline_decontaminate", "pipeline_corpus_prep"]),
 ]

@@ -18,6 +18,9 @@ import duckdb
 sys.path.insert(0, "/root/repo")
 
 from __spark_entry__ import oracle_sql, queries  # noqa: E402
+from airbnb_listings_reviews_data_engineering_spark.checkpoint import (  # noqa: E402
+    release_pins,
+)
 from airbnb_listings_reviews_data_engineering_spark.plans.registry import (  # noqa: E402
     TABLES,
 )
@@ -83,6 +86,11 @@ def main() -> int:
             failures.append((key, f"SPARK ERROR: {e}"))
             print(f"FAIL {key}: spark error: {e}")
             continue
+        finally:
+            # result fully collected (or failed) — free any checkpoint
+            # blocks this query pinned, so 182 queries in one session
+            # don't accumulate executor storage (ADVICE r2)
+            release_pins(spark)
         if key not in oracles:
             print(f"ok   {key}: rows-only ({len(srows)} rows)")
             continue

@@ -205,6 +205,18 @@ def main() -> None:
             f"{r[10]:.2f} |"
         )
     out = "\n".join(lines) + "\n\n" + STATIC_SECTIONS
+    # preserve the marker-delimited sections other scripts maintain
+    # (scripts/ann_recall.py, scripts/dedup_quality.py)
+    try:
+        with open("/root/repo/SCALING.md") as f:
+            old = f.read()
+        for mark in ("ANN_RECALL", "DEDUP_QUALITY"):
+            start, end = f"<!-- {mark}_START -->", f"<!-- {mark}_END -->"
+            if start in old and end in old:
+                block = start + old.split(start)[1].split(end)[0] + end + "\n"
+                out = out.rstrip() + "\n\n" + block
+    except FileNotFoundError:
+        pass
     with open("/root/repo/SCALING.md", "w") as f:
         f.write(out)
     print(out)

@@ -1,0 +1,146 @@
+"""Durable-checkpoint helper (checkpoint.pin) and staging-root config.
+
+Covers the three durability modes, the release/release_pins storage
+cleanup (ADVICE r2: repeated invocations must not accumulate executor
+storage), and that iterative operators still converge under each mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbnb_listings_reviews_data_engineering_spark.checkpoint import (
+    MODE_CONF,
+    checkpoint_mode,
+    pin,
+    release,
+    release_pins,
+)
+from airbnb_listings_reviews_data_engineering_spark.operators.dedup import (
+    connected_components,
+)
+from airbnb_listings_reviews_data_engineering_spark.sources.staging import (
+    ROOT_CONF,
+    staging_dir,
+    staging_root,
+)
+
+
+@pytest.fixture()
+def mode_conf(spark):
+    """Drain pins left by earlier test modules (storage accounting here
+    must start from a clean slate) and restore the mode conf after."""
+    release_pins(spark)
+    yield
+    spark.conf.unset(MODE_CONF)
+    release_pins(spark)
+
+
+def _stored_rdd_count(spark) -> int:
+    return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+
+def test_local_mode_pins_and_releases(spark, mode_conf):
+    before = _stored_rdd_count(spark)
+    df = pin(spark.range(1000).withColumn("v", F.col("id") * 2))
+    assert df.count() == 1000
+    assert _stored_rdd_count(spark) > before
+    assert release_pins(spark) >= 1
+    assert _stored_rdd_count(spark) == before
+
+
+def test_release_single_pin(spark, mode_conf):
+    before = _stored_rdd_count(spark)
+    a = pin(spark.range(10))
+    b = pin(spark.range(20))
+    assert a.count() == 10 and b.count() == 20
+    release(a)
+    # b's blocks survive a's release
+    assert b.count() == 20
+    release(b)
+    assert _stored_rdd_count(spark) == before
+
+
+def test_reliable_mode_writes_checkpoint_files(spark, mode_conf, tmp_path):
+    spark.conf.set(MODE_CONF, "reliable")
+    assert checkpoint_mode(spark) == "reliable"
+    sc = spark.sparkContext
+    if sc._jsc.sc().checkpointDir().isEmpty():
+        sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    df = pin(spark.range(500).withColumn("v", F.col("id") + 1))
+    assert df.count() == 500
+    ckpt_root = sc._jsc.sc().checkpointDir().get().replace("file:", "")
+    files = [
+        os.path.join(d, f)
+        for d, _sub, fs in os.walk(ckpt_root)
+        for f in fs
+        if f.startswith("part-")
+    ]
+    assert files, "reliable mode must write checkpoint part files"
+    # releasing only drops executor blocks; durable files remain the
+    # recompute path, so the frame stays usable
+    release_pins(spark)
+    assert df.count() == 500
+
+
+def test_parquet_mode_stages_and_cleans(spark, mode_conf, tmp_path):
+    spark.conf.set(MODE_CONF, "parquet")
+    spark.conf.set(ROOT_CONF, str(tmp_path))
+    try:
+        df = pin(spark.range(100).withColumn("v", F.col("id") % 7), label="t")
+        assert df.count() == 100
+        pins_dir = tmp_path / "_pins"
+        assert any(pins_dir.iterdir())
+        release_pins(spark)
+        assert not any(pins_dir.iterdir())
+    finally:
+        spark.conf.unset(ROOT_CONF)
+
+
+def test_bad_mode_raises(spark, mode_conf):
+    spark.conf.set(MODE_CONF, "bogus")
+    with pytest.raises(ValueError, match="bogus"):
+        pin(spark.range(1))
+
+
+@pytest.mark.parametrize("mode", ["local", "reliable", "parquet"])
+def test_connected_components_under_each_mode(spark, mode_conf, tmp_path, mode):
+    spark.conf.set(MODE_CONF, mode)
+    if mode == "parquet":
+        spark.conf.set(ROOT_CONF, str(tmp_path))
+    if mode == "reliable" and spark.sparkContext._jsc.sc().checkpointDir().isEmpty():
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        # path graph 1-2-3-4 plus isolated pair 9-10: two components
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (9, 10)], "doc_a long, doc_b long"
+        )
+        got = {
+            (r.node, r.component)
+            for r in connected_components(pairs).collect()
+        }
+        assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (9, 9), (10, 9)}
+    finally:
+        if mode == "parquet":
+            spark.conf.unset(ROOT_CONF)
+
+
+def test_staging_root_conf_override(spark, tmp_path):
+    spark.conf.set(ROOT_CONF, str(tmp_path / "stage"))
+    try:
+        assert staging_root(spark) == str(tmp_path / "stage")
+        assert staging_dir("k", spark) == str(tmp_path / "stage" / "k")
+        # active-session fallback picks up the same conf
+        assert staging_root(None) == str(tmp_path / "stage")
+    finally:
+        spark.conf.unset(ROOT_CONF)
+
+
+def test_staging_root_env_override(spark, monkeypatch, tmp_path):
+    from airbnb_listings_reviews_data_engineering_spark.sources import staging
+
+    monkeypatch.setenv(staging.ROOT_ENV, str(tmp_path / "envstage"))
+    assert staging_root(spark) == str(tmp_path / "envstage")

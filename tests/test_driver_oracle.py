@@ -56,10 +56,17 @@ def _canon(rows, cols):
 
 @pytest.mark.parametrize("key", sorted(QUERIES))
 def test_query_matches_oracle(key, spark, duck):
+    from airbnb_listings_reviews_data_engineering_spark.checkpoint import release_pins
+
     spec = QUERIES[key]
-    sdf = spec.fn(spark, SF_DIR)
-    srows = sdf.collect()
-    scols = sdf.columns
+    try:
+        sdf = spec.fn(spark, SF_DIR)
+        srows = sdf.collect()
+        scols = sdf.columns
+    finally:
+        # collected — free this query's checkpoint blocks so the 182-case
+        # sweep doesn't accumulate executor storage across cases
+        release_pins(spark)
     if spec.oracle is None:
         # rows-only check, like the driver's weaker path
         assert len(srows) >= 0

@@ -73,6 +73,73 @@ def test_batch_load_normalizes_both_generations(spark, tmp_path, unit):
     }
 
 
+def test_mixed_generation_drop_dir_raises(tmp_path):
+    """A drop directory mixing nanos-long and micros-timestamp files must
+    fail loudly: one stream schema would silently mis-scale the other
+    generation (micros read as nanos collapse to 1970) — ADVICE r2."""
+    d = tmp_path / "mixed"
+    d.mkdir()
+    ns = _write_events(str(d), "ns")
+    import shutil
+
+    shutil.move(ns, str(d / "a_ns.parquet"))
+    us = _write_events(str(d), "us")
+    shutil.move(us, str(d / "b_us.parquet"))
+    with pytest.raises(ValueError, match="mixed events.ts"):
+        events_ts_is_nanos_long(str(d))
+
+
+def test_homogeneous_multifile_dir_probes_all_files(tmp_path):
+    d = tmp_path / "homo"
+    d.mkdir()
+    import shutil
+
+    p = _write_events(str(d), "ns")
+    shutil.copy(p, str(d / "part-1.parquet"))
+    assert events_ts_is_nanos_long(str(d)) is True
+
+
+def test_registry_rejects_unknown_third_generation(spark, tmp_path):
+    """A hypothetical third physical shape (millis) must raise in
+    registry.load instead of flowing downstream unnormalized — ADVICE r2."""
+    d = tmp_path / "ms"
+    d.mkdir()
+    table = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([_ROWS[0][1]], pa.timestamp("ms")),
+            "user_id": pa.array([1], pa.int64()),
+            "event_type": pa.array(["click"], pa.string()),
+            "value": pa.array([1.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    )
+    pq.write_table(
+        table, f"{d}/events.parquet", version="2.6", coerce_timestamps=None
+    )
+    # Spark reads TIMESTAMP(MILLIS) as a plain session-TZ timestamp, which
+    # normalizes fine — so emulate a genuinely alien shape: string ts.
+    alien = tmp_path / "alien"
+    alien.mkdir()
+    t2 = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array(["2024-01-01"], pa.string()),
+            "user_id": pa.array([1], pa.int64()),
+            "event_type": pa.array(["click"], pa.string()),
+            "value": pa.array([1.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    )
+    pq.write_table(t2, f"{alien}/events.parquet")
+    from airbnb_listings_reviews_data_engineering_spark.plans.registry import (
+        load as reg_load,
+    )
+
+    with pytest.raises(TypeError, match="unexpected events.ts"):
+        reg_load(spark, str(alien), "events")
+
+
 @pytest.mark.parametrize("unit", ["ns", "us"])
 def test_stream_read_matches_batch_load(spark, tmp_path, unit):
     d = tmp_path / unit

@@ -124,3 +124,44 @@ def test_hll_rollup_merges_sketches(spark, sf_dir):
     # union-merge per priority — never a re-scan of raw values
     plan = _plan(spark, sf_dir, "agg_hll_sketch_rollup")
     assert "hll_union_agg" in plan or "hll_sketch_agg" in plan, plan[:2000]
+
+
+def test_percentile_guard_flips_exact_to_approx(spark, sf_dir):
+    """The guarded percentile (functions/percentile.py) must pick the
+    exact aggregate at gate SF (every group inside the budget) and flip
+    to approx_percentile when the budget shrinks below the group size —
+    the automatic exact->approx switch VERDICT r2 asked for, visible in
+    the physical plan."""
+    from airbnb_listings_reviews_data_engineering_spark.functions.percentile import (
+        GUARD_CONF,
+    )
+
+    plan_default = _plan(spark, sf_dir, "agg_percentile")
+    assert "percentile(" in plan_default
+    assert "percentile_approx" not in plan_default
+    spark.conf.set(GUARD_CONF, "10")  # sf0.001 lineitem groups >> 10 rows
+    try:
+        plan_small = _plan(spark, sf_dir, "agg_percentile")
+        assert "percentile_approx" in plan_small
+        # agg_quantiles rides the same guard (cont + disc forms)
+        plan_q = _plan(spark, sf_dir, "agg_quantiles")
+        assert "percentile_approx" in plan_q
+        assert "percentile_disc" not in plan_q
+    finally:
+        spark.conf.unset(GUARD_CONF)
+
+
+def test_percentile_probe_is_count_only(spark, sf_dir):
+    """The guard's oversized-group probe must be a plain count
+    aggregation with an existence short-circuit — no value buffering."""
+    from airbnb_listings_reviews_data_engineering_spark.functions.percentile import (
+        exact_fits,
+    )
+    from airbnb_listings_reviews_data_engineering_spark.plans.registry import load
+
+    li = load(spark, sf_dir, "lineitem")
+    assert exact_fits(li, ["l_returnflag"], "l_extendedprice") is True
+    assert (
+        exact_fits(li, ["l_returnflag"], "l_extendedprice", threshold=10)
+        is False
+    )

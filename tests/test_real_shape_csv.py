@@ -237,3 +237,25 @@ def test_q1_through_q6_run_e2e(spark, clean, fixture_dirs):
     assert [r.city for r in q4] == ["Washington"]  # 100 < 300; Arlington has no pair
     q6 = analysis.q6_automated_posting_reviews(docs).collect()
     assert len(q6) == 1 and q6[0].id == 103 and q6[0].cancel_days == 5
+
+
+def test_splittable_reader_matches_direct_reader(spark, fixture_dirs, tmp_path):
+    """read_listings_csv_splittable must produce the SAME rows as the
+    direct multiLine reader (same 61-column select + try_cast), with the
+    raw landing staged as splittable parquet under the staging root."""
+    from airbnb_listings_reviews_data_engineering_spark.sources.staging import (
+        ROOT_CONF,
+    )
+
+    listings, _ = fixture_dirs
+    spark.conf.set(ROOT_CONF, str(tmp_path))
+    try:
+        direct = etl.clean_listings(etl.read_listings_csv(spark, listings))
+        split = etl.clean_listings(
+            etl.read_listings_csv_splittable(spark, listings, stage_key="realshape")
+        )
+        d = sorted(map(tuple, direct.collect()))
+        s = sorted(map(tuple, split.collect()))
+        assert d == s
+    finally:
+        spark.conf.unset(ROOT_CONF)
