@@ -31,21 +31,32 @@ from pyspark.sql import functions as F
 GUARD_CONF = "spark.airbnb.percentile.maxExactGroupRows"
 DEFAULT_MAX_EXACT_GROUP_ROWS = 10_000_000
 
+# (cache_key, threshold) -> probe verdict. Sound only for immutable
+# inputs (the registered queries read fixed per-sf_dir parquet); callers
+# with mutable inputs simply omit cache_key and re-probe each time.
+_PROBE_CACHE: dict[tuple, bool] = {}
+
 
 def exact_fits(
     df: DataFrame,
     group_cols: list[str],
     value_col: str,
     threshold: int | None = None,
+    cache_key: tuple | None = None,
 ) -> bool:
     """True iff every group's value count is within the exact-percentile
     buffer budget. One aggregation + existence probe; never buffers
-    values and never collects a result set."""
+    values and never collects a result set. ``cache_key`` memoizes the
+    verdict for immutable inputs (table statistics, in effect) so
+    repeated plan builds don't re-pay the probe scan."""
     spark = df.sparkSession
     if threshold is None:
         threshold = int(
             spark.conf.get(GUARD_CONF, str(DEFAULT_MAX_EXACT_GROUP_ROWS))
         )
+    memo = (cache_key, threshold) if cache_key is not None else None
+    if memo is not None and memo in _PROBE_CACHE:
+        return _PROBE_CACHE[memo]
     oversized = (
         df.groupBy(*group_cols)
         .agg(F.count(value_col).alias("n"))
@@ -53,7 +64,10 @@ def exact_fits(
         .limit(1)
         .count()
     )
-    return oversized == 0
+    fits = oversized == 0
+    if memo is not None:
+        _PROBE_CACHE[memo] = fits
+    return fits
 
 
 def percentile_expr(p: float, value_col: str, exact: bool, accuracy: int = 10000) -> Column:
@@ -72,6 +86,7 @@ def guarded_percentile(
     accuracy: int = 10000,
     decimals: int = 4,
     exact: bool | None = None,
+    cache_key: tuple | None = None,
 ) -> tuple[DataFrame, bool]:
     """Grouped percentile(s) with the exact/approx choice made from the
     data. ``quantiles`` maps output alias -> quantile. Returns
@@ -79,7 +94,7 @@ def guarded_percentile(
     already-computed probe verdict (one probe can guard several
     aggregations over the same grouping)."""
     if exact is None:
-        exact = exact_fits(df, group_cols, value_col, threshold)
+        exact = exact_fits(df, group_cols, value_col, threshold, cache_key)
     aggs = [
         F.round(percentile_expr(p, value_col, exact, accuracy), decimals).alias(a)
         for a, p in quantiles.items()

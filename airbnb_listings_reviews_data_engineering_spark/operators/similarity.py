@@ -158,7 +158,7 @@ def _centroid_array(centroids: DataFrame) -> DataFrame:
     )
 
 
-def _cell_scores(vec: Column, tie_asc: bool = True) -> Column:
+def _cell_scores(vec: Column) -> Column:
     """transform(cents, c -> struct(score, tiebreak, cell)) — lexicographic
     struct ordering gives argmax-by-score with ascending-cell tie-break."""
     return F.transform(

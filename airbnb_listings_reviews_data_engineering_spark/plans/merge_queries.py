@@ -20,6 +20,21 @@ from ..checkpoint import pin
 from ..operators.merge import merge_full_outer, merge_scd2, upsert_snapshot
 from .registry import load, register
 
+
+def _scratch_dir(spark, key: str) -> str:
+    """Per-run scratch under the configurable staging root: on a cluster
+    every executor must see the path (local mkdtemp would not be), and
+    the root is dist-FS-configurable (sources/staging.py). Callers
+    remove the directory in their `finally`."""
+    import os
+    import uuid
+
+    from ..sources.staging import staging_root
+
+    d = os.path.join(staging_root(spark), "scratch", f"{key}_{uuid.uuid4().hex[:12]}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
 _JDBC_UPSERT_SQL = """
 WITH base AS (
   SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 4 <> 0
@@ -235,7 +250,6 @@ def inc_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     result, so the hash-match IS the convergence proof.
     """
     import shutil
-    import tempfile
     from functools import reduce
 
     from ..sources.atomic import publish_parquet, read_published
@@ -248,7 +262,7 @@ def inc_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal", F.col("c_acctbal") + 100.0
     )
     sinks = range(4)  # vertical fan-out, like the reference's 6 tables
-    out = tempfile.mkdtemp(prefix="inc_retry_")
+    out = _scratch_dir(spark, "inc_retry")
     try:
 
         def write_sink(i: int, part: DataFrame) -> None:
@@ -314,7 +328,6 @@ def table_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     one full-outer join over the retained snapshots — the incremental-
     consumption path that saves downstream 100 TB re-reads."""
     import shutil
-    import tempfile
 
     from ..operators.merge import upsert_snapshot
     from ..sources.atomic import diff_versions, publish_parquet
@@ -329,7 +342,7 @@ def table_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = upsert_snapshot(v1, upd, ["o_orderkey"]).filter(
         F.col("o_orderkey") % 7 != 0
     )
-    out = tempfile.mkdtemp(prefix="changes_")
+    out = _scratch_dir(spark, "changes")
     try:
         target = f"{out}/orders_versioned"
         publish_parquet(v1, target)
@@ -355,7 +368,6 @@ def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     change). File-count reduction is asserted in
     tests/test_atomic_publish.py::test_compaction_reduces_files."""
     import shutil
-    import tempfile
 
     from ..sources.atomic import publish_parquet, read_published
     from ..sources.parquet import compact_published
@@ -363,7 +375,7 @@ def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    out = tempfile.mkdtemp(prefix="compact_")
+    out = _scratch_dir(spark, "compact")
     try:
         target = f"{out}/orders_frag"
         publish_parquet(o.repartition(64), target)

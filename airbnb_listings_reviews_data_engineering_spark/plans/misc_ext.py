@@ -721,7 +721,12 @@ def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").select(
         F.col("c_mktsegment").alias("segment"), "c_acctbal"
     )
-    exact = exact_fits(cust, ["segment"], "c_acctbal")
+    exact = exact_fits(
+        cust,
+        ["segment"],
+        "c_acctbal",
+        cache_key=(sf_dir, "customer", "segment", "c_acctbal"),
+    )
     out, _ = guarded_percentile(
         cust,
         ["segment"],

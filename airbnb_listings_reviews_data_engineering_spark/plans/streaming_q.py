@@ -248,7 +248,6 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import os
     import shutil
-    import tempfile
     import uuid
 
     from ..streaming.ingest import EVENTS_SCHEMA
@@ -270,8 +269,10 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ]
+    from ..sources.staging import staging_root
+
     stream_dir = os.path.join(
-        tempfile.gettempdir(), "airbnb_spark_late", uuid.uuid4().hex[:12]
+        staging_root(spark), "scratch", f"late_{uuid.uuid4().hex[:12]}"
     )
     os.makedirs(stream_dir)
     for i, (name, df) in enumerate(batches):
