@@ -474,7 +474,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_JOIN_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 c AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8),
-q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0 AND vec_id < 2005),
 scored AS (
   SELECT e.vec_id, e.v, c.cell,
          round({_EMB_COS.format(a='e.v', b='c.cv')}, 6) AS cos_c
@@ -516,10 +516,12 @@ def sim_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-query production shape of sim_ivf_topk. Assignment is a pure
     map-side argmax over a broadcast centroid array (no per-row window,
     unlike the single-query key); probes are an equi-join on cell;
-    per-query top-k is the two-stage salted rank. recall@k vs exact is
-    measured in SCALING.md (scripts/ann_recall.py)."""
+    per-query top-k is the two-stage salted rank. The query set is
+    CAPPED (vec_id < 2005) so the broadcast side stays fixed at any SF
+    — the sim_knn_join lesson. recall@k vs exact is measured in
+    SCALING.md (scripts/ann_recall.py)."""
     emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+    queries = emb.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2005)).select(
         F.col("vec_id").alias("q_id"), as_double_array("embedding").alias("qv")
     )
     cents = emb.filter(F.col("vec_id").between(1, 8)).select(
@@ -541,7 +543,7 @@ bk AS (
   FROM e CROSS JOIN pl GROUP BY e.vec_id, e.v
 ),
 q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qbucket
-      FROM bk WHERE vec_id % 100 = 0),
+      FROM bk WHERE vec_id % 100 = 0 AND vec_id < 2005),
 masks AS (SELECT * FROM (VALUES (0), (1), (2), (4), (8), (16), (32), (64), (128)) m(mask)),
 probes AS (SELECT q_id, qv, xor(qbucket, CAST(mask AS BIGINT)) AS bucket FROM q CROSS JOIN masks),
 scored AS (
@@ -566,7 +568,7 @@ def sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 9 exploded probe buckets. recall-vs-flips measured in
     SCALING.md."""
     emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+    queries = emb.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2005)).select(
         F.col("vec_id").alias("q_id"), as_double_array("embedding").alias("qv")
     )
     planes = emb.filter(F.col("vec_id").between(1, 8)).select(

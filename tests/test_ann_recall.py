@@ -79,6 +79,28 @@ def test_ivf_full_probe_is_exact(ann_fixture):
     assert _recall(rows, gt) == 1.0
 
 
+def test_ivf_full_probe_exact_with_learned_centroids(ann_fixture, spark, sf_dir):
+    """The nprobe=K exactness invariant must hold for ANY centroid set,
+    including Lloyd-learned ones (scripts/ann_recall.py's real-IVF rows)
+    — probing every cell is brute force regardless of where the cells
+    came from."""
+    from airbnb_listings_reviews_data_engineering_spark.operators.clustering import (
+        kmeans_fixed,
+    )
+
+    emb, queries, cents, planes, gt = ann_fixture
+    dims = len(emb.select("embedding").first()[0])
+    km = kmeans_fixed(emb, "vec_id", "embedding", k=8, dims=dims, iters=2)
+    km_cents = km.select(
+        F.col("cid").cast("int").alias("cell"),
+        F.array(*[F.col(f"c{d + 1}") for d in range(dims)]).alias("cv"),
+    )
+    rows = S.ivf_topk_join(
+        emb, queries, "vec_id", "embedding", km_cents, k=K, nprobe=8
+    ).collect()
+    assert _recall(rows, gt) == 1.0
+
+
 def test_lsh_multiprobe_recall_floor_and_monotone(ann_fixture):
     emb, queries, cents, planes, gt = ann_fixture
     floors = {0: 0.03, 1: 0.08, 2: 0.20}
