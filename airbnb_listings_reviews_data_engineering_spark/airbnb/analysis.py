@@ -89,17 +89,26 @@ def q2_washington_apartments(
 def q3_bnb_median_price(
     hotel_location: DataFrame, hotel_facilities: DataFrame, price_info: DataFrame
 ) -> DataFrame:
-    """Q3 (Airbnb_Analysis.py:84-97): B&B count + EXACT median price per
-    city (percentile_cont 0.5 — exact, not approx, for oracle parity)."""
-    return (
+    """Q3 (Airbnb_Analysis.py:84-97): B&B count + median price per city.
+
+    Scale-guarded median (functions/percentile.py): exact
+    percentile_cont(0.5) while every city's B&B count fits the
+    aggregation-buffer budget (it always does at reference scale, so
+    reference parity is preserved), flipping to approx_percentile past
+    the conf threshold — grouped-by-city exact percentile was the one
+    reference query shape that could OOM a 100x run."""
+    from ..functions.percentile import exact_fits, percentile_expr
+
+    bnb = (
         hotel_location.join(hotel_facilities, "id")
         .join(price_info, "id")
         .filter(F.col("property_type") == "Bed & Breakfast")
-        .groupBy("city")
-        .agg(
-            F.count("property_type").alias("bed_breakfast"),
-            F.expr("percentile(CAST(price AS DOUBLE), 0.5)").alias("median_price"),
-        )
+        .withColumn("price_d", F.col("price").cast("double"))
+    )
+    exact = exact_fits(bnb, ["city"], "price_d")
+    return bnb.groupBy("city").agg(
+        F.count("property_type").alias("bed_breakfast"),
+        percentile_expr(0.5, "price_d", exact).alias("median_price"),
     )
 
 

@@ -702,6 +702,73 @@ GROUP BY a.event_id
 """
 
 
+_INTERVAL_OVERLAP_SQL = """
+WITH c AS (
+  SELECT event_id AS a_id, CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events WHERE event_type = 'click'
+),
+v AS (
+  SELECT event_id AS b_id, CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events WHERE event_type = 'view'
+)
+SELECT c.a_id, count(*) AS n_overlap,
+       sum(7200 - abs(c.s - v.s)) AS overlap_sec
+FROM c JOIN v ON abs(c.s - v.s) < 7200
+GROUP BY c.a_id
+"""
+
+
+@register("join_interval_overlap", oracle=_INTERVAL_OVERLAP_SQL)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join with NO equi key, via bucket banding — the
+    pure-range case join_range's docstring deferred, implemented.
+
+    Each click/view event carries the half-open 2 h interval
+    [ts, ts+2h); output = per click, the count of overlapping view
+    intervals and their total overlap seconds. The oracle states the
+    pure theta semantics (|Δ| < 7200); THIS plan never evaluates a
+    cross product: each interval explodes to the (exactly two)
+    width-2h buckets it touches, candidates come from an EQUI-join on
+    the bucket id — any overlapping pair shares at least one bucket
+    when the bucket width >= the interval length, so banding is
+    lossless — then the exact overlap predicate verifies candidates
+    and `distinct` collapses pairs that met in both buckets. Bucket
+    population is bounded by events-per-2h (time-uniform data -> no
+    hot keys); at 100 TB the bucket id becomes the shuffle/partition
+    key and skewed hours fall to AQE skew-split or salting.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("s"),
+    )
+
+    def banded(df: DataFrame, id_alias: str) -> DataFrame:
+        return df.select(
+            F.col("event_id").alias(id_alias),
+            F.col("s").alias(f"{id_alias}_s"),
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("s") / 7200),
+                    F.floor((F.col("s") + 7200) / 7200),
+                )
+            ).alias("bkt"),
+        )
+
+    clicks = banded(ev.filter(F.col("event_type") == "click"), "a_id")
+    views = banded(ev.filter(F.col("event_type") == "view"), "b_id")
+    pairs = (
+        clicks.join(views, "bkt")
+        .filter(F.abs(F.col("a_id_s") - F.col("b_id_s")) < 7200)
+        .select("a_id", "b_id", "a_id_s", "b_id_s")
+        .distinct()  # a pair can meet in both of its shared buckets
+    )
+    return pairs.groupBy("a_id").agg(
+        F.count("*").alias("n_overlap"),
+        F.sum(7200 - F.abs(F.col("a_id_s") - F.col("b_id_s"))).alias("overlap_sec"),
+    )
+
+
 @register("join_range", oracle=_RANGE_JOIN_SQL)
 def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: each event joined to the same user's events in the

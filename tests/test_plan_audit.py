@@ -25,6 +25,7 @@ RISK_KEYS = sorted(
         # blocked self-joins — must never go cartesian
         "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
         "dedup_embedding_cosine", "pipeline_dedup_corpus",
+        "join_interval_overlap",
         # python-bearing — must be Arrow, never row-pickling
         "udtf_json_kv", "grouped_pandas_zscore", "cogrouped_pandas_asof",
         "sim_cosine_topk_pandas", "mm_binary_meta", "mm_frame_sample",

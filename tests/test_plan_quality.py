@@ -165,3 +165,11 @@ def test_percentile_probe_is_count_only(spark, sf_dir):
         exact_fits(li, ["l_returnflag"], "l_extendedprice", threshold=10)
         is False
     )
+
+
+def test_interval_overlap_join_is_banded_equi(spark, sf_dir):
+    """The pure-range interval-overlap join must candidate-generate via
+    the bucket equi-join — never a nested-loop/cartesian theta join."""
+    plan = _plan(spark, sf_dir, "join_interval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
