@@ -338,6 +338,60 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dup_pairs(corpus, "vec_id", "v", "label", threshold=0.99)
 
 
+_EMB_LSH_DEDUP_SQL = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, [v[1] + 0.01] || v[2:] AS v FROM base
+),
+pl AS (SELECT CAST(vec_id AS INT) AS pid, v AS pv FROM base WHERE vec_id BETWEEN 1 AND 8),
+bk AS (
+  SELECT c.vec_id, c.v,
+         CAST(sum(CASE WHEN list_dot_product(c.v, pl.pv) > 0
+                       THEN 1 << CAST(pl.pid - 1 AS INT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM corpus c CROSS JOIN pl GROUP BY c.vec_id, c.v
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_EMB_COS.format(a='a.v', b='b.v')}, 4) AS cos_sim
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({_EMB_COS.format(a='a.v', b='b.v')}, 4) >= 0.99
+"""
+
+
+@register("dedup_embedding_lsh", oracle=_EMB_LSH_DEDUP_SQL)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked by a DATA-DERIVED key:
+    the 8-hyperplane sign-LSH bucket, not the label column
+    (`dedup_embedding_cosine`'s block stands in for this; here the
+    blocking key is computed from the vectors themselves — the form a
+    100 TB corpus with no labels actually runs). Bucket id is a
+    map-side expression; candidates come from the bucket equi-join
+    (1/2^8 of the corpus per bucket on average); JVM-side cosine
+    verifies. A true near-dup pair can straddle one hyperplane — the
+    recall knob is the multiprobe flip ring (sim_lsh_multiprobe),
+    measured in SCALING.md; the oracle states the identical bucket
+    semantics so the gate checks implementation, recall is measured
+    separately."""
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    perturbed = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("v", 1) + 0.01), F.slice("v", 2, 63)
+        ).alias("v"),
+    )
+    corpus = base.unionByName(perturbed)
+    planes = base.filter(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").cast("int").alias("pid"), "v"
+    )
+    bucketed = S.with_lsh_bucket(corpus, "vec_id", "v", planes, "pid", 8)
+    return D.embedding_near_dup_pairs(
+        bucketed, "vec_id", "v", "bucket", threshold=0.99
+    )
+
+
 # --- similarity search -------------------------------------------------------
 
 _TOPK_SQL = f"""

@@ -28,6 +28,7 @@ SECTIONS = [
         "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
         "dedup_embedding_cosine", "dedup_components",
         "dedup_cluster_stats", "dedup_keep_best", "dedup_shared_spans",
+        "dedup_embedding_lsh",
         "dedup_incremental"]),
     ("Joins (§2.4 + extensions)", [
         "join_eq2", "join_eq3", "join_semi_inlist", "join_agg_agg",
