@@ -145,3 +145,43 @@ def rolling_hash_fingerprint(
         F.expr(doc_hash).alias("doc_hash"),
         F.expr(min_kgram).alias("min_kgram_hash"),
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk: int = 50,
+    stride: int = 25,
+) -> DataFrame:
+    """Sliding-window document chunking — the step between corpus
+    cleaning and tokenized training shards: long documents split into
+    ``chunk``-token windows every ``stride`` tokens (overlap =
+    chunk - stride preserves context across boundaries).
+
+    Pure column expressions: sequence(1, n_tok, stride) explodes to the
+    window starts, slice() cuts each window — map-side only, no shuffle,
+    no Python; a 100 TB corpus chunks in one narrow pass. The final
+    window may be shorter than ``chunk`` (never empty); chunk_idx is the
+    1-based window ordinal.
+
+    Returns (id, chunk_idx, chunk_text, chunk_tok).
+    """
+    tok = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("tok")
+    ).withColumn("n", F.size("tok"))
+    starts = tok.select(
+        id_col,
+        "tok",
+        F.explode(F.sequence(F.lit(1), F.col("n"), F.lit(stride))).alias("start"),
+    )
+    return starts.select(
+        F.col(id_col),
+        ((F.col("start") - 1) / stride + 1).cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", F.slice("tok", F.col("start"), F.lit(chunk))).alias(
+            "chunk_text"
+        ),
+        F.least(
+            F.lit(chunk), F.size("tok") - F.col("start") + 1
+        ).cast("int").alias("chunk_tok"),
+    )

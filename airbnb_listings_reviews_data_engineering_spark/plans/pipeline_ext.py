@@ -1340,6 +1340,32 @@ FROM documents
 """
 
 
+_CHUNK_OVERLAP_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM documents WHERE doc_id < 300
+),
+s AS (
+  SELECT doc_id, tok, unnest(range(1, len(tok) + 1, 25)) AS start FROM t
+)
+SELECT doc_id,
+       CAST((start - 1) // 25 + 1 AS INT) AS chunk_idx,
+       array_to_string(tok[start:start + 49], ' ') AS chunk_text,
+       CAST(least(50, len(tok) - start + 1) AS INT) AS chunk_tok
+FROM s
+"""
+
+
+@register("text_chunk_overlap", oracle=_CHUNK_OVERLAP_SQL)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (operators/text.chunk_tokens): 50-token
+    windows every 25 tokens (50% overlap) — the cleaning-to-shards step
+    of a training pipeline, as one narrow map-side pass (sequence
+    explode + slice; no shuffle, no Python). The trailing window is
+    shorter, never empty; chunk_idx is the window ordinal."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return TX.chunk_tokens(docs, "doc_id", "text", chunk=50, stride=25)
+
+
 @register("text_rolling_hash", oracle=_ROLLING_HASH_SQL)
 def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rabin-Karp rolling-hash fingerprints: whole-document polynomial

@@ -73,7 +73,7 @@ SECTIONS = [
         "text_lang_id", "text_quality_score", "text_token_count",
         "text_fingerprint", "text_ngram_freq", "text_tfidf",
         "text_pii_scrub", "text_repetition_filter", "text_rolling_hash",
-        "text_bm25", "text_unigram_logprob"]),
+        "text_bm25", "text_unigram_logprob", "text_chunk_overlap"]),
     ("Multimodal (north star)", [
         "mm_binary_meta", "mm_decode_fake", "mm_frame_sample",
         "mm_probe_media"]),
