@@ -28,6 +28,7 @@ Updates the marker-delimited ANN-recall section of SCALING.md.
 from __future__ import annotations
 
 import sys
+from itertools import combinations
 
 sys.path.insert(0, "/root/repo")
 
@@ -154,8 +155,7 @@ def recall_table(spark, emb, tag: str) -> list[str]:
         print(f"{tag} ivf-kmeans nprobe={nprobe}: {r:.3f}", flush=True)
     for flips in FLIPS:
         n_buckets = 1 + sum(
-            len(list(__import__('itertools').combinations(range(8), r)))
-            for r in range(1, flips + 1)
+            len(list(combinations(range(8), r))) for r in range(1, flips + 1)
         )
         r = rec(
             S.lsh_topk_join(
