@@ -247,3 +247,44 @@ def test_int8_quantization_error_bound(spark, vecs):
         out = emb_quantize(spark, td).collect()
     assert len(out) == len(rows)
     assert all(r.ok for r in out), [tuple(r) for r in out if not r.ok]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 99), min_size=1, max_size=130),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(1, 60),
+)
+def test_chunking_reconstructs_and_covers(spark, docs_tokens, chunk):
+    """chunk_tokens invariants for ANY corpus and chunk size:
+    with stride == chunk (no overlap) the ordered chunk concatenation
+    reproduces each document exactly; window count = ceil(n/stride);
+    every chunk_tok is in [1, chunk] and totals n."""
+    import math
+
+    from airbnb_listings_reviews_data_engineering_spark.operators.text import (
+        chunk_tokens,
+    )
+
+    rows = [
+        (i, " ".join(f"w{t}" for t in toks)) for i, toks in enumerate(docs_tokens)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_tokens(df, "doc_id", "text", chunk=chunk, stride=chunk).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, toks in enumerate(docs_tokens):
+        n = len(toks)
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        assert len(chunks) == math.ceil(n / chunk)
+        assert [c["chunk_idx"] for c in chunks] == list(
+            range(1, len(chunks) + 1)
+        )
+        assert all(1 <= c["chunk_tok"] <= chunk for c in chunks)
+        assert sum(c["chunk_tok"] for c in chunks) == n
+        rebuilt = " ".join(c["chunk_text"] for c in chunks)
+        assert rebuilt == " ".join(f"w{t}" for t in toks)
