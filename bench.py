@@ -80,6 +80,10 @@ def main() -> None:
             release_pins(spark)  # free checkpoint blocks between reps
         timings[key] = round(best, 3)
 
+    # the first 15 keys are the round-1/2 headline set; the round-3
+    # breadth additions widen coverage but inflate headline_total, so
+    # emit the like-for-like subtotal for cross-round comparison
+    r2_set = HEADLINE[:15]
     print(
         json.dumps(
             {
@@ -88,6 +92,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "subtotal_r2_comparable": round(
+                    sum(timings[k] for k in r2_set), 3
+                ),
             }
         )
     )
