@@ -9,6 +9,13 @@ for scale anti-patterns:
 - BatchEvalPython — row-at-a-time Python UDF; the engine's contract is
   Arrow-only Python (ArrowEvalPython / mapInPandas / FlatMapGroupsInPandas
   are fine).
+- WindowExec with an EMPTY partition spec — Spark moves the entire input
+  to ONE task ("No Partition Defined" warning); at 100 TB that is the
+  whole table through a single thread. Allowed only where the window's
+  input is a provably tiny fixed-cardinality frame (allowlist below:
+  per-range-partition offset frames of ~n_parts rows, per-domain count
+  frames of ~n_domains rows). Detected structurally (partitionSpec() on
+  every WindowExec/WindowGroupLimitExec node), not textually.
 - In-memory relation fallbacks are fine (localCheckpoint shows as
   LogicalRDD/Scan ExistingRDD).
 
@@ -54,6 +61,34 @@ NESTED_LOOP_ALLOWED = {
     "sim_lsh_multiprobe",  # crossJoin against fixed n_planes rows (bucket bits)
 }
 
+# keys allowed to contain an unpartitioned WindowExec because the window's
+# INPUT is a fixed-cardinality tiny frame (never the data table):
+UNPARTITIONED_WINDOW_ALLOWED = {
+    "sample_temperature",    # share-of-total over #domains rows (~10)
+    "shuffle_deterministic",  # prefix-sum offsets over n_parts rows (8)
+    "pack_token_shards",     # prefix-sum token offsets over n_parts rows (8)
+}
+
+
+def _unpartitioned_windows(df) -> int:
+    """Count WindowExec/WindowGroupLimitExec nodes whose partitionSpec is
+    empty, by walking the physical plan tree (pre-AQE sparkPlan — AQE
+    never adds or removes Window nodes, only exchanges)."""
+    n = 0
+    stack = [df._jdf.queryExecution().sparkPlan()]
+    while stack:
+        node = stack.pop()
+        if "Window" in node.getClass().getSimpleName():
+            try:
+                if node.partitionSpec().size() == 0:
+                    n += 1
+            except Exception:  # noqa: BLE001 — node without partitionSpec
+                pass
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return n
+
 
 def audit(key: str, spec, spark, sf_dir: str) -> dict:
     df = spec.fn(spark, sf_dir)
@@ -66,6 +101,9 @@ def audit(key: str, spec, spark, sf_dir: str) -> dict:
             flags.append("NESTED_LOOP")
     if "BatchEvalPython" in plan:
         flags.append("ROW_PYTHON")
+    unpart_win = _unpartitioned_windows(df)
+    if unpart_win and key not in UNPARTITIONED_WINDOW_ALLOWED:
+        flags.append("GLOBAL_WINDOW")
     return {
         "key": key,
         "exchanges": plan.count("Exchange "),
@@ -74,6 +112,7 @@ def audit(key: str, spec, spark, sf_dir: str) -> dict:
         or "MapInPandas" in plan,
         "nested_loop": "CartesianProduct" in plan
         or "BroadcastNestedLoopJoin" in plan,
+        "unpart_win": unpart_win,
         "flags": flags,
     }
 
@@ -87,7 +126,8 @@ def run(keys=None, sf_dir: str = DEFAULT_SF_DIR) -> list[dict]:
             rows.append(audit(key, qs[key], spark, sf_dir))
         except Exception as e:  # noqa: BLE001 — audit must report, not die
             rows.append({"key": key, "exchanges": -1, "arrow_python": False,
-                         "nested_loop": False, "flags": [f"ERROR:{e!r:.80}"]})
+                         "nested_loop": False, "unpart_win": 0,
+                         "flags": [f"ERROR:{e!r:.80}"]})
     return rows
 
 
@@ -103,14 +143,15 @@ def main() -> None:
         "the allowlist for fixed-tiny nested-loop joins lives there and is "
         "pinned by tests/test_plan_audit.py.",
         "",
-        "| key | exchanges | arrow python | nested loop | flags |",
-        "|---|---|---|---|---|",
+        "| key | exchanges | arrow python | nested loop | unpart window | flags |",
+        "|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append(
             f"| {r['key']} | {r['exchanges']} | "
             f"{'y' if r['arrow_python'] else ''} | "
             f"{'y' if r['nested_loop'] else ''} | "
+            f"{r.get('unpart_win', 0) or ''} | "
             f"{', '.join(r['flags'])} |"
         )
     with open("/root/repo/PLAN_AUDIT.md", "w") as f:

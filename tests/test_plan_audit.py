@@ -13,7 +13,11 @@ import pytest
 
 sys.path.insert(0, "/root/repo")
 
-from scripts.plan_audit import NESTED_LOOP_ALLOWED, run  # noqa: E402
+from scripts.plan_audit import (  # noqa: E402
+    NESTED_LOOP_ALLOWED,
+    UNPARTITIONED_WINDOW_ALLOWED,
+    run,
+)
 
 RISK_KEYS = sorted(
     {
@@ -29,8 +33,14 @@ RISK_KEYS = sorted(
         # python-bearing — must be Arrow, never row-pickling
         "udtf_json_kv", "grouped_pandas_zscore", "cogrouped_pandas_asof",
         "sim_cosine_topk_pandas", "mm_binary_meta", "mm_frame_sample",
-        # allowed nested-loop keys — pinned so the allowlist stays honest
+        # global-window-prone keys — must never move the data table to one
+        # task (the r3 verdict's weak class, now linted)
+        "win_running_sum", "win_lag_lead", "win_topk_per_group",
+        "sample_class_cap", "sample_curriculum", "sessionize",
+        # allowed nested-loop / unpartitioned-window keys — pinned so the
+        # allowlists stay honest
         *NESTED_LOOP_ALLOWED,
+        *UNPARTITIONED_WINDOW_ALLOWED,
     }
 )
 
@@ -57,3 +67,17 @@ def test_allowlisted_keys_exist(audit_rows):
 
     missing = NESTED_LOOP_ALLOWED - set(all_queries())
     assert missing == set(), missing
+    missing_w = UNPARTITIONED_WINDOW_ALLOWED - set(all_queries())
+    assert missing_w == set(), missing_w
+
+
+def test_allowlisted_windows_are_genuinely_tiny(audit_rows):
+    # the allowlisted unpartitioned windows must stay confined to their
+    # tiny offset/count frames — exactly one such node per plan; a second
+    # one would mean the data table grew a global window behind the
+    # allowlist's back
+    for key in UNPARTITIONED_WINDOW_ALLOWED:
+        assert audit_rows[key]["unpart_win"] == 1, (
+            key,
+            audit_rows[key]["unpart_win"],
+        )
