@@ -143,6 +143,104 @@ def merge_scd2(
     return history.unionByName(unchanged).unionByName(closed).unionByName(fresh)
 
 
+def merge_scd2_multi(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    tracked: Sequence[str],
+    effective: str,
+) -> DataFrame:
+    """SCD2 merge folding a key's FULL ordered change history per batch.
+
+    `merge_scd2` collapses each batch to the latest change per key — the
+    MERGE INTO contract, but a CDC backfill replay delivers a key's whole
+    intra-batch history at once and every intermediate state must become
+    a validity segment. This operator is that ordered per-key fold:
+
+    - changes sort within key by (effective, tracked) — deterministic at
+      any parallelism;
+    - no-op transitions compress out: a change equal to its PREDECESSOR
+      state (the prior change in the batch, or the base current row for
+      the first change) is dropped. Equality chains compress transitively
+      because a dropped change's value equals its predecessor's by
+      definition, so the lag comparison sees through it;
+    - survivors become stacked segments: valid_from = effective,
+      valid_to = lead(effective) within the key, last segment open +
+      is_current;
+    - the base current row closes at the FIRST surviving change's
+      effective; keys whose changes all compressed away pass through
+      untouched, as do unseen keys' full segment stacks (insert path).
+
+    Two key-partitioned window passes + one join against current — no
+    global window, no per-row loop; the shape MERGE INTO cannot express
+    and warehouses hand-roll for backfills.
+    """
+    keys = list(keys)
+    tracked = list(tracked)
+    if not tracked:
+        raise ValueError("merge_scd2_multi needs at least one tracked column")
+    from pyspark.sql import Window as W
+
+    current = base.filter(F.col("is_current"))
+    history = base.filter(~F.col("is_current"))
+    vt_type = dict(base.dtypes)["valid_to"]
+
+    b = current.select(
+        *keys,
+        *[F.col(t).alias(f"_base_{t}") for t in tracked],
+        F.lit(True).alias("_has_base"),
+    )
+    order = [F.col(effective).asc()] + [
+        F.col(t).asc_nulls_last() for t in tracked
+    ]
+    w = W.partitionBy(*keys).orderBy(*order)
+    u = updates.join(b, on=keys, how="left").withColumn(
+        "_seq", F.row_number().over(w)
+    )
+    for t in tracked:
+        u = u.withColumn(f"_prev_{t}", F.lag(t).over(w))
+
+    prev_differs = F.lit(False)
+    base_differs = F.lit(False)
+    for t in tracked:
+        prev_differs = prev_differs | ~F.col(f"_prev_{t}").eqNullSafe(F.col(t))
+        base_differs = base_differs | ~F.col(f"_base_{t}").eqNullSafe(F.col(t))
+    survive = F.when(
+        F.col("_seq") == 1, F.col("_has_base").isNull() | base_differs
+    ).otherwise(prev_differs)
+    surv = u.filter(survive)
+
+    segs = (
+        surv.select(
+            *keys,
+            *tracked,
+            F.col(effective).alias("valid_from"),
+            F.lead(effective).over(w).cast(vt_type).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(*base.columns)
+    )
+    firsts = surv.groupBy(*keys).agg(F.min(effective).alias("_first_eff"))
+    closed = (
+        current.alias("b")
+        .join(firsts, on=keys, how="inner")
+        .select(
+            *[
+                F.col(f"b.{c}").alias(c)
+                for c in base.columns
+                if c not in ("valid_to", "is_current")
+            ],
+            F.col("_first_eff").cast(vt_type).alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        )
+        .select(*base.columns)
+    )
+    unchanged = current.join(firsts.select(*keys), on=keys, how="left_anti")
+    return (
+        history.unionByName(unchanged).unionByName(closed).unionByName(segs)
+    )
+
+
 def merge_array_accum(
     base: DataFrame,
     batch: DataFrame,

@@ -17,7 +17,12 @@ from pyspark.sql import functions as F
 
 from ..checkpoint import pin
 
-from ..operators.merge import merge_full_outer, merge_scd2, upsert_snapshot
+from ..operators.merge import (
+    merge_full_outer,
+    merge_scd2,
+    merge_scd2_multi,
+    upsert_snapshot,
+)
 from .registry import load, register
 
 
@@ -209,6 +214,124 @@ def sink_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("2024-06-01").alias("eff"),
     )
     return merge_scd2(
+        base, updates, keys=["c_custkey"], tracked=["c_mktsegment"], effective="eff"
+    )
+
+
+_SCD2_MULTI_SQL = """
+WITH cur AS (
+  SELECT c_custkey, c_mktsegment, '2024-01-01' AS valid_from,
+         CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+  FROM customer
+), hist AS (
+  SELECT c_custkey, 'OLD' AS c_mktsegment, '2023-01-01' AS valid_from,
+         '2024-01-01' AS valid_to, FALSE AS is_current
+  FROM customer WHERE c_custkey % 10 = 0
+), upd AS (
+  SELECT c_custkey, c_mktsegment, '2024-02-01' AS eff
+  FROM customer WHERE c_custkey % 4 = 0
+  UNION ALL SELECT c_custkey, 'PHASE1', '2024-04-01'
+  FROM customer WHERE c_custkey % 4 = 0
+  UNION ALL SELECT c_custkey, 'PHASE1', '2024-07-01'
+  FROM customer WHERE c_custkey % 4 = 0
+  UNION ALL SELECT c_custkey, 'PHASE2', '2024-09-01'
+  FROM customer WHERE c_custkey % 4 = 0
+  UNION ALL SELECT c_custkey, c_mktsegment, '2024-05-01'
+  FROM customer WHERE c_custkey % 4 = 2
+  UNION ALL SELECT -c_custkey, 'NEWSEG_A', '2024-03-01'
+  FROM customer WHERE c_custkey % 6 = 0
+  UNION ALL SELECT -c_custkey, 'NEWSEG_B', '2024-08-01'
+  FROM customer WHERE c_custkey % 6 = 0
+), ordered AS (
+  SELECT u.c_custkey, u.c_mktsegment, u.eff,
+         b.c_mktsegment AS base_seg, b.c_custkey IS NOT NULL AS has_base,
+         row_number() OVER (PARTITION BY u.c_custkey
+                            ORDER BY u.eff, u.c_mktsegment) AS seq,
+         lag(u.c_mktsegment) OVER (PARTITION BY u.c_custkey
+                                   ORDER BY u.eff, u.c_mktsegment) AS prev_seg
+  FROM upd u LEFT JOIN cur b ON b.c_custkey = u.c_custkey
+), surv AS (
+  SELECT * FROM ordered
+  WHERE CASE WHEN seq = 1
+        THEN (NOT has_base) OR c_mktsegment IS DISTINCT FROM base_seg
+        ELSE c_mktsegment IS DISTINCT FROM prev_seg END
+), segs AS (
+  SELECT c_custkey, c_mktsegment, eff AS valid_from,
+         lead(eff) OVER (PARTITION BY c_custkey
+                         ORDER BY eff, c_mktsegment) AS valid_to,
+         lead(eff) OVER (PARTITION BY c_custkey
+                         ORDER BY eff, c_mktsegment) IS NULL AS is_current
+  FROM surv
+), firsts AS (
+  SELECT c_custkey, min(eff) AS first_eff FROM surv GROUP BY 1
+)
+SELECT * FROM hist
+UNION ALL
+SELECT c.* FROM cur c LEFT JOIN firsts f ON c.c_custkey = f.c_custkey
+WHERE f.c_custkey IS NULL
+UNION ALL
+SELECT c.c_custkey, c.c_mktsegment, c.valid_from, f.first_eff AS valid_to,
+       FALSE AS is_current
+FROM cur c JOIN firsts f ON c.c_custkey = f.c_custkey
+UNION ALL
+SELECT * FROM segs
+"""
+
+
+@register("sink_scd2_multi", oracle=_SCD2_MULTI_SQL)
+def sink_scd2_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge over a CDC-backfill-shaped batch: each changed key
+    arrives with its FULL ordered intra-batch history (here 4 changes —
+    a leading no-op repeat of the current segment, PHASE1, a duplicate
+    PHASE1, PHASE2), plus keys with only a no-op change (pass through
+    untouched) and unseen keys carrying a 2-segment stack (insert path).
+    merge_scd2 would fold this to latest-change-per-key; merge_scd2_multi
+    (operators/merge.py) folds every intermediate state into stacked
+    validity segments — sort within key, no-op lag compression, lead()
+    valid_to. The reference's replace-style upsert
+    (Airbnb_Listings_ETL.py:143-151) keeps no history at all; this is
+    the backfill-replay form a warehouse needs."""
+    c = load(spark, sf_dir, "customer")
+    cur = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("2024-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    hist = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.lit("OLD").alias("c_mktsegment"),
+        F.lit("2023-01-01").alias("valid_from"),
+        F.lit("2024-01-01").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    base = cur.unionByName(hist)
+
+    k4 = c.filter(F.col("c_custkey") % 4 == 0)
+    changes = [
+        k4.select("c_custkey", F.col("c_mktsegment"), F.lit("2024-02-01").alias("eff")),
+        k4.select("c_custkey", F.lit("PHASE1").alias("c_mktsegment"), F.lit("2024-04-01").alias("eff")),
+        k4.select("c_custkey", F.lit("PHASE1").alias("c_mktsegment"), F.lit("2024-07-01").alias("eff")),
+        k4.select("c_custkey", F.lit("PHASE2").alias("c_mktsegment"), F.lit("2024-09-01").alias("eff")),
+        c.filter(F.col("c_custkey") % 4 == 2).select(
+            "c_custkey", F.col("c_mktsegment"), F.lit("2024-05-01").alias("eff")
+        ),
+        c.filter(F.col("c_custkey") % 6 == 0).select(
+            (-F.col("c_custkey")).alias("c_custkey"),
+            F.lit("NEWSEG_A").alias("c_mktsegment"),
+            F.lit("2024-03-01").alias("eff"),
+        ),
+        c.filter(F.col("c_custkey") % 6 == 0).select(
+            (-F.col("c_custkey")).alias("c_custkey"),
+            F.lit("NEWSEG_B").alias("c_mktsegment"),
+            F.lit("2024-08-01").alias("eff"),
+        ),
+    ]
+    from functools import reduce
+
+    updates = reduce(lambda a, b: a.unionByName(b), changes)
+    return merge_scd2_multi(
         base, updates, keys=["c_custkey"], tracked=["c_mktsegment"], effective="eff"
     )
 

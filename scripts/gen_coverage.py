@@ -15,7 +15,8 @@ SECTIONS = [
         "src_csv", "src_csv_encoding", "sink_jdbc_upsert", "sink_doc_upsert",
         "sink_doc_array_merge", "ddl_create", "src_sql", "src_doc_find",
         "sink_csv", "xfer_xcom", "src_jsonl", "src_orc",
-        "sink_delete_where", "src_csv_permissive", "src_csv_multiline_split", "sink_scd2"]),
+        "sink_delete_where", "src_csv_permissive", "src_csv_multiline_split",
+        "sink_scd2", "sink_scd2_multi"]),
     ("Projections / filters / row transforms (§2.2)", [
         "proj_select", "proj_rename", "filt_dropna", "filt_fillna",
         "xform_nan_none", "xform_money_strip", "xform_zip_trunc",
