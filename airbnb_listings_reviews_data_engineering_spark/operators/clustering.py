@@ -31,21 +31,11 @@ def _sq_dist(a, b):
     )
 
 
-def kmeans_fixed(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    k: int = 4,
-    dims: int = 8,
-    iters: int = 2,
-) -> DataFrame:
-    """Lloyd's algorithm with deterministic seeding (centroids = the
-    vectors with ids 1..k) and a fixed iteration count. Returns one row
-    per surviving cluster: (cid, n_points, c1..c{dims}).
-    """
-    v = df.select(
-        F.col(id_col), F.slice(as_double_array(vec_col), 1, dims).alias("v")
-    )
+def _lloyd(v: DataFrame, id_col: str, k: int, iters: int):
+    """Run `iters` Lloyd rounds over (id, v) rows; centroids seeded from
+    ids 1..k. Returns (cents, assigned): the final (cid, cv) centroid
+    table and the last round's (id, v, cid) assignment (to the
+    PREVIOUS round's centroids — kmeans_fixed's n_points contract)."""
     cents = v.filter(F.col(id_col).between(1, k)).select(
         (F.col(id_col) - 1).cast("int").alias("cid"), F.col("v").alias("cv")
     )
@@ -83,6 +73,45 @@ def kmeans_fixed(
             ),
             label="kmeans_cents",
         )
+    return cents, assigned
+
+
+def kmeans_fixed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    dims: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Lloyd's algorithm with deterministic seeding (centroids = the
+    vectors with ids 1..k) and a fixed iteration count. Returns one row
+    per surviving cluster: (cid, n_points, c1..c{dims}).
+    """
+    v = df.select(
+        F.col(id_col), F.slice(as_double_array(vec_col), 1, dims).alias("v")
+    )
+    cents, assigned = _lloyd(v, id_col, k, iters)
     counts = assigned.groupBy("cid").agg(F.count("*").alias("n_points"))
     flat = [F.element_at("cv", d + 1).alias(f"c{d + 1}") for d in range(dims)]
     return counts.join(cents, "cid").select("cid", "n_points", *flat)
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    dims: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """The trainable front half of :func:`kmeans_fixed`: just the final
+    (cid, cv) centroid table, in the shape operators/similarity's
+    ``ivf_topk_join`` takes as its cell table — so a learned IVF index is
+    ``kmeans_centroids(...)`` piped into ``ivf_topk_join`` (SCALING.md
+    measures the recall payoff of learned vs arbitrary centroids)."""
+    v = df.select(
+        F.col(id_col), F.slice(as_double_array(vec_col), 1, dims).alias("v")
+    )
+    cents, _ = _lloyd(v, id_col, k, iters)
+    return cents

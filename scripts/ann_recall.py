@@ -129,18 +129,18 @@ def recall_table(spark, emb, tag: str) -> list[str]:
         lines.append(f"| IVF (K=8 cells) | nprobe={nprobe} | ~{nprobe}/8 | {r:.3f} |")
         print(f"{tag} ivf nprobe={nprobe}: {r:.3f}", flush=True)
     # real IVF: centroids LEARNED by Lloyd iterations instead of the
-    # first K vectors — the index-build step a production deployment runs
+    # first K vectors — the index-build step a production deployment runs,
+    # and exactly the path the registered `sim_ivf_join_learned` key runs
+    # (kmeans_centroids -> ivf_topk_join, oracle-checked end-to-end)
     from airbnb_listings_reviews_data_engineering_spark.operators.clustering import (
-        kmeans_fixed,
+        kmeans_centroids,
     )
 
     dims = len(emb.select("embedding").first()[0])
-    km = kmeans_fixed(emb, "vec_id", "embedding", k=8, dims=dims, iters=2)
     km_cents = pin(
-        km.select(
-            F.col("cid").cast("int").alias("cell"),
-            F.array(*[F.col(f"c{d + 1}") for d in range(dims)]).alias("cv"),
-        ),
+        kmeans_centroids(
+            emb, "vec_id", "embedding", k=8, dims=dims, iters=2
+        ).select(F.col("cid").cast("int").alias("cell"), "cv"),
         label="kmeans_cents",
     )
     for nprobe in (1, 2):
@@ -195,7 +195,10 @@ def main() -> None:
         "the learned-index payoff: on clustered data Lloyd centroids find",
         "the real clusters and nprobe=1 already recovers 0.98 (vs 0.76",
         "for arbitrary-vector centroids); on isotropic data learned ==",
-        "arbitrary, as theory predicts. nprobe=K probes every",
+        "arbitrary, as theory predicts. The learned path is a registered,",
+        "oracle-checked key end-to-end: `sim_ivf_join_learned` =",
+        "kmeans_centroids -> ivf_topk_join, its oracle restating BOTH the",
+        "unrolled Lloyd training and the probe. nprobe=K probes every",
         "cell and is exact BY CONSTRUCTION (recall 1.0, the test-pinned",
         "invariant); multiprobe LSH climbs with each bit-flip ring. Floors",
         "pinned in tests/test_ann_recall.py are the isotropic worst case.",

@@ -68,7 +68,8 @@ SECTIONS = [
         "stream_late_data"]),
     ("Similarity search (north star)", [
         "sim_cosine_topk", "sim_cosine_topk_pandas", "sim_lsh_bucketed",
-        "sim_ivf_topk", "sim_ivf_join", "sim_lsh_multiprobe", "sim_knn_join", "emb_label_centroid",
+        "sim_ivf_topk", "sim_ivf_join", "sim_ivf_join_learned",
+        "sim_lsh_multiprobe", "sim_knn_join", "emb_label_centroid",
         "emb_quantize"]),
     ("Text analysis (north star)", [
         "text_lang_id", "text_quality_score", "text_token_count",

@@ -58,6 +58,7 @@ NESTED_LOOP_ALLOWED = {
     "sample_curriculum",  # crossJoin against the 1-row min/max aggregate
     "text_unigram_logprob",  # 1-row corpus total folded into the tiny freq side
     "sim_ivf_join",      # crossJoin against the ONE-row broadcast centroid array
+    "sim_ivf_join_learned",  # same probe + Lloyd training (k broadcast centroids)
     "sim_lsh_multiprobe",  # crossJoin against fixed n_planes rows (bucket bits)
 }
 
