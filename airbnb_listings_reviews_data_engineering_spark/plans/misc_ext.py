@@ -726,6 +726,8 @@ def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["segment"],
         "c_acctbal",
         cache_key=(sf_dir, "customer", "segment", "c_acctbal"),
+        stats_path=f"{sf_dir}/customer.parquet",
+        stats_group_col="c_mktsegment",
     )
     out, _ = guarded_percentile(
         cust,

@@ -809,6 +809,7 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
         {"median_price": 0.5},
         cache_key=(sf_dir, "lineitem", "l_returnflag", "l_extendedprice"),
+        stats_path=f"{sf_dir}/lineitem.parquet",
     )
     return out
 

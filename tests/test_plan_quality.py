@@ -167,6 +167,87 @@ def test_percentile_probe_is_count_only(spark, sf_dir):
     )
 
 
+def _write_groups(path, values, row_group_size):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({"g": values, "v": [float(i) for i in range(len(values))]})
+    pq.write_table(t, str(path), row_group_size=row_group_size)
+
+
+def test_parquet_stats_bound_sorted_tight_unsorted_loose(tmp_path):
+    """Footer-stats bound: tight (== max group size) when the file is
+    sorted by the group column, degrading to total rows when every row
+    group spans the whole domain — the degradation that correctly sends
+    the guard to the scan probe."""
+    from airbnb_listings_reviews_data_engineering_spark.functions.percentile import (
+        parquet_max_group_bound,
+    )
+
+    sorted_vals = ["a"] * 10 + ["b"] * 10 + ["c"] * 10
+    _write_groups(tmp_path / "sorted.parquet", sorted_vals, 10)
+    assert parquet_max_group_bound(str(tmp_path / "sorted.parquet"), "g") == 10
+
+    interleaved = ["a", "b", "c"] * 10
+    _write_groups(tmp_path / "unsorted.parquet", interleaved, 10)
+    assert (
+        parquet_max_group_bound(str(tmp_path / "unsorted.parquet"), "g") == 30
+    )
+
+    assert parquet_max_group_bound(str(tmp_path / "sorted.parquet"), "nope") is None
+    assert parquet_max_group_bound("hdfs://nn/t.parquet", "g") is None
+
+
+def test_exact_fits_stats_verdict_needs_no_scan(tmp_path):
+    """When footer statistics prove every group fits, exact_fits must
+    not touch the DataFrame at all — the guard of a 100 TB table cannot
+    cost a scan of it. A scan-less verdict is proven by passing a
+    sentinel that explodes on any attribute access."""
+    from airbnb_listings_reviews_data_engineering_spark.functions.percentile import (
+        exact_fits,
+    )
+
+    _write_groups(tmp_path / "t.parquet", ["a"] * 10 + ["b"] * 10, 10)
+
+    class _Exploding:
+        def __getattr__(self, name):
+            raise AssertionError(f"guard scanned the table (touched .{name})")
+
+    assert (
+        exact_fits(
+            _Exploding(), ["g"], "v", threshold=10,
+            stats_path=str(tmp_path / "t.parquet"),
+        )
+        is True
+    )
+
+
+def test_exact_fits_freshness_invalidates_memo(spark, tmp_path):
+    """Regenerating the data under the same path must re-derive the
+    verdict (the memo key carries file mtime), not replay a stale
+    fits=True onto now-oversized groups."""
+    from airbnb_listings_reviews_data_engineering_spark.functions.percentile import (
+        exact_fits,
+    )
+
+    p = tmp_path / "t.parquet"
+    _write_groups(p, ["a"] * 5 + ["b"] * 5, 5)
+    key = ("freshness-test", str(p))
+    df = spark.read.parquet(str(p))
+    assert exact_fits(df, ["g"], "v", threshold=10, cache_key=key,
+                      stats_path=str(p)) is True
+
+    import os
+    import time
+
+    time.sleep(0.01)
+    _write_groups(p, ["a"] * 50, 50)  # one oversized group now
+    os.utime(p)
+    df2 = spark.read.parquet(str(p))
+    assert exact_fits(df2, ["g"], "v", threshold=10, cache_key=key,
+                      stats_path=str(p)) is False
+
+
 def test_interval_overlap_join_is_banded_equi(spark, sf_dir):
     """The pure-range interval-overlap join must candidate-generate via
     the bucket equi-join — never a nested-loop/cartesian theta join."""
