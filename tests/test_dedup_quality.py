@@ -78,3 +78,44 @@ def test_doubled_budget_tightens(quality):
     # sampling noise allowance: doubling the budget must not LOSE quality
     assert r16 >= r8 - 0.05
     assert p16 >= p8 - 0.05
+
+
+def test_embedding_lsh_pair_recall_floors(spark, sf_dir):
+    """Pair-level recall of the sign-LSH embedding near-dup blocking vs
+    the unblocked exact cosine join (VERDICT r3 #6 — the embedding twin
+    of the MinHash floors above). Measured sf0.001: flips=0 (the
+    single-bucket join dedup_embedding_lsh runs) 0.858, flips<=1 0.992,
+    flips<=2 1.000; floors sit under those with margin. Precision is
+    1.0 by construction (candidates are cosine-verified), so the other
+    pinned quantity is candidate PRUNING: the single-bucket join must
+    score only a small fraction of all pairs — recall bought by probing
+    everything would be no result at all."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from scripts.dedup_quality import emb_lsh_pair_sets
+
+    from airbnb_listings_reviews_data_engineering_spark.checkpoint import (
+        release_pins,
+    )
+
+    exact, lsh_sets, n_cands = emb_lsh_pair_sets(spark, sf_dir)
+    release_pins(spark)
+    assert len(exact) > 100  # the fixture must generate real work
+
+    def recall(flips: int) -> float:
+        return len(lsh_sets[flips] & exact) / len(exact)
+
+    r0, r1, r2 = recall(0), recall(1), recall(2)
+    assert r0 >= 0.75, f"single-bucket recall {r0:.3f} below floor"
+    assert r1 >= 0.92, f"flips<=1 recall {r1:.3f} below floor"
+    assert r2 >= 0.99, f"flips<=2 recall {r2:.3f} below floor"
+    assert r0 <= r1 <= r2  # each flip ring only widens the probe
+    # emitted pairs are a subset of exact truth (verified candidates)
+    assert lsh_sets[0] <= exact
+    n_vecs = 2 * spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    all_pairs = n_vecs * (n_vecs - 1) // 2
+    assert n_cands[0] / all_pairs <= 0.02, (
+        f"single-bucket join scored {n_cands[0]}/{all_pairs} pairs — "
+        "blocking is not pruning"
+    )
