@@ -22,7 +22,11 @@ from airbnb_listings_reviews_data_engineering_spark.checkpoint import release_pi
 from airbnb_listings_reviews_data_engineering_spark.plans import all_queries  # noqa: E402
 from airbnb_listings_reviews_data_engineering_spark.session import get_spark  # noqa: E402
 
-HEADLINE = [
+# The round-1/2 comparable set — NAMED, not positional (ADVICE r3:
+# an index-based slice silently changes what subtotal_r2_comparable
+# measures on any insertion/reorder). Do not add to or reorder this
+# list; new coverage goes in the *_ADDITIONS lists below.
+R2_HEADLINE = [
     "join_eq3",           # 3-way star join + agg (the reference's Q2-Q4 shape)
     "join_semi_inlist",   # left-semi over regex doc match (Q1/Q5 shape)
     "join_agg_agg",       # join of two grouped subqueries + theta filter (Q4)
@@ -38,12 +42,25 @@ HEADLINE = [
     "win_topk_per_group", # per-group top-k window
     "join_asof",          # as-of join (union-window formulation)
     "sessionize",         # gap-based sessionization
-    # round-3 breadth (VERDICT r2 #7): regression-track the r2 families
+]
+
+# round-3 breadth (VERDICT r2 #7): regression-track the r2 families
+R3_ADDITIONS = [
     "dedup_ngram_jaccard",# AllPairs prefix-filtered exact-Jaccard pairs
     "sink_scd2",          # type-2 history fold over the version layer
     "sample_temperature", # temperature-weighted domain sampling
     "sim_ivf_join",       # batch IVF ANN probe (multi-query, salted topk)
 ]
+
+# round-4 breadth (VERDICT r3 #7): incremental dedup, the epoch-shuffle
+# decomposition, and the splittable multiLine-CSV re-chunk path
+R4_ADDITIONS = [
+    "dedup_incremental",  # batch-vs-corpus band join (daily-ingest shape)
+    "shuffle_deterministic",  # range shuffle + local enumerate + prefix sums
+    "src_csv_multiline_split",  # quote-aware re-chunked multiLine CSV scan
+]
+
+HEADLINE = R2_HEADLINE + R3_ADDITIONS + R4_ADDITIONS
 
 
 def main() -> None:
@@ -80,10 +97,10 @@ def main() -> None:
             release_pins(spark)  # free checkpoint blocks between reps
         timings[key] = round(best, 3)
 
-    # the first 15 keys are the round-1/2 headline set; the round-3
-    # breadth additions widen coverage but inflate headline_total, so
-    # emit the like-for-like subtotal for cross-round comparison
-    r2_set = HEADLINE[:15]
+    # the named round-1/2 set gives the like-for-like subtotal for
+    # cross-round comparison; later additions widen coverage but
+    # inflate headline_total
+    r2_set = R2_HEADLINE
     print(
         json.dumps(
             {
