@@ -113,6 +113,76 @@ def test_available_now_scd2_ingest(spark, tmp_path_factory):
     assert sorted(map(str, again.collect())) == sorted(map(str, hist.collect()))
 
 
+def test_merge_ingest_exactly_once_after_mid_publish_crash(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Kill the foreachBatch MID-publish — after the new version
+    directory lands but before the atomic pointer swap (the
+    complete-but-never-committed v_N window publish_parquet's GC
+    reasons about) — then re-run. The atomic version layer + streaming
+    checkpoint must deliver exactly-once into the listings_docs target:
+    the crashed batch is INVISIBLE to readers (previous version stays
+    published), the retry reprocesses it (checkpoint never committed),
+    and the final table holds each batch's effect exactly once — no
+    duplicate rows, no missing batch. The streaming analog of
+    tests/test_atomic_publish.py's crash-window tests."""
+    import os as _os
+
+    from airbnb_listings_reviews_data_engineering_spark.sources import atomic
+    from airbnb_listings_reviews_data_engineering_spark.sources.atomic import (
+        read_published,
+    )
+
+    src = str(tmp_path_factory.mktemp("mid_src"))
+    target = str(tmp_path_factory.mktemp("mid_out")) + "/listings_docs"
+    ckpt = str(tmp_path_factory.mktemp("mid_ckpt"))
+
+    def ingest():
+        return available_now_merge_ingest(
+            spark, src, SCHEMA, target, keys=["id"], checkpoint=ckpt
+        )
+
+    _write_batch(f"{src}/day1.csv", "1,DC,100.0\n2,MD,200.0\n")
+    out1 = ingest()
+    assert {(r.id, r.price) for r in out1.collect()} == {(1, 100.0), (2, 200.0)}
+
+    # batch 2: id=2 updated, id=3 new — and the publish dies between the
+    # v_N rename and the pointer swap
+    _write_batch(f"{src}/day2.csv", "2,MD,250.0\n3,VA,300.0\n")
+
+    class _CrashBeforeSwap:
+        """os shim for sources.atomic: everything real except replace()."""
+
+        def __getattr__(self, name):
+            return getattr(_os, name)
+
+        def replace(self, *_a, **_k):
+            raise RuntimeError("simulated crash mid-publish before pointer swap")
+
+    monkeypatch.setattr(atomic, "os", _CrashBeforeSwap())
+    with pytest.raises(Exception, match="simulated crash"):
+        ingest()
+    monkeypatch.setattr(atomic, "os", _os)
+
+    # the crashed batch must be invisible: previous version still published
+    mid = read_published(spark, target)
+    assert {(r.id, r.price) for r in mid.collect()} == {(1, 100.0), (2, 200.0)}
+
+    # retry: checkpoint never committed batch 2, so it reprocesses; the
+    # never-committed v_N above the pointer is discarded, not double-counted
+    out2 = ingest()
+    assert {(r.id, r.city, r.price) for r in out2.collect()} == {
+        (1, "DC", 100.0),
+        (2, "MD", 250.0),
+        (3, "VA", 300.0),
+    }
+    assert out2.groupBy("id").count().filter("count > 1").count() == 0
+
+    # and a further no-new-files re-run is a pure no-op
+    out3 = ingest()
+    assert sorted(map(str, out3.collect())) == sorted(map(str, out2.collect()))
+
+
 def test_scd2_ingest_retry_after_post_publish_crash(spark, tmp_path_factory, monkeypatch):
     """The worst-ordering crash: the batch's publish is durable but the
     streaming checkpoint never commits, so the retry REPROCESSES a batch
