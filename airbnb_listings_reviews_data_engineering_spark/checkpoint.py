@@ -38,7 +38,6 @@ its lineage was truncated; release only after the result is consumed.
 from __future__ import annotations
 
 import os
-import shutil
 import uuid
 import weakref
 
@@ -118,14 +117,16 @@ def pin(df: DataFrame, *, eager: bool = True, label: str = "pin") -> DataFrame:
         _track(spark, out, _local_releaser(out))
         return out
     # parquet
-    from .sources.staging import staging_root
+    from .sources.staging import fs_delete, staging_root
 
     path = os.path.join(
         staging_root(spark), "_pins", f"{label}_{uuid.uuid4().hex[:12]}"
     )
     df.write.mode("overwrite").parquet(path)
     out = spark.read.parquet(path)
-    _track(spark, out, lambda: shutil.rmtree(path, ignore_errors=True))
+    # fs_delete, not rmtree: with a dist-FS staging root (hdfs://,
+    # s3a://) rmtree silently never frees the staged pin (ADVICE r3)
+    _track(spark, out, lambda: fs_delete(path, spark))
     return out
 
 

@@ -165,8 +165,20 @@ def chunk_tokens(
     window may be shorter than ``chunk`` (never empty); chunk_idx is the
     1-based window ordinal.
 
+    ``stride > chunk`` raises: windows would leave unseen token GAPS,
+    silently contradicting the sliding-window coverage this operator
+    promises (ADVICE r3). Gapped sampling is a different operation —
+    compose a filter over the chunk_idx instead.
+
     Returns (id, chunk_idx, chunk_text, chunk_tok).
     """
+    if stride > chunk:
+        raise ValueError(
+            f"stride ({stride}) > chunk ({chunk}) leaves token gaps; "
+            "sliding-window chunking requires stride <= chunk"
+        )
+    if stride < 1 or chunk < 1:
+        raise ValueError(f"chunk ({chunk}) and stride ({stride}) must be >= 1")
     tok = df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("tok")
     ).withColumn("n", F.size("tok"))

@@ -30,14 +30,19 @@ def _scratch_dir(spark, key: str) -> str:
     """Per-run scratch under the configurable staging root: on a cluster
     every executor must see the path (local mkdtemp would not be), and
     the root is dist-FS-configurable (sources/staging.py). Callers
-    remove the directory in their `finally`."""
+    remove the directory in their `finally` via staging.fs_delete.
+    Mirrors staging_root's guard: only local roots are mkdir'd eagerly —
+    os.makedirs on an hdfs://s3a:// join would create a bogus local
+    'hdfs:' directory (ADVICE r3); URI-style scratch dirs are created by
+    the Spark writers that fill them."""
     import os
     import uuid
 
     from ..sources.staging import staging_root
 
     d = os.path.join(staging_root(spark), "scratch", f"{key}_{uuid.uuid4().hex[:12]}")
-    os.makedirs(d, exist_ok=True)
+    if "://" not in d:
+        os.makedirs(d, exist_ok=True)
     return d
 
 _JDBC_UPSERT_SQL = """
@@ -372,7 +377,7 @@ def inc_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     a no-op; sinks that missed it catch up; the oracle is the once-only
     result, so the hash-match IS the convergence proof.
     """
-    import shutil
+    from ..sources.staging import fs_delete
     from functools import reduce
 
     from ..sources.atomic import publish_parquet, read_published
@@ -413,7 +418,7 @@ def inc_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
             reduce(lambda a, b: a.unionByName(b), parts), label="xfer_fanout"
         )
     finally:
-        shutil.rmtree(out, ignore_errors=True)
+        fs_delete(out, spark)
 
 
 _CHANGES_SQL = """
@@ -450,7 +455,7 @@ def table_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the feed labels each row insert / delete / update_postimage via
     one full-outer join over the retained snapshots — the incremental-
     consumption path that saves downstream 100 TB re-reads."""
-    import shutil
+    from ..sources.staging import fs_delete
 
     from ..operators.merge import upsert_snapshot
     from ..sources.atomic import diff_versions, publish_parquet
@@ -475,7 +480,7 @@ def table_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             label="changes_feed",
         )
     finally:
-        shutil.rmtree(out, ignore_errors=True)
+        fs_delete(out, spark)
 
 
 _COMPACT_SQL = """
@@ -490,7 +495,7 @@ def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves content is bit-identical (compaction must be a physical-only
     change). File-count reduction is asserted in
     tests/test_atomic_publish.py::test_compaction_reduces_files."""
-    import shutil
+    from ..sources.staging import fs_delete
 
     from ..sources.atomic import publish_parquet, read_published
     from ..sources.parquet import compact_published
@@ -505,7 +510,7 @@ def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         compact_published(spark, target)
         return pin(read_published(spark, target), label="compacted")
     finally:
-        shutil.rmtree(out, ignore_errors=True)
+        fs_delete(out, spark)
 
 
 @register("sink_delete_where", oracle=_DELETE_WHERE_SQL)

@@ -41,3 +41,29 @@ def staging_dir(key: str, spark: SparkSession | None = None) -> str:
     """A per-key staging path under the configured root (not created —
     Spark writers create their own output directories)."""
     return os.path.join(staging_root(spark), key)
+
+
+def fs_delete(path: str, spark: SparkSession | None = None) -> None:
+    """Delete a staging artifact wherever the root put it: local paths
+    via shutil, URI-style paths (hdfs://, s3a://, ...) through the
+    Hadoop FileSystem API — shutil.rmtree silently no-ops on those, so
+    a dist-FS staging root would leak storage per pin/scratch dir
+    (ADVICE r3). Best-effort, like the rmtree(ignore_errors=True) it
+    replaces: cleanup must never mask the caller's real failure."""
+    if "://" not in path:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        return
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        return
+    try:
+        jvm = spark._jvm  # noqa: SLF001 — no public FS API in PySpark
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(
+            spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        )
+        fs.delete(hpath, True)
+    except Exception:  # noqa: BLE001 — best-effort cleanup
+        pass

@@ -288,3 +288,60 @@ def test_chunking_reconstructs_and_covers(spark, docs_tokens, chunk):
         assert sum(c["chunk_tok"] for c in chunks) == n
         rebuilt = " ".join(c["chunk_text"] for c in chunks)
         assert rebuilt == " ".join(f"w{t}" for t in toks)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 99), min_size=1, max_size=130),
+        min_size=1,
+        max_size=4,
+    ),
+    st.integers(2, 60),
+    st.data(),
+)
+def test_chunking_overlap_covers_every_token(spark, docs_tokens, chunk, data):
+    """chunk_tokens with stride < chunk (overlapping windows — the case
+    ADVICE r3 flagged as unpinned): every token position is covered by
+    at least one window, consecutive windows overlap by exactly
+    chunk - stride tokens while both are full, and each window slices
+    the original token stream verbatim at its stated start."""
+    stride = data.draw(st.integers(1, chunk - 1), label="stride")
+    from airbnb_listings_reviews_data_engineering_spark.operators.text import (
+        chunk_tokens,
+    )
+
+    rows = [
+        (i, " ".join(f"w{t}" for t in toks)) for i, toks in enumerate(docs_tokens)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_tokens(df, "doc_id", "text", chunk=chunk, stride=stride).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, toks in enumerate(docs_tokens):
+        n = len(toks)
+        words = [f"w{t}" for t in toks]
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        covered: set[int] = set()
+        for c in chunks:
+            start = (c["chunk_idx"] - 1) * stride  # 0-based token start
+            window = words[start : start + chunk]
+            assert c["chunk_text"].split(" ") == window  # verbatim slice
+            assert c["chunk_tok"] == len(window)
+            covered.update(range(start, start + len(window)))
+        assert covered == set(range(n))  # no token gaps, ever
+
+
+def test_chunking_rejects_gapped_stride(spark):
+    import pytest as _pytest
+
+    from airbnb_listings_reviews_data_engineering_spark.operators.text import (
+        chunk_tokens,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_tokens(df, "doc_id", "text", chunk=10, stride=11)
+    with _pytest.raises(ValueError, match=">= 1"):
+        chunk_tokens(df, "doc_id", "text", chunk=10, stride=0)
