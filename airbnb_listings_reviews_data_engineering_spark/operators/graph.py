@@ -1,0 +1,82 @@
+"""Iterative graph operators on DataFrames: fixed-iteration PageRank.
+
+Distributed PageRank in its textbook DataFrame decomposition (Page et
+al. 1999; the Spark-examples formulation): per iteration,
+
+  contrib — ranks join edges on src (shuffle on src, or none if ranks
+            and edges share a partitioner), emit rank/outdeg per edge;
+  gather  — groupBy dst sum(contrib) (ONE shuffle on dst — the only
+            corpus-sized movement per round);
+  apply   — right-join back to the node table (absent dst -> 0
+            contribution) and damp.
+
+State between rounds is the node-sized rank table only; the edge table
+is pinned once and reused. At 100 TB of edges each round is one shuffle
+of the edge contributions keyed by dst — pre-partitioning edges by dst
+(or bucketing) makes the gather co-located.
+
+Determinism contract (cross-engine oracle parity): simplified PageRank
+`r' = (1-d)/N + d * sum(r[src]/outdeg[src])` with NO dangling-mass
+redistribution (nodes without out-edges leak mass — the common
+simplified form; deterministic and identical on both engines), ranks
+rounded to 6 dp after every iteration so float summation order can
+never diverge between engines (same device as operators/clustering.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..checkpoint import pin
+
+
+def pagerank_fixed(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank with a fixed iteration count.
+
+    ``nodes``: one column ``id`` (every vertex, including sinks).
+    ``edges``: columns ``src``, ``dst`` (directed, deduplicated by the
+    caller if multiplicity is not wanted).
+    Returns (id, pr) with pr rounded to 6 dp.
+
+    N (node count) is a 1-row aggregate broadcast into the rank seed and
+    the damping term — never a driver-side collect.
+    """
+    n_row = F.broadcast(nodes.agg(F.count("*").alias("n")))
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges_deg = pin(
+        edges.join(deg, "src").select("src", "dst", "outdeg"),
+        label="pagerank_edges",
+    )
+    ranks = pin(
+        nodes.crossJoin(n_row).select(
+            "id", F.round(F.lit(1.0) / F.col("n"), 6).alias("pr")
+        ),
+        label="pagerank_r0",
+    )
+    for _ in range(iters):
+        contrib = (
+            ranks.join(edges_deg, ranks.id == edges_deg.src)
+            .select("dst", (F.col("pr") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = pin(
+            nodes.join(contrib, nodes.id == contrib.dst, "left")
+            .crossJoin(n_row)
+            .select(
+                "id",
+                F.round(
+                    (1.0 - damping) / F.col("n")
+                    + damping * F.coalesce(F.col("contrib"), F.lit(0.0)),
+                    6,
+                ).alias("pr"),
+            ),
+            label="pagerank_r",
+        )
+    return ranks

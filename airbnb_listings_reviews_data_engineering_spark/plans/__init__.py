@@ -12,9 +12,11 @@ from .registry import REGISTRY, QuerySpec, register  # noqa: F401
 def all_queries() -> dict[str, "QuerySpec"]:
     """Import every query module and return the full registry."""
     from . import (  # noqa: F401
+        analytics_ext,
         approx_ext,
         composite,
         docmodel,
+        iterative_ext,
         merge_queries,
         misc_ext,
         pipeline_ext,

@@ -1,0 +1,295 @@
+"""Analytics / profiling queries: funnel conversion, robust outlier
+profiling (MAD), fixed-bin histograms, and bigram-LM document scoring.
+
+All four are single-logical-pass DataFrame plans (the funnel is ONE
+shuffle on user_id; the histogram is map-side bucketing + one agg;
+MAD reuses the scale-guarded percentile machinery; the bigram scorer's
+model tables are vocabulary-bounded joins) — the everyday analytics a
+training-data platform runs next to its pipeline operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+# ------------------------------------------------------------- funnel
+
+_FUNNEL_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+),
+u AS (
+  SELECT user_id,
+         list_sort(list(t) FILTER (WHERE event_type = 'view')) AS vs,
+         list_sort(list(t) FILTER (WHERE event_type = 'click')) AS cs,
+         list_sort(list(t) FILTER (WHERE event_type = 'purchase')) AS ps
+  FROM e GROUP BY user_id
+),
+s AS (
+  SELECT user_id, t1,
+         list_min(list_filter(cs, c -> c > t1)) AS t2_,
+         list_min(list_filter(ps, p -> p > list_min(list_filter(cs, c -> c > t1)))) AS t3_
+  FROM (SELECT user_id, vs[1] AS t1, cs, ps FROM u)
+),
+st AS (
+  SELECT user_id,
+         CASE WHEN t3_ IS NOT NULL THEN 3
+              WHEN t2_ IS NOT NULL THEN 2
+              WHEN t1 IS NOT NULL THEN 1
+              ELSE 0 END AS stage,
+         CASE WHEN t3_ IS NOT NULL THEN (t3_ - t1) / 1000000.0 END AS conv_s
+  FROM s
+)
+SELECT stage, count(*) AS n_users,
+       round(coalesce(avg(conv_s), 0.0), 4) AS avg_conv_s
+FROM st GROUP BY stage
+"""
+
+
+@register("funnel_stages", oracle=_FUNNEL_SQL)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase per user, in
+    ONE shuffle: collect each user's per-type ordered timestamps in a
+    single groupBy, then resolve the strictly-increasing chain with
+    array expressions (t2 = first click AFTER the first view, t3 =
+    first purchase AFTER t2). No per-stage re-join, no window over the
+    event table — per-user state is bounded by that user's event count,
+    so the plan survives 100x (skewed users are one hot key, not a
+    global sort). Funnel stage + user count + mean view->purchase
+    seconds for full converters."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    u = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "view", F.col("t")))
+        ).alias("vs"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "click", F.col("t")))
+        ).alias("cs"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "purchase", F.col("t")))
+        ).alias("ps"),
+    )
+    t1 = F.when(F.size("vs") > 0, F.element_at("vs", 1))
+    s = u.select(
+        "user_id",
+        t1.alias("t1"),
+        F.array_min(F.filter("cs", lambda c: c > t1)).alias("t2_"),
+        "ps",
+    )
+    s = s.select(
+        "user_id",
+        "t1",
+        "t2_",
+        F.array_min(F.filter("ps", lambda p: p > F.col("t2_"))).alias("t3_"),
+    )
+    st = s.select(
+        F.when(F.col("t3_").isNotNull(), 3)
+        .when(F.col("t2_").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+        .alias("stage"),
+        F.when(
+            F.col("t3_").isNotNull(), (F.col("t3_") - F.col("t1")) / 1000000.0
+        ).alias("conv_s"),
+    )
+    return st.groupBy("stage").agg(
+        F.count("*").alias("n_users"),
+        F.round(F.coalesce(F.avg("conv_s"), F.lit(0.0)), 4).alias("avg_conv_s"),
+    )
+
+
+# ------------------------------------------------- robust outliers (MAD)
+
+_MAD_SQL = """
+WITH med AS (
+  SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS med
+  FROM lineitem GROUP BY l_returnflag
+),
+dev AS (
+  SELECT l.l_returnflag, abs(l.l_extendedprice - m.med) AS dev
+  FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+),
+mad AS (
+  SELECT l_returnflag, round(quantile_cont(dev, 0.5), 4) AS mad
+  FROM dev GROUP BY l_returnflag
+)
+SELECT m.l_returnflag, m.med, a.mad,
+       sum(CASE WHEN abs(l.l_extendedprice - m.med) > 4.4478 * a.mad
+                THEN 1 ELSE 0 END) AS n_outliers,
+       count(*) AS n
+FROM lineitem l
+JOIN med m ON l.l_returnflag = m.l_returnflag
+JOIN mad a ON l.l_returnflag = a.l_returnflag
+GROUP BY m.l_returnflag, m.med, a.mad
+"""
+
+
+@register("profile_outliers_mad", oracle=_MAD_SQL)
+def profile_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier profile: median, MAD (median absolute
+    deviation), and the count of |x - med| > 3 * 1.4826 * MAD (=4.4478,
+    the normal-consistency robust z > 3 rule). Both medians go through
+    the scale-guarded percentile (functions/percentile.py) — the probe
+    verdict from the first is REUSED for the second (same grouping, same
+    row multiset), so the guard costs one stats lookup, not two. The
+    3-row med/mad tables broadcast back onto the scan."""
+    from ..functions.percentile import guarded_percentile
+
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    med, chose_exact = guarded_percentile(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        {"med": 0.5},
+        cache_key=(sf_dir, "lineitem", "l_returnflag", "l_extendedprice"),
+        stats_path=f"{sf_dir}/lineitem.parquet",
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.abs(F.col("l_extendedprice") - F.col("med")).alias("dev"),
+        "med",
+    )
+    mad, _ = guarded_percentile(
+        dev,
+        ["l_returnflag"],
+        "dev",
+        {"mad": 0.5},
+        exact=chose_exact,
+    )
+    joined = dev.join(F.broadcast(mad), "l_returnflag")
+    return joined.groupBy("l_returnflag", "med", "mad").agg(
+        F.sum(
+            F.when(F.col("dev") > 4.4478 * F.col("mad"), 1).otherwise(0)
+        ).alias("n_outliers"),
+        F.count("*").alias("n"),
+    )
+
+
+# ------------------------------------------------------------ histogram
+
+_HIST_LO = 0.0
+_HIST_HI = 500.0
+_HIST_BINS = 20
+
+_HIST_SQL = f"""
+SELECT CAST(least(greatest(floor((value - {_HIST_LO}) /
+              ({_HIST_HI} - {_HIST_LO}) * {_HIST_BINS}), 0), {_HIST_BINS - 1}) AS INT)
+         AS bucket,
+       count(*) AS n, min(value) AS lo, max(value) AS hi
+FROM events GROUP BY 1
+"""
+
+
+@register("profile_histogram", oracle=_HIST_SQL)
+def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram of events.value (20 bins over [0, 500),
+    out-of-range clamped to edge bins): bucketing is a map-side integer
+    expression, the aggregate has 20 groups — scan-bound at any SF. The
+    literal-bound formula (not width_bucket) keeps the expression
+    portable to the oracle engine."""
+    ev = load(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(
+            F.floor(
+                (F.col("value") - F.lit(_HIST_LO))
+                / (_HIST_HI - _HIST_LO)
+                * _HIST_BINS
+            ),
+            F.lit(0),
+        ),
+        F.lit(_HIST_BINS - 1),
+    ).cast("int")
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+
+
+# ------------------------------------------------------ bigram LM score
+
+_BIGRAM_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+pairs AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2
+  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+               i -> [w[i], w[i + 1]])) AS p
+        FROM tok)
+),
+uni AS (
+  SELECT w1 AS w, count(*)::BIGINT AS cu
+  FROM (SELECT w1 FROM pairs UNION ALL
+        SELECT w[len(w)] FROM tok WHERE len(w) > 0) t(w1)
+  GROUP BY w1
+),
+v AS (SELECT count(*)::DOUBLE AS nv FROM uni),
+big AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM pairs GROUP BY w1, w2),
+uv AS (SELECT u.w, u.cu, v.nv FROM uni u, v)
+SELECT p.doc_id,
+       count(*) AS n_bigrams,
+       round(avg(ln((b.cb + 0.5) / (u.cu + 0.5 * u.nv))), 4) AS lm_score
+FROM pairs p
+JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+JOIN uv u ON p.w1 = u.w
+GROUP BY p.doc_id
+"""
+
+
+@register("text_bigram_logprob", oracle=_BIGRAM_SQL)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score per document: add-0.5
+    smoothed p(w2|w1) trained on the corpus itself, score = mean log
+    prob. The natural next step from text_unigram_logprob — word-order
+    sensitivity catches shuffled/garbled text a unigram model scores as
+    fluent. Model tables are vocabulary-bounded (unigrams ~V, bigrams
+    ~V^2 worst case but Heaps-limited in practice) and broadcast onto
+    the corpus-sized pair stream; the 1-row vocab size folds into the
+    tiny unigram side first (no corpus-side cross join). Unigram counts
+    are CONTEXT counts (every w1 occurrence) plus each doc's final
+    token, i.e. every token occurrence — identically stated on both
+    engines."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.split("text", " ").alias("w"))
+    pairs = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(w, 1, size(w) - 1),"
+                " (x, i) -> struct(x AS w1, element_at(w, i + 2) AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    last_tok = tok.filter(F.size("w") > 0).select(
+        F.element_at("w", F.size("w")).alias("w1")
+    )
+    uni = (
+        pairs.select("w1")
+        .unionByName(last_tok)
+        .groupBy(F.col("w1").alias("w"))
+        .agg(F.count("*").alias("cu"))
+    )
+    v = uni.agg(F.count("*").cast("double").alias("nv"))
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    uv = uni.crossJoin(F.broadcast(v))
+    scored = pairs.join(
+        F.broadcast(big), ["w1", "w2"]
+    ).join(F.broadcast(uv), pairs.w1 == F.col("w"))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(
+            F.avg(
+                F.log(
+                    (F.col("cb") + 0.5) / (F.col("cu") + 0.5 * F.col("nv"))
+                )
+            ),
+            4,
+        ).alias("lm_score"),
+    )

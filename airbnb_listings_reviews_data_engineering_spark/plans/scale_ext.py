@@ -399,3 +399,83 @@ def maintenance_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("by").alias("max_y"),
         )
     )
+
+
+_SCHEMA_EVOLUTION_SQL = """
+SELECT lang, count(*) AS n,
+       sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_missing_source,
+       sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS chars_gen2
+FROM documents GROUP BY lang
+"""
+
+
+@register("src_schema_evolution", oracle=_SCHEMA_EVOLUTION_SQL)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (mergeSchema): one dataset written by TWO
+    producer generations — gen1 files lack the later `source`/`n_chars`
+    columns — read back as a single frame whose schema is the union,
+    with the missing columns null-filled for gen1 rows. The ingestion
+    reality of any long-lived 100 TB corpus: producers add columns;
+    consumers must read across generations without a rewrite.
+    mergeSchema costs a footer-union across files (not a data scan);
+    steady-state deployments pin the merged schema explicitly, which
+    this read then applies per row group for free."""
+    tag = _sf_tag(sf_dir)
+    staged = os.path.join(staging_root(spark), f"docs_evolved_{tag}")
+    docs = load(spark, sf_dir, "documents")
+    gen1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text", "lang")
+    gen2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    gen1.write.mode("overwrite").parquet(os.path.join(staged, "gen=1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(staged, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(staged)
+    return merged.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("source").isNull(), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_missing_source"),
+        F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("chars_gen2"),
+    )
+
+
+_PARTITION_OVERWRITE_SQL = """
+SELECT event_type, count(*) AS n,
+       round(sum(CASE WHEN event_type = 'click' THEN value * 2
+                      ELSE value END), 4) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+@register("sink_partition_overwrite", oracle=_PARTITION_OVERWRITE_SQL)
+def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent-backfill primitive.
+    Full history is written partitioned by event_type; a backfill then
+    recomputes ONLY the 'click' partition (value doubled) and overwrites
+    it in place with partitionOverwriteMode=dynamic, leaving every other
+    partition's files untouched. At 100 TB this is how a bad day/segment
+    is recomputed: rewrite one directory, not the table; reruns are
+    idempotent because overwrite replaces rather than appends. The
+    read-back aggregates per partition and must show exactly one
+    partition changed (the oracle's CASE) — duplicated or leftover files
+    would double counts and fail the gate."""
+    tag = _sf_tag(sf_dir)
+    staged = os.path.join(staging_root(spark), f"events_overwrite_{tag}")
+    events = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    events.write.partitionBy("event_type").mode("overwrite").parquet(staged)
+    backfill = events.filter(F.col("event_type") == "click").withColumn(
+        "value", F.col("value") * 2
+    )
+    (
+        backfill.write.partitionBy("event_type")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(staged)
+    )
+    return (
+        spark.read.parquet(staged)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )

@@ -58,6 +58,8 @@ R4_ADDITIONS = [
     "dedup_incremental",  # batch-vs-corpus band join (daily-ingest shape)
     "shuffle_deterministic",  # range shuffle + local enumerate + prefix sums
     "src_csv_multiline_split",  # quote-aware re-chunked multiLine CSV scan
+    "text_bpe_train",     # 6-round distributed BPE merge training
+    "graph_pagerank",     # 3-round PageRank over the nation trade graph
 ]
 
 HEADLINE = R2_HEADLINE + R3_ADDITIONS + R4_ADDITIONS

@@ -87,10 +87,16 @@ SECTIONS = [
     ("Scale techniques (100 TB levers)", [
         "join_bucketed", "src_partition_pruning", "join_salted",
         "maintenance_compact", "join_bloom_prefilter",
-        "maintenance_zorder"]),
+        "maintenance_zorder", "src_schema_evolution",
+        "sink_partition_overwrite"]),
+    ("Analytics / profiling (conversion, robust stats, LM scoring)", [
+        "funnel_stages", "profile_outliers_mad", "profile_histogram",
+        "text_bigram_logprob"]),
     ("Grouped-map / cogrouped Pandas (Arrow batch APIs)", [
         "grouped_pandas_zscore", "cogrouped_pandas_asof", "udtf_json_kv"]),
-    ("Iterative algorithms", ["ml_kmeans"]),
+    ("Iterative algorithms", [
+        "ml_kmeans", "text_bpe_pair_counts", "text_bpe_train",
+        "text_bpe_vocab", "graph_pagerank", "emb_power_iteration"]),
     ("Composite pipelines (full Q1/Q5 shapes, one plan)", [
         "pipeline_q1_analog", "pipeline_q5_analog", "pipeline_q6_analog",
         "pipeline_dedup_corpus", "pipeline_quality_filter",

@@ -60,6 +60,8 @@ NESTED_LOOP_ALLOWED = {
     "sim_ivf_join",      # crossJoin against the ONE-row broadcast centroid array
     "sim_ivf_join_learned",  # same probe + Lloyd training (k broadcast centroids)
     "sim_lsh_multiprobe",  # crossJoin against fixed n_planes rows (bucket bits)
+    "text_bigram_logprob",  # 1-row vocab size folded into the tiny unigram side
+    "emb_power_iteration",  # crossJoin against the ONE-row broadcast direction
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's
