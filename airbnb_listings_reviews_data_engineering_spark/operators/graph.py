@@ -36,6 +36,7 @@ def pagerank_fixed(
     edges: DataFrame,
     iters: int = 3,
     damping: float = 0.85,
+    small_state: bool = False,
 ) -> DataFrame:
     """PageRank with a fixed iteration count.
 
@@ -46,6 +47,15 @@ def pagerank_fixed(
 
     N (node count) is a 1-row aggregate broadcast into the rank seed and
     the damping term — never a driver-side collect.
+
+    ``small_state=True`` broadcasts the rank table into the contrib join
+    so the edge table NEVER moves (right whenever node count ≪ edge
+    count and the state fits an executor — dimension-level graphs like
+    the nation trade graph). With the default False, the contrib join
+    shuffles on src — at billion-node scale the right layout is ranks
+    and edges co-partitioned (bucketed) on src so that join is
+    exchange-free too, leaving the dst gather as the only per-round
+    shuffle either way.
     """
     n_row = F.broadcast(nodes.agg(F.count("*").alias("n")))
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
@@ -60,8 +70,9 @@ def pagerank_fixed(
         label="pagerank_r0",
     )
     for _ in range(iters):
+        r = F.broadcast(ranks) if small_state else ranks
         contrib = (
-            ranks.join(edges_deg, ranks.id == edges_deg.src)
+            r.join(edges_deg, ranks.id == edges_deg.src)
             .select("dst", (F.col("pr") / F.col("outdeg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
