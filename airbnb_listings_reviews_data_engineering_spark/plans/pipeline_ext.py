@@ -2088,3 +2088,171 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_surprisal"
         ),
     )
+
+
+# --- WebDataset-style shard manifest -----------------------------------------
+
+_SHARD_BUDGET = 65536  # bytes per shard (nominal)
+
+_SHARD_MANIFEST_SQL = f"""
+WITH d AS (
+  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb
+  FROM documents
+),
+c AS (
+  SELECT doc_id, nb,
+         sum(nb) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nb AS strt
+  FROM d
+),
+s AS (SELECT doc_id, nb, strt,
+             CAST(floor(strt / {_SHARD_BUDGET}) AS BIGINT) AS shard FROM c)
+SELECT doc_id, shard, strt - min(strt) OVER (PARTITION BY shard) AS offset, nb
+FROM s
+"""
+
+
+@register("mm_shard_manifest", oracle=_SHARD_MANIFEST_SQL)
+def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seekable shard manifest for binary payloads (the WebDataset /
+    tar-shard layout of multimodal training data): blobs in doc_id order
+    are packed into ~64 KiB shards; the manifest row per member is
+    (doc_id, shard, byte offset WITHIN the shard, length) — exactly what
+    a loader needs to range-request one sample out of object storage.
+
+    The oracle states the spec as a single global byte cumsum; this plan
+    runs the scale decomposition (pack_token_shards' device, on bytes):
+    repartitionByRange(doc_id) + per-partition Arrow cumsum + a
+    broadcast n_parts-row prefix offset — no single-partition window
+    touches the corpus. The within-shard offset subtracts the shard's
+    min start via a window PARTITIONED by shard (per-shard state, scale
+    safe; shard count grows with bytes so it is never broadcast)."""
+    import pandas as pd
+    from pyspark.sql import Window as W
+
+    n_parts = 8
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.octet_length("text").cast("bigint").alias("nb"))
+        .repartitionByRange(n_parts, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    d = pin(d, label="mm_shard_manifest")
+
+    def cumsum_local(batches):
+        seen = 0
+        for pdf in batches:
+            cum = pdf["nb"].cumsum() + seen
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "pid": pdf["pid"],
+                    "nb": pdf["nb"],
+                    "local_cum": cum,
+                }
+            )
+            seen = int(cum.iloc[-1]) if len(cum) else seen
+
+    local = d.mapInPandas(
+        cumsum_local, schema="doc_id long, pid int, nb long, local_cum long"
+    )
+    totals = d.groupBy("pid").agg(F.sum("nb").alias("b"))
+    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "pid", F.coalesce(F.sum("b").over(w_off), F.lit(0)).alias("poff")
+    )
+    s = local.join(F.broadcast(offsets), "pid").select(
+        "doc_id",
+        "nb",
+        (F.col("poff") + F.col("local_cum") - F.col("nb")).alias("strt"),
+    )
+    s = s.withColumn(
+        "shard", F.floor(F.col("strt") / _SHARD_BUDGET).cast("bigint")
+    )
+    w_shard = W.partitionBy("shard")
+    return s.select(
+        "doc_id",
+        "shard",
+        (F.col("strt") - F.min("strt").over(w_shard)).alias("offset"),
+        "nb",
+    )
+
+
+# --- distinctive-shingle containment (sub-document duplication) --------------
+
+_CONT_DFCAP = 10
+_CONT_THRESH = 0.8
+
+_CONTAINMENT_SQL = f"""
+WITH tokd AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+shd AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(tok) - 2),
+                       i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS sh
+  FROM tokd WHERE len(tok) >= 3
+),
+post AS (SELECT doc_id, unnest(sh) AS g FROM shd),
+df AS (SELECT g, count(*)::BIGINT AS df FROM post GROUP BY g),
+rare AS (SELECT p.doc_id, p.g FROM post p JOIN df ON p.g = df.g
+         WHERE df.df <= {_CONT_DFCAP}),
+na AS (SELECT doc_id, count(*)::BIGINT AS n_rare FROM rare GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+  FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b, i.n_shared, na.n_rare,
+       round(i.n_shared / CAST(na.n_rare AS DOUBLE), 4) AS containment
+FROM inter i JOIN na ON i.doc_a = na.doc_id
+WHERE i.n_shared / CAST(na.n_rare AS DOUBLE) >= {_CONT_THRESH}
+"""
+
+
+@register("text_minhash_containment", oracle=_CONTAINMENT_SQL)
+def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive-shingle containment: |rare(A) ∩ rare(B)| / |rare(A)|
+    over 3-gram shingles whose document frequency is <= 10 — the
+    asymmetric near-dup measure that catches A-inside-B duplication
+    (quotes, wrappers, re-posts) which symmetric Jaccard under-scores.
+
+    Restricting BOTH the numerator and denominator to rare shingles is
+    the scale device AND the signal device: the DF cap bounds every
+    posting list (the self-join is O(sum df^2) <= cap * postings, linear
+    in corpus), and ubiquitous boilerplate shingles — which carry no
+    duplication signal — never form candidates. This is the documented
+    semantics, identically stated in the oracle; it differs from
+    full-shingle containment only through shingles occurring in > 10
+    documents. Directed pairs with containment >= 0.8 are emitted.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = D.with_shingles(docs, "text").select(
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("g")
+    )
+    sh = pin(sh, label="containment_postings")
+    df_counts = sh.groupBy("g").agg(F.count("*").alias("df"))
+    rare = sh.join(
+        df_counts.filter(F.col("df") <= _CONT_DFCAP).select("g"), "g"
+    )
+    rare = pin(rare, label="containment_rare")
+    na = rare.groupBy("doc_id").agg(F.count("*").alias("n_rare"))
+    a = rare.select(F.col("doc_id").alias("doc_a"), "g")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    joined = inter.join(na, inter.doc_a == na.doc_id).select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        "n_rare",
+        F.round(F.col("n_shared") / F.col("n_rare").cast("double"), 4).alias(
+            "containment"
+        ),
+    )
+    return joined.filter(
+        F.col("n_shared") / F.col("n_rare").cast("double") >= _CONT_THRESH
+    )

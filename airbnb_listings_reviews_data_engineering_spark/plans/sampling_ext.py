@@ -520,3 +520,56 @@ def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local.join(F.broadcast(offsets), "pid").select(
         "doc_id", (F.col("offset") + F.col("local_pos")).alias("shuffle_pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+_H_W = hash60_duckdb_sql("CAST(doc_id AS VARCHAR) || '|wsamp'")
+
+_WEIGHTED_SQL = f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         round(-ln(({_H_W} + 1) / 1152921504606846976.0)
+               / CAST(n_chars AS DOUBLE), 12) AS k
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS rn
+  FROM keyed
+)
+SELECT source, doc_id, n_chars FROM ranked WHERE rn <= 5
+"""
+
+
+@register("sample_weighted", oracle=_WEIGHTED_SQL)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k=5 docs per source,
+    weight = n_chars (quality/length proxy): the Efraimidis–Spirakis
+    exponential-sort keys k_i = -ln(u_i)/w_i with the smallest k kept —
+    the distribution-exact way to take a weighted subset in one
+    distributed pass (arXiv cs/0502073). u_i is the md5-gate uniform
+    ((hash60(doc_id)+1)/2^60), so the sample is rerun- and
+    partitioning-stable with NO RNG state — rand() would give a
+    different corpus on every retry. Keys round to 12 dp (values are
+    O(1e-4..1); both engines' ln agree far below 1e-12) with doc_id
+    tie-break, so selection is bitwise deterministic cross-engine. One
+    partitioned window per source; per-group state is top-5."""
+    docs = load(spark, sf_dir, "documents")
+    u = (
+        hash60(F.concat(F.col("doc_id").cast("string"), F.lit("|wsamp"))) + 1
+    ) / F.lit(float(1 << 60))
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.round(-F.log(u) / F.col("n_chars").cast("double"), 12).alias("k"),
+    )
+    w = W.partitionBy("source").orderBy("k", "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "doc_id", "n_chars")
+    )

@@ -843,3 +843,85 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+_ASOF_TOL_SQL = """
+WITH c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+  WHERE event_type = 'click'
+),
+n AS (
+  SELECT c.event_id, c.user_id,
+         (SELECT min(epoch_us(p.ts)) FROM events p
+          WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+            AND epoch_us(p.ts) > c.t
+            AND epoch_us(p.ts) <= c.t + 3600000000) AS p_t,
+         c.t
+  FROM c
+)
+SELECT event_id, user_id,
+       (SELECT min(p.event_id) FROM events p
+        WHERE p.user_id = n.user_id AND p.event_type = 'purchase'
+          AND epoch_us(p.ts) = n.p_t) AS purchase_id,
+       round((p_t - t) / 1000000.0, 4) AS latency_s
+FROM n
+"""
+
+
+@register("join_asof_tolerance", oracle=_ASOF_TOL_SQL)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance — click-to-purchase attribution:
+    each click picks the user's FIRST purchase strictly after it and
+    within 1 hour (else null). Union-window formulation again (one
+    shuffle on user_id, linear forward pass): purchases sort BEFORE
+    clicks at equal timestamps (kind 0 < 1), so the
+    currentRow->unboundedFollowing frame can never pick a same-instant
+    purchase (strictness); ties at the same purchase ts resolve to the
+    smallest event_id via the seq sort key — both stated independently
+    in the oracle as correlated min-subqueries, so the window
+    decomposition is verified against the spec formulation, not against
+    itself. The tolerance is a post-filter on the attributed latency
+    (null beyond 1 h), which keeps the window frame unbounded but the
+    emitted state bounded."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("t"),
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("seq"),
+        F.struct(F.col("t").alias("p_t"), F.col("event_id").alias("p_id")).alias("p"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "t",
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("seq"),
+        F.lit(None)
+        .cast("struct<p_t:bigint,p_id:bigint>")
+        .alias("p"),
+        "event_id",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", "kind", "seq")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    marked = (
+        purchases.unionByName(clicks)
+        .withColumn("nxt", F.first("p", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+    )
+    within = (F.col("nxt").isNotNull()) & (
+        F.col("nxt.p_t") <= F.col("t") + F.lit(3_600_000_000)
+    )
+    return marked.select(
+        "event_id",
+        "user_id",
+        F.when(within, F.col("nxt.p_id")).alias("purchase_id"),
+        F.when(
+            within, F.round((F.col("nxt.p_t") - F.col("t")) / 1_000_000.0, 4)
+        ).alias("latency_s"),
+    )

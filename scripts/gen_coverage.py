@@ -30,11 +30,12 @@ SECTIONS = [
         "dedup_embedding_cosine", "dedup_components",
         "dedup_cluster_stats", "dedup_keep_best", "dedup_shared_spans",
         "dedup_embedding_lsh",
-        "dedup_incremental"]),
+        "dedup_incremental", "text_minhash_containment"]),
     ("Joins (§2.4 + extensions)", [
         "join_eq2", "join_eq3", "join_semi_inlist", "join_agg_agg",
         "join_merge_key", "join_left_outer", "join_full_outer", "join_anti",
-        "join_cross", "join_asof", "join_range", "join_interval_overlap", "join_theta_only"]),
+        "join_cross", "join_asof", "join_asof_tolerance", "join_range",
+        "join_interval_overlap", "join_theta_only"]),
     ("Aggregations (§2.5 + extensions)", [
         "agg_count_group", "agg_countstar_group", "agg_avg_group",
         "agg_percentile", "agg_collect_struct", "agg_exists", "agg_rollup",
@@ -78,12 +79,12 @@ SECTIONS = [
         "text_bm25", "text_unigram_logprob", "text_chunk_overlap"]),
     ("Multimodal (north star)", [
         "mm_binary_meta", "mm_decode_fake", "mm_frame_sample",
-        "mm_probe_media"]),
+        "mm_probe_media", "mm_shard_manifest"]),
     ("Sampling / splitting / packing / profiling (training-data ops)", [
         "sample_stratified", "split_train_test_group", "sample_class_cap",
         "pack_token_shards", "profile_columns", "sample_temperature",
         "sample_domain_mixture", "sample_curriculum",
-        "shuffle_deterministic"]),
+        "shuffle_deterministic", "sample_weighted"]),
     ("Scale techniques (100 TB levers)", [
         "join_bucketed", "src_partition_pruning", "join_salted",
         "maintenance_compact", "join_bloom_prefilter",

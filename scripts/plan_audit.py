@@ -70,6 +70,7 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "sample_temperature",    # share-of-total over #domains rows (~10)
     "shuffle_deterministic",  # prefix-sum offsets over n_parts rows (8)
     "pack_token_shards",     # prefix-sum token offsets over n_parts rows (8)
+    "mm_shard_manifest",     # prefix-sum byte offsets over n_parts rows (8)
 }
 
 
