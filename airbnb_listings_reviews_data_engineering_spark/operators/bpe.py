@@ -81,10 +81,13 @@ def bpe_train(words: DataFrame, merges: int) -> DataFrame:
     """Learn `merges` BPE merges from a (word, freq) table.
 
     Returns one row per merge: (rank, lhs, rhs, merged, cnt), rank 1 =
-    first merge learned. Each round's winner is pinned (1 row) so round
-    r+1's lineage doesn't re-derive rounds 1..r, and the updated symbol
-    table is pinned (vocab-sized) for the same reason — the kmeans /
-    connected-components iterative idiom (operators/clustering.py).
+    first merge learned. The base symbol table is pinned once (that is
+    the only corpus-derived input) and each round's 1-row winner is
+    pinned so round r+1's argmax never re-runs rounds 1..r; the symbol
+    chain itself stays lazy — it is a linear stack of vocab-local regex
+    passes, recomputed in-wave per argmax at vocab cost, which buys one
+    job per round instead of two (cf. operators/clustering.py, where
+    the self-referencing centroid lineage DOES need per-round pins).
     """
     sym = pin(_with_symbols(words), label="bpe_sym")
     winners = []
@@ -105,17 +108,19 @@ def bpe_train(words: DataFrame, merges: int) -> DataFrame:
             )
         )
         if rank < merges:
-            sym = pin(
-                sym.crossJoin(F.broadcast(best)).select(
-                    "word",
-                    "freq",
-                    F.expr(
-                        "regexp_replace(sym,"
-                        " concat(' ', l, ' ', r, ' '),"
-                        " concat(' ', l, r, ' '))"
-                    ).alias("sym"),
-                ),
-                label="bpe_sym",
+            # no per-round pin: the symbol lineage is a LINEAR chain of
+            # vocab-local regex passes over the one pinned base table
+            # (each round's 1-row winner IS pinned above, so nothing
+            # corpus-sized ever recomputes) — one job per argmax instead
+            # of two per round
+            sym = sym.crossJoin(F.broadcast(best)).select(
+                "word",
+                "freq",
+                F.expr(
+                    "regexp_replace(sym,"
+                    " concat(' ', l, ' ', r, ' '),"
+                    " concat(' ', l, r, ' '))"
+                ).alias("sym"),
             )
     out = winners[0]
     for w in winners[1:]:
@@ -135,17 +140,15 @@ def bpe_segmented_vocab(words: DataFrame, merges: int) -> DataFrame:
             pair_counts(sym).orderBy(F.desc("cnt"), "l", "r").limit(1),
             label="bpe_best",
         )
-        sym = pin(
-            sym.crossJoin(F.broadcast(best)).select(
-                "word",
-                "freq",
-                F.expr(
-                    "regexp_replace(sym,"
-                    " concat(' ', l, ' ', r, ' '),"
-                    " concat(' ', l, r, ' '))"
-                ).alias("sym"),
-            ),
-            label="bpe_sym",
+        # linear chain, no per-round pin (see bpe_train)
+        sym = sym.crossJoin(F.broadcast(best)).select(
+            "word",
+            "freq",
+            F.expr(
+                "regexp_replace(sym,"
+                " concat(' ', l, ' ', r, ' '),"
+                " concat(' ', l, r, ' '))"
+            ).alias("sym"),
         )
     pieces = F.split(F.trim("sym"), " ")
     return sym.select(

@@ -37,6 +37,7 @@ def pagerank_fixed(
     iters: int = 3,
     damping: float = 0.85,
     small_state: bool = False,
+    pin_rounds: bool = True,
 ) -> DataFrame:
     """PageRank with a fixed iteration count.
 
@@ -56,6 +57,14 @@ def pagerank_fixed(
     and edges co-partitioned (bucketed) on src so that join is
     exchange-free too, leaving the dst gather as the only per-round
     shuffle either way.
+
+    ``pin_rounds=False`` skips the per-round eager pin: the rank lineage
+    is a LINEAR chain (each round references only the previous round and
+    the one pinned edge table), so for small fixed iteration counts a
+    single terminal action computes the whole chain in one job wave —
+    fewer jobs, same plan per round. Keep the default True for long
+    iteration runs, where a deep (if linear) lineage slows planning and
+    loses restart points.
     """
     n_row = F.broadcast(nodes.agg(F.count("*").alias("n")))
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
@@ -63,11 +72,14 @@ def pagerank_fixed(
         edges.join(deg, "src").select("src", "dst", "outdeg"),
         label="pagerank_edges",
     )
-    ranks = pin(
+    maybe_pin = (lambda df, label: pin(df, label=label)) if pin_rounds else (
+        lambda df, label: df
+    )
+    ranks = maybe_pin(
         nodes.crossJoin(n_row).select(
             "id", F.round(F.lit(1.0) / F.col("n"), 6).alias("pr")
         ),
-        label="pagerank_r0",
+        "pagerank_r0",
     )
     for _ in range(iters):
         r = F.broadcast(ranks) if small_state else ranks
@@ -77,7 +89,7 @@ def pagerank_fixed(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        ranks = pin(
+        ranks = maybe_pin(
             nodes.join(contrib, nodes.id == contrib.dst, "left")
             .crossJoin(n_row)
             .select(
@@ -88,6 +100,6 @@ def pagerank_fixed(
                     6,
                 ).alias("pr"),
             ),
-            label="pagerank_r",
+            "pagerank_r",
         )
     return ranks
