@@ -925,3 +925,68 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             within, F.round((F.col("nxt.p_t") - F.col("t")) / 1_000_000.0, 4)
         ).alias("latency_s"),
     )
+
+
+_PIT_SQL = """
+WITH dim AS (
+  SELECT o_custkey AS ck, o_orderpriority AS prio, o_orderdate AS valid_from,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS valid_to
+  FROM orders
+),
+fact AS (
+  SELECT o.o_custkey AS ck, l.l_shipdate AS d,
+         l.l_extendedprice * (1 - l.l_discount) AS rev
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT dim.prio AS prio_at_ship, count(*) AS n_lines,
+       round(sum(fact.rev), 2) AS revenue
+FROM fact JOIN dim ON fact.ck = dim.ck
+WHERE dim.valid_from <= fact.d
+  AND (dim.valid_to IS NULL OR fact.d < dim.valid_to)
+GROUP BY dim.prio
+"""
+
+
+@register("join_point_in_time", oracle=_PIT_SQL)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (SCD2) dimension lookup — the feature-store
+    correctness join: each lineitem is enriched with the customer's
+    order priority AS OF its ship date, never a later one (no feature
+    leakage). The versioned dimension is built in place with lead() over
+    (valid_from, key) per customer — zero-length versions (two orders
+    the same day) match nothing and the later order wins immediately,
+    deterministically on both engines.
+
+    Physical shape: the dim build is a window PARTITIONED by custkey;
+    the lookup is an equi-join on custkey with the validity predicate as
+    a post-filter — right whenever versions-per-key is bounded (TPC-H:
+    ~10 orders/customer at every SF), which is the normal SCD2 regime.
+    A dimension with unbounded per-key history wants the union-window
+    as-of decomposition instead (join_asof above, one linear pass)."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dim = orders.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_shipdate",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    fact = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("fck"), F.col("l_shipdate").alias("d"), "rev"
+    )
+    joined = fact.join(dim, fact.fck == dim.ck).filter(
+        (F.col("valid_from") <= F.col("d"))
+        & (F.col("valid_to").isNull() | (F.col("d") < F.col("valid_to")))
+    )
+    return joined.groupBy(F.col("prio").alias("prio_at_ship")).agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum("rev"), 2).alias("revenue"),
+    )

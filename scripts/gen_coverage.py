@@ -34,7 +34,7 @@ SECTIONS = [
     ("Joins (§2.4 + extensions)", [
         "join_eq2", "join_eq3", "join_semi_inlist", "join_agg_agg",
         "join_merge_key", "join_left_outer", "join_full_outer", "join_anti",
-        "join_cross", "join_asof", "join_asof_tolerance", "join_range",
+        "join_cross", "join_asof", "join_asof_tolerance", "join_point_in_time", "join_range",
         "join_interval_overlap", "join_theta_only"]),
     ("Aggregations (§2.5 + extensions)", [
         "agg_count_group", "agg_countstar_group", "agg_avg_group",

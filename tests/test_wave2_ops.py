@@ -114,3 +114,37 @@ def test_containment_detects_subdocument(spark, tmp_path):
     # doc 2 -> doc 1 is diluted (8 of 18 shingles) -> below 0.8, absent
     assert (2, 1) not in out
     assert all(3 not in pair for pair in out)
+
+
+def test_point_in_time_never_leaks_future_versions(spark, tmp_path):
+    import datetime as dt
+    from airbnb_listings_reviews_data_engineering_spark.plans.window_ext import (
+        join_point_in_time,
+    )
+
+    d = dt.date
+    orders = spark.createDataFrame(
+        [
+            # customer 1: URGENT from Jan, LOW from Mar
+            (100, 1, d(2024, 1, 1), "1-URGENT"),
+            (101, 1, d(2024, 3, 1), "5-LOW"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate date, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [
+            # ships in Feb (order 100): URGENT era
+            (100, d(2024, 2, 1), 10.0, 0.0),
+            # order 100's later line ships in April: by then LOW — the
+            # leakage-prone case a naive "current value" join gets wrong
+            (100, d(2024, 4, 1), 20.0, 0.0),
+            (101, d(2024, 3, 15), 40.0, 0.0),
+        ],
+        "l_orderkey long, l_shipdate date, l_extendedprice double, l_discount double",
+    )
+    sf = str(tmp_path)
+    orders.write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    li.write.mode("overwrite").parquet(f"{sf}/lineitem.parquet")
+    out = {r.prio_at_ship: (r.n_lines, r.revenue)
+           for r in join_point_in_time(spark, sf).collect()}
+    assert out == {"1-URGENT": (1, 10.0), "5-LOW": (2, 60.0)}
