@@ -437,3 +437,54 @@ def minhash_lsh_join(
         .distinct()  # a pair may collide in several bands
         .filter(F.col("est_jaccard") >= threshold)
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int | None = 10,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Directed containment pairs |sh(A) ∩ sh(B)| / |sh(A)| >= threshold
+    over distinct 3-gram shingles.
+
+    ``df_cap`` restricts BOTH numerator and denominator to shingles with
+    document frequency <= cap ("distinctive containment"): every posting
+    list is bounded, so the pair join is linear in corpus — the only
+    form that runs at 100 TB. ``df_cap=None`` is the exhaustive spec
+    (quadratic in boilerplate df — ground truth for quality
+    measurement, never a production path). Returns (doc_a, doc_b,
+    n_shared, n_rare, containment)."""
+    sh = with_shingles(docs.select(id_col, text_col), text_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct("shingles")).alias("g"),
+    )
+    sh = pin(sh, label="containment_postings")
+    if df_cap is not None:
+        dfc = sh.groupBy("g").agg(F.count("*").alias("df"))
+        sh = pin(
+            sh.join(dfc.filter(F.col("df") <= df_cap).select("g"), "g"),
+            label="containment_rare",
+        )
+    na = sh.groupBy("doc_id").agg(F.count("*").alias("n_rare"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "g")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    joined = inter.join(na, inter.doc_a == na.doc_id).select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        "n_rare",
+        F.round(F.col("n_shared") / F.col("n_rare").cast("double"), 4).alias(
+            "containment"
+        ),
+    )
+    return joined.filter(
+        F.col("n_shared") / F.col("n_rare").cast("double") >= threshold
+    )

@@ -37,12 +37,12 @@ def _dot(a, b):
     )
 
 
-def power_iteration_top_component(
+def power_iteration_direction(
     df: DataFrame, id_col: str, vec_col: str, dims: int = 8, iters: int = 3
 ) -> DataFrame:
-    """Leading right singular direction of the row vectors in ``vec_col``
-    (first ``dims`` coordinates), after ``iters`` power-iteration rounds
-    from v0 = e1. Returns (dim, loading) with dim 1-based."""
+    """The trainable half: the ONE-row frame holding the final direction
+    array ``v`` — broadcastable into any downstream per-row projection
+    (see plans' emb_pca_project)."""
     x = df.select(F.slice(as_double_array(vec_col), 1, dims).alias("xv"))
     spark = df.sparkSession
     v = spark.range(1).select(
@@ -71,6 +71,16 @@ def power_iteration_top_component(
             ),
             label="power_iter_v",
         )
+    return v
+
+
+def power_iteration_top_component(
+    df: DataFrame, id_col: str, vec_col: str, dims: int = 8, iters: int = 3
+) -> DataFrame:
+    """Leading right singular direction of the row vectors in ``vec_col``
+    (first ``dims`` coordinates), after ``iters`` power-iteration rounds
+    from v0 = e1. Returns (dim, loading) with dim 1-based."""
+    v = power_iteration_direction(df, id_col, vec_col, dims, iters)
     return v.select(F.posexplode("v").alias("pos", "loading")).select(
         (F.col("pos") + 1).alias("dim"), "loading"
     )

@@ -2224,35 +2224,10 @@ def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics, identically stated in the oracle; it differs from
     full-shingle containment only through shingles occurring in > 10
     documents. Directed pairs with containment >= 0.8 are emitted.
+    Quality vs the exhaustive spec is MEASURED in SCALING.md
+    (scripts/containment_quality.py) with test-pinned floors.
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = D.with_shingles(docs, "text").select(
-        "doc_id", F.explode(F.array_distinct("shingles")).alias("g")
-    )
-    sh = pin(sh, label="containment_postings")
-    df_counts = sh.groupBy("g").agg(F.count("*").alias("df"))
-    rare = sh.join(
-        df_counts.filter(F.col("df") <= _CONT_DFCAP).select("g"), "g"
-    )
-    rare = pin(rare, label="containment_rare")
-    na = rare.groupBy("doc_id").agg(F.count("*").alias("n_rare"))
-    a = rare.select(F.col("doc_id").alias("doc_a"), "g")
-    b = rare.select(F.col("doc_id").alias("doc_b"), "g")
-    inter = (
-        a.join(b, "g")
-        .filter(F.col("doc_a") != F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_shared"))
-    )
-    joined = inter.join(na, inter.doc_a == na.doc_id).select(
-        "doc_a",
-        "doc_b",
-        "n_shared",
-        "n_rare",
-        F.round(F.col("n_shared") / F.col("n_rare").cast("double"), 4).alias(
-            "containment"
-        ),
-    )
-    return joined.filter(
-        F.col("n_shared") / F.col("n_rare").cast("double") >= _CONT_THRESH
+    return D.containment_pairs(
+        docs, df_cap=_CONT_DFCAP, threshold=_CONT_THRESH
     )

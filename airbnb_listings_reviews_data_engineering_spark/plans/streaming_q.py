@@ -304,3 +304,93 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pin(out, label="stream_late_data")
     shutil.rmtree(stream_dir, ignore_errors=True)
     return out
+
+
+_UPSERT_STREAM_SQL = """
+SELECT user_id, event_id, event_type, round(value, 4) AS value
+FROM (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@register("stream_upsert_merge", oracle=_UPSERT_STREAM_SQL)
+def stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: the event stream drained as THREE file
+    micro-batches (maxFilesPerTrigger=1), each foreachBatch-merged into
+    an atomically versioned keyed table with LAST-WRITE-WINS BY EVENT
+    TIME per user — merge by max (ts, event_id), not by arrival order,
+    so the final state is identical however the source groups batches
+    (here they are grouped by event_id residue, i.e. deliberately NOT in
+    time order). The oracle states the spec directly: each user's
+    row_number()-latest event. Each merge is one per-user window over
+    base ∪ batch (state-table-sized); publishes go through
+    sources/atomic.publish_parquet, so a crash between batches leaves a
+    readable previous version (exactly-once evidence:
+    tests/test_streaming_ingest.py)."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    from ..sources.atomic import publish_parquet, read_published
+    from ..sources.staging import staging_root
+    from ..streaming.ingest import EVENTS_SCHEMA
+
+    raw = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    root = os.path.join(
+        staging_root(spark), "scratch", f"upsert_{uuid.uuid4().hex[:12]}"
+    )
+    stream_dir = os.path.join(root, "in")
+    target = os.path.join(root, "state")
+    os.makedirs(stream_dir)
+    for i in range(3):
+        staged = os.path.join(stream_dir, f"_stage_{i}")
+        raw.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(staged)
+        part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        dest = os.path.join(stream_dir, f"batch_{i}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(staged)
+        os.utime(dest, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    state_cols = ["user_id", "event_id", "event_type", "value", "ts"]
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def apply_batch(batch_df, _bid):
+        base = read_published(spark, target)
+        combined = batch_df.select(*state_cols)
+        if base is not None:
+            combined = combined.unionByName(base.select(*state_cols))
+        latest = (
+            combined.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        publish_parquet(latest, target)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    ckpt = os.path.join(root, "ckpt")
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = read_published(spark, target).select(
+        "user_id", "event_id", "event_type", F.round("value", 4).alias("value")
+    )
+    final = pin(final, label="stream_upsert_merge")
+    shutil.rmtree(root, ignore_errors=True)
+    return final

