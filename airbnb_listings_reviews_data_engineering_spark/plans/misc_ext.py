@@ -795,3 +795,49 @@ def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 20)
         .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
     )
+
+
+_URL_PARSE_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.Example.COM:8443/' || lang || '/doc/'
+           || doc_id || '?utm_source=x&id=' || doc_id || '#frag' AS url
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       lower(split_part(split_part(split_part(url, '//', 2), '/', 1), ':', 1))
+         AS host,
+       regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1) AS path,
+       regexp_extract(url, '[?&]id=([^&#]*)', 1) AS qid
+FROM u
+"""
+
+
+@register("fn_url_parse", oracle=_URL_PARSE_SQL)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition + host canonicalization (the crawl-pipeline
+    normalization step): parse_url HOST (case-folded; the port lives in
+    AUTHORITY, not HOST), PATH, and a single QUERY parameter — all
+    JVM-side java.net.URI parsing, no UDF. The oracle restates the
+    decomposition with portable string/regex functions, so the parse
+    semantics (not just the plumbing) are cross-checked for well-formed
+    URLs."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".Example.COM:8443/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id"),
+        F.lit("?utm_source=x&id="),
+        F.col("doc_id"),
+        F.lit("#frag"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.lower(F.parse_url("url", F.lit("HOST"))).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("id")).alias("qid"),
+    )

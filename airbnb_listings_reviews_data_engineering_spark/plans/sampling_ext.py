@@ -573,3 +573,56 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("source", "doc_id", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# key-skew profiling (shuffle planning)
+# ---------------------------------------------------------------------------
+
+_SKEW_SQL = """
+WITH e AS (
+  SELECT user_id AS k, count(*)::BIGINT AS c FROM events GROUP BY user_id
+),
+l AS (
+  SELECT l_orderkey AS k, count(*)::BIGINT AS c FROM lineitem GROUP BY l_orderkey
+)
+SELECT 'events.user_id' AS keycol, count(*) AS n_keys,
+       max(c) AS max_cnt, round(avg(c), 4) AS avg_cnt,
+       round(max(c) / avg(c), 4) AS skew_ratio,
+       round(quantile_cont(c, 0.99) / quantile_cont(c, 0.5), 4) AS p99_over_p50
+FROM e
+UNION ALL
+SELECT 'lineitem.l_orderkey', count(*), max(c), round(avg(c), 4),
+       round(max(c) / avg(c), 4),
+       round(quantile_cont(c, 0.99) / quantile_cont(c, 0.5), 4)
+FROM l
+"""
+
+
+@register("profile_skew", oracle=_SKEW_SQL)
+def profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profile — the report you run BEFORE deciding
+    between a plain join, AQE skew split, and manual salting
+    (join_salted): per candidate shuffle key, the hot-key multiplier
+    (max/avg group size) and the p99/p50 spread of group sizes. Each
+    profile is one map-side-combined count plus an aggregate over the
+    (small) per-key count table; nothing touches the driver."""
+
+    def one(name: str, df: DataFrame, key: str) -> DataFrame:
+        c = df.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("c"))
+        return c.agg(
+            F.lit(name).alias("keycol"),
+            F.count("*").alias("n_keys"),
+            F.max("c").alias("max_cnt"),
+            F.round(F.avg("c"), 4).alias("avg_cnt"),
+            F.round(F.max("c") / F.avg("c"), 4).alias("skew_ratio"),
+            F.round(
+                F.expr("percentile(c, 0.99)") / F.expr("percentile(c, 0.5)"), 4
+            ).alias("p99_over_p50"),
+        )
+
+    ev = one("events.user_id", load(spark, sf_dir, "events"), "user_id")
+    li = one(
+        "lineitem.l_orderkey", load(spark, sf_dir, "lineitem"), "l_orderkey"
+    )
+    return ev.unionByName(li)

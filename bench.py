@@ -60,6 +60,8 @@ R4_ADDITIONS = [
     "src_csv_multiline_split",  # quote-aware re-chunked multiLine CSV scan
     "text_bpe_train",     # 6-round distributed BPE merge training
     "graph_pagerank",     # 3-round PageRank over the nation trade graph
+    "funnel_stages",      # one-shuffle conversion funnel
+    "mm_shard_manifest",  # range-partitioned byte cumsum shard manifest
 ]
 
 HEADLINE = R2_HEADLINE + R3_ADDITIONS + R4_ADDITIONS

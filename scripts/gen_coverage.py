@@ -60,7 +60,7 @@ SECTIONS = [
         "fn_interval_arith", "fn_array_ops", "fn_map_ops",
         "fn_scalar_subquery", "fn_regex_family", "fn_higher_order",
         "fn_bitwise", "fn_hash_encode", "fn_try_arithmetic",
-        "cte_recursive"]),
+        "cte_recursive", "fn_url_parse"]),
     ("Streaming / incremental (§2.8 + extensions)", [
         "inc_daily_snapshot", "inc_doc_accum", "inc_retry",
         "table_changes_feed", "stream_window_agg",
@@ -84,7 +84,7 @@ SECTIONS = [
         "sample_stratified", "split_train_test_group", "sample_class_cap",
         "pack_token_shards", "profile_columns", "sample_temperature",
         "sample_domain_mixture", "sample_curriculum",
-        "shuffle_deterministic", "sample_weighted"]),
+        "shuffle_deterministic", "sample_weighted", "profile_skew"]),
     ("Scale techniques (100 TB levers)", [
         "join_bucketed", "src_partition_pruning", "join_salted",
         "maintenance_compact", "join_bloom_prefilter",
@@ -97,8 +97,8 @@ SECTIONS = [
         "grouped_pandas_zscore", "cogrouped_pandas_asof", "udtf_json_kv"]),
     ("Iterative algorithms", [
         "ml_kmeans", "text_bpe_pair_counts", "text_bpe_train",
-        "text_bpe_vocab", "graph_pagerank", "emb_power_iteration",
-        "emb_pca_project"]),
+        "text_bpe_vocab", "text_bpe_encode_docs", "graph_pagerank",
+        "emb_power_iteration", "emb_pca_project"]),
     ("Composite pipelines (full Q1/Q5 shapes, one plan)", [
         "pipeline_q1_analog", "pipeline_q5_analog", "pipeline_q6_analog",
         "pipeline_dedup_corpus", "pipeline_quality_filter",

@@ -69,6 +69,47 @@ def main() -> None:
         )
         release_pins(spark)
 
+    pagerank_scale(spark)
+
+
+def pagerank_scale(spark) -> None:
+    """Graph blow-up: k disjoint copies of the nation trade graph
+    (node ids offset per copy), so nodes AND edges scale by k while the
+    per-round plan is unchanged — wall time per round should grow
+    sub-linearly (shuffles are tiny; job overhead dominates locally)
+    and the rank table stays the only inter-round state."""
+    import time as _t
+
+    from airbnb_listings_reviews_data_engineering_spark.operators.graph import (
+        pagerank_fixed,
+    )
+
+    base_edges = spark.createDataFrame(
+        [(a, (a * 7 + b) % 25) for a in range(25) for b in range(1, 5)],
+        "src long, dst long",
+    )
+    print("\n| copies | nodes | edges | 3-round pagerank sec |")
+    print("|---|---|---|---|")
+    for k in (1, 100, 1000):
+        edges = (
+            spark.range(k)
+            .crossJoin(F.broadcast(base_edges))
+            .select(
+                (F.col("src") + F.col("id") * 25).alias("src"),
+                (F.col("dst") + F.col("id") * 25).alias("dst"),
+            )
+            .repartition(32)
+            .localCheckpoint(eager=True)
+        )
+        nodes = spark.range(25 * k).select(F.col("id"))
+        t0 = _t.perf_counter()
+        pagerank_fixed(nodes, edges, iters=3, pin_rounds=False).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        dt = _t.perf_counter() - t0
+        print(f"| {k} | {25 * k:,} | {100 * k:,} | {dt:.2f} |", flush=True)
+        release_pins(spark)
+
 
 if __name__ == "__main__":
     main()

@@ -98,3 +98,29 @@ def test_pagerank_one_iteration_hand_computed(spark):
     assert out[0] == pytest.approx(0.05, abs=1e-6)
     assert out[1] == pytest.approx(0.191667, abs=1e-6)
     assert out[2] == pytest.approx(0.475, abs=1e-6)
+
+
+def test_bpe_invariants_on_random_vocab(spark):
+    """Invariants on a randomized vocabulary (no oracle involved):
+    segmentation is lossless (concat(pieces) == word), piece counts
+    never increase with more merges, and learned merge counts are
+    non-increasing in rank (any post-merge pair count is bounded by the
+    count of the pair it replaced)."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        vocab = {
+            "".join(rng.choice("abcd") for _ in range(rng.randint(1, 7))): rng.randint(1, 50)
+            for _ in range(rng.randint(3, 15))
+        }
+        words = _words(spark, list(vocab.items()))
+        v2 = {r.word: r.pieces for r in bpe_segmented_vocab(words, merges=2).collect()}
+        v4 = {r.word: r.pieces for r in bpe_segmented_vocab(words, merges=4).collect()}
+        assert set(v2) == set(vocab) and set(v4) == set(vocab)
+        for w in vocab:
+            assert "".join(v2[w]) == w, (trial, w, v2[w])
+            assert "".join(v4[w]) == w, (trial, w, v4[w])
+            assert len(v4[w]) <= len(v2[w])
+        counts = [r.cnt for r in bpe_train(words, merges=4).orderBy("rank").collect()]
+        assert counts == sorted(counts, reverse=True), counts
