@@ -2231,3 +2231,143 @@ def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs(
         docs, df_cap=_CONT_DFCAP, threshold=_CONT_THRESH
     )
+
+
+# --- feature hashing (the hashing trick) -------------------------------------
+
+_FH_SLOTS = 64
+
+_FEATURE_HASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+slotted AS (
+  SELECT doc_id, {hash60_duckdb_sql('w')} % {_FH_SLOTS} AS slot
+  FROM tok
+),
+cnts AS (
+  SELECT doc_id, slot, count(*)::BIGINT AS cnt
+  FROM slotted GROUP BY doc_id, slot
+)
+SELECT doc_id,
+       array_to_string(list_transform(
+         list_sort(list(slot * 1000000 + cnt)),
+         x -> CAST(x // 1000000 AS VARCHAR) || ':' || CAST(x % 1000000 AS VARCHAR)
+       ), ' ') AS features,
+       count(*) AS n_slots
+FROM cnts GROUP BY doc_id
+"""
+
+
+@register("xform_feature_hash", oracle=_FEATURE_HASH_SQL)
+def xform_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): each document's
+    token-count vector projected into a fixed 64-slot space via
+    hash(token) % slots — the featurizer that needs NO vocabulary
+    table, so it runs embarrassingly parallel on 100 TB with zero
+    shuffles before the per-doc aggregation. Output is the sparse
+    vector as a canonical sorted "slot:count" string (cross-engine
+    comparable without map-type hashing differences). Collisions are
+    the accepted semantics of the trick; hash60 makes them IDENTICAL
+    collisions on both engines."""
+    from ..functions.hashing import hash60
+
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    cnts = (
+        tok.select("doc_id", (hash60("w") % _FH_SLOTS).alias("slot"))
+        .groupBy("doc_id", "slot")
+        .agg(F.count("*").alias("cnt"))
+    )
+    packed = F.sort_array(
+        F.collect_list(F.col("slot") * 1_000_000 + F.col("cnt"))
+    )
+    feat = F.array_join(
+        F.transform(
+            packed,
+            lambda x: F.concat(
+                (x / 1_000_000).cast("long").cast("string"),
+                F.lit(":"),
+                (x % 1_000_000).cast("string"),
+            ),
+        ),
+        " ",
+    )
+    return cnts.groupBy("doc_id").agg(
+        feat.alias("features"), F.count("*").alias("n_slots")
+    )
+
+
+# --- contrastive negative sampling -------------------------------------------
+
+_NEG_PAIRS_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(generate_series(1, 8),
+                        d -> CAST(embedding[d] AS DOUBLE)) AS v
+  FROM embeddings
+),
+cand AS (
+  SELECT vec_id AS anchor_id, label,
+         ({hash60_duckdb_sql("CAST(vec_id AS VARCHAR) || '|neg'")})
+           % (SELECT count(*) FROM e) + 1000 AS neg_id, v
+  FROM e
+)
+SELECT c.anchor_id, c.neg_id,
+       round(
+         list_sum(list_transform(generate_series(1, 8), d -> c.v[d] * n.v[d]))
+         / (sqrt(list_sum(list_transform(generate_series(1, 8), d -> c.v[d] * c.v[d])))
+            * sqrt(list_sum(list_transform(generate_series(1, 8), d -> n.v[d] * n.v[d])))),
+         4) AS cos_sim,
+       CASE WHEN c.label = n.label THEN 1 ELSE 0 END AS same_label
+FROM cand c JOIN e n ON c.neg_id = n.vec_id
+WHERE c.neg_id <> c.anchor_id
+"""
+
+
+@register("sample_negative_pairs", oracle=_NEG_PAIRS_SQL)
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor draws one pseudo-random partner via the md5 gate
+    (hash60(vec_id)%N mapped into the id range) — rerun- and
+    partitioning-stable, no RNG state, and the pair list is rebuilt
+    identically on any cluster. The partner lookup is an equi-join on
+    the drawn id (one shuffle, or none with co-partitioned ids); the
+    1-row corpus count folds into the anchor side. Emits the drawn
+    pair's cosine and a same-label marker (hard-negative diagnostics:
+    same-label draws are the ones curriculum miners re-sample)."""
+    from ..functions.arrays import as_double_array, cosine
+    from ..functions.hashing import hash60
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.slice(as_double_array("embedding"), 1, 8).alias("v")
+    )
+    n_row = F.broadcast(e.groupBy().agg(F.count("*").alias("n")))
+    cand = e.crossJoin(n_row).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("v").alias("a_v"),
+        (
+            hash60(F.concat(F.col("vec_id").cast("string"), F.lit("|neg")))
+            % F.col("n")
+            + 1000
+        ).alias("neg_id"),
+    )
+    neg = e.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("n_label"),
+        F.col("v").alias("n_v"),
+    )
+    return (
+        cand.join(neg, "neg_id")
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "neg_id",
+            F.round(cosine(F.col("a_v"), F.col("n_v")), 4).alias("cos_sim"),
+            F.when(F.col("a_label") == F.col("n_label"), 1)
+            .otherwise(0)
+            .alias("same_label"),
+        )
+    )

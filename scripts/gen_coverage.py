@@ -76,7 +76,8 @@ SECTIONS = [
         "text_lang_id", "text_quality_score", "text_token_count",
         "text_fingerprint", "text_ngram_freq", "text_tfidf",
         "text_pii_scrub", "text_repetition_filter", "text_rolling_hash",
-        "text_bm25", "text_unigram_logprob", "text_chunk_overlap"]),
+        "text_bm25", "text_unigram_logprob", "text_chunk_overlap",
+        "xform_feature_hash"]),
     ("Multimodal (north star)", [
         "mm_binary_meta", "mm_decode_fake", "mm_frame_sample",
         "mm_probe_media", "mm_shard_manifest"]),
@@ -84,7 +85,8 @@ SECTIONS = [
         "sample_stratified", "split_train_test_group", "sample_class_cap",
         "pack_token_shards", "profile_columns", "sample_temperature",
         "sample_domain_mixture", "sample_curriculum",
-        "shuffle_deterministic", "sample_weighted", "profile_skew"]),
+        "shuffle_deterministic", "sample_weighted", "profile_skew",
+        "sample_negative_pairs"]),
     ("Scale techniques (100 TB levers)", [
         "join_bucketed", "src_partition_pruning", "join_salted",
         "maintenance_compact", "join_bloom_prefilter",

@@ -65,6 +65,8 @@ NESTED_LOOP_ALLOWED = {
     "emb_pca_project",   # same 1-row learned direction, apply side
     "graph_pagerank",    # crossJoin against the 1-row node-count aggregate
     "text_bpe_vocab",    # crossJoin against pinned 1-row argmax winners (lazy chain)
+    "text_bpe_encode_docs",  # same lazy-chain vocab, broadcast-joined to the corpus
+    "sample_negative_pairs",  # 1-row corpus count folded into the anchor side
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's
