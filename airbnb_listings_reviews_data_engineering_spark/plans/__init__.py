@@ -20,6 +20,7 @@ def all_queries() -> dict[str, "QuerySpec"]:
         merge_queries,
         misc_ext,
         pipeline_ext,
+        quality_ext,
         relational,
         sampling_ext,
         scale_ext,

@@ -1,0 +1,696 @@
+"""Data-quality, reconciliation, and feature-engineering queries.
+
+The operational layer every production pipeline runs AROUND its
+transforms (reference analog: the implicit checks in the reference's
+cleaning DAG — dropna/type coercion steps at airbnb_listing_de.py's
+transform tasks — made explicit, auditable, and scale-safe):
+
+- `dq_expectations`: a declarative rule battery (null / range / domain /
+  format / positivity) evaluated in ONE conditional-aggregation pass per
+  table — the Great-Expectations shape without a per-rule scan;
+- `dq_referential`: FK-orphan and PK-uniqueness checks as anti-join /
+  grouped counts — referential integrity at shuffle-join cost;
+- `diff_snapshots`: full-outer reconciliation of two table snapshots
+  into added/removed/changed/unchanged classes — the audit diff run
+  after every backfill;
+- `cohort_retention`: weekly cohort x activity-week retention counts;
+- `ts_resample_ffill`: per-entity daily date-spine densification with
+  forward fill — the gap-filling resample of feature pipelines;
+- `join_fuzzy_blocked`: blocked record linkage (equi-join on a cheap
+  blocking key, Levenshtein verify inside blocks) — never all-pairs;
+- `agg_mode`: deterministic per-group mode with tie-break;
+- `split_kfold`: leakage-safe k-fold assignment by group hash;
+- `agg_heavy_hitters`: exact relative-frequency heavy hitters with a
+  1-row broadcast total;
+- `xform_quantile_bin`: global-rank decile binning via the
+  range-partition + local-cumsum + broadcast-prefix-offset
+  decomposition (no single-partition window at any scale).
+
+All oracles are exact ANSI SQL over the same parquet tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..checkpoint import pin
+from ..functions.hashing import hash60, hash60_duckdb_sql
+from .registry import load, register
+
+# ---------------------------------------------------------------------------
+# declarative expectations battery
+# ---------------------------------------------------------------------------
+
+_SEGMENTS = "('MACHINERY','FURNITURE','AUTOMOBILE','HOUSEHOLD','BUILDING')"
+
+_EXPECTATIONS_SQL = f"""
+WITH c AS (
+  SELECT count(*) AS n,
+         count(*) - count(c_acctbal) AS v_null,
+         count(*) FILTER (WHERE c_acctbal NOT BETWEEN -1000 AND 10000) AS v_range,
+         count(*) FILTER (WHERE c_mktsegment NOT IN {_SEGMENTS}) AS v_domain,
+         count(*) FILTER (WHERE NOT regexp_matches(c_name, '^Customer#[0-9]{{9}}$')) AS v_format
+  FROM customer
+), o AS (
+  SELECT count(*) AS n,
+         count(*) FILTER (WHERE o_totalprice <= 0) AS v_pos,
+         count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1990-01-01'
+                             OR o_orderdate > TIMESTAMP '2030-01-01') AS v_date
+  FROM orders
+)
+SELECT * FROM (
+  SELECT 'customer.acctbal_nonnull' AS rule, n AS n_checked,
+         v_null AS n_violations, v_null = 0 AS ok FROM c
+  UNION ALL
+  SELECT 'customer.acctbal_in_range', n, v_range, v_range = 0 FROM c
+  UNION ALL
+  SELECT 'customer.mktsegment_domain', n, v_domain, v_domain = 0 FROM c
+  UNION ALL
+  SELECT 'customer.name_format', n, v_format, v_format = 0 FROM c
+  UNION ALL
+  SELECT 'orders.totalprice_positive', n, v_pos, v_pos = 0 FROM o
+  UNION ALL
+  SELECT 'orders.orderdate_in_range', n, v_date, v_date = 0 FROM o
+)
+"""
+
+
+@register("dq_expectations", oracle=_EXPECTATIONS_SQL)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract battery: null-ratio, numeric range,
+    categorical domain, string format (regex), and positivity rules,
+    each reported as (rule, n_checked, n_violations, ok). ALL rules for
+    a table evaluate in ONE conditional-aggregation scan (map-side
+    partial agg to a single row), then unpivot to rule rows via stack —
+    a 50-rule contract over a 100 TB table still costs one pass, not 50.
+    The reference performs these checks implicitly inside its pandas
+    cleaning tasks (dropna/astype at its transform steps); here they are
+    explicit and report violations instead of silently dropping."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    segs = [s.strip("'") for s in _SEGMENTS.strip("()").split("','")]
+    cagg = c.agg(
+        F.count("*").alias("n"),
+        (F.count("*") - F.count("c_acctbal")).alias("v_null"),
+        F.count(
+            F.when(~F.col("c_acctbal").between(-1000, 10000), 1)
+        ).alias("v_range"),
+        F.count(F.when(~F.col("c_mktsegment").isin(segs), 1)).alias("v_domain"),
+        F.count(
+            F.when(~F.col("c_name").rlike("^Customer#[0-9]{9}$"), 1)
+        ).alias("v_format"),
+    )
+    oagg = o.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("v_pos"),
+        F.count(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") > F.lit("2030-01-01").cast("timestamp")),
+                1,
+            )
+        ).alias("v_date"),
+    )
+    crules = cagg.select(
+        F.expr(
+            "stack(4,"
+            " 'customer.acctbal_nonnull', v_null,"
+            " 'customer.acctbal_in_range', v_range,"
+            " 'customer.mktsegment_domain', v_domain,"
+            " 'customer.name_format', v_format) AS (rule, n_violations)"
+        ),
+        F.col("n").alias("n_checked"),
+    )
+    orules = oagg.select(
+        F.expr(
+            "stack(2,"
+            " 'orders.totalprice_positive', v_pos,"
+            " 'orders.orderdate_in_range', v_date) AS (rule, n_violations)"
+        ),
+        F.col("n").alias("n_checked"),
+    )
+    return crules.unionByName(orules).select(
+        "rule", "n_checked", "n_violations", (F.col("n_violations") == 0).alias("ok")
+    )
+
+
+# ---------------------------------------------------------------------------
+# referential integrity
+# ---------------------------------------------------------------------------
+
+_REFERENTIAL_SQL = """
+SELECT 'orders.o_custkey->customer' AS check_name,
+       (SELECT count(*) FROM orders) AS n_child,
+       (SELECT count(*) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM part p
+                            WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'customer.c_custkey unique',
+       (SELECT count(*) FROM customer),
+       (SELECT count(*) FROM (SELECT c_custkey FROM customer
+                               GROUP BY c_custkey HAVING count(*) > 1))
+"""
+
+
+@register("dq_referential", oracle=_REFERENTIAL_SQL)
+def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity report: FK orphan counts via LEFT ANTI join
+    (a shuffle-or-broadcast hash join — customer/part fit in a broadcast
+    at gate SF, and at 100 TB the anti join shuffles on the key like any
+    equi-join) plus a PK-uniqueness check as a grouped count. Each check
+    is one join/agg; no row leaves the JVM. The counts land in one small
+    union — the shape of a nightly integrity gate."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    c = load(spark, sf_dir, "customer")
+    p = load(spark, sf_dir, "part")
+
+    def check(name: str, child: DataFrame, orphans: DataFrame) -> DataFrame:
+        # two 1-row aggregates crossJoined — both sides fixed-cardinality
+        return (
+            orphans.agg(F.count("*").alias("n_orphans"))
+            .crossJoin(F.broadcast(child.agg(F.count("*").alias("n_child"))))
+            .select(
+                F.lit(name).alias("check_name"), "n_child", "n_orphans"
+            )
+        )
+
+    fk1 = check(
+        "orders.o_custkey->customer",
+        o,
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti"),
+    )
+    fk2 = check(
+        "lineitem.l_orderkey->orders",
+        li,
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"),
+    )
+    fk3 = check(
+        "lineitem.l_partkey->part",
+        li,
+        li.join(p, li.l_partkey == p.p_partkey, "left_anti"),
+    )
+    dup = (
+        c.groupBy("c_custkey")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+    pk = check("customer.c_custkey unique", c, dup)
+    return fk1.unionByName(fk2).unionByName(fk3).unionByName(pk)
+
+
+# ---------------------------------------------------------------------------
+# snapshot reconciliation diff
+# ---------------------------------------------------------------------------
+
+# Two deterministic snapshots derived from orders: A drops keys ending in
+# 9, B drops keys ending in 0 and bumps URGENT prices 10 % — so the diff
+# has all four classes without any synthetic input.
+_DIFF_SQL = """
+WITH a AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 9
+), b AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderpriority = '1-URGENT'
+              THEN (CAST(round(o_totalprice * 100) AS BIGINT) * 11 + 5) // 10
+              ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cb
+  FROM orders WHERE o_orderkey % 10 <> 0
+), j AS (
+  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
+         CAST(round(a.o_totalprice * 100) AS BIGINT) AS ca, b.cb AS cb
+  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+)
+SELECT CASE WHEN ca IS NULL THEN 'added'
+            WHEN cb IS NULL THEN 'removed'
+            WHEN ca <> cb THEN 'changed'
+            ELSE 'unchanged' END AS change,
+       count(*) AS n_keys,
+       round(coalesce(sum(cb - ca), 0) / 100.0, 2) AS price_delta
+FROM j GROUP BY 1
+"""
+
+
+@register("diff_snapshots", oracle=_DIFF_SQL)
+def diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: FULL OUTER join two table versions on
+    the key, classify every key as added / removed / changed / unchanged
+    and report per-class counts plus the net value delta — the audit
+    diff run after a backfill or migration before swapping a snapshot
+    live. One co-partitioned shuffle join (both sides hash on the same
+    key; at 100 TB, bucketed snapshots make it exchange-free — see
+    join_bucketed); the classification is a map-side CASE. Money runs in
+    integer CENTS end-to-end — a double sum is order-dependent across
+    partitions (the float version flipped its last rounded digit at
+    sf0.01), and the 10 % bump is (cents*11+5) DIV 10, not
+    round(price*1.1, 2): Spark rounds via the double's exact decimal
+    expansion (BigDecimal HALF_UP) while DuckDB rounds in binary, and
+    the two disagree on real halfway inputs."""
+    o = load(spark, sf_dir, "orders")
+
+    def cents(col):
+        return F.round(col * 100).cast("bigint")
+
+    a = o.filter(F.col("o_orderkey") % 10 != 9).select(
+        "o_orderkey", cents(F.col("o_totalprice")).alias("ca")
+    )
+    b = o.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT",
+            F.expr(
+                "CAST((CAST(round(o_totalprice * 100) AS BIGINT) * 11 + 5)"
+                " DIV 10 AS BIGINT)"
+            ),
+        )
+        .otherwise(cents(F.col("o_totalprice")))
+        .alias("cb"),
+    )
+    j = a.join(b, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("ca").isNull(), "added")
+        .when(F.col("cb").isNull(), "removed")
+        .when(F.col("ca") != F.col("cb"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(change.alias("change"), "ca", "cb")
+        .groupBy("change")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.round(
+                F.coalesce(F.sum(F.col("cb") - F.col("ca")), F.lit(0)) / 100.0,
+                2,
+            ).alias("price_delta"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# weekly cohort retention
+# ---------------------------------------------------------------------------
+
+_COHORT_SQL = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_w FROM events
+  GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_w FROM events
+)
+SELECT strftime(f.cohort_w, '%Y-%m-%d') AS cohort_week,
+       CAST((epoch(a.active_w) - epoch(f.cohort_w)) / 604800 AS BIGINT)
+         AS week_offset,
+       count(*) AS n_active
+FROM firsts f JOIN active a USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@register("cohort_retention", oracle=_COHORT_SQL)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by the week of their
+    FIRST event; each (cohort_week, week_offset) cell counts users still
+    active that many weeks later. Two aggregations on user_id (first-seen
+    and distinct-active-week both shuffle on the user key, so AQE plans
+    the join exchange-light) and one final small agg; the per-user state
+    is one timestamp + its distinct weeks. This is the standard growth
+    analytics query, expressed so the user-keyed shuffles dominate and
+    the retention matrix itself stays tiny at any corpus size."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_w")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_w")
+    ).distinct()
+    return (
+        firsts.join(active, "user_id")
+        .select(
+            F.date_format("cohort_w", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                (F.unix_timestamp("active_w") - F.unix_timestamp("cohort_w"))
+                / 604800
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-entity daily resample with forward fill
+# ---------------------------------------------------------------------------
+
+_RESAMPLE_SQL = """
+WITH daily AS (
+  SELECT user_id, ts::DATE AS day, round(avg(value), 4) AS day_avg
+  FROM events WHERE user_id < 10 GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+), spine AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM spans
+)
+SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+       d.day_avg IS NOT NULL AS observed,
+       last_value(d.day_avg IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
+FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+"""
+
+
+@register("ts_resample_ffill", oracle=_RESAMPLE_SQL)
+def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity daily resample + forward fill: build each entity's own
+    date spine (sequence(min_day, max_day) exploded — spine size is the
+    entity's active range, never a global calendar cross join), left-join
+    the observed daily aggregate, and gap-fill with last-non-null over a
+    window PARTITIONED BY the entity (bounded per-entity state; nothing
+    global). This is the feature-pipeline densification step — ML
+    features need a value for every (entity, day) cell. Scoped to
+    user_id < 10 to keep gate output small; the plan is
+    per-entity-partitioned at any entity count."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.avg("value"), 4).alias("day_avg"))
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("day_avg").isNotNull().alias("observed"),
+        F.last("day_avg", ignorenulls=True).over(w).alias("filled_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# blocked fuzzy record linkage
+# ---------------------------------------------------------------------------
+
+_FUZZY_SQL = """
+WITH p AS (
+  SELECT p_partkey, p_name, p_type,
+         split_part(p_name, ' ', 2) AS noun
+  FROM part
+)
+SELECT a.noun, a.p_type, count(*) AS n_pairs,
+       count(DISTINCT a.p_partkey) AS n_left_keys,
+       min(a.p_partkey * 100000 + b.p_partkey) AS min_pair_id
+FROM p a JOIN p b
+  ON a.noun = b.noun AND a.p_type = b.p_type
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3 AND a.p_name <> b.p_name
+GROUP BY a.noun, a.p_type
+"""
+
+
+@register("join_fuzzy_blocked", oracle=_FUZZY_SQL)
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record linkage (entity resolution): candidate pairs come
+    from an EQUI-join on a cheap blocking key (noun token + type — a
+    map-side derivation), then the expensive Levenshtein verify runs
+    only INSIDE blocks. Never all-pairs: at 100 TB the block key bounds
+    the join's fan-out exactly like an LSH band does for MinHash
+    (dedup_minhash_lsh is the same architecture with learned blocks);
+    the p_partkey < p_partkey predicate halves the candidate set and
+    canonicalizes pair identity. Levenshtein is JVM whole-stage codegen
+    (built-in), not a UDF. Per-block pair counts prove the blocking."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_type",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun"),
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.noun") == F.col("b.noun"))
+        & (F.col("a.p_type") == F.col("b.p_type"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).filter(
+        (F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3)
+        & (F.col("a.p_name") != F.col("b.p_name"))
+    )
+    return pairs.groupBy(
+        F.col("a.noun").alias("noun"), F.col("a.p_type").alias("p_type")
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct(F.col("a.p_partkey")).alias("n_left_keys"),
+        F.min(
+            F.col("a.p_partkey") * 100000 + F.col("b.p_partkey")
+        ).alias("min_pair_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic per-group mode
+# ---------------------------------------------------------------------------
+
+_MODE_SQL = """
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+  FROM orders GROUP BY 1, 2
+), r AS (
+  SELECT o_orderstatus, o_orderpriority, cnt,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY cnt DESC, o_orderpriority) AS rk
+  FROM c
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_count
+FROM r WHERE rk = 1
+"""
+
+
+@register("agg_mode", oracle=_MODE_SQL)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with a DETERMINISTIC tie-break (highest count,
+    then lexicographically smallest value — native `mode()` is
+    tie-unspecified in both engines, so it can never be oracle-checked).
+    Two-level aggregate: the big table collapses to (group, value)
+    counts with map-side combine, then a window over the SMALL counts
+    table (cardinality = |groups| x |domain|, not row count) picks the
+    winner. The heavy shuffle is the first groupBy; the window never
+    sees the raw table."""
+    o = load(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt")
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), "o_orderpriority"
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-fold split by group hash
+# ---------------------------------------------------------------------------
+
+_H_CUST = hash60_duckdb_sql("'fold:' || CAST(c_custkey AS VARCHAR)")
+
+_KFOLD_SQL = f"""
+WITH assign AS (
+  SELECT c_custkey, {_H_CUST} % 5 AS fold FROM customer
+)
+SELECT a.fold, count(DISTINCT a.c_custkey) AS n_customers,
+       count(o.o_orderkey) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM assign a JOIN orders o ON o.o_custkey = a.c_custkey
+GROUP BY a.fold
+"""
+
+
+@register("split_kfold", oracle=_KFOLD_SQL)
+def split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe k-fold (k=5) cross-validation assignment: the fold
+    is hash60('fold:'||custkey) % 5 on the GROUP key, so every order of
+    a customer lands in one fold (no entity leakage across folds) and
+    the assignment is rerun- and partitioning-stable with no RNG state.
+    The salt prefix decorrelates folds from the 80/20 holdout gate
+    (split_train_test_group) — reusing the raw hash would nest the
+    splits. One key-shuffle join + per-fold aggregate."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.pmod(
+            hash60(F.concat(F.lit("fold:"), F.col("c_custkey").cast("string"))),
+            F.lit(5),
+        ).alias("fold"),
+    )
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("fold")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact relative-frequency heavy hitters
+# ---------------------------------------------------------------------------
+
+_HH_SQL = """
+WITH c AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+), s AS (SELECT sum(cnt) AS total, count(*) AS n_keys FROM c)
+SELECT c.user_id, c.cnt,
+       round(c.cnt * s.n_keys / CAST(s.total AS DOUBLE), 4) AS lift
+FROM c, s
+WHERE c.cnt * s.n_keys * 10 >= s.total * 12
+"""
+
+
+@register("agg_heavy_hitters", oracle=_HH_SQL)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: keys whose frequency is >= 1.2x the MEAN
+    key frequency (an avg-relative bar stays meaningful as the key
+    population grows with SF; a fixed share-of-total bar empties out).
+    The per-key counts are one map-side-combined groupBy; total and key
+    count come from aggregating the (already small) counts table — one
+    1-row broadcast — and the threshold compares in INTEGER arithmetic
+    (cnt*n_keys*10 >= total*12, no float edge). This is the exact pass
+    that validates a sketch (`agg_hll_sketch_rollup` family), and the
+    hitter list feeds skew salting (profile_skew / join_salted)."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    stats = counts.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .filter(F.col("cnt") * F.col("n_keys") * 10 >= F.col("total") * 12)
+        .select(
+            "user_id",
+            "cnt",
+            F.round(
+                F.col("cnt") * F.col("n_keys") / F.col("total").cast("double"),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# global-rank decile binning (scale-safe)
+# ---------------------------------------------------------------------------
+
+_QBIN_SQL = """
+WITH r AS (
+  SELECT o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rk,
+         count(*) OVER () AS total
+  FROM orders
+)
+SELECT CAST(floor(((rk - 1) * 10.0) / total) AS BIGINT) AS decile,
+       count(*) AS n, round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM r GROUP BY 1
+"""
+
+
+@register("xform_quantile_bin", oracle=_QBIN_SQL)
+def xform_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decile (equal-FREQUENCY) binning — the feature-engineering
+    quantile bucketizer. The oracle states the spec as a global
+    row_number + count window; THIS plan never runs a single-partition
+    pass: it is the same prefix-sum decomposition as
+    `shuffle_deterministic` — repartitionByRange(price, key) +
+    sortWithinPartitions splits the global price order across range
+    partitions, each partition enumerates locally (Arrow-batched narrow
+    op), and global rank = local rank + broadcast prefix offsets of the
+    per-partition counts; the bin total rides the same tiny offsets
+    frame (sum over ~n_parts rows). The only wide ops are the range
+    shuffle and the final per-decile aggregate — global ntile() would
+    move the entire table through ONE task."""
+    import pandas as pd
+
+    n_parts = 8
+    d = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .repartitionByRange(n_parts, "o_totalprice", "o_orderkey")
+        .sortWithinPartitions("o_totalprice", "o_orderkey")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    d = pin(d, label="quantile_bin")
+
+    def enumerate_local(batches):
+        seen = 0
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "pid": pdf["pid"],
+                    "o_totalprice": pdf["o_totalprice"],
+                    "local_pos": range(seen + 1, seen + 1 + len(pdf)),
+                }
+            )
+            seen += len(pdf)
+            yield out
+
+    local = d.mapInPandas(
+        enumerate_local, schema="pid int, o_totalprice double, local_pos long"
+    )
+    counts = d.groupBy("pid").agg(F.count("*").alias("cnt"))
+    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset"),
+    ).crossJoin(F.broadcast(counts.agg(F.sum("cnt").alias("total"))))
+    rk = F.col("offset") + F.col("local_pos")
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            F.floor(((rk - 1) * 10.0) / F.col("total"))
+            .cast("bigint")
+            .alias("decile"),
+            "o_totalprice",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )

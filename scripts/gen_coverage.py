@@ -101,6 +101,11 @@ SECTIONS = [
         "ml_kmeans", "text_bpe_pair_counts", "text_bpe_train",
         "text_bpe_vocab", "text_bpe_encode_docs", "graph_pagerank",
         "emb_power_iteration", "emb_pca_project"]),
+    ("Data quality / reconciliation / feature engineering", [
+        "dq_expectations", "dq_referential", "diff_snapshots",
+        "cohort_retention", "ts_resample_ffill", "join_fuzzy_blocked",
+        "agg_mode", "split_kfold", "agg_heavy_hitters",
+        "xform_quantile_bin"]),
     ("Composite pipelines (full Q1/Q5 shapes, one plan)", [
         "pipeline_q1_analog", "pipeline_q5_analog", "pipeline_q6_analog",
         "pipeline_dedup_corpus", "pipeline_quality_filter",

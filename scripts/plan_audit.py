@@ -67,6 +67,9 @@ NESTED_LOOP_ALLOWED = {
     "text_bpe_vocab",    # crossJoin against pinned 1-row argmax winners (lazy chain)
     "text_bpe_encode_docs",  # same lazy-chain vocab, broadcast-joined to the corpus
     "sample_negative_pairs",  # 1-row corpus count folded into the anchor side
+    "dq_referential",    # crossJoins of paired ONE-row count aggregates
+    "agg_heavy_hitters",  # crossJoin against the 1-row corpus total
+    "xform_quantile_bin",  # 1-row grand-total folded into the tiny offsets frame
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's
@@ -76,6 +79,7 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "shuffle_deterministic",  # prefix-sum offsets over n_parts rows (8)
     "pack_token_shards",     # prefix-sum token offsets over n_parts rows (8)
     "mm_shard_manifest",     # prefix-sum byte offsets over n_parts rows (8)
+    "xform_quantile_bin",    # prefix-sum rank offsets over n_parts rows (8)
 }
 
 
