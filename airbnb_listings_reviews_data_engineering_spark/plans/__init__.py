@@ -16,6 +16,7 @@ def all_queries() -> dict[str, "QuerySpec"]:
         approx_ext,
         composite,
         docmodel,
+        geo_ext,
         iterative_ext,
         merge_queries,
         misc_ext,

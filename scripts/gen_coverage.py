@@ -106,6 +106,8 @@ SECTIONS = [
         "cohort_retention", "ts_resample_ffill", "join_fuzzy_blocked",
         "agg_mode", "split_kfold", "agg_heavy_hitters",
         "xform_quantile_bin"]),
+    ("Geospatial (grid-blocked joins, anchor kNN)", [
+        "geo_dist_rings", "geo_grid_join", "geo_knn_anchor"]),
     ("Composite pipelines (full Q1/Q5 shapes, one plan)", [
         "pipeline_q1_analog", "pipeline_q5_analog", "pipeline_q6_analog",
         "pipeline_dedup_corpus", "pipeline_quality_filter",
