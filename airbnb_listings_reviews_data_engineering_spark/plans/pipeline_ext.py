@@ -2371,3 +2371,166 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("same_label"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document boilerplate line removal (C4/CCNet-style)
+# ---------------------------------------------------------------------------
+
+_LINE_DEDUP_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+),
+l AS (
+  SELECT doc_id, CAST((start - 1) // 3 AS INT) AS line_no,
+         array_to_string(tok[start:start + 2], ' ') AS line
+  FROM (SELECT doc_id, tok, unnest(range(1, len(tok) + 1, 3)) AS start FROM t)
+),
+df AS (
+  SELECT line, count(DISTINCT doc_id) AS n_docs FROM l GROUP BY line
+),
+kept AS (
+  SELECT l.doc_id, l.line_no, l.line FROM l JOIN df USING (line)
+  WHERE df.n_docs = 1
+)
+SELECT t.doc_id,
+       CAST(ceil(len(t.tok) / 3.0) AS BIGINT) AS n_lines,
+       coalesce(k.n_kept, 0) AS n_kept,
+       CAST(ceil(len(t.tok) / 3.0) AS BIGINT) - coalesce(k.n_kept, 0)
+         AS n_removed,
+       coalesce(k.kept_md5, '') AS kept_md5
+FROM t LEFT JOIN (
+  SELECT doc_id, count(*) AS n_kept,
+         md5(string_agg(line, ' ' ORDER BY line_no)) AS kept_md5
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)
+"""
+
+
+@register("text_line_dedup", oracle=_LINE_DEDUP_SQL)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate-line removal — the C4/CCNet cleaning
+    step: segment every document into fixed 3-token pseudo-lines (the
+    fixtures carry no newlines; a real corpus splits on '\\n'), count
+    each distinct line's DOCUMENT frequency corpus-wide, drop every line
+    that appears in more than one document (shared navigation chrome /
+    legal footers in a real crawl), and reassemble the survivors in
+    original order. Reported per doc: line counts before/after and the
+    md5 of the reassembled text (string-equality proof against the
+    oracle without shipping the text).
+
+    Scale shape: segmentation is a narrow sequence-explode + slice
+    (zero shuffle); the line-frequency table shuffles on the LINE text
+    (boilerplate lines are the hot keys — at crawl scale, hash the line
+    first so the key is fixed-width); the keep-join is an equi-join on
+    the line; reassembly is one groupBy(doc) with array_sort on
+    (line_no, line) structs. Four shuffles total, all key-partitioned —
+    never a global sort, no Python. Docs whose every line is boilerplate
+    survive with n_kept=0 via the final left join against the corpus
+    spine."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tok")
+    )
+    lines = docs.select(
+        "doc_id",
+        F.ceil(F.size("tok") / 3.0).cast("bigint").alias("n_lines"),
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.ceil(F.size("tok") / 3.0).cast("int") - 1
+                ),
+                lambda i: F.array_join(
+                    F.slice(F.col("tok"), i * 3 + 1, 3), " "
+                ),
+            )
+        ).alias("line_no", "line"),
+    )
+    df_counts = lines.groupBy("line").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    kept = lines.join(df_counts.filter(F.col("n_docs") == 1), "line")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("line_no", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+                " ",
+            )
+        ).alias("kept_md5"),
+    )
+    spine = docs.select(
+        "doc_id", F.ceil(F.size("tok") / 3.0).cast("bigint").alias("n_lines")
+    )
+    return spine.join(reassembled, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        F.coalesce("kept_md5", F.lit("")).alias("kept_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary growth curve (Heaps' law)
+# ---------------------------------------------------------------------------
+
+_VOCAB_GROWTH_SQL = """
+WITH w AS (
+  SELECT doc_id // 100 AS bucket, unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+first_seen AS (
+  SELECT word, min(bucket) AS first_bucket FROM w GROUP BY word
+),
+per_bucket AS (
+  SELECT first_bucket AS bucket, count(*) AS new_words
+  FROM first_seen GROUP BY first_bucket
+),
+tokens AS (
+  SELECT bucket, count(*) AS n_tokens FROM w GROUP BY bucket
+)
+SELECT t.bucket, t.n_tokens, coalesce(p.new_words, 0) AS new_words,
+       sum(coalesce(p.new_words, 0)) OVER (ORDER BY t.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vocab_size
+FROM tokens t LEFT JOIN per_bucket p ON p.bucket = t.bucket
+"""
+
+
+@register("text_vocab_growth", oracle=_VOCAB_GROWTH_SQL)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: new distinct words and
+    cumulative vocabulary size per 100-doc corpus prefix bucket — the
+    curve that says whether a corpus is still contributing vocabulary
+    or has gone redundant (the flattening point is where continued
+    crawling stops paying). A naive 'distinct words in every prefix'
+    is quadratic; this is the first-occurrence decomposition: each
+    word's contribution lands in the ONE bucket where its min(doc_id)
+    falls (one explode + one word-keyed min agg), and the cumulative
+    sum runs over the #buckets-row frame only — allowlisted tiny
+    window, like the prefix-sum decompositions. Token counts ride the
+    same explode."""
+    w = load(spark, sf_dir, "documents").select(
+        (F.col("doc_id") / 100).cast("bigint").alias("bucket"),
+        F.explode(F.split("text", " ")).alias("word"),
+    )
+    first_seen = w.groupBy("word").agg(F.min("bucket").alias("first_bucket"))
+    per_bucket = first_seen.groupBy(
+        F.col("first_bucket").alias("bucket")
+    ).agg(F.count("*").alias("new_words"))
+    from pyspark.sql import Window
+
+    tokens = w.groupBy("bucket").agg(F.count("*").alias("n_tokens"))
+    joined = tokens.join(per_bucket, "bucket", "left").select(
+        "bucket",
+        "n_tokens",
+        F.coalesce("new_words", F.lit(0)).alias("new_words"),
+    )
+    w_cum = (
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.withColumn("vocab_size", F.sum("new_words").over(w_cum))

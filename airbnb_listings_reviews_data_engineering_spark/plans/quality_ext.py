@@ -694,3 +694,103 @@ def xform_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-table QA profile
+# ---------------------------------------------------------------------------
+
+_EMB_PROFILE_SQL = """
+WITH n AS (
+  SELECT label,
+         CAST(round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[])) * 10000)
+              AS BIGINT) AS norm4,
+         len(embedding) AS dim
+  FROM embeddings
+)
+SELECT label, count(*) AS n_vecs,
+       count(DISTINCT dim) AS n_dims,
+       count(*) FILTER (WHERE norm4 = 0) AS n_zero,
+       round(min(norm4) / 10000.0, 4) AS min_norm,
+       round(max(norm4) / 10000.0, 4) AS max_norm,
+       round(sum(norm4) / count(*) / 10000.0, 4) AS avg_norm
+FROM n GROUP BY label
+"""
+
+
+@register("profile_embeddings", oracle=_EMB_PROFILE_SQL)
+def profile_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table QA gate — run before any ANN/dedup consumer:
+    per label, vector count, dimension consistency (n_dims must be 1),
+    zero-vector count (they poison cosine math), and L2-norm range/mean.
+    The norm is computed per row (the in-array fold is index-ordered and
+    engine-identical) then FIXED-POINT quantized to 1e-4 BEFORE the
+    group aggregate, so min/max/mean run in exact integer arithmetic —
+    a float mean over doubles is partition-order-dependent and can never
+    hash-match. One map-side pass + one small agg; no UDF."""
+    from ..functions.arrays import as_double_array, dot
+
+    e = load(spark, sf_dir, "embeddings")
+    v = as_double_array("embedding")
+    n = e.select(
+        "label",
+        F.round(F.sqrt(dot(v, v)) * 10000).cast("bigint").alias("norm4"),
+        F.size("embedding").alias("dim"),
+    )
+    return n.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.countDistinct("dim").alias("n_dims"),
+        F.count(F.when(F.col("norm4") == 0, 1)).alias("n_zero"),
+        F.round(F.min("norm4") / 10000.0, 4).alias("min_norm"),
+        F.round(F.max("norm4") / 10000.0, 4).alias("max_norm"),
+        F.round(F.sum("norm4") / F.count("*") / 10000.0, 4).alias("avg_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# source freshness / staleness report
+# ---------------------------------------------------------------------------
+
+_FRESHNESS_SQL = """
+WITH s AS (
+  SELECT event_type, max(ts) AS last_ts, count(*) AS n_events
+  FROM events GROUP BY event_type
+), g AS (SELECT max(last_ts) AS global_max FROM s)
+SELECT s.event_type, strftime(s.last_ts, '%Y-%m-%d %H:%M:%S') AS last_seen,
+       s.n_events,
+       (epoch_us(g.global_max) - epoch_us(s.last_ts)) // 1000000 AS lag_s,
+       (epoch_us(g.global_max) - epoch_us(s.last_ts)) > 3600000000 AS stale
+FROM s, g
+"""
+
+
+@register("profile_freshness", oracle=_FRESHNESS_SQL)
+def profile_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source freshness report — the staleness gate of an ingest
+    mesh: each event type's last-seen timestamp and its lag behind the
+    freshest source, flagged stale past one hour. Anchoring to the
+    GLOBAL max (a 1-row broadcast over the tiny per-type frame) rather
+    than wall-clock now() keeps the query deterministic and
+    replay-stable — now()-anchored freshness can never be oracle-checked
+    and flaps on reruns. One map-side-combined agg over the stream table;
+    everything after is fixed-cardinality. The lag subtracts MICROSECOND
+    epochs and floor-divides the DIFFERENCE — per-value second
+    truncation (floor(a)-floor(b)) is off by one whenever the two
+    fractional parts straddle, which the gate data actually hits."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"), F.count("*").alias("n_events")
+    )
+    g = s.agg(F.max("last_ts").alias("global_max"))
+    lag_us = F.unix_micros("global_max") - F.unix_micros("last_ts")
+    return (
+        s.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+            "n_events",
+            F.floor(lag_us / 1000000).cast("bigint").alias("lag_s"),
+            (lag_us > 3600000000).alias("stale"),
+        )
+    )

@@ -626,3 +626,36 @@ def profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lineitem.l_orderkey", load(spark, sf_dir, "lineitem"), "l_orderkey"
     )
     return ev.unionByName(li)
+
+
+# ---------------------------------------------------------------------------
+# fixed-size deterministic global sample
+# ---------------------------------------------------------------------------
+
+_H_FIX = hash60_duckdb_sql("'fix:' || CAST(doc_id AS VARCHAR)")
+
+_FIXED_N_SQL = f"""
+SELECT doc_id, lang, source FROM documents
+ORDER BY {_H_FIX}, doc_id LIMIT 200
+"""
+
+
+@register("sample_fixed_n", oracle=_FIXED_N_SQL)
+def sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-n uniform sample (n=200): take the n smallest values of
+    a salted key hash — a deterministic reservoir. Rate-gated sampling
+    (sample_stratified) cannot hit an exact size; ordering by hash is
+    uniform-without-replacement and rerun-stable with no RNG state.
+    Spark executes ORDER BY hash LIMIT n as TakeOrderedAndProject:
+    every partition keeps an n-row heap and the driver merges heaps —
+    no global sort, no full shuffle, the same plan at any corpus size
+    (n rows per partition is the only state). doc_id tie-break pins
+    the frontier."""
+    d = load(spark, sf_dir, "documents")
+    hk = hash60(F.concat(F.lit("fix:"), F.col("doc_id").cast("string")))
+    return (
+        d.select("doc_id", "lang", "source", hk.alias("_hk"))
+        .orderBy("_hk", "doc_id")
+        .limit(200)
+        .drop("_hk")
+    )

@@ -64,7 +64,17 @@ R4_ADDITIONS = [
     "mm_shard_manifest",  # range-partitioned byte cumsum shard manifest
 ]
 
-HEADLINE = R2_HEADLINE + R3_ADDITIONS + R4_ADDITIONS
+# round-4 second wave: the data-quality/reconciliation and geospatial
+# families added this round — regression-track their heavy shapes
+R4B_ADDITIONS = [
+    "geo_grid_join",      # 3-degree grid-blocked 150 km radius self-join
+    "xform_quantile_bin", # range-partition prefix-sum decile binning
+    "cohort_retention",   # weekly cohort x activity-week matrix
+    "join_fuzzy_blocked", # noun-blocked Levenshtein record linkage
+    "diff_snapshots",     # full-outer snapshot reconciliation (cents)
+]
+
+HEADLINE = R2_HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R4B_ADDITIONS
 
 
 def main() -> None:

@@ -77,7 +77,7 @@ SECTIONS = [
         "text_fingerprint", "text_ngram_freq", "text_tfidf",
         "text_pii_scrub", "text_repetition_filter", "text_rolling_hash",
         "text_bm25", "text_unigram_logprob", "text_chunk_overlap",
-        "xform_feature_hash"]),
+        "xform_feature_hash", "text_line_dedup", "text_vocab_growth"]),
     ("Multimodal (north star)", [
         "mm_binary_meta", "mm_decode_fake", "mm_frame_sample",
         "mm_probe_media", "mm_shard_manifest"]),
@@ -86,7 +86,7 @@ SECTIONS = [
         "pack_token_shards", "profile_columns", "sample_temperature",
         "sample_domain_mixture", "sample_curriculum",
         "shuffle_deterministic", "sample_weighted", "profile_skew",
-        "sample_negative_pairs"]),
+        "sample_negative_pairs", "sample_fixed_n"]),
     ("Scale techniques (100 TB levers)", [
         "join_bucketed", "src_partition_pruning", "join_salted",
         "maintenance_compact", "join_bloom_prefilter",
@@ -105,7 +105,7 @@ SECTIONS = [
         "dq_expectations", "dq_referential", "diff_snapshots",
         "cohort_retention", "ts_resample_ffill", "join_fuzzy_blocked",
         "agg_mode", "split_kfold", "agg_heavy_hitters",
-        "xform_quantile_bin"]),
+        "xform_quantile_bin", "profile_embeddings", "profile_freshness"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor"]),
     ("Composite pipelines (full Q1/Q5 shapes, one plan)", [

@@ -70,6 +70,7 @@ NESTED_LOOP_ALLOWED = {
     "dq_referential",    # crossJoins of paired ONE-row count aggregates
     "agg_heavy_hitters",  # crossJoin against the 1-row corpus total
     "xform_quantile_bin",  # 1-row grand-total folded into the tiny offsets frame
+    "profile_freshness",  # crossJoin against the 1-row global-max timestamp
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's
@@ -80,6 +81,7 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "pack_token_shards",     # prefix-sum token offsets over n_parts rows (8)
     "mm_shard_manifest",     # prefix-sum byte offsets over n_parts rows (8)
     "xform_quantile_bin",    # prefix-sum rank offsets over n_parts rows (8)
+    "text_vocab_growth",     # vocab cumsum over #buckets rows (~corpus/100)
 }
 
 
