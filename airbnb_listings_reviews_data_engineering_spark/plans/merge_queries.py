@@ -524,3 +524,126 @@ def sink_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     condemned = (F.col("s_acctbal") < 0) & (F.col("s_nationkey") % 2 == 0)
     return sup.filter(~condemned)
+
+
+# ---------------------------------------------------------------------------
+# incremental materialized-view maintenance
+# ---------------------------------------------------------------------------
+
+# the oracle is the FULL recompute over all of orders; the Spark side
+# refreshes incrementally (base aggregate + delta aggregate merged), so a
+# hash-match proves refresh(mv, delta) == recompute(base + delta)
+_MV_MERGE_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+         AS total_price
+FROM orders GROUP BY 1, 2
+"""
+
+
+@register("inc_mv_merge", oracle=_MV_MERGE_SQL)
+def inc_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh for an additive aggregate:
+    the standing MV (count + sum per group, built from the pre-2000
+    slice) absorbs a delta batch (the post-2000 slice) by aggregating
+    ONLY the delta and merging with a full-outer join on the group key —
+    counts add, sums add, groups new to the delta appear, untouched
+    groups pass through. The oracle recomputes from scratch over the
+    whole table, so the gate proves the incremental algebra exactly.
+    This is the self-maintenance shape that turns a daily 100 TB rescan
+    into a delta-sized job; sums run in integer cents so merge order
+    cannot perturb the result (float sums are partition-order-
+    dependent). Both aggregates are map-side-combined; the merge join
+    is on the (small) group-key space."""
+    o = load(spark, sf_dir, "orders")
+    cut = F.lit("2000-01-01").cast("timestamp")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus", "o_orderpriority").agg(
+            F.count("*").alias("n"), F.sum(cents).alias("c")
+        )
+
+    mv = agg(o.filter(F.col("o_orderdate") < cut))
+    delta = agg(o.filter(F.col("o_orderdate") >= cut))
+    merged = mv.withColumnsRenamed({"n": "n0", "c": "c0"}).join(
+        delta.withColumnsRenamed({"n": "n1", "c": "c1"}),
+        ["o_orderstatus", "o_orderpriority"],
+        "full_outer",
+    )
+    z = F.lit(0).cast("bigint")
+    return merged.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        (F.coalesce("n0", z) + F.coalesce("n1", z)).alias("n_orders"),
+        F.round(
+            (F.coalesce("c0", z) + F.coalesce("c1", z)) / 100.0, 2
+        ).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC apply (mixed insert / update / delete batch)
+# ---------------------------------------------------------------------------
+
+_CDC_APPLY_SQL = """
+WITH dels AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 7 = 0
+), upds AS (
+  SELECT c_custkey, 'UPDATED' AS c_mktsegment FROM customer
+  WHERE c_custkey % 5 = 0 AND c_custkey % 7 <> 0
+), ins AS (
+  SELECT c_custkey + 1000000 AS c_custkey, 'NEW' AS c_mktsegment
+  FROM customer WHERE c_custkey % 11 = 0
+), applied AS (
+  SELECT c.c_custkey,
+         coalesce(u.c_mktsegment, c.c_mktsegment) AS c_mktsegment
+  FROM customer c
+  LEFT JOIN upds u USING (c_custkey)
+  WHERE c.c_custkey NOT IN (SELECT c_custkey FROM dels)
+  UNION ALL
+  SELECT c_custkey, c_mktsegment FROM ins
+)
+SELECT c_mktsegment, count(*) AS n_rows,
+       min(c_custkey) AS min_key, max(c_custkey) AS max_key,
+       sum(c_custkey) AS key_checksum
+FROM applied GROUP BY c_mktsegment
+"""
+
+
+@register("sink_cdc_apply", oracle=_CDC_APPLY_SQL)
+def sink_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply one CDC batch of mixed ops to a base snapshot — the
+    consumer side of table_changes_feed: DELETEs drop via LEFT ANTI
+    join, UPDATEs overwrite via left join + coalesce, INSERTs append
+    via union. All three ops resolve in a single pass over the base
+    (one shuffle on the key; the change batch is delta-sized and
+    broadcast when small), never a row-at-a-time MERGE loop. The
+    per-segment count/min/max/key-checksum aggregate proves the final
+    state. Op sets are disjoint by construction (a real feed
+    deduplicates to one op per key first — sink_scd2_multi handles the
+    full-history-per-key case)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    dels = c.filter(F.col("c_custkey") % 7 == 0).select("c_custkey")
+    upds = c.filter(
+        (F.col("c_custkey") % 5 == 0) & (F.col("c_custkey") % 7 != 0)
+    ).select("c_custkey", F.lit("UPDATED").alias("seg_new"))
+    ins = c.filter(F.col("c_custkey") % 11 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    applied = (
+        c.join(dels, "c_custkey", "left_anti")
+        .join(upds, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.coalesce("seg_new", "c_mktsegment").alias("c_mktsegment"),
+        )
+        .unionByName(ins)
+    )
+    return applied.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_rows"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+        F.sum("c_custkey").alias("key_checksum"),
+    )

@@ -990,3 +990,41 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.round(F.sum("rev"), 2).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling distinct count
+# ---------------------------------------------------------------------------
+
+_DISTINCT_ROLLING_SQL = """
+SELECT user_id, event_id,
+       len(list_distinct(list(event_type) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))) AS n_types_5
+FROM events WHERE user_id < 20
+"""
+
+
+@register("win_distinct_rolling", oracle=_DISTINCT_ROLLING_SQL)
+def win_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling DISTINCT count — behavioral diversity over each user's
+    last 5 events. Neither engine supports count(DISTINCT) as a window
+    aggregate; the portable decomposition is collect over the frame +
+    array_distinct + size, with per-row state bounded by the FRAME (5
+    values), not the partition. The window partitions on the entity
+    key, so at any scale each task holds one user's frame at a time;
+    event_id breaks timestamp ties to keep the frame deterministic.
+    Scoped to user_id < 20 for gate output size."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w))).alias(
+            "n_types_5"
+        ),
+    )

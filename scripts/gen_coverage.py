@@ -48,6 +48,7 @@ SECTIONS = [
         "win_row_number", "win_topk_per_group", "win_lag_lead",
         "win_running_sum", "win_moving_avg", "win_rank_family",
         "win_first_last", "win_time_range", "win_partition_agg",
+        "win_distinct_rolling",
         "sort_limit_topk",
         "setop_union", "setop_intersect", "setop_except",
         "setop_intersect_all", "setop_except_all", "sessionize"]),
@@ -66,7 +67,8 @@ SECTIONS = [
         "table_changes_feed", "stream_window_agg",
         "stream_session_window", "stream_stateful_stats",
         "stream_static_join", "stream_stream_join", "stream_dedup",
-        "stream_late_data", "stream_upsert_merge"]),
+        "stream_late_data", "stream_upsert_merge", "inc_mv_merge",
+        "sink_cdc_apply"]),
     ("Similarity search (north star)", [
         "sim_cosine_topk", "sim_cosine_topk_pandas", "sim_lsh_bucketed",
         "sim_ivf_topk", "sim_ivf_join", "sim_ivf_join_learned",
