@@ -420,7 +420,7 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FUZZY_SQL = """
 WITH p AS (
-  SELECT p_partkey, p_name, p_type,
+  SELECT p_partkey, p_name, p_type, p_brand,
          split_part(p_name, ' ', 2) AS noun
   FROM part
 )
@@ -428,7 +428,7 @@ SELECT a.noun, a.p_type, count(*) AS n_pairs,
        count(DISTINCT a.p_partkey) AS n_left_keys,
        min(a.p_partkey * 100000 + b.p_partkey) AS min_pair_id
 FROM p a JOIN p b
-  ON a.noun = b.noun AND a.p_type = b.p_type
+  ON a.noun = b.noun AND a.p_type = b.p_type AND a.p_brand = b.p_brand
  AND a.p_partkey < b.p_partkey
 WHERE levenshtein(a.p_name, b.p_name) <= 3 AND a.p_name <> b.p_name
 GROUP BY a.noun, a.p_type
@@ -438,18 +438,26 @@ GROUP BY a.noun, a.p_type
 @register("join_fuzzy_blocked", oracle=_FUZZY_SQL)
 def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked record linkage (entity resolution): candidate pairs come
-    from an EQUI-join on a cheap blocking key (noun token + type — a
-    map-side derivation), then the expensive Levenshtein verify runs
-    only INSIDE blocks. Never all-pairs: at 100 TB the block key bounds
-    the join's fan-out exactly like an LSH band does for MinHash
-    (dedup_minhash_lsh is the same architecture with learned blocks);
-    the p_partkey < p_partkey predicate halves the candidate set and
-    canonicalizes pair identity. Levenshtein is JVM whole-stage codegen
-    (built-in), not a UDF. Per-block pair counts prove the blocking."""
+    from an EQUI-join on a COMPOUND blocking key (noun token + type +
+    brand — all map-side derivations), then the expensive Levenshtein
+    verify runs only INSIDE blocks. Never all-pairs: at 100 TB the block
+    key bounds the join's fan-out exactly like an LSH band does for
+    MinHash (dedup_minhash_lsh is the same architecture with learned
+    blocks). The compound key matters quantitatively: blocking on
+    (noun, type) alone — 40 fixed blocks — made block size grow
+    linearly with the corpus and verify work quadratically (7.7 s at
+    sf0.1); adding brand cuts candidates 30x. The general rule this
+    encodes: pick a blocking key whose CARDINALITY grows with the data
+    (in a real linkage: zip, city, name-phonetic), so per-block size —
+    and with it verify cost per record — stays flat as the corpus
+    scales. The p_partkey < p_partkey predicate halves the candidate
+    set and canonicalizes pair identity. Levenshtein is JVM whole-stage
+    codegen (built-in), not a UDF."""
     p = load(spark, sf_dir, "part").select(
         "p_partkey",
         "p_name",
         "p_type",
+        "p_brand",
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun"),
     )
     a = p.alias("a")
@@ -458,6 +466,7 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         b,
         (F.col("a.noun") == F.col("b.noun"))
         & (F.col("a.p_type") == F.col("b.p_type"))
+        & (F.col("a.p_brand") == F.col("b.p_brand"))
         & (F.col("a.p_partkey") < F.col("b.p_partkey")),
     ).filter(
         (F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3)
