@@ -803,3 +803,111 @@ def profile_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (lag_us > 3600000000).alias("stale"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic surrogate keys
+# ---------------------------------------------------------------------------
+
+_SURROGATE_SQL = """
+WITH h AS (
+  SELECT doc_id, md5('doc|' || source || '|' || CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+       substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-' ||
+       substr(hx, 13, 4) || '-' || substr(hx, 17, 4) || '-' ||
+       substr(hx, 21, 12) AS surrogate_id
+FROM h
+"""
+
+
+@register("xform_surrogate_key", oracle=_SURROGATE_SQL)
+def xform_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-derived surrogate keys: a UUID-shaped id minted from
+    md5(namespace || business key) — the UUIDv3/v5 pattern. Unlike
+    monotonically_increasing_id() or uuid(), the id is REPRODUCIBLE:
+    retries, backfills, and independent pipelines mint the same id for
+    the same record, so downstream joins never see key churn. Pure
+    map-side string expressions (no shuffle, no RNG, no driver
+    counter); at any scale this is scan-speed."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    hx = F.md5(
+        F.concat_ws(
+            "|", F.lit("doc"), F.col("source"), F.col("doc_id").cast("string")
+        )
+    )
+    seg = lambda a, b: F.substring(F.col("hx"), a, b)  # noqa: E731
+    return d.select("doc_id", hx.alias("hx")).select(
+        "doc_id",
+        F.concat_ws(
+            "-", seg(1, 8), seg(9, 4), seg(13, 4), seg(17, 4), seg(21, 12)
+        ).alias("surrogate_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source distribution drift (total variation, exact arithmetic)
+# ---------------------------------------------------------------------------
+
+_DRIFT_SQL = """
+WITH w AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+), sw AS (
+  SELECT source, word, count(*) AS c_sw FROM w GROUP BY source, word
+), s_tot AS (
+  SELECT source, sum(c_sw) AS t_s FROM sw GROUP BY source
+), g AS (
+  SELECT word, sum(c_sw) AS c_w FROM sw GROUP BY word
+), tot AS (
+  SELECT sum(c_w) AS t FROM g
+), terms AS (
+  SELECT st.source, st.t_s, t.t,
+         abs(coalesce(sw.c_sw, 0) * t.t - g.c_w * st.t_s) AS num
+  FROM s_tot st CROSS JOIN g CROSS JOIN tot t
+  LEFT JOIN sw ON sw.source = st.source AND sw.word = g.word
+)
+SELECT source, CAST(t_s AS BIGINT) AS n_tokens,
+       round(sum(num) / (2.0 * t_s * t), 4) AS tv_dist
+FROM terms GROUP BY source, t_s, t
+"""
+
+
+@register("profile_drift_tv", oracle=_DRIFT_SQL)
+def profile_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report: each source's unigram distribution
+    vs the corpus distribution, as TOTAL VARIATION distance
+    0.5 * sum_w |p_w - q_w| — the drift gate run before mixing a new
+    source into a training corpus. TV is chosen over KL/JS
+    deliberately: with p = c_sw/T_s and q = c_w/T the summand becomes
+    |c_sw*T - c_w*T_s| / (T_s*T) — an INTEGER numerator, so the sum is
+    exact and partition-order-independent (KL/JS need float logs whose
+    sum order can flip rounded digits; same reason the money ops run in
+    cents). The (source x vocab) grid is built by crossing the tiny
+    per-source totals with the vocabulary — both aggregates, both
+    map-side-combined; absent words contribute their full q_w mass via
+    the left join's coalesce(0)."""
+    w = load(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    sw = w.groupBy("source", "word").agg(F.count("*").alias("c_sw"))
+    s_tot = sw.groupBy("source").agg(F.sum("c_sw").alias("t_s"))
+    g = sw.groupBy("word").agg(F.sum("c_sw").alias("c_w"))
+    tot = g.agg(F.sum("c_w").alias("t"))
+    grid = s_tot.crossJoin(g).crossJoin(F.broadcast(tot))
+    terms = grid.join(sw, ["source", "word"], "left").select(
+        "source",
+        "t_s",
+        "t",
+        F.abs(
+            F.coalesce("c_sw", F.lit(0)) * F.col("t")
+            - F.col("c_w") * F.col("t_s")
+        ).alias("num"),
+    )
+    return terms.groupBy("source", "t_s", "t").agg(
+        F.round(F.sum("num") / (2.0 * F.col("t_s") * F.col("t")), 4).alias(
+            "tv_dist"
+        )
+    ).select(
+        "source", F.col("t_s").cast("bigint").alias("n_tokens"), "tv_dist"
+    )

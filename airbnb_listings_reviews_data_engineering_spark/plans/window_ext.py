@@ -1028,3 +1028,59 @@ def win_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_types_5"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# gaps and islands
+# ---------------------------------------------------------------------------
+
+_GAPS_ISLANDS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, ts::DATE AS day FROM events WHERE user_id < 30
+), tagged AS (
+  SELECT user_id, day,
+         (day - DATE '1970-01-01')
+           - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island_key
+  FROM days
+)
+SELECT user_id, strftime(min(day), '%Y-%m-%d') AS island_start,
+       strftime(max(day), '%Y-%m-%d') AS island_end,
+       count(*) AS n_days
+FROM tagged GROUP BY user_id, island_key
+"""
+
+
+@register("win_gaps_islands", oracle=_GAPS_ISLANDS_SQL)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    user (streak detection — the calendar-unit analog of sessionize's
+    timestamp-gap splitting). The classic decomposition: day_ordinal -
+    row_number() is constant within a consecutive run, so the island id
+    is a map-side subtraction after one per-user window; islands then
+    reduce in a grouped agg. Window and aggregate both partition on the
+    entity key — per-task state is one user's distinct days; no global
+    sort at any scale."""
+    days = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 30)
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("day")
+    tagged = days.select(
+        "user_id",
+        "day",
+        (
+            F.datediff("day", F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("island_key"),
+    )
+    return (
+        tagged.groupBy("user_id", "island_key")
+        .agg(
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias("island_start"),
+            F.date_format(F.max("day"), "yyyy-MM-dd").alias("island_end"),
+            F.count("*").alias("n_days"),
+        )
+        .drop("island_key")
+    )

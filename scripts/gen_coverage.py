@@ -48,7 +48,7 @@ SECTIONS = [
         "win_row_number", "win_topk_per_group", "win_lag_lead",
         "win_running_sum", "win_moving_avg", "win_rank_family",
         "win_first_last", "win_time_range", "win_partition_agg",
-        "win_distinct_rolling",
+        "win_distinct_rolling", "win_gaps_islands",
         "sort_limit_topk",
         "setop_union", "setop_intersect", "setop_except",
         "setop_intersect_all", "setop_except_all", "sessionize"]),
@@ -107,7 +107,8 @@ SECTIONS = [
         "dq_expectations", "dq_referential", "diff_snapshots",
         "cohort_retention", "ts_resample_ffill", "join_fuzzy_blocked",
         "agg_mode", "split_kfold", "agg_heavy_hitters",
-        "xform_quantile_bin", "profile_embeddings", "profile_freshness"]),
+        "xform_quantile_bin", "profile_embeddings", "profile_freshness",
+        "xform_surrogate_key", "profile_drift_tv"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor"]),
     ("Composite pipelines (full Q1/Q5 shapes, one plan)", [

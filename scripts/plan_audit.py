@@ -71,6 +71,7 @@ NESTED_LOOP_ALLOWED = {
     "agg_heavy_hitters",  # crossJoin against the 1-row corpus total
     "xform_quantile_bin",  # 1-row grand-total folded into the tiny offsets frame
     "profile_freshness",  # crossJoin against the 1-row global-max timestamp
+    "profile_drift_tv",  # (source x vocab) grid: both sides tiny aggregates
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's
