@@ -394,3 +394,103 @@ def stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = pin(final, label="stream_upsert_merge")
     shutil.rmtree(root, ignore_errors=True)
     return final
+
+
+_STREAM_MV_SQL = """
+SELECT event_type, count(*) AS n_events,
+       round(sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0, 4)
+         AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+@register("stream_mv_merge", oracle=_STREAM_MV_SQL)
+def stream_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental materialized-view maintenance — the
+    streaming twin of inc_mv_merge: the event stream drains as three
+    file micro-batches (maxFilesPerTrigger=1); each foreachBatch
+    aggregates ONLY its delta (count + fixed-point value sum per event
+    type) and full-outer-merges it into the atomically versioned MV —
+    counts add, sums add in integer 1e-4 units so merge order can never
+    perturb the result. The oracle recomputes the aggregate from
+    scratch over all events, so the gate proves
+    fold(merge, deltas) == recompute(all) — the algebra that lets a
+    100 TB daily MV absorb a delta-sized streaming job instead of a
+    rescan. Publishes go through sources/atomic.publish_parquet: a
+    crash between batches leaves the previous MV version readable and
+    the checkpoint replays the missed batch (same exactly-once layer as
+    stream_upsert_merge)."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from ..sources.atomic import publish_parquet, read_published
+    from ..sources.staging import staging_root
+    from ..streaming.ingest import EVENTS_SCHEMA
+
+    raw = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    root = os.path.join(
+        staging_root(spark), "scratch", f"mv_{uuid.uuid4().hex[:12]}"
+    )
+    stream_dir = os.path.join(root, "in")
+    target = os.path.join(root, "mv")
+    os.makedirs(stream_dir)
+    for i in range(3):
+        staged = os.path.join(stream_dir, f"_stage_{i}")
+        raw.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(staged)
+        part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        dest = os.path.join(stream_dir, f"batch_{i}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(staged)
+        os.utime(dest, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    unit = F.round(F.col("value") * 10000).cast("bigint")
+
+    def apply_batch(batch_df, _bid):
+        delta = batch_df.groupBy("event_type").agg(
+            F.count("*").alias("n"), F.sum(unit).alias("s")
+        )
+        base = read_published(spark, target)
+        if base is None:
+            merged = delta
+        else:
+            z = F.lit(0).cast("bigint")
+            merged = (
+                base.withColumnsRenamed({"n": "n0", "s": "s0"})
+                .join(
+                    delta.withColumnsRenamed({"n": "n1", "s": "s1"}),
+                    "event_type",
+                    "full_outer",
+                )
+                .select(
+                    "event_type",
+                    (F.coalesce("n0", z) + F.coalesce("n1", z)).alias("n"),
+                    (F.coalesce("s0", z) + F.coalesce("s1", z)).alias("s"),
+                )
+            )
+        publish_parquet(merged, target)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    ckpt = os.path.join(root, "ckpt")
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = read_published(spark, target).select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.round(F.col("s") / 10000.0, 4).alias("sum_value"),
+    )
+    final = pin(final, label="stream_mv_merge")
+    shutil.rmtree(root, ignore_errors=True)
+    return final
