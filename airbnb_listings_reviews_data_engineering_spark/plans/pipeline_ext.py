@@ -2534,3 +2534,151 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     )
     return joined.withColumn("vocab_size", F.sum("new_words").over(w_cum))
+
+
+# ---------------------------------------------------------------------------
+# maximum-inner-product search via the cosine reduction
+# ---------------------------------------------------------------------------
+
+_MIPS_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT e.vec_id, round(list_dot_product(e.v, q.qv), 4) AS ip
+FROM e, q WHERE e.vec_id <> 0
+ORDER BY round(list_dot_product(e.v, q.qv), 4) DESC, e.vec_id LIMIT 10
+"""
+
+
+@register("sim_mips_topk", oracle=_MIPS_SQL)
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product top-k via the MIPS->cosine reduction
+    (Shrivastava & Li, NeurIPS 2014): augment every corpus vector with
+    one extra coordinate sqrt(M^2 - ||x||^2) where M = max corpus norm
+    (a 1-row broadcast), and the query with 0 — every augmented corpus
+    vector then has constant norm M, so COSINE ranking in the augmented
+    space IS inner-product ranking in the original space. The oracle
+    ranks by the raw inner product directly; a hash-match therefore
+    PROVES the reduction, not just the arithmetic. Why it matters: ANN
+    index families (sign-LSH buckets, IVF cells — sim_lsh_bucketed /
+    sim_ivf_join) are angle-based and break under raw inner product
+    (un-normalized recommender / two-tower embeddings); this transform
+    makes the whole existing ANN stack serve MIPS unchanged. Map-side
+    augmentation + the same TakeOrderedAndProject top-k; the final
+    emitted score recomputes the exact ip for rank-boundary stability
+    (the augmented cosine orders identically — monotone in ip — but
+    its floats differ in the last ulp)."""
+    from ..functions.arrays import as_double_array, dot
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    norms = e.select(
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm")
+    ).agg(F.max("nrm").alias("m"))
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    aug = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(norms))
+        .select(
+            "vec_id",
+            F.concat(
+                "v",
+                F.array(
+                    F.sqrt(
+                        F.col("m") * F.col("m") - dot(F.col("v"), F.col("v"))
+                    )
+                ),
+            ).alias("va"),
+            "v",
+            "m",
+        )
+    )
+    scored = aug.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        # augmented-cosine rank key: <x_aug, q_aug> / (M * ||q_aug||);
+        # q_aug = q || [0] so the dot is the plain ip and ||q_aug||=||q||
+        (dot(F.col("va"), F.concat("qv", F.array(F.lit(0.0))))
+         / (F.col("m") * F.sqrt(dot(F.col("qv"), F.col("qv"))))
+         ).alias("aug_cos"),
+        F.round(dot(F.col("v"), F.col("qv")), 4).alias("ip"),
+    )
+    return (
+        scored.orderBy(F.col("ip").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", "ip")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAG ingest pipeline (quality gate -> chunk -> dedup -> route)
+# ---------------------------------------------------------------------------
+
+_RAG_H = hash60_duckdb_sql("chunk_text")
+
+_RAG_PREP_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tok FROM documents
+  WHERE len(string_split(text, ' ')) BETWEEN 20 AND 1000
+),
+chunks AS (
+  SELECT doc_id,
+         CAST((start - 1) // 25 + 1 AS INT) AS chunk_idx,
+         array_to_string(tok[start:start + 49], ' ') AS chunk_text
+  FROM (SELECT doc_id, string_split(text, ' ') AS tok,
+               unnest(range(1, len(string_split(text, ' ')) + 1, 25)) AS start
+        FROM corpus)
+),
+canon AS (
+  SELECT doc_id, chunk_idx, chunk_text,
+         row_number() OVER (PARTITION BY chunk_text
+                            ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+)
+SELECT CAST({_RAG_H} % 16 AS BIGINT) AS bucket,
+       count(*) AS n_chunks,
+       count(DISTINCT doc_id) AS n_docs,
+       min(md5(chunk_text)) AS min_chunk_id
+FROM canon WHERE rn = 1
+GROUP BY 1
+"""
+
+
+@register("pipeline_rag_prep", oracle=_RAG_PREP_SQL)
+def pipeline_rag_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG ingest pipeline in ONE lazy plan — the retrieval-corpus twin
+    of pipeline_corpus_prep: token-count quality gate (map-side) ->
+    50/25 sliding-window chunking (operators/text.chunk_tokens, narrow
+    sequence-explode) -> chunk-level exact dedup keeping the FIRST
+    occurrence (duplicate chunks across docs — shared boilerplate —
+    would return identical passages k times at query time; the canon
+    window partitions on the chunk text, i.e. its hash at crawl scale)
+    -> stable chunk ids (md5 — rerun-safe, like xform_surrogate_key) ->
+    hash-routed INDEX bucket assignment (hash60 % 16: each bucket is
+    one ANN shard build — sim_ivf_join's cell layer consumes exactly
+    this routing at 100 TB). Reported per bucket: chunk/doc counts +
+    min chunk id; bucket counts prove the routing is balanced."""
+    from pyspark.sql import Window as W
+
+    from ..functions.hashing import hash60 as _h60
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.size(F.split("text", " ")).between(20, 1000))
+    chunks = TX.chunk_tokens(corpus, "doc_id", "text", chunk=50, stride=25)
+    w = W.partitionBy("chunk_text").orderBy("doc_id", "chunk_idx")
+    canon = (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        canon.select(
+            F.pmod(_h60(F.col("chunk_text")), F.lit(16)).alias("bucket"),
+            "doc_id",
+            F.md5("chunk_text").alias("chunk_id"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("chunk_id").alias("min_chunk_id"),
+        )
+    )

@@ -1084,3 +1084,96 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("island_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# nearest as-of join (both directions, tolerance)
+# ---------------------------------------------------------------------------
+
+_ASOF_NEAREST_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+), v AS (
+  SELECT event_id AS view_event_id, user_id, ts AS vts FROM events
+  WHERE event_type = 'view'
+), cand AS (
+  SELECT e.event_id, e.user_id, v.view_event_id,
+         abs(epoch_us(v.vts) - epoch_us(e.ts)) AS diff_us,
+         CASE WHEN v.vts <= e.ts THEN 0 ELSE 1 END AS fwd,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY abs(epoch_us(v.vts) - epoch_us(e.ts)),
+                    CASE WHEN v.vts <= e.ts THEN 0 ELSE 1 END,
+                    CASE WHEN v.vts <= e.ts THEN -v.view_event_id
+                         ELSE v.view_event_id END) AS rn
+  FROM e JOIN v ON v.user_id = e.user_id
+   AND abs(epoch_us(v.vts) - epoch_us(e.ts)) <= 3600000000
+)
+SELECT event_id, user_id, view_event_id, diff_us FROM cand WHERE rn = 1
+"""
+
+
+@register("join_asof_nearest", oracle=_ASOF_NEAREST_SQL)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join with tolerance: each error event matches the
+    closest view event of the same user in EITHER direction, within
+    1 hour; ties prefer the earlier (backward) side. The oracle states
+    the spec as candidates x row_number — quadratic in views-per-user;
+    THIS plan is the union-window decomposition run in BOTH directions
+    over one sort: a backward pass (last view at-or-before, via
+    last_value ignore-nulls) and a forward pass (first view after, via
+    first_value over the following frame) share the same
+    user-partitioned ordering — ONE shuffle, two linear window passes,
+    then a map-side nearest/tolerance choice. Per-user state is one
+    row either side, so skewed users cost their own event count, never
+    views x errors."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("error", "view")
+    )
+    u = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        # views sort before errors at equal t: backward includes them
+        F.when(F.col("event_type") == "view", 0).otherwise(1).alias("kind"),
+        "event_id",
+        F.when(F.col("event_type") == "view", F.col("event_id")).alias("vid"),
+        F.when(F.col("event_type") == "view", F.unix_micros("ts")).alias("vt"),
+    )
+    order = [F.col("t"), F.col("kind"), F.col("event_id")]
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    marked = u.select(
+        "user_id",
+        "t",
+        "kind",
+        "event_id",
+        F.last("vid", ignorenulls=True).over(wb).alias("prev_id"),
+        F.last("vt", ignorenulls=True).over(wb).alias("prev_t"),
+        F.first("vid", ignorenulls=True).over(wf).alias("next_id"),
+        F.first("vt", ignorenulls=True).over(wf).alias("next_t"),
+    ).filter(F.col("kind") == 1)
+    tol = 3600000000
+    prev_d = F.col("t") - F.col("prev_t")
+    next_d = F.col("next_t") - F.col("t")
+    prev_ok = F.col("prev_t").isNotNull() & (prev_d <= tol)
+    next_ok = F.col("next_t").isNotNull() & (next_d <= tol)
+    use_prev = prev_ok & (~next_ok | (prev_d <= next_d))
+    return (
+        marked.filter(prev_ok | next_ok)
+        .select(
+            "event_id",
+            "user_id",
+            F.when(use_prev, F.col("prev_id"))
+            .otherwise(F.col("next_id"))
+            .alias("view_event_id"),
+            F.when(use_prev, prev_d).otherwise(next_d).alias("diff_us"),
+        )
+    )

@@ -35,7 +35,7 @@ SECTIONS = [
         "join_eq2", "join_eq3", "join_semi_inlist", "join_agg_agg",
         "join_merge_key", "join_left_outer", "join_full_outer", "join_anti",
         "join_cross", "join_asof", "join_asof_tolerance", "join_point_in_time", "join_range",
-        "join_interval_overlap", "join_theta_only"]),
+        "join_interval_overlap", "join_theta_only", "join_asof_nearest"]),
     ("Aggregations (§2.5 + extensions)", [
         "agg_count_group", "agg_countstar_group", "agg_avg_group",
         "agg_percentile", "agg_collect_struct", "agg_exists", "agg_rollup",
@@ -73,7 +73,7 @@ SECTIONS = [
         "sim_cosine_topk", "sim_cosine_topk_pandas", "sim_lsh_bucketed",
         "sim_ivf_topk", "sim_ivf_join", "sim_ivf_join_learned",
         "sim_lsh_multiprobe", "sim_knn_join", "emb_label_centroid",
-        "emb_quantize"]),
+        "emb_quantize", "sim_mips_topk"]),
     ("Text analysis (north star)", [
         "text_lang_id", "text_quality_score", "text_token_count",
         "text_fingerprint", "text_ngram_freq", "text_tfidf",
@@ -114,7 +114,8 @@ SECTIONS = [
     ("Composite pipelines (full Q1/Q5 shapes, one plan)", [
         "pipeline_q1_analog", "pipeline_q5_analog", "pipeline_q6_analog",
         "pipeline_dedup_corpus", "pipeline_quality_filter",
-        "pipeline_decontaminate", "pipeline_corpus_prep"]),
+        "pipeline_decontaminate", "pipeline_corpus_prep",
+        "pipeline_rag_prep"]),
 ]
 
 

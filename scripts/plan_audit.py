@@ -72,6 +72,7 @@ NESTED_LOOP_ALLOWED = {
     "xform_quantile_bin",  # 1-row grand-total folded into the tiny offsets frame
     "profile_freshness",  # crossJoin against the 1-row global-max timestamp
     "profile_drift_tv",  # (source x vocab) grid: both sides tiny aggregates
+    "sim_mips_topk",     # crossJoins against the 1-row max-norm and query row
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's
