@@ -647,3 +647,81 @@ def sink_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c_custkey").alias("max_key"),
         F.sum("c_custkey").alias("key_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# time travel (VERSION AS OF) over the atomic version layer
+# ---------------------------------------------------------------------------
+
+_TIME_TRAVEL_SQL = """
+WITH v1 AS (
+  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 <> 0
+), v2 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 5 = 0 THEN 'UPDATED' ELSE c_mktsegment END
+           AS c_mktsegment
+  FROM v1
+)
+SELECT 'v1' AS version_tag, count(*) AS n_rows,
+       count(*) FILTER (WHERE c_mktsegment = 'UPDATED') AS n_updated,
+       sum(c_custkey) AS key_checksum
+FROM v1
+UNION ALL
+SELECT 'v2', count(*),
+       count(*) FILTER (WHERE c_mktsegment = 'UPDATED'), sum(c_custkey)
+FROM v2
+"""
+
+
+@register("src_time_travel", oracle=_TIME_TRAVEL_SQL)
+def src_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel (`VERSION AS OF`) on the atomic publish layer: two
+    successive publishes land as immutable version directories behind
+    the pointer symlink (sources/atomic.py — the local-FS analog of a
+    Delta/Iceberg snapshot commit); this query then reads BOTH the
+    historical version and the current one and reports each state.
+    The oracle recomputes both states relationally, so the gate proves
+    version-1 reads are untouched by the version-2 publish (reader
+    isolation) and the current read reflects the update. This is what
+    lets a 100 TB pipeline audit yesterday's input snapshot while
+    today's publish lands — no copy, just retained immutable dirs."""
+    import os
+    import shutil
+    import uuid
+
+    from ..sources.atomic import list_versions, publish_parquet, read_published
+    from ..sources.staging import staging_root
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    v1 = c.filter(F.col("c_custkey") % 3 != 0)
+    v2 = v1.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, "UPDATED")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    root = os.path.join(
+        staging_root(spark), "scratch", f"tt_{uuid.uuid4().hex[:12]}"
+    )
+    target = os.path.join(root, "customers")
+    os.makedirs(root)
+    publish_parquet(v1, target)
+    publish_parquet(v2, target)
+    versions = list_versions(target)
+    hist = read_published(spark, target, version=versions[0])
+    cur = read_published(spark, target)
+
+    def state(tag: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("version_tag"),
+            F.count("*").alias("n_rows"),
+            F.count(F.when(F.col("c_mktsegment") == "UPDATED", 1)).alias(
+                "n_updated"
+            ),
+            F.sum("c_custkey").alias("key_checksum"),
+        )
+
+    out = state("v1", hist).unionByName(state("v2", cur))
+    out = pin(out, label="src_time_travel")
+    shutil.rmtree(root, ignore_errors=True)
+    return out

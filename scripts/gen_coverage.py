@@ -16,7 +16,7 @@ SECTIONS = [
         "sink_doc_array_merge", "ddl_create", "src_sql", "src_doc_find",
         "sink_csv", "xfer_xcom", "src_jsonl", "src_orc",
         "sink_delete_where", "src_csv_permissive", "src_csv_multiline_split",
-        "sink_scd2", "sink_scd2_multi"]),
+        "sink_scd2", "sink_scd2_multi", "src_time_travel"]),
     ("Projections / filters / row transforms (§2.2)", [
         "proj_select", "proj_rename", "filt_dropna", "filt_fillna",
         "xform_nan_none", "xform_money_strip", "xform_zip_trunc",
