@@ -102,7 +102,8 @@ SECTIONS = [
     ("Iterative algorithms", [
         "ml_kmeans", "text_bpe_pair_counts", "text_bpe_train",
         "text_bpe_vocab", "text_bpe_encode_docs", "graph_pagerank",
-        "emb_power_iteration", "emb_pca_project", "ml_linreg_normal"]),
+        "emb_power_iteration", "emb_pca_project", "ml_linreg_normal",
+        "ml_logreg_apply"]),
     ("Data quality / reconciliation / feature engineering", [
         "dq_expectations", "dq_referential", "diff_snapshots",
         "cohort_retention", "ts_resample_ffill", "join_fuzzy_blocked",
