@@ -74,7 +74,14 @@ R4B_ADDITIONS = [
     "diff_snapshots",     # full-outer snapshot reconciliation (cents)
 ]
 
-HEADLINE = R2_HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R4B_ADDITIONS
+# round-4 third wave: new families from the same round
+R4C_ADDITIONS = [
+    "text_line_dedup",    # cross-doc boilerplate-line removal (C4 step)
+    "ml_linreg_normal",   # one-pass closed-form OLS (exact moments)
+    "stream_mv_merge",    # streaming incremental MV maintenance
+]
+
+HEADLINE = R2_HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R4B_ADDITIONS + R4C_ADDITIONS
 
 
 def main() -> None:
