@@ -2682,3 +2682,61 @@ def pipeline_rag_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("chunk_id").alias("min_chunk_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# character entropy (gibberish / encoding-noise detection)
+# ---------------------------------------------------------------------------
+
+_ENTROPY_CHARS = "abcdefghijklmnopqrstuvwxyz "
+
+# per-char count via length-difference (no explode: 27 column expressions,
+# all map-side); entropy terms quantized to 1e-9 and summed as exact
+# integers so the 27-term float sum cannot reorder across engines
+_ENT_COUNTS = ", ".join(
+    f"length(text) - length(replace(text, '{c}', '')) AS c{i}"
+    for i, c in enumerate(_ENTROPY_CHARS.replace("'", ""))
+)
+_ENT_N = " + ".join(f"c{i}" for i in range(len(_ENTROPY_CHARS)))
+_ENT_TERMS = " + ".join(
+    f"(CASE WHEN c{i} > 0 THEN CAST(round((c{i} / CAST(n AS DOUBLE))"
+    f" * log2(c{i} / CAST(n AS DOUBLE)) * 1000000000) AS BIGINT)"
+    f" ELSE 0 END)"
+    for i in range(len(_ENTROPY_CHARS))
+)
+
+_ENTROPY_SQL = f"""
+WITH c AS (
+  SELECT doc_id, {_ENT_COUNTS} FROM documents WHERE doc_id < 300
+), n AS (
+  SELECT *, {_ENT_N} AS n FROM c
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars_counted,
+       round(-({_ENT_TERMS}) / 1000000000.0, 4) AS entropy_bits
+FROM n
+"""
+
+
+@register("text_entropy", oracle=_ENTROPY_SQL)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the
+    gibberish/encoding-noise gate (natural language sits near ~4.1
+    bits/char over [a-z ]; base64 blobs and mojibake score far higher,
+    repeated-char junk far lower). No explode, no shuffle: each of the
+    27 class counts is a length-difference column expression, so the
+    whole feature is one map-side pass at any corpus size. Each
+    p*log2(p) term is quantized to 1e-9 and the 27 terms sum as exact
+    integers — a float term sum is association-order-dependent and
+    both engines must agree bitwise."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    count_exprs = [
+        f"length(text) - length(replace(text, '{ch}', '')) AS c{i}"
+        for i, ch in enumerate(_ENTROPY_CHARS)
+    ]
+    c = docs.selectExpr("doc_id", *count_exprs)
+    n = c.selectExpr("*", f"{_ENT_N} AS n")
+    return n.selectExpr(
+        "doc_id",
+        "CAST(n AS BIGINT) AS n_chars_counted",
+        f"round(-({_ENT_TERMS}) / 1000000000.0, 4) AS entropy_bits",
+    )
