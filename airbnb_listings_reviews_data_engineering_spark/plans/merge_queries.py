@@ -725,3 +725,64 @@ def src_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pin(out, label="src_time_travel")
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# schema-evolving merge (delta batch carries a NEW column)
+# ---------------------------------------------------------------------------
+
+_MERGE_EVOLVE_SQL = """
+WITH base AS (
+  SELECT c_custkey, c_mktsegment FROM customer
+), delta AS (
+  SELECT c_custkey, 'UPDATED' AS c_mktsegment,
+         CASE WHEN c_custkey % 2 = 0 THEN 'gold' ELSE 'silver' END
+           AS loyalty_tier
+  FROM customer WHERE c_custkey % 4 = 0
+), merged AS (
+  SELECT b.c_custkey,
+         coalesce(d.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+         d.loyalty_tier
+  FROM base b LEFT JOIN delta d USING (c_custkey)
+)
+SELECT c_mktsegment, coalesce(loyalty_tier, 'none') AS loyalty_tier,
+       count(*) AS n_rows, min(c_custkey) AS min_key
+FROM merged GROUP BY 1, 2
+"""
+
+
+@register("sink_merge_evolve", oracle=_MERGE_EVOLVE_SQL)
+def sink_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving upsert — the lakehouse mergeSchema path: the
+    delta batch carries a column the base table has never seen
+    (loyalty_tier); the merge widens the target schema
+    (unionByName(allowMissingColumns=True) is the Spark-native widening,
+    here expressed as the equivalent left join so evolution composes
+    with the upsert in ONE pass) and existing rows surface NULL for the
+    new column rather than failing or silently dropping it. Grouped
+    counts over (segment, tier) prove both the update overwrite and the
+    null backfill. At 100 TB this is metadata-only for a real table
+    format; the row-level shape — one key-partitioned join — is
+    identical."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    delta = c.filter(F.col("c_custkey") % 4 == 0).select(
+        "c_custkey",
+        F.lit("UPDATED").alias("c_mktsegment"),
+        F.when(F.col("c_custkey") % 2 == 0, "gold")
+        .otherwise("silver")
+        .alias("loyalty_tier"),
+    )
+    merged = c.join(
+        delta.withColumnsRenamed(
+            {"c_mktsegment": "seg_new", "loyalty_tier": "tier_new"}
+        ),
+        "c_custkey",
+        "left",
+    ).select(
+        "c_custkey",
+        F.coalesce("seg_new", "c_mktsegment").alias("c_mktsegment"),
+        F.col("tier_new").alias("loyalty_tier"),
+    )
+    return merged.groupBy(
+        "c_mktsegment", F.coalesce("loyalty_tier", F.lit("none")).alias("loyalty_tier")
+    ).agg(F.count("*").alias("n_rows"), F.min("c_custkey").alias("min_key"))

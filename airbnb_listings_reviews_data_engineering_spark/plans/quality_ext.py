@@ -911,3 +911,72 @@ def profile_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "source", F.col("t_s").cast("bigint").alias("n_tokens"), "tv_dist"
     )
+
+
+# ---------------------------------------------------------------------------
+# approximate query processing: sample-based estimation with error report
+# ---------------------------------------------------------------------------
+
+_H_AQP = hash60_duckdb_sql("'aqp:' || CAST(o_orderkey AS VARCHAR)")
+
+_AQP_SQL = f"""
+WITH s AS (
+  SELECT o_totalprice FROM orders WHERE {_H_AQP} % 10 = 0
+), ex AS (
+  SELECT count(*) AS c, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS m
+  FROM orders
+), es AS (
+  SELECT count(*) * 10 AS c, sum(CAST(round(o_totalprice * 100) AS BIGINT)) * 10 AS m
+  FROM s
+)
+SELECT 'count' AS metric, CAST(ex.c AS BIGINT) AS exact_value,
+       CAST(es.c AS BIGINT) AS estimate,
+       round(abs(es.c - ex.c) / CAST(ex.c AS DOUBLE), 4) AS rel_err
+FROM ex, es
+UNION ALL
+SELECT 'sum_cents', ex.m, es.m, round(abs(es.m - ex.m) / CAST(ex.m AS DOUBLE), 4)
+FROM ex, es
+"""
+
+
+@register("aqp_sample_estimate", oracle=_AQP_SQL)
+def aqp_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing (BlinkDB-style): answer count/sum
+    from a 10 % deterministic hash sample, scaled by the inverse
+    sampling rate, and report the realized relative error against the
+    exact answer. The sample gate is the usual hash60 predicate — a
+    map-side filter that at 100 TB is a MATERIALIZED sample table read
+    at 1/10 the scan cost; the error report is the calibration query a
+    platform runs once per metric family to decide whether the sample
+    tier can serve a dashboard. Money accumulates in integer cents
+    (exact); the only doubles are the final error ratios."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    gate = F.pmod(
+        hash60(F.concat(F.lit("aqp:"), F.col("o_orderkey").cast("string"))),
+        F.lit(10),
+    )
+    ex = o.agg(F.count("*").alias("c"), F.sum(cents).alias("m"))
+    es = o.filter(gate == 0).agg(
+        (F.count("*") * 10).alias("c"), (F.sum(cents) * 10).alias("m")
+    )
+    j = ex.withColumnsRenamed({"c": "xc", "m": "xm"}).crossJoin(
+        F.broadcast(es)
+    )
+    cnt = j.select(
+        F.lit("count").alias("metric"),
+        F.col("xc").cast("bigint").alias("exact_value"),
+        F.col("c").cast("bigint").alias("estimate"),
+        F.round(
+            F.abs(F.col("c") - F.col("xc")) / F.col("xc").cast("double"), 4
+        ).alias("rel_err"),
+    )
+    sm = j.select(
+        F.lit("sum_cents").alias("metric"),
+        F.col("xm").alias("exact_value"),
+        F.col("m").alias("estimate"),
+        F.round(
+            F.abs(F.col("m") - F.col("xm")) / F.col("xm").cast("double"), 4
+        ).alias("rel_err"),
+    )
+    return cnt.unionByName(sm)

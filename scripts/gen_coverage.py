@@ -16,7 +16,8 @@ SECTIONS = [
         "sink_doc_array_merge", "ddl_create", "src_sql", "src_doc_find",
         "sink_csv", "xfer_xcom", "src_jsonl", "src_orc",
         "sink_delete_where", "src_csv_permissive", "src_csv_multiline_split",
-        "sink_scd2", "sink_scd2_multi", "src_time_travel"]),
+        "sink_scd2", "sink_scd2_multi", "src_time_travel",
+        "sink_merge_evolve"]),
     ("Projections / filters / row transforms (§2.2)", [
         "proj_select", "proj_rename", "filt_dropna", "filt_fillna",
         "xform_nan_none", "xform_money_strip", "xform_zip_trunc",
@@ -110,7 +111,8 @@ SECTIONS = [
         "cohort_retention", "ts_resample_ffill", "join_fuzzy_blocked",
         "agg_mode", "split_kfold", "agg_heavy_hitters",
         "xform_quantile_bin", "profile_embeddings", "profile_freshness",
-        "xform_surrogate_key", "profile_drift_tv"]),
+        "xform_surrogate_key", "profile_drift_tv",
+        "aqp_sample_estimate"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor"]),
     ("Composite pipelines (full Q1/Q5 shapes, one plan)", [

@@ -73,6 +73,7 @@ NESTED_LOOP_ALLOWED = {
     "profile_freshness",  # crossJoin against the 1-row global-max timestamp
     "profile_drift_tv",  # (source x vocab) grid: both sides tiny aggregates
     "sim_mips_topk",     # crossJoins against the 1-row max-norm and query row
+    "aqp_sample_estimate",  # crossJoin of the paired 1-row exact/estimate aggs
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's
