@@ -980,3 +980,71 @@ def aqp_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rel_err"),
     )
     return cnt.unionByName(sm)
+
+
+# ---------------------------------------------------------------------------
+# ingest-volume anomaly gate
+# ---------------------------------------------------------------------------
+
+_VOLUME_SQL = """
+WITH d AS (
+  SELECT ts::DATE AS day, count(*) AS n FROM events GROUP BY 1
+), t AS (
+  SELECT day, n,
+         sum(n) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+           AS trail_sum,
+         count(*) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+           AS trail_n
+  FROM d
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, n,
+       CASE WHEN trail_n > 0
+            THEN round(n * trail_n / CAST(trail_sum AS DOUBLE), 4) END
+         AS vs_trailing,
+       CASE WHEN trail_n > 0
+            THEN n * trail_n * 2 > trail_sum * 3 OR n * trail_n * 2 < trail_sum
+            END AS anomaly
+FROM t
+"""
+
+
+@register("dq_anomaly_volume", oracle=_VOLUME_SQL)
+def dq_anomaly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume anomaly gate: each day's event count against its
+    own 7-day trailing mean; a day above 1.5x or below 0.5x of trailing
+    flags anomalous (the pipeline-halt check that catches upstream
+    double-sends and silent drops BEFORE they poison a training
+    snapshot). The threshold compares in INTEGER cross-multiplication
+    (n*trail_n*2 vs trail_sum*3) so no float boundary exists; the
+    reported ratio is one deterministic division. The daily rollup is a
+    map-side-combined count; the trailing window runs over the
+    #days-row frame — date-keyed, fixed-size at any event volume. First
+    days with no trailing history emit NULL, not false alarms."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    w = W.orderBy("day").rowsBetween(-7, -1)
+    t = d.select(
+        "day",
+        "n",
+        F.sum("n").over(w).alias("trail_sum"),
+        F.count("*").over(w).alias("trail_n"),
+    )
+    has = F.col("trail_n") > 0
+    return t.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.when(
+            has,
+            F.round(
+                F.col("n") * F.col("trail_n") / F.col("trail_sum").cast("double"),
+                4,
+            ),
+        ).alias("vs_trailing"),
+        F.when(
+            has,
+            (F.col("n") * F.col("trail_n") * 2 > F.col("trail_sum") * 3)
+            | (F.col("n") * F.col("trail_n") * 2 < F.col("trail_sum")),
+        ).alias("anomaly"),
+    )

@@ -1177,3 +1177,55 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(use_prev, prev_d).otherwise(next_d).alias("diff_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling median
+# ---------------------------------------------------------------------------
+
+_MEDIAN_ROLLING_SQL = """
+WITH w AS (
+  SELECT user_id, event_id,
+         list_sort(list(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS vals
+  FROM events WHERE user_id < 20
+)
+SELECT user_id, event_id,
+       round(CASE WHEN len(vals) % 2 = 1
+                  THEN vals[(len(vals) + 1) // 2]
+                  ELSE (vals[len(vals) // 2] + vals[len(vals) // 2 + 1]) / 2
+             END, 4) AS median_5
+FROM w
+"""
+
+
+@register("win_median_rolling", oracle=_MEDIAN_ROLLING_SQL)
+def win_median_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling MEDIAN over each user's last 5 events — the robust
+    alternative to win_moving_avg (one outlier corrupts a rolling mean;
+    the median shrugs). Neither engine has a median window aggregate;
+    the portable decomposition is frame-bounded collect + sort + middle
+    pick, with per-row state bounded by the FRAME (5 values), not the
+    partition — same pattern as win_distinct_rolling, so the plan holds
+    at any entity count. The even-frame midpoint averages two actual
+    data values (one deterministic float op); event_id breaks timestamp
+    ties."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, W.currentRow)
+    )
+    vals = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(vals)
+    odd = F.element_at(vals, ((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at(vals, (n / 2).cast("int"))
+        + F.element_at(vals, (n / 2).cast("int") + 1)
+    ) / 2
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.when(n % 2 == 1, odd).otherwise(even), 4).alias("median_5"),
+    )

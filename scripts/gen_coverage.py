@@ -49,7 +49,7 @@ SECTIONS = [
         "win_row_number", "win_topk_per_group", "win_lag_lead",
         "win_running_sum", "win_moving_avg", "win_rank_family",
         "win_first_last", "win_time_range", "win_partition_agg",
-        "win_distinct_rolling", "win_gaps_islands",
+        "win_distinct_rolling", "win_gaps_islands", "win_median_rolling",
         "sort_limit_topk",
         "setop_union", "setop_intersect", "setop_except",
         "setop_intersect_all", "setop_except_all", "sessionize"]),
@@ -112,7 +112,7 @@ SECTIONS = [
         "agg_mode", "split_kfold", "agg_heavy_hitters",
         "xform_quantile_bin", "profile_embeddings", "profile_freshness",
         "xform_surrogate_key", "profile_drift_tv",
-        "aqp_sample_estimate"]),
+        "aqp_sample_estimate", "dq_anomaly_volume"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor"]),
     ("Composite pipelines (full Q1/Q5 shapes, one plan)", [

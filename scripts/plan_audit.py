@@ -85,6 +85,7 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "mm_shard_manifest",     # prefix-sum byte offsets over n_parts rows (8)
     "xform_quantile_bin",    # prefix-sum rank offsets over n_parts rows (8)
     "text_vocab_growth",     # vocab cumsum over #buckets rows (~corpus/100)
+    "dq_anomaly_volume",     # trailing window over the #days daily rollup
 }
 
 
