@@ -74,6 +74,7 @@ NESTED_LOOP_ALLOWED = {
     "profile_drift_tv",  # (source x vocab) grid: both sides tiny aggregates
     "sim_mips_topk",     # crossJoins against the 1-row max-norm and query row
     "aqp_sample_estimate",  # crossJoin of the paired 1-row exact/estimate aggs
+    "graph_triangle_count",  # crossJoin of the paired 1-row triangle/edge counts
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's
