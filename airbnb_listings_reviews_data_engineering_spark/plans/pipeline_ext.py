@@ -2780,3 +2780,88 @@ def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wavs = MM.synthesize_pcm(ids, "doc_id", n_samples=64)
     return MM.audio_window_rms(wavs, window=16)
+
+
+# ---------------------------------------------------------------------------
+# grouped-map EWMA (Arrow applyInPandas, exact dyadic weights)
+# ---------------------------------------------------------------------------
+
+_EWMA_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 10000) AS BIGINT) AS vq
+  FROM events WHERE user_id < 15
+), w AS (
+  SELECT user_id, event_id,
+         list(vq) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS wv
+  FROM e
+)
+SELECT user_id, event_id, CAST(len(wv) AS INT) AS n_in_window,
+       list_sum(list_transform(generate_series(1, len(wv)),
+         i -> wv[i] * (CASE WHEN len(wv) = 1 THEN 1.0
+                            WHEN i = 1 THEN pow(2.0, -(len(wv) - 1))
+                            ELSE pow(2.0, -(len(wv) - i + 1)) END)))
+         AS ewma_e4
+FROM w
+"""
+
+
+@register("grouped_pandas_ewma", oracle=_EWMA_SQL)
+def grouped_pandas_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity exponentially-weighted moving average — the grouped
+    SEQUENTIAL computation that motivates applyInPandas (each user's
+    EWMA walks its own ordered history; a window expression would
+    recollect the frame per row, a Python loop per row would be
+    row-at-a-time — the Arrow grouped-map runs one vectorized pass per
+    user). Determinism by construction: alpha = 1/2 makes every weight
+    a POWER OF TWO, and values quantize to 1e-4 integers first, so each
+    weighted term is exact in binary floating point and the 8-term sum
+    is exact under ANY accumulation order — the one EWMA a distributed
+    gate can check bitwise (an arbitrary alpha is order-dependent in
+    the last ulp). Windowed to the trailing 8 events; the oldest slot
+    carries the remainder weight so weights sum to 1."""
+    import pandas as pd
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 15)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round(F.col("value") * 10000).cast("bigint").alias("vq"),
+        )
+    )
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        vals = pdf["vq"].tolist()
+        out_n, out_e = [], []
+        for t in range(len(vals)):
+            lo = max(0, t - 7)
+            win = vals[lo : t + 1]  # oldest -> newest
+            m = len(win)
+            acc = 0.0
+            for i, v in enumerate(win, start=1):
+                if m == 1:
+                    wgt = 1.0
+                elif i == 1:
+                    wgt = 2.0 ** (-(m - 1))
+                else:
+                    wgt = 2.0 ** (-(m - i + 1))
+                acc += v * wgt
+            out_n.append(m)
+            out_e.append(acc)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "n_in_window": pd.array(out_n, dtype="int32"),
+                "ewma_e4": out_e,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        ewma, schema="user_id long, event_id long, n_in_window int, ewma_e4 double"
+    )

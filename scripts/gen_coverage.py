@@ -100,7 +100,8 @@ SECTIONS = [
         "funnel_stages", "profile_outliers_mad", "profile_histogram",
         "text_bigram_logprob"]),
     ("Grouped-map / cogrouped Pandas (Arrow batch APIs)", [
-        "grouped_pandas_zscore", "cogrouped_pandas_asof", "udtf_json_kv"]),
+        "grouped_pandas_zscore", "cogrouped_pandas_asof", "udtf_json_kv",
+        "grouped_pandas_ewma"]),
     ("Iterative algorithms", [
         "ml_kmeans", "text_bpe_pair_counts", "text_bpe_train",
         "text_bpe_vocab", "text_bpe_encode_docs", "graph_pagerank",
