@@ -254,3 +254,52 @@ def test_interval_overlap_join_is_banded_equi(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_interval_overlap")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_geo_grid_join_is_blocked_equi(spark, sf_dir):
+    """The radius self-join must resolve as a hash/merge EQUI-join on
+    the grid cell — a quadratic nested-loop over point pairs would pass
+    correctness at gate SF and melt at 100 TB."""
+    plan = _plan(spark, sf_dir, "geo_grid_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_fuzzy_linkage_is_blocked_equi(spark, sf_dir):
+    """Levenshtein must verify INSIDE equi-join blocks (compound key),
+    never as a nested-loop predicate over all pairs."""
+    plan = _plan(spark, sf_dir, "join_fuzzy_blocked")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan  # the verify survives as a post-join filter
+
+
+def test_linreg_moments_single_pass(spark, sf_dir):
+    """Closed-form OLS accumulates all ten Gram moments in ONE
+    aggregation over the joined fact — a per-moment pass would read the
+    join ten times. One HashAggregate pair (partial + final) over the
+    join output; no Window, no extra scan of lineitem."""
+    import re
+
+    plan = _plan(spark, sf_dir, "ml_linreg_normal")
+    # formatted explain prints each scan node twice (tree + detail);
+    # count the numbered NODES: lineitem + orders, once each
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert "WindowExec" not in plan
+
+
+def test_mips_topk_is_take_ordered(spark, sf_dir):
+    """MIPS top-k must compile to TakeOrderedAndProject (per-partition
+    heaps), not a global sort of the scored corpus."""
+    plan = _plan(spark, sf_dir, "sim_mips_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_entropy_is_scan_only(spark, sf_dir):
+    """Character entropy is a pure map-side pass: no exchange at all —
+    27 length-difference expressions + fixed-point arithmetic."""
+    plan = _plan(spark, sf_dir, "text_entropy")
+    assert "Exchange" not in plan
+    assert "WindowExec" not in plan
