@@ -841,3 +841,40 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY"), F.lit("id")).alias("qid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact DECIMAL money arithmetic
+# ---------------------------------------------------------------------------
+
+_DECIMAL_SQL = """
+SELECT l_returnflag,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l_discount AS DECIMAL(6,2))) AS sum_disc_price,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("fn_decimal_exact", oracle=_DECIMAL_SQL)
+def fn_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native DECIMAL money arithmetic — the type-system alternative to
+    this repo's integer-cents idiom: prices cast to DECIMAL(18,2) at
+    the scan, the discount factor to DECIMAL(6,2), and every sum and
+    product then runs in EXACT base-10 arithmetic — associative, so
+    partition order and merge order cannot perturb a digit (the whole
+    reason money columns are decimal in production schemas; a double
+    sum differs run to run). Result scales differ between engines
+    (Spark widens products to s=4+), so the gate's Decimal
+    normalization is what's exercised. Decimal aggregation is
+    whole-stage-codegen JVM arithmetic — map-side partial sums like any
+    long."""
+    li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    factor = (F.lit(1) - F.col("l_discount")).cast("decimal(6,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).alias("sum_price"),
+        F.sum(price * factor).alias("sum_disc_price"),
+        F.count("*").alias("n"),
+    )

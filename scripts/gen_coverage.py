@@ -62,7 +62,7 @@ SECTIONS = [
         "fn_interval_arith", "fn_array_ops", "fn_map_ops",
         "fn_scalar_subquery", "fn_regex_family", "fn_higher_order",
         "fn_bitwise", "fn_hash_encode", "fn_try_arithmetic",
-        "cte_recursive", "fn_url_parse"]),
+        "cte_recursive", "fn_url_parse", "fn_decimal_exact"]),
     ("Streaming / incremental (§2.8 + extensions)", [
         "inc_daily_snapshot", "inc_doc_accum", "inc_retry",
         "table_changes_feed", "stream_window_agg",
