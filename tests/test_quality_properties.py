@@ -105,3 +105,36 @@ def test_rank_decile_bins_near_equal(spark, prices):
     lo, hi = math.floor(n / 10), math.ceil(n / 10)
     assert all(lo <= s <= hi for s in sizes.values())
     assert set(sizes) == set(range(10)) if n >= 10 else True
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(10**8), max_value=10**8),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_dyadic_ewma_exact_under_reordering(vq):
+    """The grouped_pandas_ewma determinism claim, as a property: with
+    alpha=1/2 (power-of-two weights) and 1e-4-quantized integer values,
+    every weighted term is exact in binary floating point and the
+    window sum is identical under ANY accumulation order."""
+    m = len(vq)
+
+    def weight(i):
+        if m == 1:
+            return 1.0
+        if i == 1:
+            return 2.0 ** (-(m - 1))
+        return 2.0 ** (-(m - i + 1))
+
+    terms = [v * weight(i) for i, v in enumerate(vq, start=1)]
+    fwd = sum(terms)
+    rev = sum(reversed(terms))
+    import random
+
+    rng = random.Random(42)
+    shuffled = terms[:]
+    rng.shuffle(shuffled)
+    assert fwd == rev == sum(shuffled)
+    assert sum(weight(i) for i in range(1, m + 1)) == 1.0
