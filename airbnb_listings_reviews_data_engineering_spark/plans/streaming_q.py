@@ -494,3 +494,54 @@ def stream_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = pin(final, label="stream_mv_merge")
     shutil.rmtree(root, ignore_errors=True)
     return final
+
+
+_SLIDING_SQL = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS e, CAST(round(value * 10000) AS BIGINT) AS vq
+  FROM events
+), w AS (
+  SELECT event_type, vq,
+         (e // 1800000000) * 1800000000 - k * 1800000000 AS win_start_us
+  FROM e, unnest(range(0, 2)) t(k)
+)
+SELECT strftime(to_timestamp(win_start_us // 1000000), '%Y-%m-%d %H:%M:%S')
+         AS win_start,
+       event_type, count(*) AS n,
+       round(sum(vq) / 10000.0, 4) AS sum_value
+FROM w GROUP BY win_start_us, event_type
+"""
+
+
+@register("stream_sliding_window", oracle=_SLIDING_SQL)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SLIDING-window aggregation (1-hour windows every 30
+    minutes) drained with availableNow — unlike the tumbling key
+    (stream_window_agg), every event contributes to size/slide = 2
+    overlapping windows, which is the shape rate monitors and rolling
+    SLAs actually use. Streaming state is bounded by watermark x
+    (windows per event); the oracle derives each event's two window
+    anchors arithmetically (floor to the slide grid, minus k slides)
+    and aggregates in fixed-point 1e-4 so the value sums are exact.
+    Stream/batch equivalence is the correctness statement."""
+    events = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = (
+        events.withColumn(
+            "vq", F.round(F.col("value") * 10000).cast("bigint")
+        )
+        .withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n"), F.sum("vq").alias("svq"))
+    )
+    result = run_available_now(agg, query_name="stream_sliding_window")
+    return result.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "win_start"
+        ),
+        "event_type",
+        "n",
+        F.round(F.col("svq") / 10000.0, 4).alias("sum_value"),
+    )
