@@ -166,3 +166,66 @@ def pipeline_q6_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.date").alias("review_date"),
         F.when(day == "", F.lit(1)).otherwise(day.cast("int")).alias("cancel_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# feature-matrix construction (entity-day grain)
+# ---------------------------------------------------------------------------
+
+_FEATURE_MATRIX_SQL = """
+WITH daily AS (
+  SELECT user_id, ts::DATE AS day, count(*) AS n_events,
+         CAST(round(avg(value) * 10000) AS BIGINT) AS avg_q,
+         count(*) FILTER (WHERE event_type = 'purchase') > 0 AS label_purchase
+  FROM events WHERE user_id < 10 GROUP BY 1, 2
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n_events,
+       round(avg_q / 10000.0, 4) AS avg_value,
+       sum(n_events) OVER (PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_events,
+       (day - min(day) OVER (PARTITION BY user_id)) AS days_since_first,
+       label_purchase
+FROM daily
+"""
+
+
+@register("pipeline_feature_matrix", oracle=_FEATURE_MATRIX_SQL)
+def pipeline_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-matrix construction at the (entity, day) grain — the
+    last mile before model training, chaining the feature-engineering
+    shapes in ONE lazy plan: daily rollup (map-side-combined agg;
+    avg fixed-point-quantized BEFORE emission so the feature is
+    reproducible), per-entity running total and tenure via
+    entity-partitioned windows (one shuffle on user_id serves BOTH —
+    same partitioning, no second exchange), and a same-grain label
+    (purchase that day) ready for a leakage-safe split
+    (split_train_test_group hashes the same entity key). At 100 TB the
+    plan is one key shuffle + windows whose state is per-entity days —
+    the exact shape feature platforms materialize nightly."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value") * 10000).cast("bigint").alias("avg_q"),
+        (
+            F.count(F.when(F.col("event_type") == "purchase", 1)) > 0
+        ).alias("label_purchase"),
+    )
+    from pyspark.sql import Window as W
+
+    w_cum = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("user_id")
+    return daily.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        F.round(F.col("avg_q") / 10000.0, 4).alias("avg_value"),
+        F.sum("n_events").over(w_cum).alias("cum_events"),
+        F.datediff("day", F.min("day").over(w_all)).alias("days_since_first"),
+        "label_purchase",
+    )

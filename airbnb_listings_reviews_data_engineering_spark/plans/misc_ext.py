@@ -878,3 +878,38 @@ def fn_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(price * factor).alias("sum_disc_price"),
         F.count("*").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multiple DISTINCT aggregates in one pass (Expand rewrite)
+# ---------------------------------------------------------------------------
+
+_MULTI_DISTINCT_SQL = """
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(DISTINCT o_orderpriority) AS n_priorities,
+       count(DISTINCT o_orderdate::DATE) AS n_days,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@register("agg_multi_distinct", oracle=_MULTI_DISTINCT_SQL)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several COUNT(DISTINCT ...) over DIFFERENT columns in one query —
+    the plan shape this exercises is Catalyst's Expand rewrite: the
+    input is replicated once per distinct clause with a grouping-id
+    column, then a single two-level aggregation dedups and counts all
+    clauses in ONE shuffle pass (naively this is N self-joined
+    subqueries, N scans, N shuffles). At 100 TB the Expand multiplies
+    map-side rows by the clause count but keeps one scan and one
+    exchange — the right trade until clause counts grow large, at which
+    point the HLL sketch rollup (agg_hll_sketch_rollup) is the approx
+    escape hatch."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.countDistinct(F.col("o_orderdate").cast("date")).alias("n_days"),
+        F.count("*").alias("n_orders"),
+    )

@@ -44,7 +44,8 @@ SECTIONS = [
         "agg_minmax_by", "agg_quantiles", "agg_unpivot",
         "agg_grouping_sets", "agg_corr_covar", "agg_bool",
         "agg_string_concat", "agg_percentile_approx",
-        "agg_approx_count_distinct", "agg_hll_sketch_rollup"]),
+        "agg_approx_count_distinct", "agg_hll_sketch_rollup",
+        "agg_multi_distinct"]),
     ("Windows / sort / set ops (§2.6 extension surface)", [
         "win_row_number", "win_topk_per_group", "win_lag_lead",
         "win_running_sum", "win_moving_avg", "win_rank_family",
@@ -120,7 +121,7 @@ SECTIONS = [
         "pipeline_q1_analog", "pipeline_q5_analog", "pipeline_q6_analog",
         "pipeline_dedup_corpus", "pipeline_quality_filter",
         "pipeline_decontaminate", "pipeline_corpus_prep",
-        "pipeline_rag_prep"]),
+        "pipeline_rag_prep", "pipeline_feature_matrix"]),
 ]
 
 
