@@ -253,3 +253,165 @@ def geo_knn_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("d_km", "c_custkey")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon (convex, exact integer arithmetic)
+# ---------------------------------------------------------------------------
+
+# Convex quadrilateral (counter-clockwise) roughly covering western
+# Europe, in 1e-4-degree integer units (the derived points' native
+# resolution — so every cross product is EXACT int64 arithmetic).
+_POLY = ((-100000, 350000), (200000, 350000), (250000, 600000), (-50000, 600000))
+
+_PIP_TERMS_SQL = " AND ".join(
+    f"(({x2} - {x1}) * (py - {y1}) - ({y2} - {y1}) * (px - {x1})) >= 0"
+    for (x1, y1), (x2, y2) in zip(_POLY, _POLY[1:] + _POLY[:1])
+)
+
+_PIP_SQL = f"""
+WITH p AS (
+  SELECT c_custkey, c_mktsegment, {_C_LAT} AS lat, {_C_LON} AS lon
+  FROM customer
+), q AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(lon * 10000) AS BIGINT) AS px,
+         CAST(round(lat * 10000) AS BIGINT) AS py
+  FROM p
+)
+SELECT c_mktsegment, count(*) AS n_inside,
+       min(c_custkey) AS min_key, max(c_custkey) AS max_key
+FROM q WHERE {_PIP_TERMS_SQL}
+GROUP BY c_mktsegment
+"""
+
+
+@register("geo_point_in_polygon", oracle=_PIP_SQL)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon containment for a convex region ('listings
+    inside this city boundary') — real computational geometry as pure
+    column arithmetic: a point is inside a counter-clockwise convex
+    polygon iff every edge's cross product (edge x point-offset) is
+    >= 0. Coordinates quantize to the derivation's native 1e-4-degree
+    integer grid first, so every cross product is EXACT int64 math —
+    no float sign flips at the boundary, bitwise identical in both
+    engines. Map-side filter + small aggregate; at 100 TB a polygon
+    SET becomes a broadcast polygon table joined after a grid-cell
+    prefilter (geo_grid_join's blocking), same arithmetic inside."""
+    c = load(spark, sf_dir, "customer")
+    lat, lon = _point(F.col("c_custkey").cast("string"))
+    q = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(lon * 10000).cast("bigint").alias("px"),
+        F.round(lat * 10000).cast("bigint").alias("py"),
+    )
+    cond = None
+    for (x1, y1), (x2, y2) in zip(_POLY, _POLY[1:] + _POLY[:1]):
+        term = (
+            (F.lit(x2 - x1) * (F.col("py") - F.lit(y1)))
+            - (F.lit(y2 - y1) * (F.col("px") - F.lit(x1)))
+        ) >= 0
+        cond = term if cond is None else (cond & term)
+    return (
+        q.filter(cond)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_inside"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# grid-blocked kNN join (top-3 neighbors per point)
+# ---------------------------------------------------------------------------
+
+_KNN_JOIN_SQL = f"""
+WITH p AS (
+  SELECT c_custkey AS k, {_C_LAT} AS lat, {_C_LON} AS lon FROM customer
+  WHERE c_custkey < 600
+), cells AS (
+  SELECT k, lat, lon,
+         CAST(floor((lat + 60) / {_CELL_DEG}) AS BIGINT) AS cy,
+         CAST(floor((lon + 180) / {_CELL_DEG}) AS BIGINT) AS cx
+  FROM p
+), probes AS (
+  SELECT k, lat, lon, cy + dy.d AS py,
+         ((cx + dx.d) % 120 + 120) % 120 AS px
+  FROM cells, (VALUES (-1), (0), (1)) dy(d), (VALUES (-1), (0), (1)) dx(d)
+), cand AS (
+  SELECT a.k AS key_a, b.k AS key_b, round({_PAIR_D}, 4) AS d_km,
+         row_number() OVER (PARTITION BY a.k
+                            ORDER BY round({_PAIR_D}, 4), b.k) AS rn
+  FROM probes a JOIN cells b
+    ON a.py = b.cy AND a.px = b.cx AND a.k <> b.k
+  WHERE {_PAIR_D} <= {_RADIUS_KM}
+)
+SELECT key_a, key_b, d_km, CAST(rn AS INT) AS rank
+FROM cand WHERE rn <= 3
+"""
+
+
+@register("geo_knn_join", oracle=_KNN_JOIN_SQL)
+def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked kNN JOIN: each point's 3 nearest neighbors within
+    the 150 km radius — the batch 'nearest listings for every listing'
+    shape. Candidates come from the same 3x3 grid-cell equi-join as
+    geo_grid_join (provably exhaustive within the radius, so the k
+    nearest inside the radius are exact, never approximate); the
+    per-point top-3 is a window over the CANDIDATE set (bounded by
+    local density, not the corpus), ranked on the ROUNDED distance so
+    the frontier tie-break is cross-engine stable. Point set capped at
+    gate SF for output size; the plan shape is density-bounded at any
+    corpus."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 600)
+    lat, lon = _point(F.col("c_custkey").cast("string"))
+    pts = c.select(
+        F.col("c_custkey").alias("k"), lat.alias("lat"), lon.alias("lon")
+    ).withColumns(
+        {
+            "cy": F.floor((F.col("lat") + 60) / _CELL_DEG).cast("bigint"),
+            "cx": F.floor((F.col("lon") + 180) / _CELL_DEG).cast("bigint"),
+        }
+    )
+    offsets = F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    probes = (
+        pts.withColumn("dy", F.explode(offsets))
+        .withColumn("dx", F.explode(offsets))
+        .select(
+            "k",
+            "lat",
+            "lon",
+            (F.col("cy") + F.col("dy")).alias("py"),
+            F.pmod(F.col("cx") + F.col("dx"), F.lit(120)).alias("px"),
+        )
+    )
+    a, b = probes.alias("a"), pts.alias("b")
+    d = F.round(
+        _haversine(F.col("a.lat"), F.col("a.lon"), F.col("b.lat"), F.col("b.lon")),
+        4,
+    )
+    raw = _haversine(
+        F.col("a.lat"), F.col("a.lon"), F.col("b.lat"), F.col("b.lon")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("key_a").orderBy("d_km", "key_b")
+    return (
+        a.join(
+            b,
+            (F.col("a.py") == F.col("b.cy"))
+            & (F.col("a.px") == F.col("b.cx"))
+            & (F.col("a.k") != F.col("b.k")),
+        )
+        .filter(raw <= _RADIUS_KM)
+        .select(
+            F.col("a.k").alias("key_a"),
+            F.col("b.k").alias("key_b"),
+            d.alias("d_km"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+    )

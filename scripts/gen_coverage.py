@@ -116,7 +116,8 @@ SECTIONS = [
         "xform_surrogate_key", "profile_drift_tv",
         "aqp_sample_estimate", "dq_anomaly_volume"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
-        "geo_dist_rings", "geo_grid_join", "geo_knn_anchor"]),
+        "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
+        "geo_point_in_polygon", "geo_knn_join"]),
     ("Composite pipelines (full Q1/Q5 shapes, one plan)", [
         "pipeline_q1_analog", "pipeline_q5_analog", "pipeline_q6_analog",
         "pipeline_dedup_corpus", "pipeline_quality_filter",
