@@ -913,3 +913,49 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.col("o_orderdate").cast("date")).alias("n_days"),
         F.count("*").alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bitmask capability rollup
+# ---------------------------------------------------------------------------
+
+_BITMASK_SQL = """
+WITH flags AS (
+  SELECT user_id,
+         bit_or(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                WHEN 'error' THEN 16 ELSE 0 END) AS caps
+  FROM events GROUP BY user_id
+)
+SELECT caps, count(*) AS n_users,
+       (caps & 4) <> 0 AS has_purchase,
+       min(user_id) AS min_user
+FROM flags GROUP BY caps
+"""
+
+
+@register("agg_bitmask_flags", oracle=_BITMASK_SQL)
+def agg_bitmask_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capability-bitmap rollup: each event type maps to one bit and
+    BIT_OR folds a user's history into a single integer bitmap — the
+    feature-flag / segment-membership encoding that replaces five
+    boolean columns (or five EXISTS subqueries) with one map-side-
+    combinable integer aggregate; cohorts are then GROUP BY bitmap and
+    membership tests are bitwise AND (has_purchase = caps & 4). Two
+    aggregations, both map-side combined; the bitmap domain is 2^5
+    regardless of corpus size."""
+    ev = load(spark, sf_dir, "events")
+    bit = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "signup", 8)
+        .when(F.col("event_type") == "error", 16)
+        .otherwise(0)
+    )
+    flags = ev.groupBy("user_id").agg(F.bit_or(bit).alias("caps"))
+    return flags.groupBy("caps").agg(
+        F.count("*").alias("n_users"),
+        (F.col("caps").bitwiseAND(4) != 0).alias("has_purchase"),
+        F.min("user_id").alias("min_user"),
+    )

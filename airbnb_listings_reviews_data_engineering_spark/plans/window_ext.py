@@ -1229,3 +1229,52 @@ def win_median_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.when(n % 2 == 1, odd).otherwise(even), 4).alias("median_5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# running distinct count (first-occurrence decomposition)
+# ---------------------------------------------------------------------------
+
+_RUNNING_DISTINCT_SQL = """
+WITH f AS (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) = 1 AS first_seen
+  FROM events WHERE user_id < 20
+)
+SELECT user_id, event_id,
+       sum(CASE WHEN first_seen THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS n_types_seen
+FROM f
+"""
+
+
+@register("win_running_distinct", oracle=_RUNNING_DISTINCT_SQL)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNNING distinct count per entity ('how many event types has
+    this user touched so far') — the adoption-curve metric. A naive
+    distinct-over-growing-frame collects the whole history per row;
+    this is the first-occurrence decomposition (same trick as
+    text_vocab_growth): mark each (user, type)'s first row with one
+    window, then a plain running SUM of the 0/1 marks — per-row state
+    collapses from the full seen-set to one integer. Both windows
+    partition on the entity key and share its shuffle."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        ev.withColumn("first_seen", F.row_number().over(w_first) == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.sum(F.when(F.col("first_seen"), 1).otherwise(0))
+            .over(w_run)
+            .alias("n_types_seen"),
+        )
+    )

@@ -45,12 +45,13 @@ SECTIONS = [
         "agg_grouping_sets", "agg_corr_covar", "agg_bool",
         "agg_string_concat", "agg_percentile_approx",
         "agg_approx_count_distinct", "agg_hll_sketch_rollup",
-        "agg_multi_distinct"]),
+        "agg_multi_distinct", "agg_bitmask_flags"]),
     ("Windows / sort / set ops (§2.6 extension surface)", [
         "win_row_number", "win_topk_per_group", "win_lag_lead",
         "win_running_sum", "win_moving_avg", "win_rank_family",
         "win_first_last", "win_time_range", "win_partition_agg",
         "win_distinct_rolling", "win_gaps_islands", "win_median_rolling",
+        "win_running_distinct",
         "sort_limit_topk",
         "setop_union", "setop_intersect", "setop_except",
         "setop_intersect_all", "setop_except_all", "sessionize"]),
