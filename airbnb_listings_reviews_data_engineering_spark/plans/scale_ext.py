@@ -479,3 +479,73 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# quarantine split (corrupt-record ingestion)
+# ---------------------------------------------------------------------------
+
+_QUARANTINE_SQL = """
+WITH raw AS (
+  SELECT event_id,
+         CASE WHEN event_id % 13 = 0 THEN replace(props, '{', '?')
+              ELSE props END AS props
+  FROM events
+), tagged AS (
+  SELECT event_id, props,
+         CASE WHEN json_valid(props)
+              THEN json_extract(props, '$.k') IS NOT NULL
+              ELSE FALSE END AS ok
+  FROM raw
+)
+SELECT CASE WHEN ok THEN 'valid' ELSE 'quarantined' END AS status,
+       count(*) AS n_rows, min(event_id) AS min_id, max(event_id) AS max_id,
+       coalesce(sum(CASE WHEN ok
+                    THEN CAST(json_extract(props, '$.k') AS BIGINT) END), 0)
+         AS sum_k
+FROM tagged GROUP BY 1
+"""
+
+
+@register("src_quarantine_split", oracle=_QUARANTINE_SQL)
+def src_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record QUARANTINE ingestion — the permissive-load
+    pattern at the semantic level: malformed JSON payloads (here
+    deterministically corrupted rows stand in for upstream garbage)
+    route to a quarantine bucket with counts and id ranges for triage,
+    while valid rows parse and flow on (sum of the extracted field
+    proves the good path) — ONE bad record in a 100 TB load must
+    neither abort the job (fail-fast) nor vanish silently
+    (DROPMALFORMED); this is the explicit third way. Validity is
+    from_json's null-on-malformed contract; the split is a map-side
+    CASE — one scan, one small aggregate, no second pass over the
+    data. Validity = parses AND carries the required field (Spark's
+    PERMISSIVE from_json yields a null-FIELDED struct for malformed
+    input, so the field-level check is the portable contract)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 13 == 0,
+            F.regexp_replace("props", r"\{", "?"),
+        )
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    parsed = ev.select(
+        "event_id",
+        "props",
+        F.from_json("props", "k BIGINT").alias("j"),
+    ).withColumn("ok", F.col("j.k").isNotNull())
+    return (
+        parsed.groupBy(
+            F.when(F.col("ok"), "valid").otherwise("quarantined").alias("status")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+            F.coalesce(
+                F.sum(F.when(F.col("ok"), F.col("j.k"))), F.lit(0)
+            ).alias("sum_k"),
+        )
+    )

@@ -17,7 +17,7 @@ SECTIONS = [
         "sink_csv", "xfer_xcom", "src_jsonl", "src_orc",
         "sink_delete_where", "src_csv_permissive", "src_csv_multiline_split",
         "sink_scd2", "sink_scd2_multi", "src_time_travel",
-        "sink_merge_evolve"]),
+        "sink_merge_evolve", "src_quarantine_split"]),
     ("Projections / filters / row transforms (§2.2)", [
         "proj_select", "proj_rename", "filt_dropna", "filt_fillna",
         "xform_nan_none", "xform_money_strip", "xform_zip_trunc",
