@@ -2865,3 +2865,86 @@ def grouped_pandas_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         ewma, schema="user_id long, event_id long, n_in_window int, ewma_e4 double"
     )
+
+
+# ---------------------------------------------------------------------------
+# batch novelty scoring (n-grams never seen in the corpus)
+# ---------------------------------------------------------------------------
+
+_NOVELTY_SQL = """
+WITH batch AS (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+  WHERE doc_id % 17 = 0
+), corpus AS (
+  SELECT string_split(text, ' ') AS tok FROM documents WHERE doc_id % 17 <> 0
+), bg AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(tok) - 2),
+           i -> tok[i] || ' ' || tok[i + 1] || ' ' || tok[i + 2])) AS g
+    FROM batch)
+), cg AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(list_transform(generate_series(1, len(tok) - 2),
+           i -> tok[i] || ' ' || tok[i + 1] || ' ' || tok[i + 2])) AS g
+    FROM corpus)
+)
+SELECT bg.doc_id, count(*) AS n_grams,
+       count(*) FILTER (WHERE cg.g IS NULL) AS n_novel,
+       round(count(*) FILTER (WHERE cg.g IS NULL)
+             / CAST(count(*) AS DOUBLE), 4) AS novelty
+FROM bg LEFT JOIN cg ON bg.g = cg.g
+GROUP BY bg.doc_id
+"""
+
+
+@register("text_novelty_score", oracle=_NOVELTY_SQL)
+def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch novelty scoring: what fraction of an incoming document's
+    3-grams has the standing corpus NEVER seen — the triage signal that
+    ranks a crawl batch by information content before paying for full
+    dedup (novelty ~0 means the doc is boilerplate or a near-dup;
+    ~1 means genuinely new text). The corpus side collapses to DISTINCT
+    grams once (at 100 TB that gram set is the standing inverted index
+    the incremental dedup already maintains — dedup_incremental's
+    corpus table); the batch probes it with one LEFT join on the gram
+    (hash at scale) and per-doc counts reduce map-side. Exact integer
+    counts; the ratio is one deterministic division."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def grams(df):
+        tok = F.split("text", " ")
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tok) - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(tok, i),
+                        F.element_at(tok, i + 1),
+                        F.element_at(tok, i + 2),
+                    ),
+                )
+            ).alias("g"),
+        )
+
+    bg = grams(docs.filter(F.col("doc_id") % 17 == 0))
+    cg = (
+        grams(docs.filter(F.col("doc_id") % 17 != 0))
+        .select("g")
+        .distinct()
+        .withColumn("seen", F.lit(True))
+    )
+    return (
+        bg.join(cg, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count(F.when(F.col("seen").isNull(), 1)).alias("n_novel"),
+            F.round(
+                F.count(F.when(F.col("seen").isNull(), 1))
+                / F.count("*").cast("double"),
+                4,
+            ).alias("novelty"),
+        )
+    )

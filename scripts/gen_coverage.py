@@ -83,7 +83,7 @@ SECTIONS = [
         "text_pii_scrub", "text_repetition_filter", "text_rolling_hash",
         "text_bm25", "text_unigram_logprob", "text_chunk_overlap",
         "xform_feature_hash", "text_line_dedup", "text_vocab_growth",
-        "text_entropy"]),
+        "text_entropy", "text_novelty_score"]),
     ("Multimodal (north star)", [
         "mm_binary_meta", "mm_decode_fake", "mm_frame_sample",
         "mm_probe_media", "mm_shard_manifest", "mm_audio_rms"]),
