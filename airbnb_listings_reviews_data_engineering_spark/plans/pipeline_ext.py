@@ -2948,3 +2948,83 @@ def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# canonical-URL dedup (crawl frontier hygiene)
+# ---------------------------------------------------------------------------
+
+_URL_CANON_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+         'https://WWW.' || source || '.Example.com:443/p/'
+           || CAST(doc_id % 10 AS VARCHAR)
+           || '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR)
+           || '&utm_medium=rss' AS url
+  FROM documents
+), canon AS (
+  SELECT doc_id,
+         'https://' ||
+         replace(replace(lower(split_part(split_part(url, '://', 2), '/', 1)),
+                 'www.', ''), ':443', '')
+         || '/' || split_part(split_part(url, '://', 2), '/', 2)
+         || '/' || split_part(split_part(split_part(url, '://', 2), '/', 3),
+                              '?', 1)
+         || '?id=' || split_part(split_part(url, 'id=', 2), '&', 1) AS curl
+  FROM raw
+)
+SELECT curl, count(*) AS n_dups, min(doc_id) AS keep_doc
+FROM canon GROUP BY curl HAVING count(*) > 1
+"""
+
+
+@register("dedup_url_canonical", oracle=_URL_CANON_SQL)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup — the FIRST dedup a crawl pipeline runs,
+    before any content hashing: lowercase the host, strip the www
+    prefix and the default :443 port, drop tracking parameters
+    (utm_*) while KEEPING identity parameters (id=...), then group on
+    the canonical form — the same page fetched via trivially different
+    URLs collapses to one keep_doc (min id) without reading a byte of
+    content. Pure string expressions map-side; the groupBy shuffles on
+    the canonical URL (hash it at crawl scale). URLs here derive
+    deterministically from row keys — the fixtures carry none — with
+    the casing/port/tracking noise a real frontier contains."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://WWW."),
+        F.col("source"),
+        F.lit(".Example.com:443/p/"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("?utm_source=feed&id="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("&utm_medium=rss"),
+    )
+    raw = docs.select("doc_id", url.alias("url"))
+    after_scheme = F.split_part(F.col("url"), F.lit("://"), F.lit(2))
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.split_part(after_scheme, F.lit("/"), F.lit(1))),
+            r"^www\.",
+            "",
+        ),
+        r":443$",
+        "",
+    )
+    seg1 = F.split_part(after_scheme, F.lit("/"), F.lit(2))
+    seg2 = F.split_part(
+        F.split_part(after_scheme, F.lit("/"), F.lit(3)), F.lit("?"), F.lit(1)
+    )
+    id_param = F.split_part(
+        F.split_part(F.col("url"), F.lit("id="), F.lit(2)), F.lit("&"), F.lit(1)
+    )
+    curl = F.concat(
+        F.lit("https://"), host, F.lit("/"), seg1, F.lit("/"), seg2,
+        F.lit("?id="), id_param,
+    )
+    return (
+        raw.select("doc_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_doc"))
+        .filter(F.col("n_dups") > 1)
+    )

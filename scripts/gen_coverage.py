@@ -31,7 +31,8 @@ SECTIONS = [
         "dedup_embedding_cosine", "dedup_components",
         "dedup_cluster_stats", "dedup_keep_best", "dedup_shared_spans",
         "dedup_embedding_lsh",
-        "dedup_incremental", "text_minhash_containment"]),
+        "dedup_incremental", "text_minhash_containment",
+        "dedup_url_canonical"]),
     ("Joins (§2.4 + extensions)", [
         "join_eq2", "join_eq3", "join_semi_inlist", "join_agg_agg",
         "join_merge_key", "join_left_outer", "join_full_outer", "join_anti",
