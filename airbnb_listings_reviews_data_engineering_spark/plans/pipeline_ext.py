@@ -3028,3 +3028,80 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_doc"))
         .filter(F.col("n_dups") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka prefix-dimension retrieval evaluation
+# ---------------------------------------------------------------------------
+
+_MATRYOSHKA_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+dims(d) AS (VALUES (8), (16), (32), (64)),
+scored AS (
+  SELECT dims.d, e.vec_id,
+         round(list_dot_product(e.v[1:dims.d], q.qv[1:dims.d]) /
+               (sqrt(list_dot_product(e.v[1:dims.d], e.v[1:dims.d]))
+                * sqrt(list_dot_product(q.qv[1:dims.d], q.qv[1:dims.d]))), 6)
+           AS cs
+  FROM e CROSS JOIN dims CROSS JOIN q WHERE e.vec_id <> 0
+),
+topk AS (
+  SELECT d, vec_id,
+         row_number() OVER (PARTITION BY d ORDER BY cs DESC, vec_id) AS rn
+  FROM scored
+),
+full_top AS (SELECT vec_id FROM topk WHERE d = 64 AND rn <= 10)
+SELECT t.d AS prefix_dims, count(f.vec_id) AS overlap_at_10
+FROM topk t LEFT JOIN full_top f ON t.vec_id = f.vec_id
+WHERE t.rn <= 10 GROUP BY t.d
+"""
+
+
+@register("sim_matryoshka_eval", oracle=_MATRYOSHKA_SQL)
+def sim_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-embedding evaluation: how much of the full-dimension
+    top-10 does retrieval recover using only the FIRST d dimensions
+    (d = 8/16/32/64)? This is the measurement behind
+    prefix-truncatable embeddings (MRL) — serve the cheap prefix for
+    candidate generation, the full vector for re-rank; overlap@10 per
+    prefix is exactly the knob-vs-quality curve a platform tunes
+    (sim_ivf_join's cells + emb_quantize's int8 are the other two axes
+    of the same cost/recall trade). Prefix cosine is a slice + the same
+    JVM dot product, one pass scoring all four prefixes via a tiny
+    dims explode; top-10 per prefix is a 4-partition window over the
+    scored set; rank ties break on the ROUNDED score + id so the
+    frontier is cross-engine stable."""
+    from ..functions.arrays import as_double_array, dot
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dims = spark.createDataFrame([(8,), (16,), (32,), (64,)], "d int")
+    base = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(dims)).crossJoin(
+        F.broadcast(q)
+    )
+    pv = F.slice("v", 1, F.col("d"))
+    pq = F.slice("qv", 1, F.col("d"))
+    scored = base.select(
+        "d",
+        "vec_id",
+        F.round(
+            dot(pv, pq) / (F.sqrt(dot(pv, pv)) * F.sqrt(dot(pq, pq))), 6
+        ).alias("cs"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("d").orderBy(F.col("cs").desc(), "vec_id")
+    topk = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 10
+    )
+    full_top = topk.filter(F.col("d") == 64).select(
+        F.col("vec_id").alias("fid")
+    )
+    return (
+        topk.join(full_top, topk.vec_id == full_top.fid, "left")
+        .groupBy(F.col("d").alias("prefix_dims"))
+        .agg(F.count("fid").alias("overlap_at_10"))
+    )

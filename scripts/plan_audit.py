@@ -75,6 +75,7 @@ NESTED_LOOP_ALLOWED = {
     "sim_mips_topk",     # crossJoins against the 1-row max-norm and query row
     "aqp_sample_estimate",  # crossJoin of the paired 1-row exact/estimate aggs
     "graph_triangle_count",  # crossJoin of the paired 1-row triangle/edge counts
+    "sim_matryoshka_eval",  # crossJoins against the 4-row dims set + 1-row query
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's
