@@ -1048,3 +1048,125 @@ def dq_anomaly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("n") * F.col("trail_n") * 2 < F.col("trail_sum")),
         ).alias("anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mutual information between two categoricals (feature selection)
+# ---------------------------------------------------------------------------
+
+_MI_SQL = """
+WITH j AS (
+  SELECT c.c_mktsegment AS x, n.n_name AS y
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+), xy AS (
+  SELECT x, y, count(*) AS c_xy FROM j GROUP BY x, y
+), xs AS (SELECT x, sum(c_xy) AS c_x FROM xy GROUP BY x),
+ys AS (SELECT y, sum(c_xy) AS c_y FROM xy GROUP BY y),
+tot AS (SELECT sum(c_xy) AS n FROM xy),
+terms AS (
+  SELECT CAST(round((xy.c_xy / CAST(t.n AS DOUBLE))
+         * log2((xy.c_xy * CAST(t.n AS DOUBLE)) / (xs.c_x * CAST(ys.c_y AS DOUBLE)))
+         * 1000000000) AS BIGINT) AS term
+  FROM xy JOIN xs USING (x) JOIN ys USING (y) CROSS JOIN tot t
+)
+SELECT 'mktsegment|nation' AS pair,
+       round(sum(term) / 1000000000.0, 4) AS mi_bits
+FROM terms
+"""
+
+
+@register("profile_mutual_info", oracle=_MI_SQL)
+def profile_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical columns — the
+    feature-selection statistic ('does market segment carry information
+    about nation?'; ~0 here, by construction of the fixtures — an MI
+    near H(x) would flag a leaking / redundant feature before training).
+    All distributions come from ONE (x, y) contingency aggregate
+    (map-side combined; marginals are sums over the tiny contingency
+    table, not re-scans); each p*log2 term quantizes to 1e-9 and the
+    term sum runs in exact integers — the same
+    association-order-independence discipline as profile_drift_tv,
+    because a float MI sum can never hash-match across engines."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    j = c.join(n, c.c_nationkey == n.n_nationkey).select(
+        F.col("c_mktsegment").alias("x"), F.col("n_name").alias("y")
+    )
+    xy = j.groupBy("x", "y").agg(F.count("*").alias("c_xy"))
+    xs = xy.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    ys = xy.groupBy("y").agg(F.sum("c_xy").alias("c_y"))
+    tot = xy.agg(F.sum("c_xy").alias("n"))
+    terms = (
+        xy.join(xs, "x")
+        .join(ys, "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (F.col("c_xy") / F.col("n").cast("double"))
+                * F.log2(
+                    (F.col("c_xy") * F.col("n").cast("double"))
+                    / (F.col("c_x") * F.col("c_y").cast("double"))
+                )
+                * 1000000000
+            )
+            .cast("bigint")
+            .alias("term")
+        )
+    )
+    return terms.agg(
+        F.lit("mktsegment|nation").alias("pair"),
+        F.round(F.sum("term") / 1000000000.0, 4).alias("mi_bits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# leave-one-out target encoding (leakage-safe)
+# ---------------------------------------------------------------------------
+
+_TARGET_ENC_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS yc
+  FROM orders
+), g AS (
+  SELECT o_orderpriority, sum(yc) AS s, count(*) AS n FROM o
+  GROUP BY o_orderpriority
+)
+SELECT o.o_orderkey, o.o_orderpriority,
+       round((g.s - o.yc) / ((g.n - 1) * 100.0), 2) AS loo_mean_price
+FROM o JOIN g USING (o_orderpriority)
+WHERE o.o_orderkey < 300
+"""
+
+
+@register("xform_target_encode", oracle=_TARGET_ENC_SQL)
+def xform_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT target encoding — the leakage-safe form of the
+    classic categorical->mean-target feature: each row's encoding
+    excludes its OWN target ((sum_cat - y_i) / (n_cat - 1)), because
+    the naive per-category mean leaks the label into the feature and
+    inflates validation scores. One map-side-combined per-category
+    aggregate broadcast back over the rows (category cardinality is
+    tiny; at high cardinality the join shuffles on the category like
+    any key); the arithmetic runs in integer cents with ONE final
+    division, so the encoding is exact and partition-order-free.
+    Output capped to o_orderkey < 300 for gate size."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("yc"),
+    )
+    g = o.groupBy("o_orderpriority").agg(
+        F.sum("yc").alias("s"), F.count("*").alias("n")
+    )
+    return (
+        o.join(g, "o_orderpriority")
+        .filter(F.col("o_orderkey") < 300)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(
+                (F.col("s") - F.col("yc")) / ((F.col("n") - 1) * 100.0), 2
+            ).alias("loo_mean_price"),
+        )
+    )

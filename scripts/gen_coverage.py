@@ -116,7 +116,8 @@ SECTIONS = [
         "agg_mode", "split_kfold", "agg_heavy_hitters",
         "xform_quantile_bin", "profile_embeddings", "profile_freshness",
         "xform_surrogate_key", "profile_drift_tv",
-        "aqp_sample_estimate", "dq_anomaly_volume"]),
+        "aqp_sample_estimate", "dq_anomaly_volume",
+        "profile_mutual_info", "xform_target_encode"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

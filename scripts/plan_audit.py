@@ -76,6 +76,7 @@ NESTED_LOOP_ALLOWED = {
     "aqp_sample_estimate",  # crossJoin of the paired 1-row exact/estimate aggs
     "graph_triangle_count",  # crossJoin of the paired 1-row triangle/edge counts
     "sim_matryoshka_eval",  # crossJoins against the 4-row dims set + 1-row query
+    "profile_mutual_info",  # crossJoin against the 1-row contingency total
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's
