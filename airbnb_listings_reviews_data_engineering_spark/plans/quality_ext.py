@@ -1170,3 +1170,53 @@ def xform_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("loo_mean_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-table temporal consistency
+# ---------------------------------------------------------------------------
+
+_TEMPORAL_SQL = """
+SELECT CAST(extract(year FROM o.o_orderdate) AS INT) AS order_year,
+       count(*) AS n_lineitems,
+       count(*) FILTER (WHERE l.l_shipdate < o.o_orderdate)
+         AS n_ship_before_order,
+       count(*) FILTER (WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+         AS n_late_90d,
+       round(count(*) FILTER (WHERE l.l_shipdate < o.o_orderdate)
+             / CAST(count(*) AS DOUBLE), 4) AS violation_rate
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+
+@register("dq_temporal_consistency", oracle=_TEMPORAL_SQL)
+def dq_temporal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-TABLE temporal consistency — the integrity class FK checks
+    miss: a child event must not precede its parent (ship before
+    order), and SLA breaches (shipped >90 days after order) need
+    counting per period. Non-vacuous by construction on these fixtures:
+    the generator does NOT enforce the invariant (~49 % of lineitems
+    ship before their order date), which is exactly why a real pipeline
+    runs this gate — synthetic and migrated data violate cross-field
+    invariants silently. One key-partitioned join + conditional
+    aggregation; both temporal predicates are map-side after the
+    join."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    before = F.col("l_shipdate") < F.col("o_orderdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "interval 90 days"
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.count(F.when(before, 1)).alias("n_ship_before_order"),
+            F.count(F.when(late, 1)).alias("n_late_90d"),
+            F.round(
+                F.count(F.when(before, 1)) / F.count("*").cast("double"), 4
+            ).alias("violation_rate"),
+        )
+    )

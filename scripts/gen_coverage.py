@@ -117,7 +117,8 @@ SECTIONS = [
         "xform_quantile_bin", "profile_embeddings", "profile_freshness",
         "xform_surrogate_key", "profile_drift_tv",
         "aqp_sample_estimate", "dq_anomaly_volume",
-        "profile_mutual_info", "xform_target_encode"]),
+        "profile_mutual_info", "xform_target_encode",
+        "dq_temporal_consistency"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),
