@@ -11,6 +11,7 @@ training-data platform runs next to its pipeline operators.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .registry import load, register
@@ -292,4 +293,80 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             4,
         ).alias("lm_score"),
+    )
+
+
+# ------------------------------------------------------- session paths
+
+_PATH_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+), paths AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+         count(*) AS path_len
+  FROM s GROUP BY user_id, sid
+)
+SELECT path, count(*) AS n_sessions, CAST(min(path_len) AS BIGINT) AS path_len
+FROM paths WHERE path_len <= 4
+GROUP BY path HAVING count(*) >= 5
+"""
+
+
+@register("path_session_mining", oracle=_PATH_SQL)
+def path_session_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session PATH mining — the click-path report behind funnel
+    design: sessionize (30-minute gap rule, same decomposition as
+    `sessionize`), concatenate each session's ordered event types into
+    a path string, and count sessions per path (short paths, support
+    >= 5). Everything partitions on the user key until the final
+    path-frequency aggregate, whose cardinality is the path vocabulary,
+    not the event count; the in-session order is made total with the
+    event_id tie-break so both engines agg the same string."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    s = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap >= 1800000000), 1
+        ).otherwise(0),
+    ).withColumn("sid", F.sum("new_sess").over(w_run))
+    paths = s.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.unix_micros("ts").alias("t"),
+                            F.col("event_id").alias("e"),
+                            F.col("event_type").alias("ty"),
+                        )
+                    )
+                ),
+                lambda r: r["ty"],
+            ),
+            ">",
+        ).alias("path"),
+        F.count("*").alias("path_len"),
+    )
+    return (
+        paths.filter(F.col("path_len") <= 4)
+        .groupBy("path")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.min("path_len").cast("bigint").alias("path_len"),
+        )
+        .filter(F.col("n_sessions") >= 5)
     )

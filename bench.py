@@ -81,7 +81,16 @@ R4C_ADDITIONS = [
     "stream_mv_merge",    # streaming incremental MV maintenance
 ]
 
-HEADLINE = R2_HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R4B_ADDITIONS + R4C_ADDITIONS
+# round-4 final wave
+R4D_ADDITIONS = [
+    "text_novelty_score",   # batch 3-gram novelty vs the corpus gram set
+    "sim_matryoshka_eval",  # prefix-dims retrieval overlap curve
+    "dq_temporal_consistency",  # cross-table ship-before-order gate
+    "path_session_mining",  # sessionized click-path frequencies
+]
+
+HEADLINE = (R2_HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R4B_ADDITIONS
+            + R4C_ADDITIONS + R4D_ADDITIONS)
 
 
 def main() -> None:

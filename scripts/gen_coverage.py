@@ -101,7 +101,7 @@ SECTIONS = [
         "sink_partition_overwrite"]),
     ("Analytics / profiling (conversion, robust stats, LM scoring)", [
         "funnel_stages", "profile_outliers_mad", "profile_histogram",
-        "text_bigram_logprob"]),
+        "text_bigram_logprob", "path_session_mining"]),
     ("Grouped-map / cogrouped Pandas (Arrow batch APIs)", [
         "grouped_pandas_zscore", "cogrouped_pandas_asof", "udtf_json_kv",
         "grouped_pandas_ewma"]),
