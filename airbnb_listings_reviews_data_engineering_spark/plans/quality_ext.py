@@ -1220,3 +1220,54 @@ def dq_temporal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("violation_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit forensics
+# ---------------------------------------------------------------------------
+
+_BENFORD_SQL = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+), c AS (
+  SELECT digit, count(*) AS n FROM d GROUP BY digit
+), t AS (SELECT sum(n) AS total FROM c)
+SELECT c.digit, c.n,
+       round(c.n / CAST(t.total AS DOUBLE), 4) AS observed,
+       round(log2(1.0 + 1.0 / c.digit) / log2(10.0), 4) AS benford_expected
+FROM c, t
+"""
+
+
+@register("profile_benford", oracle=_BENFORD_SQL)
+def profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of the money column — the
+    data-forensics gate: organically generated amounts follow
+    P(d) = log10(1 + 1/d) (30 % leading 1s), while fabricated,
+    truncated, or unit-mixed data visibly deviates (these fixtures are
+    uniform-ish generated, and the report SHOWS that deviation — the
+    point of running the gate on synthetic data). First digit is pure
+    string arithmetic on the integer part; one map-side-combined count
+    per digit + a 1-row total broadcast; expected frequencies compute
+    as log2 ratios (both engines' log2 agree at round(4) on these 9
+    constants)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("total").cast("double"), 4).alias(
+            "observed"
+        ),
+        F.round(
+            F.log2(1.0 + 1.0 / F.col("digit")) / F.log2(F.lit(10.0)), 4
+        ).alias("benford_expected"),
+    )

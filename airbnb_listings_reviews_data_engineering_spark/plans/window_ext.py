@@ -1278,3 +1278,59 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_types_seen"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# time to conversion (forward-looking window)
+# ---------------------------------------------------------------------------
+
+_TTC_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, ts,
+         CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS pt
+  FROM events WHERE user_id < 30
+), m AS (
+  SELECT user_id, event_id, event_type, ts,
+         min(pt) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_p
+  FROM e
+)
+SELECT user_id, event_id,
+       (next_p - epoch_us(ts)) // 1000000 AS secs_to_purchase
+FROM m WHERE event_type = 'view' AND next_p IS NOT NULL
+"""
+
+
+@register("win_time_to_conversion", oracle=_TTC_SQL)
+def win_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion: for every view, seconds until the user's
+    NEXT purchase — the survival-analysis input behind conversion-lag
+    dashboards. The forward-looking min over (1 FOLLOWING, UNBOUNDED)
+    of the purchase timestamps resolves it in ONE user-partitioned
+    window pass (no per-view purchase join, which is quadratic in
+    events-per-user); the microsecond difference floor-divides once, so
+    no per-value truncation skew (the profile_freshness lesson).
+    Views with no later purchase drop out — right-censored rows are
+    the survival model's business, not this feature's."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    pt = F.when(
+        F.col("event_type") == "purchase", F.unix_micros("ts")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    m = ev.withColumn("next_p", F.min(pt).over(w))
+    return (
+        m.filter(
+            (F.col("event_type") == "view") & F.col("next_p").isNotNull()
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.floor(
+                (F.col("next_p") - F.unix_micros("ts")) / 1000000
+            ).alias("secs_to_purchase"),
+        )
+    )

@@ -52,7 +52,7 @@ SECTIONS = [
         "win_running_sum", "win_moving_avg", "win_rank_family",
         "win_first_last", "win_time_range", "win_partition_agg",
         "win_distinct_rolling", "win_gaps_islands", "win_median_rolling",
-        "win_running_distinct",
+        "win_running_distinct", "win_time_to_conversion",
         "sort_limit_topk",
         "setop_union", "setop_intersect", "setop_except",
         "setop_intersect_all", "setop_except_all", "sessionize"]),
@@ -118,7 +118,7 @@ SECTIONS = [
         "xform_surrogate_key", "profile_drift_tv",
         "aqp_sample_estimate", "dq_anomaly_volume",
         "profile_mutual_info", "xform_target_encode",
-        "dq_temporal_consistency"]),
+        "dq_temporal_consistency", "profile_benford"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

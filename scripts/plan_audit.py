@@ -77,6 +77,7 @@ NESTED_LOOP_ALLOWED = {
     "graph_triangle_count",  # crossJoin of the paired 1-row triangle/edge counts
     "sim_matryoshka_eval",  # crossJoins against the 4-row dims set + 1-row query
     "profile_mutual_info",  # crossJoin against the 1-row contingency total
+    "profile_benford",   # crossJoin against the 1-row digit total
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's
