@@ -659,3 +659,96 @@ def sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(200)
         .drop("_hk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration coefficient (global-rank decomposition)
+# ---------------------------------------------------------------------------
+
+_GINI_SQL = """
+WITH v AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+), r AS (
+  SELECT c, row_number() OVER (ORDER BY c, o_orderkey) AS rk,
+         count(*) OVER () AS n, sum(c) OVER () AS s
+  FROM v
+)
+SELECT CAST(max(n) AS BIGINT) AS n_orders,
+       round(max(s) / 100.0, 2) AS total_price,
+       round(sum((2 * rk - n - 1) * c) / (CAST(max(n) AS DOUBLE) * max(s)), 6)
+         AS gini
+FROM r
+"""
+
+
+@register("agg_gini_concentration", oracle=_GINI_SQL)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration — the 80/20 inequality
+    metric (0 = every order equal, ->1 = one order is all the
+    revenue), via the sorted-rank identity
+    G = sum((2*rank - n - 1) * x_rank) / (n * sum(x)). The oracle
+    states it as a global row_number; THIS plan runs the same
+    range-partition + Arrow-local-enumeration + broadcast-prefix-offset
+    decomposition as xform_quantile_bin — no single-partition window.
+    Everything accumulates in exact integers (cents x ranks; at >10^9
+    rows the weighted sum outgrows int64 — promote to DECIMAL(38,0),
+    same plan) and the one division happens at the end, so the
+    statistic is bitwise reproducible."""
+    import pandas as pd
+
+    n_parts = 8
+    d = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        )
+        .repartitionByRange(n_parts, "c", "o_orderkey")
+        .sortWithinPartitions("c", "o_orderkey")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    d = pin(d, label="gini")
+
+    def enumerate_local(batches):
+        seen = 0
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "pid": pdf["pid"],
+                    "c": pdf["c"],
+                    "local_pos": range(seen + 1, seen + 1 + len(pdf)),
+                }
+            )
+            seen += len(pdf)
+            yield out
+
+    local = d.mapInPandas(
+        enumerate_local, schema="pid int, c long, local_pos long"
+    )
+    counts = d.groupBy("pid").agg(F.count("*").alias("cnt"))
+    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset")
+    ).crossJoin(
+        F.broadcast(
+            d.agg(F.count("*").alias("n"), F.sum("c").alias("s"))
+        )
+    )
+    rk = F.col("offset") + F.col("local_pos")
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            "n",
+            "s",
+            ((2 * rk - F.col("n") - 1) * F.col("c")).alias("w"),
+        )
+        .groupBy()
+        .agg(
+            F.max("n").cast("bigint").alias("n_orders"),
+            F.round(F.max("s") / 100.0, 2).alias("total_price"),
+            F.round(
+                F.sum("w") / (F.max("n").cast("double") * F.max("s")), 6
+            ).alias("gini"),
+        )
+    )

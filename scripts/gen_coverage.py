@@ -46,7 +46,8 @@ SECTIONS = [
         "agg_grouping_sets", "agg_corr_covar", "agg_bool",
         "agg_string_concat", "agg_percentile_approx",
         "agg_approx_count_distinct", "agg_hll_sketch_rollup",
-        "agg_multi_distinct", "agg_bitmask_flags"]),
+        "agg_multi_distinct", "agg_bitmask_flags",
+        "agg_gini_concentration"]),
     ("Windows / sort / set ops (§2.6 extension surface)", [
         "win_row_number", "win_topk_per_group", "win_lag_lead",
         "win_running_sum", "win_moving_avg", "win_rank_family",

@@ -78,6 +78,7 @@ NESTED_LOOP_ALLOWED = {
     "sim_matryoshka_eval",  # crossJoins against the 4-row dims set + 1-row query
     "profile_mutual_info",  # crossJoin against the 1-row contingency total
     "profile_benford",   # crossJoin against the 1-row digit total
+    "agg_gini_concentration",  # 1-row (n, sum) folded into the offsets frame
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's
@@ -90,6 +91,7 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "xform_quantile_bin",    # prefix-sum rank offsets over n_parts rows (8)
     "text_vocab_growth",     # vocab cumsum over #buckets rows (~corpus/100)
     "dq_anomaly_volume",     # trailing window over the #days daily rollup
+    "agg_gini_concentration",  # prefix-sum rank offsets over n_parts rows (8)
 }
 
 
