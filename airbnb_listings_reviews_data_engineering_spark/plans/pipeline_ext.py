@@ -3105,3 +3105,140 @@ def sim_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("d").alias("prefix_dims"))
         .agg(F.count("fid").alias("overlap_at_10"))
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: BM25 + vector, reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+
+_HYBRID_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+stats AS (SELECT count(*) AS n, avg(len(tok)) AS avgdl FROM t),
+qterms AS (
+  SELECT doc_id, len(tok) AS dl, unnest(tok) AS term FROM t
+),
+qt AS (
+  SELECT doc_id, dl, term FROM qterms
+  WHERE term IN ('{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}', '{_BM25_TERMS[2]}')
+),
+tf AS (SELECT doc_id, term, max(dl) AS dl, count(*) AS tf
+       FROM qt GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id, tf.term, {_BM25_CONTRIB} AS c
+  FROM tf JOIN df USING (term), stats
+),
+lex AS (
+  SELECT doc_id,
+         round(coalesce(max(CASE WHEN term = '{_BM25_TERMS[0]}' THEN c END), 0e0)
+             + coalesce(max(CASE WHEN term = '{_BM25_TERMS[1]}' THEN c END), 0e0)
+             + coalesce(max(CASE WHEN term = '{_BM25_TERMS[2]}' THEN c END), 0e0),
+             4) AS bm25
+  FROM contrib GROUP BY doc_id
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+vec AS (
+  SELECT e.vec_id AS doc_id,
+         round({_EMB_COS.format(a='e.v', b='qv')}, 6) AS cos_sim
+  FROM e, qv WHERE e.vec_id <> 0
+),
+fused AS (
+  SELECT lex.doc_id, lex.bm25, vec.cos_sim FROM lex JOIN vec USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rl,
+         row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rv
+  FROM fused
+)
+SELECT doc_id, CAST(rl AS INT) AS rank_lex, CAST(rv AS INT) AS rank_vec,
+       round(1.0 / ({_RRF_K} + rl) + 1.0 / ({_RRF_K} + rv), 6) AS rrf
+FROM ranked
+ORDER BY round(1.0 / ({_RRF_K} + rl) + 1.0 / ({_RRF_K} + rv), 6) DESC, doc_id
+LIMIT 10
+"""
+
+
+@register("sim_hybrid_rrf", oracle=_HYBRID_SQL)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — reciprocal-rank fusion of a lexical (BM25)
+    ranking and a vector (cosine) ranking, the standard fusion of
+    modern search stacks (RRF, Cormack et al.: score = sum 1/(k+rank),
+    k=60 — rank-based, so the two scorers need no calibration to a
+    common scale). Both rankings compute in one plan: the BM25 side is
+    text_bm25's fixed-pivot score, the vector side the usual broadcast-
+    query cosine; ranks come from two windows over the (small) fused
+    candidate set, never the corpus; fusion is two-term arithmetic on
+    the rounded ranks. The global windows here run over the JOINED
+    candidate set — at scale each scorer feeds its own top-k
+    (TakeOrderedAndProject) first, and the fusion windows see k rows.
+    Tie-breaks on (rounded score, doc_id) keep both rankings
+    cross-engine stable."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tok")
+    )
+    stats = docs.agg(
+        F.count("*").alias("n"), F.avg(F.size("tok")).alias("avgdl")
+    )
+    qt = docs.select(
+        "doc_id", F.size("tok").alias("dl"), F.explode("tok").alias("term")
+    ).filter(F.col("term").isin(*_BM25_TERMS))
+    tf = qt.groupBy("doc_id", "term").agg(
+        F.max("dl").alias("dl"), F.count("*").alias("tf")
+    )
+    dfr = qt.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    contrib = (
+        tf.join(dfr, "term")
+        .crossJoin(F.broadcast(stats))
+        .selectExpr("doc_id", "term", f"{_BM25_CONTRIB} AS c")
+    )
+    piv = [
+        F.coalesce(
+            F.max(F.when(F.col("term") == t, F.col("c"))), F.lit(0.0)
+        )
+        for t in _BM25_TERMS
+    ]
+    lex = contrib.groupBy("doc_id").agg(
+        F.round(piv[0] + piv[1] + piv[2], 4).alias("bm25")
+    )
+    from ..functions.arrays import as_double_array
+    from ..operators.similarity import cosine
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    vec = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+    )
+    both = lex.join(vec, "doc_id")
+    from pyspark.sql import Window as W
+
+    rl = F.row_number().over(W.orderBy(F.col("bm25").desc(), "doc_id"))
+    rv = F.row_number().over(W.orderBy(F.col("cos_sim").desc(), "doc_id"))
+    ranked = both.select(
+        "doc_id", rl.alias("rank_lex"), rv.alias("rank_vec")
+    )
+    rrf = F.round(
+        1.0 / (_RRF_K + F.col("rank_lex")) + 1.0 / (_RRF_K + F.col("rank_vec")),
+        6,
+    )
+    return (
+        ranked.withColumn("rrf", rrf)
+        .select(
+            "doc_id",
+            F.col("rank_lex").cast("int").alias("rank_lex"),
+            F.col("rank_vec").cast("int").alias("rank_vec"),
+            "rrf",
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(10)
+    )

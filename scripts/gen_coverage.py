@@ -78,7 +78,8 @@ SECTIONS = [
         "sim_cosine_topk", "sim_cosine_topk_pandas", "sim_lsh_bucketed",
         "sim_ivf_topk", "sim_ivf_join", "sim_ivf_join_learned",
         "sim_lsh_multiprobe", "sim_knn_join", "emb_label_centroid",
-        "emb_quantize", "sim_mips_topk", "sim_matryoshka_eval"]),
+        "emb_quantize", "sim_mips_topk", "sim_matryoshka_eval",
+        "sim_hybrid_rrf"]),
     ("Text analysis (north star)", [
         "text_lang_id", "text_quality_score", "text_token_count",
         "text_fingerprint", "text_ngram_freq", "text_tfidf",

@@ -79,6 +79,7 @@ NESTED_LOOP_ALLOWED = {
     "profile_mutual_info",  # crossJoin against the 1-row contingency total
     "profile_benford",   # crossJoin against the 1-row digit total
     "agg_gini_concentration",  # 1-row (n, sum) folded into the offsets frame
+    "sim_hybrid_rrf",    # 1-row corpus stats + 1-row query vector crossJoins
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's
@@ -92,6 +93,7 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "text_vocab_growth",     # vocab cumsum over #buckets rows (~corpus/100)
     "dq_anomaly_volume",     # trailing window over the #days daily rollup
     "agg_gini_concentration",  # prefix-sum rank offsets over n_parts rows (8)
+    "sim_hybrid_rrf",        # fusion ranks over the joined candidate set
 }
 
 
