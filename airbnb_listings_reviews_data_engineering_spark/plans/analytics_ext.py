@@ -370,3 +370,84 @@ def path_session_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_sessions") >= 5)
     )
+
+
+# --------------------------------------------------- A/B test statistic
+
+# shared Spark-SQL / DuckDB formula text over the exact integer moments
+# (same discipline as ml_linreg_normal: identical expression tree ->
+# bitwise-identical doubles)
+_TT_MEAN_A = "(sa / CAST(na AS DOUBLE))"
+_TT_MEAN_B = "(sb / CAST(nb AS DOUBLE))"
+_TT_VAR_A = f"((qa - sa * {_TT_MEAN_A}) / (na - 1))"
+_TT_VAR_B = f"((qb - sb * {_TT_MEAN_B}) / (nb - 1))"
+_TT_T = (
+    f"(({_TT_MEAN_A} - {_TT_MEAN_B}) / "
+    f"sqrt({_TT_VAR_A} / na + {_TT_VAR_B} / nb))"
+)
+
+_AB_TEST_SQL = f"""
+WITH assign AS (
+  SELECT CAST(round(o_totalprice) AS BIGINT) AS y,
+         CAST('0x' || substr(md5('ab:' || CAST(o_orderkey AS VARCHAR)), 1, 15)
+              AS BIGINT) % 2 = 0 AS is_a
+  FROM orders
+), m AS (
+  SELECT sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN is_a THEN y ELSE 0 END) AS sa,
+         sum(CASE WHEN is_a THEN y * y ELSE 0 END) AS qa,
+         sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS nb,
+         sum(CASE WHEN is_a THEN 0 ELSE y END) AS sb,
+         sum(CASE WHEN is_a THEN 0 ELSE y * y END) AS qb
+  FROM assign
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round({_TT_MEAN_A}, 4) AS mean_a, round({_TT_MEAN_B}, 4) AS mean_b,
+       round({_TT_T}, 4) AS t_welch
+FROM m
+"""
+
+
+@register("ab_test_welch", oracle=_AB_TEST_SQL)
+def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch t statistic — the A/B experimentation readout:
+    orders hash-split 50/50 into variants (the deterministic md5 gate,
+    so assignment is rerun-stable and the oracle reproduces it), then
+    t = (mean_A - mean_B) / sqrt(s2_A/n_A + s2_B/n_B) computed entirely
+    from SIX integer moments (counts, sums, sums of squares in whole
+    dollars) accumulated in ONE conditional-aggregation pass — the
+    same exact-moments discipline as ml_linreg_normal, so the statistic
+    is bitwise reproducible (a float variance accumulated per-partition
+    is not). Expect |t| ~ 0 here: the split is independent of the
+    metric by construction, which is exactly the A/A sanity reading an
+    experimentation platform requires."""
+    o = load(spark, sf_dir, "orders")
+    from ..functions.hashing import hash60
+
+    is_a = (
+        F.pmod(
+            hash60(F.concat(F.lit("ab:"), F.col("o_orderkey").cast("string"))),
+            F.lit(2),
+        )
+        == 0
+    )
+    y = F.round("o_totalprice").cast("bigint")
+    m = o.select(is_a.alias("is_a"), y.alias("y")).agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("is_a"), F.col("y")).otherwise(0)).alias("sa"),
+        F.sum(
+            F.when(F.col("is_a"), F.col("y") * F.col("y")).otherwise(0)
+        ).alias("qa"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("nb"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(F.col("y"))).alias("sb"),
+        F.sum(
+            F.when(F.col("is_a"), 0).otherwise(F.col("y") * F.col("y"))
+        ).alias("qb"),
+    )
+    return m.selectExpr(
+        "CAST(na AS BIGINT) AS n_a",
+        "CAST(nb AS BIGINT) AS n_b",
+        f"round({_TT_MEAN_A}, 4) AS mean_a",
+        f"round({_TT_MEAN_B}, 4) AS mean_b",
+        f"round({_TT_T}, 4) AS t_welch",
+    )

@@ -752,3 +752,77 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# preference-pair construction (RLHF/DPO data shape)
+# ---------------------------------------------------------------------------
+
+_PREF_SQL = """
+WITH scored AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS r_best,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars ASC, doc_id) AS r_worst
+  FROM documents
+)
+SELECT b.source,
+       b.doc_id AS chosen_doc, b.n_chars AS chosen_score,
+       w.doc_id AS rejected_doc, w.n_chars AS rejected_score,
+       b.n_chars - w.n_chars AS margin
+FROM (SELECT * FROM scored WHERE r_best = 1) b
+JOIN (SELECT * FROM scored WHERE r_worst = 1) w USING (source)
+WHERE b.doc_id <> w.doc_id
+"""
+
+
+@register("sample_preference_pairs", oracle=_PREF_SQL)
+def sample_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-PAIR construction — the (chosen, rejected) data shape
+    of DPO/RLHF reward training: within each prompt group (source
+    stands in for the prompt), pair the highest-scoring response with
+    the lowest-scoring one (n_chars as the quality proxy; swap in
+    ml_logreg_apply's scorer unchanged) and carry the score margin for
+    loss weighting. Deterministic argmax AND argmin per group via two
+    rankings over ONE group partitioning (one shuffle serves both
+    windows); degenerate single-doc groups drop via the
+    chosen <> rejected guard. Contrastive NEGATIVE sampling (random
+    mismatches) is the sibling key sample_negative_pairs; this one is
+    the supervised-preference form."""
+    d = load(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    w_best = W.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    w_worst = W.partitionBy("source").orderBy(
+        F.col("n_chars").asc(), "doc_id"
+    )
+    scored = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w_best).alias("r_best"),
+        F.row_number().over(w_worst).alias("r_worst"),
+    )
+    b = scored.filter(F.col("r_best") == 1).select(
+        "source",
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("n_chars").alias("chosen_score"),
+    )
+    w = scored.filter(F.col("r_worst") == 1).select(
+        "source",
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("n_chars").alias("rejected_score"),
+    )
+    return (
+        b.join(w, "source")
+        .filter(F.col("chosen_doc") != F.col("rejected_doc"))
+        .select(
+            "source",
+            "chosen_doc",
+            "chosen_score",
+            "rejected_doc",
+            "rejected_score",
+            (F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
+        )
+    )

@@ -95,7 +95,8 @@ SECTIONS = [
         "pack_token_shards", "profile_columns", "sample_temperature",
         "sample_domain_mixture", "sample_curriculum",
         "shuffle_deterministic", "sample_weighted", "profile_skew",
-        "sample_negative_pairs", "sample_fixed_n"]),
+        "sample_negative_pairs", "sample_fixed_n",
+        "sample_preference_pairs"]),
     ("Scale techniques (100 TB levers)", [
         "join_bucketed", "src_partition_pruning", "join_salted",
         "maintenance_compact", "join_bloom_prefilter",
@@ -103,7 +104,7 @@ SECTIONS = [
         "sink_partition_overwrite"]),
     ("Analytics / profiling (conversion, robust stats, LM scoring)", [
         "funnel_stages", "profile_outliers_mad", "profile_histogram",
-        "text_bigram_logprob", "path_session_mining"]),
+        "text_bigram_logprob", "path_session_mining", "ab_test_welch"]),
     ("Grouped-map / cogrouped Pandas (Arrow batch APIs)", [
         "grouped_pandas_zscore", "cogrouped_pandas_asof", "udtf_json_kv",
         "grouped_pandas_ewma"]),
