@@ -120,8 +120,8 @@ mad AS (
   FROM dev GROUP BY l_returnflag
 )
 SELECT m.l_returnflag, m.med, a.mad,
-       sum(CASE WHEN abs(l.l_extendedprice - m.med) > 4.4478 * a.mad
-                THEN 1 ELSE 0 END) AS n_outliers,
+       CAST(sum(CASE WHEN abs(l.l_extendedprice - m.med) > 4.4478 * a.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
        count(*) AS n
 FROM lineitem l
 JOIN med m ON l.l_returnflag = m.l_returnflag

@@ -181,8 +181,8 @@ WITH daily AS (
 )
 SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n_events,
        round(avg_q / 10000.0, 4) AS avg_value,
-       sum(n_events) OVER (PARTITION BY user_id ORDER BY day
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_events,
+       CAST(sum(n_events) OVER (PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_events,
        (day - min(day) OVER (PARTITION BY user_id)) AS days_since_first,
        label_purchase
 FROM daily

@@ -606,7 +606,7 @@ WITH dels AS (
 )
 SELECT c_mktsegment, count(*) AS n_rows,
        min(c_custkey) AS min_key, max(c_custkey) AS max_key,
-       sum(c_custkey) AS key_checksum
+       CAST(sum(c_custkey) AS BIGINT) AS key_checksum
 FROM applied GROUP BY c_mktsegment
 """
 
@@ -664,11 +664,12 @@ WITH v1 AS (
 )
 SELECT 'v1' AS version_tag, count(*) AS n_rows,
        count(*) FILTER (WHERE c_mktsegment = 'UPDATED') AS n_updated,
-       sum(c_custkey) AS key_checksum
+       CAST(sum(c_custkey) AS BIGINT) AS key_checksum
 FROM v1
 UNION ALL
 SELECT 'v2', count(*),
-       count(*) FILTER (WHERE c_mktsegment = 'UPDATED'), sum(c_custkey)
+       count(*) FILTER (WHERE c_mktsegment = 'UPDATED'),
+       CAST(sum(c_custkey) AS BIGINT)
 FROM v2
 """
 

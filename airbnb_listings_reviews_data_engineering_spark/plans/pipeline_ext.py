@@ -2107,7 +2107,8 @@ c AS (
 ),
 s AS (SELECT doc_id, nb, strt,
              CAST(floor(strt / {_SHARD_BUDGET}) AS BIGINT) AS shard FROM c)
-SELECT doc_id, shard, strt - min(strt) OVER (PARTITION BY shard) AS offset, nb
+SELECT doc_id, shard,
+       CAST(strt - min(strt) OVER (PARTITION BY shard) AS BIGINT) AS offset, nb
 FROM s
 """
 
@@ -2495,8 +2496,9 @@ tokens AS (
   SELECT bucket, count(*) AS n_tokens FROM w GROUP BY bucket
 )
 SELECT t.bucket, t.n_tokens, coalesce(p.new_words, 0) AS new_words,
-       sum(coalesce(p.new_words, 0)) OVER (ORDER BY t.bucket
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vocab_size
+       CAST(sum(coalesce(p.new_words, 0)) OVER (ORDER BY t.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS vocab_size
 FROM tokens t LEFT JOIN per_bucket p ON p.bucket = t.bucket
 """
 

@@ -923,10 +923,12 @@ _AQP_SQL = f"""
 WITH s AS (
   SELECT o_totalprice FROM orders WHERE {_H_AQP} % 10 = 0
 ), ex AS (
-  SELECT count(*) AS c, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS m
+  SELECT count(*) AS c,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m
   FROM orders
 ), es AS (
-  SELECT count(*) * 10 AS c, sum(CAST(round(o_totalprice * 100) AS BIGINT)) * 10 AS m
+  SELECT count(*) * 10 AS c,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) * 10 AS BIGINT) AS m
   FROM s
 )
 SELECT 'count' AS metric, CAST(ex.c AS BIGINT) AS exact_value,

@@ -63,6 +63,43 @@ def register(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn
     return deco
 
 
+# DuckDB types with no exact Spark analog. The driver's value hash
+# normalizes them differently from the repo's fetchall()->Python-int
+# mirror, so an oracle emitting one can pass locally yet fail the driver
+# (round-4 postmortem: 14 integer-sum() oracles typed HUGEINT and 5 of
+# them went red in CORRECTNESS_r04 with bitwise-identical values).
+# Every oracle must CAST such expressions to a Spark-representable type
+# (BIGINT, DOUBLE, DECIMAL, ...).
+DUCKDB_TYPES_WITHOUT_SPARK_ANALOG = (
+    "HUGEINT",
+    "UHUGEINT",
+    "UTINYINT",
+    "USMALLINT",
+    "UINTEGER",
+    "UBIGINT",
+)
+
+
+def lint_oracle_types(columns, types, key: str) -> list[str]:
+    """Return lint errors for DuckDB result types no Spark plan can emit.
+
+    ``columns``/``types`` are a DuckDB relation's ``.columns`` and
+    ``.types``. Both the local gate mirror (scripts/oracle_check.py) and
+    the pytest mirror (tests/test_driver_oracle.py) fail any oracle that
+    trips this, so a value-equal-but-type-divergent oracle can never
+    again pass locally while failing the driver's hasher.
+    """
+    errs = []
+    for col, typ in zip(columns, types):
+        tname = str(typ).upper()
+        if any(bad in tname for bad in DUCKDB_TYPES_WITHOUT_SPARK_ANALOG):
+            errs.append(
+                f"{key}: oracle column {col!r} has DuckDB type {tname} "
+                "with no exact Spark analog — CAST it (e.g. AS BIGINT)"
+            )
+    return errs
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (parquet, explicit path).
 

@@ -172,7 +172,7 @@ WITH t AS (
   FROM t
 )
 SELECT CAST(floor((cum - n_tok) / 2000) AS BIGINT) AS shard,
-       count(*) AS n_docs, sum(n_tok) AS sum_tokens
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
 FROM c GROUP BY 1
 """
 

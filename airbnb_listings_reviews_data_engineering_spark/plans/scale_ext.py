@@ -403,8 +403,10 @@ def maintenance_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SCHEMA_EVOLUTION_SQL = """
 SELECT lang, count(*) AS n,
-       sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_missing_source,
-       sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS chars_gen2
+       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing_source,
+       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS chars_gen2
 FROM documents GROUP BY lang
 """
 
@@ -500,9 +502,9 @@ WITH raw AS (
 )
 SELECT CASE WHEN ok THEN 'valid' ELSE 'quarantined' END AS status,
        count(*) AS n_rows, min(event_id) AS min_id, max(event_id) AS max_id,
-       coalesce(sum(CASE WHEN ok
+       CAST(coalesce(sum(CASE WHEN ok
                     THEN CAST(json_extract(props, '$.k') AS BIGINT) END), 0)
-         AS sum_k
+            AS BIGINT) AS sum_k
 FROM tagged GROUP BY 1
 """
 

@@ -712,7 +712,7 @@ v AS (
   FROM events WHERE event_type = 'view'
 )
 SELECT c.a_id, count(*) AS n_overlap,
-       sum(7200 - abs(c.s - v.s)) AS overlap_sec
+       CAST(sum(7200 - abs(c.s - v.s)) AS BIGINT) AS overlap_sec
 FROM c JOIN v ON abs(c.s - v.s) < 7200
 GROUP BY c.a_id
 """
@@ -806,8 +806,9 @@ WITH g AS (
 ),
 s AS (
   SELECT user_id, event_id, ts, value,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
   FROM g
 )
 SELECT user_id, session_id,
@@ -1243,9 +1244,9 @@ WITH f AS (
   FROM events WHERE user_id < 20
 )
 SELECT user_id, event_id,
-       sum(CASE WHEN first_seen THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN first_seen THEN 1 ELSE 0 END)
          OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          AS n_types_seen
 FROM f
 """

@@ -23,6 +23,7 @@ from airbnb_listings_reviews_data_engineering_spark.checkpoint import (  # noqa:
 )
 from airbnb_listings_reviews_data_engineering_spark.plans.registry import (  # noqa: E402
     TABLES,
+    lint_oracle_types,
 )
 from airbnb_listings_reviews_data_engineering_spark.session import (  # noqa: E402
     get_spark,
@@ -95,6 +96,12 @@ def main() -> int:
             print(f"ok   {key}: rows-only ({len(srows)} rows)")
             continue
         try:
+            orel = con.sql(oracles[key])
+            type_errs = lint_oracle_types(orel.columns, orel.types, key)
+            if type_errs:
+                failures.append((key, "; ".join(type_errs)))
+                print(f"FAIL {key}: {'; '.join(type_errs)}")
+                continue
             rel = con.execute(oracles[key])
             ocols = [d[0] for d in rel.description]
             orows = rel.fetchall()

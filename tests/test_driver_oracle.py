@@ -17,7 +17,10 @@ import duckdb
 import pytest
 
 from airbnb_listings_reviews_data_engineering_spark.plans import all_queries
-from airbnb_listings_reviews_data_engineering_spark.plans.registry import TABLES
+from airbnb_listings_reviews_data_engineering_spark.plans.registry import (
+    TABLES,
+    lint_oracle_types,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
@@ -71,6 +74,9 @@ def test_query_matches_oracle(key, spark, duck):
         # rows-only check, like the driver's weaker path
         assert len(srows) >= 0
         return
+    orel = duck.sql(spec.oracle)
+    type_errs = lint_oracle_types(orel.columns, orel.types, key)
+    assert not type_errs, type_errs
     ores = duck.execute(spec.oracle)
     ocols = [d[0] for d in ores.description]
     orows = ores.fetchall()
