@@ -144,3 +144,50 @@ def test_staging_root_env_override(spark, monkeypatch, tmp_path):
 
     monkeypatch.setenv(staging.ROOT_ENV, str(tmp_path / "envstage"))
     assert staging_root(spark) == str(tmp_path / "envstage")
+
+
+def test_uri_staging_root_creates_no_local_dir(spark, tmp_path, monkeypatch):
+    """A dist-FS staging root (hdfs://, s3a://) must never be os.makedirs'd
+    locally: that would create a bogus './hdfs:' directory on the driver
+    while the real root lives on the cluster FS (ADVICE r3/r4)."""
+    monkeypatch.chdir(tmp_path)
+    uri_root = "hdfs://namenode:9000/stage"
+    spark.conf.set(ROOT_CONF, uri_root)
+    try:
+        assert staging_root(spark) == uri_root
+        from airbnb_listings_reviews_data_engineering_spark.plans.merge_queries import (
+            _scratch_dir,
+        )
+
+        d = _scratch_dir(spark, "urik")
+        assert d.startswith(uri_root + "/")
+        # neither call may have touched the local filesystem
+        assert list(tmp_path.iterdir()) == []
+    finally:
+        spark.conf.unset(ROOT_CONF)
+
+
+def test_fs_delete_uri_path_deletes_via_hadoop_fs(spark, tmp_path):
+    """fs_delete on a URI-style path must route through the Hadoop
+    FileSystem API (shutil.rmtree silently no-ops on 'scheme://...').
+    file:// is a scheme Hadoop resolves locally, so the deletion is
+    observable: the directory must actually be gone afterwards."""
+    from airbnb_listings_reviews_data_engineering_spark.sources.staging import (
+        fs_delete,
+    )
+
+    victim = tmp_path / "staged_pin"
+    victim.mkdir()
+    (victim / "part-00000.parquet").write_bytes(b"x")
+    fs_delete(f"file://{victim}", spark)
+    assert not victim.exists(), "URI-path delete must reach the Hadoop FS"
+
+
+def test_fs_delete_unknown_scheme_is_best_effort(spark):
+    """Cleanup must never mask the caller's real failure: an unresolvable
+    scheme (no Hadoop FS implementation registered) must not raise."""
+    from airbnb_listings_reviews_data_engineering_spark.sources.staging import (
+        fs_delete,
+    )
+
+    fs_delete("mock://bucket/stage/pin_deadbeef", spark)  # no exception
