@@ -14,11 +14,17 @@ EN_STOPWORDS = ("the", "a", "of", "and", "to")
 
 
 def lang_id(df: DataFrame, id_col: str, text_col: str, min_ratio: float = 0.05) -> DataFrame:
-    """N-gram-free language ID heuristic: English stopword token ratio."""
-    tok = F.split(F.col(text_col), " ")
-    n_stop = F.size(F.filter(tok, lambda t: t.isin(*EN_STOPWORDS)))
-    ratio = F.round(n_stop / F.size(tok).cast("double"), 4)
-    return df.select(
+    """N-gram-free language ID heuristic: English stopword token ratio.
+
+    The token array is materialized in its own projection: a split
+    inlined into every reference re-runs per access inside interpreted
+    higher-order lambdas (no subexpression elimination there); as a
+    multiply-referenced non-cheap alias, CollapseProject keeps the
+    two-step form evaluating split once per row."""
+    tokd = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__tok"))
+    n_stop = F.size(F.filter("__tok", lambda t: t.isin(*EN_STOPWORDS)))
+    ratio = F.round(n_stop / F.size("__tok").cast("double"), 4)
+    return tokd.select(
         F.col(id_col),
         ratio.alias("stop_ratio"),
         F.when(ratio >= min_ratio, "en").otherwise("unk").alias("lang_pred"),
@@ -28,20 +34,26 @@ def lang_id(df: DataFrame, id_col: str, text_col: str, min_ratio: float = 0.05) 
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Cheap quality heuristics: token count, lexical diversity, mean token
     length, and a blended score. All integer-derived arithmetic, so the
-    values are exactly reproducible."""
-    tok = F.split(F.col(text_col), " ")
-    n_tok = F.size(tok)
-    n_uniq = F.size(F.array_distinct(tok))
+    values are exactly reproducible. Token array materialized once per
+    row (two-step projection — see lang_id) instead of re-splitting at
+    every one of the seven references."""
+    tokd = df.select(
+        F.col(id_col),
+        F.length(text_col).alias("__len"),
+        F.split(F.col(text_col), " ").alias("__tok"),
+    )
+    n_tok = F.size("__tok")
+    n_uniq = F.size(F.array_distinct("__tok"))
     uniq_ratio = F.round(n_uniq / n_tok.cast("double"), 4)
     avg_len = F.round(
-        (F.length(text_col) - (n_tok - 1)) / n_tok.cast("double"), 4
+        (F.col("__len") - (n_tok - 1)) / n_tok.cast("double"), 4
     )
     score = F.round(
         0.5 * (n_uniq / n_tok.cast("double"))
         + 0.5 * F.least(F.lit(1.0), n_tok / F.lit(100.0)),
         4,
     )
-    return df.select(
+    return tokd.select(
         F.col(id_col),
         n_tok.alias("n_tok"),
         uniq_ratio.alias("uniq_ratio"),
