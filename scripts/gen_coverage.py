@@ -133,8 +133,30 @@ SECTIONS = [
 ]
 
 
+def parse_mirror_log(path: str) -> dict[str, str]:
+    """Parse a scripts/oracle_check.py run log into {key: 'ok'|'FAIL'}.
+
+    The mirror runs at driver fidelity (sf0.01, value hash, and the
+    HUGEINT/unsigned type lint) — recording its verdict per key gives
+    the 190+ never-driver-sampled keys their strongest local evidence.
+    """
+    out: dict[str, str] = {}
+    try:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith("ok   ") and ":" in line:
+                    out[line[5:].split(":", 1)[0].strip()] = "ok"
+                elif line.startswith("FAIL ") and ":" in line:
+                    out[line[5:].split(":", 1)[0].strip()] = "FAIL"
+    except OSError:
+        pass
+    return out
+
+
 def main() -> None:
     qs = all_queries()
+    mirror = parse_mirror_log(sys.argv[1]) if len(sys.argv) > 1 else {}
     listed = {k for _, keys in SECTIONS for k in keys}
     missing = sorted(set(qs) - listed)
     lines = [
@@ -145,14 +167,37 @@ def main() -> None:
         "`scripts/gen_coverage.py` — regenerate after adding queries.",
         "",
     ]
+    if mirror:
+        n_ok = sum(1 for v in mirror.values() if v == "ok")
+        n_fail = len(mirror) - n_ok
+        lines += [
+            "Mirror column: result of the hardened local gate "
+            "(`scripts/oracle_check.py` at sf0.01 — the driver's exact "
+            "compare plus the DuckDB-type lint); "
+            f"this run: **{n_ok} ok / {n_fail} fail / "
+            f"{len(qs) - len(mirror)} unrecorded**.",
+            "",
+        ]
+
+    def row(k: str) -> str:
+        spec = qs[k]
+        mod = spec.fn.__module__.rsplit(".", 1)[-1]
+        doc = (spec.doc or "").strip().splitlines()
+        first = doc[0].rstrip(".") if doc else ""
+        if mirror:
+            return f"| `{k}` | `plans/{mod}.py` | {mirror.get(k, '—')} | {first} |"
+        return f"| `{k}` | `plans/{mod}.py` | {first} |"
+
+    header = (
+        "| key | implementation | mirror | semantics |"
+        if mirror
+        else "| key | implementation | semantics |"
+    )
+    rule = "|---|---|---|---|" if mirror else "|---|---|---|"
     for title, keys in SECTIONS:
-        lines += [f"## {title}", "", "| key | implementation | semantics |", "|---|---|---|"]
+        lines += [f"## {title}", "", header, rule]
         for k in keys:
-            spec = qs[k]
-            mod = spec.fn.__module__.rsplit(".", 1)[-1]
-            doc = (spec.doc or "").strip().splitlines()
-            first = doc[0].rstrip(".") if doc else ""
-            lines.append(f"| `{k}` | `plans/{mod}.py` | {first} |")
+            lines.append(row(k))
         lines.append("")
     if missing:
         lines += ["## Unsectioned", ""] + [f"- `{k}`" for k in missing] + [""]
