@@ -15,6 +15,7 @@ def all_queries() -> dict[str, "QuerySpec"]:
         analytics_ext,
         approx_ext,
         composite,
+        curation_ext,
         docmodel,
         geo_ext,
         iterative_ext,

@@ -1,0 +1,464 @@
+"""Training-data curation operators (round 5): semantic dedup over
+learned clusters, coreset selection, full quality-rule batteries, and
+length-aware sequence packing.
+
+These are the data-selection steps between raw-corpus cleaning
+(pipeline_ext's C4-style passes) and loader-side packing
+(sampling_ext's shard packers): decide WHICH documents/vectors survive
+and HOW they are grouped, at corpus scale, with the same
+cluster/blocking discipline as the dedup family — never all-pairs over
+the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..checkpoint import pin
+from ..functions.arrays import as_double_array
+from .registry import load, register
+
+# ---------------------------------------------------------------------------
+# SemDedup: semantic near-dup removal inside learned k-means clusters
+# ---------------------------------------------------------------------------
+
+_SD_K = 4
+_SD_DIMS = 8
+_SD_ITERS = 2
+
+_SD_COS = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 4)"
+)
+
+_SD_D2 = (
+    "round(list_sum(list_transform(generate_series(1, {dims}), "
+    "d -> (x.v[d] - c.cv[d]) * (x.v[d] - c.cv[d]))), 6)"
+).format(dims=_SD_DIMS)
+
+
+def _semdedup_sql() -> str:
+    from .pipeline_ext import _kmeans_blocks
+
+    return (
+        "WITH "
+        + _kmeans_blocks(_SD_K, _SD_DIMS, _SD_ITERS)
+        + f""",
+corpus AS (
+  SELECT vec_id, v FROM e
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, [v[1] + 0.01] || v[2:] AS v FROM e
+),
+assigned AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT x.vec_id, x.v, c.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY {_SD_D2}, c.cid) AS rn
+    FROM corpus x CROSS JOIN c{_SD_ITERS} c
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.cid, a.vec_id AS keep_id, b.vec_id AS drop_id
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {_SD_COS.format(a="a.v", b="b.v")} >= 0.99
+)
+SELECT s.cid, count(DISTINCT s.vec_id) AS n_vectors,
+       count(p.drop_id) AS n_dup_pairs,
+       count(DISTINCT p.drop_id) AS n_dropped
+FROM assigned s LEFT JOIN pairs p ON s.cid = p.cid
+GROUP BY s.cid
+"""
+    )
+
+
+@register("dedup_semdedup", oracle=_semdedup_sql())
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup (Abbas et al., arXiv:2303.09540): semantic near-dup
+    removal where the blocking key is a LEARNED k-means cluster rather
+    than an exact token fingerprint — catches paraphrases and
+    re-encodings exact/minhash dedup cannot see. A perturbed copy of
+    every vector (first coordinate +0.01) joins the corpus so true
+    semantic dups exist; centroids are trained on the base embeddings
+    (ml_kmeans's exact Lloyd loop, k=4/8 dims/2 iters), every corpus
+    vector is assigned to its nearest centroid MAP-SIDE (broadcast
+    k-row centroid table, argmin of rounded d2 — no corpus shuffle),
+    and cosine >= 0.99 pairs are found ONLY inside a cluster. Per
+    cluster: member count, dup-pair count, and how many vectors a
+    keep-lowest-id policy would drop. At 100 TB k grows with the
+    corpus so cluster populations stay bounded (the paper's regime,
+    ~50k clusters for web scale) and the per-cluster pair scan stays
+    quadratic only in a constant cluster size — the same
+    bounded-bucket discipline as dedup_embedding_lsh, with learned
+    rather than hashed buckets."""
+    from ..operators.clustering import kmeans_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.slice(as_double_array("embedding"), 1, _SD_DIMS).alias("v")
+    )
+    perturbed = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("v", 1) + 0.01), F.slice("v", 2, _SD_DIMS - 1)
+        ).alias("v"),
+    )
+    corpus = base.unionByName(perturbed)
+
+    cents = kmeans_centroids(
+        emb, "vec_id", "embedding", k=_SD_K, dims=_SD_DIMS, iters=_SD_ITERS
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        ),
+        6,
+    )
+    win = W.partitionBy("vec_id").orderBy("d2", "cid")
+    assigned = (
+        corpus.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "cid", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    assigned = pin(assigned, label="semdedup_assigned")
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        )
+
+    a = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("keep_id"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("drop_id"), F.col("v").alias("vb")
+    )
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb"))
+        / (
+            F.sqrt(_dot(F.col("va"), F.col("va")))
+            * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+        ),
+        4,
+    )
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("keep_id") < F.col("drop_id"))
+        .filter(cos >= 0.99)
+        .select("cid", "keep_id", "drop_id")
+    )
+    return (
+        assigned.select("cid", "vec_id")
+        .join(pairs, "cid", "left")
+        .groupBy("cid")
+        .agg(
+            F.countDistinct("vec_id").alias("n_vectors"),
+            F.count("drop_id").alias("n_dup_pairs"),
+            F.countDistinct("drop_id").alias("n_dropped"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# greedy k-center coreset selection
+# ---------------------------------------------------------------------------
+
+_KC_R = 6
+_KC_DIMS = 8
+
+_KC_D2 = (
+    "round(list_sum(list_transform(generate_series(1, {dims}), "
+    "d -> ({a}[d] - {b}[d]) * ({a}[d] - {b}[d]))), 6)"
+)
+
+
+def _kcenter_sql() -> str:
+    d2 = _KC_D2.format(dims=_KC_DIMS, a="d.v", b="p.v")
+    blocks = [
+        f"""
+e AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, {_KC_DIMS}),
+                        d -> CAST(embedding[d] AS DOUBLE)) AS v
+  FROM embeddings
+),
+p1 AS (SELECT vec_id, v FROM e WHERE vec_id = 1),
+m1 AS (
+  SELECT d.vec_id, d.v,
+         {_KC_D2.format(dims=_KC_DIMS, a="d.v", b="p.v")} AS dmin
+  FROM e d CROSS JOIN p1 p
+)
+"""
+    ]
+    for r in range(2, _KC_R + 1):
+        prev = f"m{r - 1}"
+        blocks.append(
+            f"""
+p{r} AS (
+  SELECT vec_id, v, dmin FROM {prev}
+  ORDER BY dmin DESC, vec_id LIMIT 1
+),
+m{r} AS (
+  SELECT d.vec_id, d.v, least(d.dmin, {d2}) AS dmin
+  FROM {prev} d CROSS JOIN p{r} p
+)
+"""
+        )
+    sel = ["SELECT 1 AS center_rank, vec_id, 0.0 AS sel_dist FROM p1"] + [
+        f"SELECT {r}, vec_id, dmin FROM p{r}" for r in range(2, _KC_R + 1)
+    ]
+    return "WITH " + ",".join(b.strip() for b in blocks) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+@register("sample_kcenter_coreset", oracle=_kcenter_sql())
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 2-approximation; the
+    data-pruning selector of Sener & Savarese, arXiv:1708.00489): pick
+    the vector farthest from everything chosen so far, R times — the
+    diversity-maximizing subset used to prune redundant training data.
+    Per round the state is one narrow map (dmin := least(dmin, d2 to
+    the ONE new broadcast center)) plus a TakeOrdered(1) argmax — the
+    incremental formulation: nothing recomputes distances to the whole
+    chosen set, no corpus shuffle ever, R scans total. sel_dist is the
+    covering radius at selection (monotonically non-increasing; the
+    classic stopping signal when R is budget-driven instead of fixed).
+    Distances round to 6 dp with vec_id tie-break, so the trajectory
+    is deterministic cross-engine. The oracle unrolls all R rounds as
+    CTEs — agreement checks every selection, not just the last."""
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.slice(as_double_array("embedding"), 1, _KC_DIMS).alias("v")
+    )
+
+    def d2_to(center_v):
+        return F.round(
+            F.aggregate(
+                F.zip_with("v", center_v, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, val: acc + val,
+            ),
+            6,
+        )
+
+    first = base.filter(F.col("vec_id") == 1)
+    state = base.crossJoin(
+        F.broadcast(first.select(F.col("v").alias("cv")))
+    ).select("vec_id", "v", d2_to(F.col("cv")).alias("dmin"))
+    picks = [
+        first.select(
+            F.lit(1).alias("center_rank"),
+            "vec_id",
+            F.lit(0.0).alias("sel_dist"),
+        )
+    ]
+    for r in range(2, _KC_R + 1):
+        state = pin(state, label=f"kcenter_state_{r}")
+        pick = state.orderBy(F.desc("dmin"), "vec_id").limit(1)
+        picks.append(
+            pick.select(
+                F.lit(r).alias("center_rank"),
+                "vec_id",
+                F.col("dmin").alias("sel_dist"),
+            )
+        )
+        if r < _KC_R:
+            state = state.crossJoin(
+                F.broadcast(pick.select(F.col("v").alias("cv")))
+            ).select(
+                "vec_id",
+                "v",
+                F.least("dmin", d2_to(F.col("cv"))).alias("dmin"),
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality-rule battery
+# ---------------------------------------------------------------------------
+
+_GOPHER_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tok, length(text) AS len
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(tok) AS n_tok,
+         round((len - (len(tok) - 1)) / CAST(len(tok) AS DOUBLE), 4)
+           AS mean_wlen,
+         len(list_filter(tok, w -> w IN ('the', 'a', 'of', 'and', 'to')))
+           AS stop_hits,
+         round(len(list_filter(tok, w -> regexp_matches(w, '^[a-z]')))
+               / CAST(len(tok) AS DOUBLE), 4) AS alpha_frac,
+         round(len(list_distinct(tok)) / CAST(len(tok) AS DOUBLE), 4)
+           AS uniq_ratio
+  FROM t
+)
+SELECT doc_id, n_tok, mean_wlen, stop_hits, alpha_frac, uniq_ratio,
+       (n_tok BETWEEN 50 AND 100000) AND (mean_wlen BETWEEN 3 AND 10)
+         AND stop_hits >= 2 AND alpha_frac >= 0.8 AND uniq_ratio >= 0.2
+         AS pass
+FROM m
+"""
+
+
+@register("text_gopher_rules", oracle=_GOPHER_SQL)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al., arXiv:2112.11446
+    §A1.1) in ONE map-side pass: word-count bounds, mean-word-length
+    window [3,10], >=2 stopword hits, alphabetic-word fraction >= 0.8,
+    lexical-diversity floor — every rule a pure column expression over
+    a token array evaluated ONCE per row (two-step projection, see
+    operators/text.py::lang_id), zero shuffles, zero Python. Emits the
+    per-rule measurements alongside the verdict, because a 100 TB
+    filtering run needs the rule-level pass rates (which rule is
+    dropping what) before committing to a cut, not just a boolean."""
+    docs = load(spark, sf_dir, "documents")
+    tokd = docs.select(
+        "doc_id", F.length("text").alias("len"), F.split("text", " ").alias("tok")
+    )
+    n_tok = F.size("tok")
+    mean_wlen = F.round(
+        (F.col("len") - (n_tok - 1)) / n_tok.cast("double"), 4
+    )
+    from ..operators.text import EN_STOPWORDS
+
+    stop_hits = F.size(F.filter("tok", lambda w: w.isin(*EN_STOPWORDS)))
+    alpha_frac = F.round(
+        F.size(F.filter("tok", lambda w: w.rlike("^[a-z]")))
+        / n_tok.cast("double"),
+        4,
+    )
+    uniq_ratio = F.round(
+        F.size(F.array_distinct("tok")) / n_tok.cast("double"), 4
+    )
+    m = tokd.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        mean_wlen.alias("mean_wlen"),
+        stop_hits.alias("stop_hits"),
+        alpha_frac.alias("alpha_frac"),
+        uniq_ratio.alias("uniq_ratio"),
+    )
+    return m.select(
+        "*",
+        (
+            F.col("n_tok").between(50, 100000)
+            & F.col("mean_wlen").between(3, 10)
+            & (F.col("stop_hits") >= 2)
+            & (F.col("alpha_frac") >= 0.8)
+            & (F.col("uniq_ratio") >= 0.2)
+        ).alias("pass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# complement-pair sequence packing (longest with shortest)
+# ---------------------------------------------------------------------------
+
+_PAIR_BUDGET = 1200
+
+_PAIR_SQL = f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+), r AS (
+  SELECT doc_id, n_tok,
+         row_number() OVER (ORDER BY n_tok DESC, doc_id) AS pos,
+         count(*) OVER () AS n
+  FROM t
+)
+SELECT a.pos AS pair_id, a.doc_id AS long_doc,
+       CASE WHEN b.pos > a.pos THEN b.doc_id END AS short_doc,
+       a.n_tok + CASE WHEN b.pos > a.pos THEN b.n_tok ELSE 0 END
+         AS pair_tokens,
+       a.n_tok + CASE WHEN b.pos > a.pos THEN b.n_tok ELSE 0 END
+         <= {_PAIR_BUDGET} AS fits_budget
+FROM r a JOIN r b ON b.pos = a.n - a.pos + 1
+WHERE a.pos <= a.n - a.pos + 1
+"""
+
+
+@register("pack_length_pairs", oracle=_PAIR_SQL)
+def pack_length_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complement-pair sequence packing: rank documents by token count
+    and pair the r-th longest with the r-th shortest — the one-pass
+    folding approximation of best-fit-decreasing bin packing that
+    loader-side context packing uses to cut padding waste (each pair
+    targets a uniform token budget; an odd middle element packs
+    alone). The oracle states the spec as one global row_number; THIS
+    plan uses the repo's prefix-sum decomposition (shuffle_
+    deterministic / pack_token_shards): repartitionByRange on the sort
+    key + local Arrow enumeration + broadcast partition-count offsets —
+    no single-partition window. The pairing itself is an equi-join on
+    the complement rank (unique keys, no skew), and the 1-row corpus
+    count broadcasts. At 100 TB: one range shuffle + one hash join,
+    both on unique keys."""
+    import pandas as pd
+
+    n_parts = 8
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+        .repartitionByRange(n_parts, F.desc("n_tok"), F.asc("doc_id"))
+        .sortWithinPartitions(F.desc("n_tok"), F.asc("doc_id"))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    d = pin(d, label="pack_pairs_ranked")
+
+    def enumerate_local(batches):
+        seen = 0
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tok": pdf["n_tok"],
+                    "pid": pdf["pid"],
+                    "local_pos": range(seen + 1, seen + 1 + len(pdf)),
+                }
+            )
+            seen += len(pdf)
+            yield out
+
+    local = d.mapInPandas(
+        enumerate_local, schema="doc_id long, n_tok int, pid int, local_pos long"
+    )
+    counts = d.groupBy("pid").agg(F.count("*").alias("cnt"))
+    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset")
+    )
+    total = counts.agg(F.sum("cnt").alias("n"))
+    ranked = (
+        local.join(F.broadcast(offsets), "pid")
+        .select("doc_id", "n_tok", (F.col("offset") + F.col("local_pos")).alias("pos"))
+        .crossJoin(F.broadcast(total))
+    )
+    a = ranked.select("doc_id", "n_tok", "pos", "n")
+    b = ranked.select(
+        F.col("doc_id").alias("b_doc"),
+        F.col("n_tok").alias("b_tok"),
+        F.col("pos").alias("b_pos"),
+    )
+    paired = a.join(b, a["n"] - a["pos"] + 1 == b["b_pos"]).filter(
+        F.col("pos") <= F.col("b_pos")
+    )
+    partner_tok = F.when(F.col("b_pos") > F.col("pos"), F.col("b_tok")).otherwise(
+        F.lit(0)
+    )
+    return paired.select(
+        F.col("pos").alias("pair_id"),
+        F.col("doc_id").alias("long_doc"),
+        F.when(F.col("b_pos") > F.col("pos"), F.col("b_doc")).alias("short_doc"),
+        (F.col("n_tok") + partner_tok).alias("pair_tokens"),
+        ((F.col("n_tok") + partner_tok) <= _PAIR_BUDGET).alias("fits_budget"),
+    )

@@ -122,6 +122,9 @@ SECTIONS = [
         "aqp_sample_estimate", "dq_anomaly_volume",
         "profile_mutual_info", "xform_target_encode",
         "dq_temporal_consistency", "profile_benford"]),
+    ("Data curation / selection (round-5 additions)", [
+        "dedup_semdedup", "sample_kcenter_coreset", "text_gopher_rules",
+        "pack_length_pairs"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

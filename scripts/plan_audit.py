@@ -80,6 +80,9 @@ NESTED_LOOP_ALLOWED = {
     "profile_benford",   # crossJoin against the 1-row digit total
     "agg_gini_concentration",  # 1-row (n, sum) folded into the offsets frame
     "sim_hybrid_rrf",    # 1-row corpus stats + 1-row query vector crossJoins
+    "dedup_semdedup",    # crossJoin against the k-row learned centroid table
+    "sample_kcenter_coreset",  # crossJoins against 1-row chosen-center picks
+    "pack_length_pairs",  # 1-row corpus count folded into the ranked frame
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's
@@ -94,6 +97,7 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "dq_anomaly_volume",     # trailing window over the #days daily rollup
     "agg_gini_concentration",  # prefix-sum rank offsets over n_parts rows (8)
     "sim_hybrid_rrf",        # fusion ranks over the joined candidate set
+    "pack_length_pairs",     # prefix-sum rank offsets over n_parts rows (8)
 }
 
 
