@@ -451,3 +451,173 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round({_TT_MEAN_B}, 4) AS mean_b",
         f"round({_TT_T}, 4) AS t_welch",
     )
+
+
+# ------------------------------------------------- CUPED-adjusted A/B test
+
+# shared Spark-SQL / DuckDB formula text over exact integer moments.
+# theta and xbar divide to DOUBLE before any multiply, so no integer
+# product ever exceeds int64 (n * Sxy would at sf >= 0.01).
+_CU_XBAR = "(sx / CAST(n AS DOUBLE))"
+_CU_THETA = (
+    "((sxy / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE))"
+    " * (sy / CAST(n AS DOUBLE)))"
+    " / (sxx / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE))"
+    " * (sx / CAST(n AS DOUBLE))))"
+)
+# per-group adjusted sums from exact moments:
+#   adj_i = y_i - theta * (x_i - xbar)
+#   sum(adj)   = sy_g - theta * (sx_g - n_g * xbar)
+#   sum(adj^2) = syy_g + theta^2*sxx_g + n_g*theta^2*xbar^2
+#                - 2*theta*sxy_g + 2*theta*xbar*sy_g - 2*theta^2*xbar*sx_g
+_CU_SUM = "(sy{g} - th * (sx{g} - n{g} * xb))"
+_CU_SUMSQ = (
+    "(syy{g} + th * th * sxx{g} + n{g} * th * th * xb * xb"
+    " - 2 * th * sxy{g} + 2 * th * xb * sy{g} - 2 * th * th * xb * sx{g})"
+)
+_CU_MEAN = "({s} / CAST(n{g} AS DOUBLE))"
+_CU_VAR = "(({ss} - {s} * {s} / CAST(n{g} AS DOUBLE)) / (n{g} - 1))"
+
+
+def _cuped_t() -> str:
+    sa, sb = _CU_SUM.format(g="a"), _CU_SUM.format(g="b")
+    ssa = _CU_SUMSQ.format(g="a")
+    ssb = _CU_SUMSQ.format(g="b")
+    ma = _CU_MEAN.format(s=sa, g="a")
+    mb = _CU_MEAN.format(s=sb, g="b")
+    va = _CU_VAR.format(ss=ssa, s=sa, g="a")
+    vb = _CU_VAR.format(ss=ssb, s=sb, g="b")
+    return f"(({ma} - {mb}) / sqrt({va} / na + {vb} / nb))", ma, mb
+
+
+_CU_T, _CU_MA, _CU_MB = _cuped_t()
+
+_CUPED_SQL = f"""
+WITH unit AS (
+  SELECT o_custkey,
+         CAST(round(sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                        THEN o_totalprice ELSE 0 END)) AS BIGINT) AS x,
+         CAST(round(sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                        THEN o_totalprice ELSE 0 END)) AS BIGINT) AS y,
+         CAST('0x' || substr(md5('cuped:' || CAST(o_custkey AS VARCHAR)), 1, 15)
+              AS BIGINT) % 2 = 0 AS is_a
+  FROM orders GROUP BY o_custkey
+), m AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN is_a THEN x ELSE 0 END) AS BIGINT) AS sxa,
+         CAST(sum(CASE WHEN is_a THEN y ELSE 0 END) AS BIGINT) AS sya,
+         CAST(sum(CASE WHEN is_a THEN x * x ELSE 0 END) AS BIGINT) AS sxxa,
+         CAST(sum(CASE WHEN is_a THEN x * y ELSE 0 END) AS BIGINT) AS sxya,
+         CAST(sum(CASE WHEN is_a THEN y * y ELSE 0 END) AS BIGINT) AS syya,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE x END) AS BIGINT) AS sxb,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE y END) AS BIGINT) AS syb,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE x * x END) AS BIGINT) AS sxxb,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE x * y END) AS BIGINT) AS sxyb,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE y * y END) AS BIGINT) AS syyb
+  FROM unit
+), d AS (
+  SELECT *, {_CU_THETA} AS th, {_CU_XBAR} AS xb FROM m
+)
+SELECT na AS n_a, nb AS n_b, round(th, 4) AS theta,
+       round({_CU_MA}, 4) AS mean_adj_a, round({_CU_MB}, 4) AS mean_adj_b,
+       round({_CU_T}, 4) AS t_cuped
+FROM d
+"""
+
+
+@register("ab_test_cuped", oracle=_CUPED_SQL)
+def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B statistic (Deng et al., WSDM'13) —
+    the experimentation-platform standard: each unit's post-period
+    metric is adjusted by its PRE-period covariate,
+    adj = y - theta*(x - xbar) with theta = cov(x,y)/var(x), which
+    shrinks variance by the squared pre/post correlation and leaves
+    the treatment-effect estimate unbiased (assignment can't depend on
+    the pre-period). Everything — theta, the adjusted group means, and
+    the Welch t over adjusted values — is ALGEBRAICALLY EXPANDED into
+    sixteen exact integer moments (whole-dollar sums, sums of squares
+    and cross-products per group) accumulated in one conditional-
+    aggregation pass over the per-customer pre/post rollup: two
+    shuffles total (customer rollup, then the 1-row moment fold), no
+    per-unit adjusted column ever materializes, and the statistic is
+    bitwise reproducible because every double derives from the same
+    expression tree over the same exact integers (ab_test_welch's
+    discipline, extended to the covariate algebra). Ratios divide to
+    DOUBLE before any multiply so no int64 product overflows at
+    scale."""
+    o = load(spark, sf_dir, "orders")
+    from ..functions.hashing import hash60
+
+    unit = o.groupBy("o_custkey").agg(
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
+                    F.col("o_totalprice"),
+                ).otherwise(0.0)
+            )
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"),
+                    F.col("o_totalprice"),
+                ).otherwise(0.0)
+            )
+        )
+        .cast("bigint")
+        .alias("y"),
+    ).select(
+        "x",
+        "y",
+        (
+            F.pmod(
+                hash60(
+                    F.concat(F.lit("cuped:"), F.col("o_custkey").cast("string"))
+                ),
+                F.lit(2),
+            )
+            == 0
+        ).alias("is_a"),
+    )
+    ag = F.when(F.col("is_a"), F.lit(1)).otherwise(0)
+
+    def _g(expr, grp):
+        cond = F.col("is_a") if grp == "a" else ~F.col("is_a")
+        return F.sum(F.when(cond, expr).otherwise(F.lit(0)))
+
+    m = unit.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(ag).alias("na"),
+        _g(F.col("x"), "a").alias("sxa"),
+        _g(F.col("y"), "a").alias("sya"),
+        _g(F.col("x") * F.col("x"), "a").alias("sxxa"),
+        _g(F.col("x") * F.col("y"), "a").alias("sxya"),
+        _g(F.col("y") * F.col("y"), "a").alias("syya"),
+        F.sum(1 - ag).alias("nb"),
+        _g(F.col("x"), "b").alias("sxb"),
+        _g(F.col("y"), "b").alias("syb"),
+        _g(F.col("x") * F.col("x"), "b").alias("sxxb"),
+        _g(F.col("x") * F.col("y"), "b").alias("sxyb"),
+        _g(F.col("y") * F.col("y"), "b").alias("syyb"),
+    )
+    d = m.selectExpr("*", f"{_CU_THETA} AS th", f"{_CU_XBAR} AS xb")
+    return d.selectExpr(
+        "CAST(na AS BIGINT) AS n_a",
+        "CAST(nb AS BIGINT) AS n_b",
+        "round(th, 4) AS theta",
+        f"round({_CU_MA}, 4) AS mean_adj_a",
+        f"round({_CU_MB}, 4) AS mean_adj_b",
+        f"round({_CU_T}, 4) AS t_cuped",
+    )

@@ -462,3 +462,129 @@ def pack_length_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tok") + partner_tok).alias("pair_tokens"),
         ((F.col("n_tok") + partner_tok) <= _PAIR_BUDGET).alias("fits_budget"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multinomial naive Bayes language classifier (closed-form, one pass)
+# ---------------------------------------------------------------------------
+
+_NB_OFF = 20  # positivity offset so fixed-point rounding never sees a
+# negative half (engines disagree on round(-x.5)); bounded because the
+# smallest log-likelihood ln(1/(tok_c+V)) stays > -20 far beyond bench
+# scales (tok_c+V < e^20 ~ 4.8e8 tokens per class)
+
+_NB_SQL = f"""
+WITH train AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE doc_id % 5 <> 0
+), cls AS (
+  SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_tok
+  FROM train GROUP BY lang
+), tot AS (
+  SELECT (SELECT count(DISTINCT doc_id) FROM train) AS n_total,
+         (SELECT count(DISTINCT w) FROM train) AS v
+), cnt AS (
+  SELECT lang, w, count(*) AS c FROM train GROUP BY lang, w
+), test AS (
+  SELECT doc_id, lang AS true_lang, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE doc_id % 5 = 0
+), scored_tok AS (
+  SELECT t.doc_id, t.true_lang, k.lang AS cand, tot.v,
+         k.n_docs, tot.n_total,
+         CAST(round((ln((coalesce(c.c, 0) + 1)
+                        / CAST(k.n_tok + tot.v AS DOUBLE)) + {_NB_OFF})
+                    * 1000000) AS BIGINT) AS ll_fp
+  FROM test t
+  CROSS JOIN cls k CROSS JOIN tot
+  LEFT JOIN cnt c ON c.lang = k.lang AND c.w = t.w
+), doc_scores AS (
+  SELECT doc_id, true_lang, cand,
+         round((CAST(sum(ll_fp) AS BIGINT) - count(*) * {_NB_OFF}000000)
+                 / 1000000.0
+               + ln(any_value(n_docs) / CAST(any_value(n_total) AS DOUBLE)),
+               4) AS score
+  FROM scored_tok GROUP BY doc_id, true_lang, cand
+)
+SELECT doc_id, true_lang, cand AS pred_lang, score
+FROM (
+  SELECT doc_id, true_lang, cand, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cand) AS rn
+  FROM doc_scores
+) WHERE rn = 1
+"""
+
+
+@register("ml_naive_bayes", oracle=_NB_SQL)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes language classifier, trained AND applied
+    in one closed-form distributed pass (the fastText-tier quality/
+    language gate of web-corpus curation, minus the embedding): class
+    priors and Laplace-smoothed token likelihoods are aggregations
+    over the 80 % training split; the 20 % held-out docs score by
+    joining their token stream to the per-(class, token) count table
+    and summing log-likelihoods per (doc, class). No gradient, no
+    driver state — prior/vocab/class tables are k- and 1-row
+    broadcasts, the token-count join shuffles on the token key.
+
+    Determinism: per-token log-likelihoods are offset positive and
+    fixed-pointed to 1e-6 BEFORE summation (integer sums are
+    order-free where a double sum is not — the exact-moments
+    discipline of ab_test_welch applied to logs); the single ln() per
+    token and per prior is bitwise cross-engine."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tokd = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    train = tokd.filter(F.col("doc_id") % 5 != 0)
+    test = tokd.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.col("lang").alias("true_lang"), "w"
+    )
+    cls = train.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_tok"),
+    )
+    tot = train.agg(
+        F.countDistinct("doc_id").alias("n_total"),
+        F.countDistinct("w").alias("v"),
+    )
+    cnt = train.groupBy("lang", "w").agg(F.count("*").alias("c"))
+    ll = (
+        F.log(
+            (F.coalesce(F.col("c"), F.lit(0)) + 1)
+            / (F.col("n_tok") + F.col("v")).cast("double")
+        )
+        + _NB_OFF
+    )
+    scored_tok = (
+        test.crossJoin(F.broadcast(cls.select(F.col("lang").alias("cand"), "n_docs", "n_tok")))
+        .crossJoin(F.broadcast(tot))
+        .join(
+            cnt.select(F.col("lang").alias("cand"), "w", "c"),
+            ["cand", "w"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand",
+            "n_docs",
+            "n_total",
+            F.round(ll * 1000000).cast("bigint").alias("ll_fp"),
+        )
+    )
+    doc_scores = scored_tok.groupBy("doc_id", "true_lang", "cand").agg(
+        F.round(
+            (F.sum("ll_fp") - F.count("*") * _NB_OFF * 1000000) / 1000000.0
+            + F.log(
+                F.first("n_docs") / F.first("n_total").cast("double")
+            ),
+            4,
+        ).alias("score")
+    )
+    win = W.partitionBy("doc_id").orderBy(F.desc("score"), "cand")
+    return (
+        doc_scores.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "true_lang", F.col("cand").alias("pred_lang"), "score")
+    )

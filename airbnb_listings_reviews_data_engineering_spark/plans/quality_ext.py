@@ -1273,3 +1273,82 @@ def profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log2(1.0 + 1.0 / F.col("digit")) / F.log2(F.lit(10.0)), 4
         ).alias("benford_expected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# population-stability-index drift between two time snapshots
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 10
+_PSI_W = 60000.0  # fixed bin width over [0, 600k): stable boundaries, so
+# yesterday's and today's histograms are comparable without re-deriving
+# quantiles (quantile bins would move with the drift being measured)
+
+_PSI_SQL = f"""
+WITH snap AS (
+  SELECT CAST(least(floor(o_totalprice / {_PSI_W}), {_PSI_BINS - 1}) AS INT)
+           AS bin,
+         o_orderdate < TIMESTAMP '1998-01-01' AS is_ref
+  FROM orders
+), counts AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+  FROM snap GROUP BY bin
+), tot AS (
+  SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+         CAST(sum(n_cur) AS BIGINT) AS t_cur
+  FROM counts
+)
+SELECT bin, n_ref, n_cur,
+       round((n_ref + 0.5) / (t_ref + 0.5 * {_PSI_BINS}), 6) AS p_ref,
+       round((n_cur + 0.5) / (t_cur + 0.5 * {_PSI_BINS}), 6) AS p_cur,
+       round(((n_cur + 0.5) / (t_cur + 0.5 * {_PSI_BINS})
+              - (n_ref + 0.5) / (t_ref + 0.5 * {_PSI_BINS}))
+             * ln(((n_cur + 0.5) / (t_cur + 0.5 * {_PSI_BINS}))
+                  / ((n_ref + 0.5) / (t_ref + 0.5 * {_PSI_BINS}))), 6)
+         AS psi_term
+FROM counts CROSS JOIN tot
+"""
+
+
+@register("profile_drift_psi", oracle=_PSI_SQL)
+def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two time snapshots of the
+    order-value distribution — the model-monitoring drift metric
+    (PSI > 0.2 = retrain trigger), upgrading profile_drift_tv's L1
+    distance to the likelihood-ratio-weighted form that punishes
+    mass moving into previously-empty regions. Fixed-width bins (not
+    quantiles: boundaries must NOT move with the drift being
+    measured), 0.5-Laplace smoothing so an empty bin never divides by
+    zero, per-bin counts from ONE conditional-aggregation pass over
+    the scan, the 1-row totals broadcast back. Per-bin psi_term is a
+    single ln over ratios of exact integers (bitwise cross-engine);
+    the headline PSI is the column sum the consumer takes — emitted
+    per-bin because a drift alert is useless without knowing WHICH
+    value region moved."""
+    o = load(spark, sf_dir, "orders")
+    bin_ = F.least(
+        F.floor(F.col("o_totalprice") / _PSI_W), F.lit(_PSI_BINS - 1)
+    ).cast("int")
+    is_ref = F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    counts = o.select(bin_.alias("bin"), is_ref.alias("is_ref")).groupBy(
+        "bin"
+    ).agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    p_ref = (F.col("n_ref") + 0.5) / (F.col("t_ref") + 0.5 * _PSI_BINS)
+    p_cur = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 0.5 * _PSI_BINS)
+    return j.select(
+        "bin",
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+    )

@@ -1335,3 +1335,214 @@ def win_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("secs_to_purchase"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MATCH_RECOGNIZE-style event-pattern detection (V-shapes)
+# ---------------------------------------------------------------------------
+
+_MATCH_RECOGNIZE_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CASE WHEN o_totalprice < lag(o_totalprice)
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey) THEN 'D'
+              WHEN o_totalprice > lag(o_totalprice)
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey) THEN 'U'
+              ELSE 'F' END AS dir,
+         o_orderdate
+  FROM orders
+), chg AS (
+  SELECT o_custkey, dir, o_orderkey, o_totalprice, o_orderdate,
+         CASE WHEN dir = lag(dir)
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey)
+              THEN 0 ELSE 1 END AS is_chg
+  FROM o
+), runs AS (
+  SELECT o_custkey, dir, o_orderkey, o_totalprice, o_orderdate,
+         sum(is_chg)
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM chg
+), grp AS (
+  SELECT o_custkey, run_id, dir, count(*) AS run_len,
+         min(o_orderkey) AS first_key, max(o_orderkey) AS last_key,
+         CAST(round(min(o_totalprice) * 100) AS BIGINT) AS min_cents
+  FROM runs WHERE dir IN ('D', 'U')
+  GROUP BY o_custkey, run_id, dir
+)
+SELECT d.o_custkey, d.run_len AS down_len, u.run_len AS up_len,
+       d.last_key AS bottom_key,
+       round(d.min_cents / 100.0, 2) AS bottom_price
+FROM grp d JOIN grp u
+  ON d.o_custkey = u.o_custkey AND u.run_id = d.run_id + 1
+WHERE d.dir = 'D' AND u.dir = 'U' AND d.run_len >= 2
+"""
+
+
+@register("win_match_recognize", oracle=_MATCH_RECOGNIZE_SQL)
+def win_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style row-pattern detection — the V-shape
+    pattern `A{2,} B+` (>=2 consecutive price drops immediately
+    followed by a rise) per customer, the SQL:2016 feature Trino and
+    Flink ship that Spark lacks. Rebuilt as the gaps-and-islands
+    composition: classify each step's direction via lag, number
+    maximal same-direction runs with a change-flag running sum,
+    aggregate runs, and close the pattern with a self-join of a
+    D-run onto its immediately following U-run (run_id + 1). Every
+    window is partitioned by the entity — variable-length quantifiers
+    come from the run AGGREGATION, not from row-by-row backtracking,
+    so the plan is two partitioned window passes + one run-table
+    self-join regardless of pattern length. At 100 TB run tables are
+    ~#direction-changes, far smaller than the event table."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    prev = F.lag("o_totalprice").over(w)
+    o = load(spark, sf_dir, "orders").withColumn(
+        "dir",
+        F.when(F.col("o_totalprice") < prev, "D")
+        .when(F.col("o_totalprice") > prev, "U")
+        .otherwise("F"),
+    )
+    runs = o.withColumn(
+        "run_id",
+        F.sum(
+            F.when(F.col("dir") == F.lag("dir").over(w), 0).otherwise(1)
+        ).over(wrun),
+    )
+    grp = (
+        runs.filter(F.col("dir").isin("D", "U"))
+        .groupBy("o_custkey", "run_id", "dir")
+        .agg(
+            F.count("*").alias("run_len"),
+            F.min("o_orderkey").alias("first_key"),
+            F.max("o_orderkey").alias("last_key"),
+            F.round(F.min("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("min_cents"),
+        )
+    )
+    d = grp.filter((F.col("dir") == "D") & (F.col("run_len") >= 2)).select(
+        "o_custkey",
+        "run_id",
+        F.col("run_len").alias("down_len"),
+        F.col("last_key").alias("bottom_key"),
+        F.col("min_cents").alias("bottom_cents"),
+    )
+    u = grp.filter(F.col("dir") == "U").select(
+        "o_custkey",
+        (F.col("run_id") - 1).alias("run_id"),
+        F.col("run_len").alias("up_len"),
+    )
+    return d.join(u, ["o_custkey", "run_id"]).select(
+        "o_custkey",
+        "down_len",
+        "up_len",
+        "bottom_key",
+        F.round(F.col("bottom_cents") / 100.0, 2).alias("bottom_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-series gap fill: linear interpolation between neighbors
+# ---------------------------------------------------------------------------
+
+_INTERP_SQL = """
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+  FROM events WHERE user_id < 10
+), nb AS (
+  SELECT user_id, event_id, t, v,
+         last_value(v IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+         first_value(v IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+  FROM base
+)
+SELECT user_id, event_id,
+       CASE WHEN v IS NOT NULL THEN 'obs'
+            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+            WHEN pv IS NOT NULL THEN 'ffill'
+            WHEN nv IS NOT NULL THEN 'bfill'
+            ELSE 'none' END AS fill_kind,
+       round(CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+              pv + (nv - pv) * ((t - pt) / CAST(nt - pt AS DOUBLE))
+            WHEN pv IS NOT NULL THEN pv
+            ELSE nv END, 4) AS v_filled
+FROM nb
+"""
+
+
+@register("ts_interpolate_linear", oracle=_INTERP_SQL)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-WEIGHTED linear interpolation of missing sensor values
+    (every 7th reading nulled to stand in for dropouts): each gap row
+    takes prev + (next - prev) * elapsed-fraction between its two
+    nearest observed neighbors, falling back to forward-/backward-fill
+    at series edges — the gap-fill step between raw telemetry and any
+    resampled feature, upgrading ts_resample_ffill's step-function
+    fill to first-order. Neighbor values and their TIMESTAMPS come
+    from four ignore-null window lookups sharing one per-entity
+    partitioning (one exchange, two sorts); the interpolation is then
+    a pure row expression with an identical tree on both engines
+    (exact integer epochs in the fraction), so values are bitwise
+    comparable after one rounding. No spine join, no generate_series:
+    irregular series interpolate directly."""
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    wp = w.rowsBetween(W.unboundedPreceding, -1)
+    wn = w.rowsBetween(1, W.unboundedFollowing)
+    base = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("t"),
+            F.when(F.col("event_id") % 7 == 0, None)
+            .otherwise(F.col("value"))
+            .alias("v"),
+        )
+    )
+    tv = F.when(F.col("v").isNotNull(), F.col("t"))
+    nb = base.select(
+        "user_id",
+        "event_id",
+        "t",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(tv, ignorenulls=True).over(wp).alias("pt"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(tv, ignorenulls=True).over(wn).alias("nt"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("t") - F.col("pt")) / (F.col("nt") - F.col("pt")).cast("double")
+    )
+    return nb.select(
+        "user_id",
+        "event_id",
+        F.when(F.col("v").isNotNull(), "obs")
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), "interp")
+        .when(F.col("pv").isNotNull(), "ffill")
+        .when(F.col("nv").isNotNull(), "bfill")
+        .otherwise("none")
+        .alias("fill_kind"),
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v"))
+            .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+            .when(F.col("pv").isNotNull(), F.col("pv"))
+            .otherwise(F.col("nv")),
+            4,
+        ).alias("v_filled"),
+    )

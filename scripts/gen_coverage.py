@@ -124,7 +124,10 @@ SECTIONS = [
         "dq_temporal_consistency", "profile_benford"]),
     ("Data curation / selection (round-5 additions)", [
         "dedup_semdedup", "sample_kcenter_coreset", "text_gopher_rules",
-        "pack_length_pairs"]),
+        "pack_length_pairs", "ml_naive_bayes", "win_match_recognize",
+        "ts_interpolate_linear", "ab_test_cuped", "profile_drift_psi",
+        "graph_jaccard_neighbors", "sink_merge_multi_clause",
+        "sink_wap_publish"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

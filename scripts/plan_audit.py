@@ -83,6 +83,8 @@ NESTED_LOOP_ALLOWED = {
     "dedup_semdedup",    # crossJoin against the k-row learned centroid table
     "sample_kcenter_coreset",  # crossJoins against 1-row chosen-center picks
     "pack_length_pairs",  # 1-row corpus count folded into the ranked frame
+    "ml_naive_bayes",    # crossJoins against the 5-row class and 1-row vocab stats
+    "profile_drift_psi",  # crossJoin against the 1-row snapshot totals
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's
