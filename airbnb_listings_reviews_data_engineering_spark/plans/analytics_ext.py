@@ -621,3 +621,126 @@ def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round({_CU_MB}, 4) AS mean_adj_b",
         f"round({_CU_T}, 4) AS t_cuped",
     )
+
+
+# ----------------------------------------- delta-method ratio-metric test
+
+# ratio metric R = sum(y)/sum(x) per variant; delta-method variance of R:
+#   var(R) ~ (syy - 2*R*sxy + R^2*sxx - n*(ybar - R*xbar)^2)
+#            / ((n - 1) * n * xbar^2)
+# (the sample variance of the linearized residuals y_i - R*x_i, scaled)
+_RD_R = "(sy{g} / CAST(sx{g} AS DOUBLE))"
+_RD_XBAR = "(sx{g} / CAST(n{g} AS DOUBLE))"
+_RD_YBAR = "(sy{g} / CAST(n{g} AS DOUBLE))"
+_RD_VAR = (
+    "((syy{g} - 2 * {r} * sxy{g} + {r} * {r} * sxx{g}"
+    " - n{g} * ({yb} - {r} * {xb}) * ({yb} - {r} * {xb}))"
+    " / ((n{g} - 1) * n{g} * {xb} * {xb}))"
+)
+
+
+def _rd_terms(g: str) -> tuple[str, str]:
+    r = _RD_R.format(g=g)
+    var = _RD_VAR.format(
+        g=g, r=r, xb=_RD_XBAR.format(g=g), yb=_RD_YBAR.format(g=g)
+    )
+    return r, var
+
+
+_RD_RA, _RD_VA = _rd_terms("a")
+_RD_RB, _RD_VB = _rd_terms("b")
+_RD_T = f"(({_RD_RA} - {_RD_RB}) / sqrt({_RD_VA} + {_RD_VB}))"
+
+_RATIO_DELTA_SQL = f"""
+WITH unit AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS y,
+         CAST('0x' || substr(md5('rd:' || CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 2 = 0 AS is_a
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN is_a THEN x ELSE 0 END) AS BIGINT) AS sxa,
+         CAST(sum(CASE WHEN is_a THEN y ELSE 0 END) AS BIGINT) AS sya,
+         CAST(sum(CASE WHEN is_a THEN x * x ELSE 0 END) AS BIGINT) AS sxxa,
+         CAST(sum(CASE WHEN is_a THEN x * y ELSE 0 END) AS BIGINT) AS sxya,
+         CAST(sum(CASE WHEN is_a THEN y * y ELSE 0 END) AS BIGINT) AS syya,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE x END) AS BIGINT) AS sxb,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE y END) AS BIGINT) AS syb,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE x * x END) AS BIGINT) AS sxxb,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE x * y END) AS BIGINT) AS sxyb,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE y * y END) AS BIGINT) AS syyb
+  FROM unit
+)
+SELECT na AS n_a, nb AS n_b,
+       round({_RD_RA}, 4) AS ratio_a, round({_RD_RB}, 4) AS ratio_b,
+       round({_RD_T}, 4) AS t_delta
+FROM m
+"""
+
+
+@register("agg_ratio_delta_test", oracle=_RATIO_DELTA_SQL)
+def agg_ratio_delta_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method test for a RATIO metric (revenue per event) — the
+    experimentation statistic naive per-row t-tests get wrong: the
+    unit of randomization is the USER but the metric divides two
+    user-level sums, so var(R) must come from the delta-method
+    linearization var(y - R*x) / (n * xbar^2), not from treating rows
+    as independent (Deng et al., KDD'18 practice). Like ab_test_welch
+    and ab_test_cuped, the whole statistic — both ratios, both
+    linearized variances, the t — expands into twelve exact integer
+    moments (event counts, revenue cents, squares, cross-products per
+    variant) from ONE conditional-aggregation pass over the per-user
+    rollup; bitwise reproducible, two shuffles total at any scale."""
+    from ..functions.hashing import hash60
+
+    ev = load(spark, sf_dir, "events")
+    unit = ev.groupBy("user_id").agg(
+        F.count("*").alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("y"),
+    ).select(
+        "x",
+        "y",
+        (
+            F.pmod(
+                hash60(F.concat(F.lit("rd:"), F.col("user_id").cast("string"))),
+                F.lit(2),
+            )
+            == 0
+        ).alias("is_a"),
+    )
+
+    def _g(expr, grp):
+        cond = F.col("is_a") if grp == "a" else ~F.col("is_a")
+        return F.sum(F.when(cond, expr).otherwise(F.lit(0)))
+
+    m = unit.agg(
+        _g(F.lit(1), "a").alias("na"),
+        _g(F.col("x"), "a").alias("sxa"),
+        _g(F.col("y"), "a").alias("sya"),
+        _g(F.col("x") * F.col("x"), "a").alias("sxxa"),
+        _g(F.col("x") * F.col("y"), "a").alias("sxya"),
+        _g(F.col("y") * F.col("y"), "a").alias("syya"),
+        _g(F.lit(1), "b").alias("nb"),
+        _g(F.col("x"), "b").alias("sxb"),
+        _g(F.col("y"), "b").alias("syb"),
+        _g(F.col("x") * F.col("x"), "b").alias("sxxb"),
+        _g(F.col("x") * F.col("y"), "b").alias("sxyb"),
+        _g(F.col("y") * F.col("y"), "b").alias("syyb"),
+    )
+    return m.selectExpr(
+        "CAST(na AS BIGINT) AS n_a",
+        "CAST(nb AS BIGINT) AS n_b",
+        f"round({_RD_RA}, 4) AS ratio_a",
+        f"round({_RD_RB}, 4) AS ratio_b",
+        f"round({_RD_T}, 4) AS t_delta",
+    )

@@ -588,3 +588,117 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "true_lang", F.col("cand").alias("pred_lang"), "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-2 overlap between candidate/reference document pairs
+# ---------------------------------------------------------------------------
+
+_ROUGE_PAIR_GAP = 250
+
+_ROUGE_SQL = f"""
+WITH bg AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(string_split(text, ' ')) - 1),
+           i -> string_split(text, ' ')[i] || ' '
+                || string_split(text, ' ')[i + 1])) AS g
+  FROM documents
+), counts AS (
+  SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g
+), cand AS (
+  SELECT doc_id AS cand_id, g, c FROM counts
+  WHERE doc_id < {_ROUGE_PAIR_GAP}
+), ref AS (
+  SELECT doc_id - {_ROUGE_PAIR_GAP} AS cand_id, g, c FROM counts
+  WHERE doc_id >= {_ROUGE_PAIR_GAP} AND doc_id < {2 * _ROUGE_PAIR_GAP}
+), ov AS (
+  SELECT c.cand_id,
+         CAST(sum(least(c.c, r.c)) AS BIGINT) AS n_overlap
+  FROM cand c JOIN ref r ON c.cand_id = r.cand_id AND c.g = r.g
+  GROUP BY c.cand_id
+), tot AS (
+  SELECT c.cand_id,
+         CAST(sum(c.c) AS BIGINT) AS n_cand,
+         any_value(rt.n_ref) AS n_ref
+  FROM cand c JOIN (
+    SELECT cand_id, CAST(sum(c) AS BIGINT) AS n_ref FROM ref GROUP BY cand_id
+  ) rt ON c.cand_id = rt.cand_id
+  GROUP BY c.cand_id
+)
+SELECT t.cand_id, t.cand_id + {_ROUGE_PAIR_GAP} AS ref_id,
+       coalesce(o.n_overlap, 0) AS n_overlap,
+       round(coalesce(o.n_overlap, 0) / CAST(t.n_cand AS DOUBLE), 4)
+         AS rouge2_precision,
+       round(coalesce(o.n_overlap, 0) / CAST(t.n_ref AS DOUBLE), 4)
+         AS rouge2_recall,
+       round(CASE WHEN coalesce(o.n_overlap, 0) = 0 THEN 0.0
+             ELSE 2.0 * (coalesce(o.n_overlap, 0) / CAST(t.n_cand AS DOUBLE))
+                      * (coalesce(o.n_overlap, 0) / CAST(t.n_ref AS DOUBLE))
+                  / (coalesce(o.n_overlap, 0) / CAST(t.n_cand AS DOUBLE)
+                     + coalesce(o.n_overlap, 0) / CAST(t.n_ref AS DOUBLE))
+             END, 4) AS rouge2_f1
+FROM tot t LEFT JOIN ov o ON t.cand_id = o.cand_id
+"""
+
+
+@register("text_rouge_overlap", oracle=_ROUGE_SQL)
+def text_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 (clipped bigram multiset overlap) between paired
+    candidate/reference documents — the summarization/eval-set QA
+    metric, distributed: the overlap of pair (cand, ref) is
+    sum over shared bigrams of min(count_cand, count_ref), computed
+    as ONE equi-join on (pair_id, bigram) over the per-doc bigram
+    count tables — never a per-pair loop, never all-pairs (pairing is
+    doc_id vs doc_id+250, the stand-in for a real cand/ref key).
+    Precision, recall and F1 resolve from exact integer counts with
+    one rounding each. The bigram-count build is the same shape as
+    text_ngram_freq; at 100 TB the join shuffles on the (pair,
+    bigram) key with map-side partial counts."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tokd = docs.select("doc_id", F.split("text", " ").alias("tok"))
+    bg = tokd.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tok") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("tok", i), F.element_at("tok", i + 1)
+                ),
+            )
+        ).alias("g"),
+    )
+    counts = bg.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    cand = counts.filter(F.col("doc_id") < _ROUGE_PAIR_GAP).select(
+        F.col("doc_id").alias("cand_id"), "g", F.col("c").alias("cc")
+    )
+    ref = counts.filter(
+        (F.col("doc_id") >= _ROUGE_PAIR_GAP)
+        & (F.col("doc_id") < 2 * _ROUGE_PAIR_GAP)
+    ).select(
+        (F.col("doc_id") - _ROUGE_PAIR_GAP).alias("cand_id"),
+        "g",
+        F.col("c").alias("rc"),
+    )
+    ov = (
+        cand.join(ref, ["cand_id", "g"])
+        .groupBy("cand_id")
+        .agg(F.sum(F.least("cc", "rc")).alias("n_overlap"))
+    )
+    n_cand = cand.groupBy("cand_id").agg(F.sum("cc").alias("n_cand"))
+    n_ref = ref.groupBy("cand_id").agg(F.sum("rc").alias("n_ref"))
+    t = n_cand.join(n_ref, "cand_id").join(ov, "cand_id", "left")
+    novl = F.coalesce(F.col("n_overlap"), F.lit(0))
+    prec = novl / F.col("n_cand").cast("double")
+    rec = novl / F.col("n_ref").cast("double")
+    return t.select(
+        "cand_id",
+        (F.col("cand_id") + _ROUGE_PAIR_GAP).alias("ref_id"),
+        novl.alias("n_overlap"),
+        F.round(prec, 4).alias("rouge2_precision"),
+        F.round(rec, 4).alias("rouge2_recall"),
+        F.round(
+            F.when(novl == 0, 0.0).otherwise(2.0 * prec * rec / (prec + rec)),
+            4,
+        ).alias("rouge2_f1"),
+    )

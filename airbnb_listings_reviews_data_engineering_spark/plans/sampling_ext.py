@@ -826,3 +826,107 @@ def sample_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# epoch-mixture materialization (domain reweighting to a token budget)
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET_X = 2  # total emitted budget = 2x corpus tokens, split evenly
+_H_MIX = hash60_duckdb_sql("CAST(doc_id AS VARCHAR) || '|mixep'")
+
+_MIX_EPOCHS_SQL = f"""
+WITH t AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+  FROM documents
+), dom AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS dom_tokens
+  FROM t GROUP BY source
+), tot AS (
+  SELECT CAST(sum(dom_tokens) AS BIGINT) AS corpus_tokens,
+         count(*) AS n_domains
+  FROM dom
+), f AS (
+  SELECT d.source, d.n_docs, d.dom_tokens,
+         ({_MIX_BUDGET_X} * tot.corpus_tokens / CAST(tot.n_domains AS DOUBLE))
+           / d.dom_tokens AS factor
+  FROM dom d CROSS JOIN tot
+), emitted AS (
+  SELECT t.source, t.doc_id, t.n_tok,
+         CAST(floor(f.factor) AS BIGINT)
+           + CASE WHEN ({_H_MIX} % 1000000) / 1000000.0
+                       < f.factor - floor(f.factor)
+                  THEN 1 ELSE 0 END AS n_rep
+  FROM t JOIN f ON t.source = f.source
+)
+SELECT e.source, any_value(f.n_docs) AS n_docs,
+       any_value(f.dom_tokens) AS dom_tokens,
+       round(any_value(f.factor), 4) AS factor,
+       CAST(sum(e.n_rep) AS BIGINT) AS emitted_docs,
+       CAST(sum(e.n_rep * e.n_tok) AS BIGINT) AS emitted_tokens
+FROM emitted e JOIN f ON e.source = f.source
+GROUP BY e.source
+"""
+
+
+@register("sample_mixture_epochs", oracle=_MIX_EPOCHS_SQL)
+def sample_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-mixture materialization — the data-recipe step that turns
+    'each domain gets an equal share of a 2x-corpus token budget' into
+    per-document repeat counts (the multi-epoch upsampling of
+    under-represented domains in LLM pretraining mixes): repeat factor
+    = target tokens / domain tokens; every doc repeats floor(f) times
+    plus one more behind a deterministic md5 gate with probability
+    frac(f) — so the EXPECTED emitted tokens hit the target exactly
+    while staying rerun-stable (no RNG state, same gate discipline as
+    sample_weighted). Domain stats are one aggregation; the factor
+    table is #domains rows and broadcasts back onto the doc stream;
+    per-domain emitted doc/token totals verify the realized mix. At
+    100 TB the materialization is the same broadcast join — the
+    repeat column feeds the loader (or explode(sequence(1, n_rep))
+    when physical duplication is wanted)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    dom = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("dom_tokens")
+    )
+    tot = dom.agg(
+        F.sum("dom_tokens").alias("corpus_tokens"),
+        F.count("*").alias("n_domains"),
+    )
+    f = dom.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "dom_tokens",
+        (
+            (_MIX_BUDGET_X * F.col("corpus_tokens") / F.col("n_domains").cast("double"))
+            / F.col("dom_tokens")
+        ).alias("factor"),
+    )
+    gate = (
+        F.pmod(
+            hash60(F.concat(F.col("doc_id").cast("string"), F.lit("|mixep"))),
+            F.lit(1000000),
+        )
+        / 1000000.0
+    )
+    emitted = docs.join(F.broadcast(f), "source").select(
+        "source",
+        "n_tok",
+        "n_docs",
+        "dom_tokens",
+        "factor",
+        (
+            F.floor("factor").cast("bigint")
+            + F.when(gate < F.col("factor") - F.floor("factor"), 1).otherwise(0)
+        ).alias("n_rep"),
+    )
+    return emitted.groupBy("source").agg(
+        F.first("n_docs").alias("n_docs"),
+        F.first("dom_tokens").alias("dom_tokens"),
+        F.round(F.first("factor"), 4).alias("factor"),
+        F.sum("n_rep").alias("emitted_docs"),
+        F.sum(F.col("n_rep") * F.col("n_tok")).alias("emitted_tokens"),
+    )

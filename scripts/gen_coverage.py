@@ -127,7 +127,8 @@ SECTIONS = [
         "pack_length_pairs", "ml_naive_bayes", "win_match_recognize",
         "ts_interpolate_linear", "ab_test_cuped", "profile_drift_psi",
         "graph_jaccard_neighbors", "sink_merge_multi_clause",
-        "sink_wap_publish"]),
+        "sink_wap_publish", "graph_bfs_shortest", "sample_mixture_epochs",
+        "agg_ratio_delta_test", "text_rouge_overlap"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

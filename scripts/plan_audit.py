@@ -85,6 +85,7 @@ NESTED_LOOP_ALLOWED = {
     "pack_length_pairs",  # 1-row corpus count folded into the ranked frame
     "ml_naive_bayes",    # crossJoins against the 5-row class and 1-row vocab stats
     "profile_drift_psi",  # crossJoin against the 1-row snapshot totals
+    "sample_mixture_epochs",  # crossJoin against the 1-row corpus totals
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's
