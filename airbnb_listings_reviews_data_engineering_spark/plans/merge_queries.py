@@ -826,7 +826,11 @@ WITH base AS (
               WHEN s.c_custkey IS NULL THEN 'keep'
               ELSE s.op_flag END AS applied
   FROM base b FULL OUTER JOIN src s ON b.c_custkey = s.c_custkey
-  WHERE NOT (b.c_custkey IS NOT NULL AND s.op_flag = 'close')
+  -- coalesce: unmatched base rows carry NULL op_flag; bare
+  -- (op_flag = 'close') would make the predicate NULL and silently
+  -- drop every keep row (three-valued logic)
+  WHERE NOT (b.c_custkey IS NOT NULL
+             AND coalesce(s.op_flag = 'close', FALSE))
 )
 SELECT applied, c_mktsegment, count(*) AS n_rows,
        CAST(sum(bal_cents) AS BIGINT) AS cents_checksum,
@@ -878,8 +882,10 @@ def sink_merge_multi_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = src.alias("s")
     joined = b.join(s, F.col("b.c_custkey") == F.col("s.c_custkey"), "full_outer")
     matched = F.col("b.c_custkey").isNotNull()
+    # coalesce: keep rows carry NULL op_flag; a bare equality would make
+    # the whole NOT(...) NULL and drop them (three-valued logic)
     merged = joined.filter(
-        ~(matched & (F.col("s.op_flag") == "close"))
+        ~(matched & F.coalesce(F.col("s.op_flag") == "close", F.lit(False)))
     ).select(
         F.coalesce(F.col("b.c_custkey"), F.col("s.c_custkey")).alias("c_custkey"),
         F.when(matched & (F.col("s.op_flag") == "vip"), "VIP")

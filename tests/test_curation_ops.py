@@ -1,0 +1,182 @@
+"""Structural invariants for the round-5 curation / analytics operators —
+properties the oracle hash can't state directly (coverage, monotonicity,
+bounds), checked at sf0.001.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from airbnb_listings_reviews_data_engineering_spark.checkpoint import release_pins
+from airbnb_listings_reviews_data_engineering_spark.plans import all_queries
+
+QS = all_queries()
+
+
+@pytest.fixture(autouse=True)
+def _free_pins(spark):
+    yield
+    release_pins(spark)
+
+
+def rows(spark, sf_dir, key):
+    return QS[key].fn(spark, sf_dir).collect()
+
+
+def test_pack_length_pairs_covers_every_doc_once(spark, sf_dir):
+    out = rows(spark, sf_dir, "pack_length_pairs")
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    seen = [r.long_doc for r in out] + [
+        r.short_doc for r in out if r.short_doc is not None
+    ]
+    assert len(seen) == n, "every doc packs exactly once"
+    assert len(set(seen)) == n
+    assert len(out) == math.ceil(n / 2)
+    middles = [r for r in out if r.short_doc is None]
+    assert len(middles) == (n % 2), "odd corpus -> exactly one solo pack"
+
+
+def test_kcenter_radius_monotone_and_centers_distinct(spark, sf_dir):
+    out = sorted(rows(spark, sf_dir, "sample_kcenter_coreset"),
+                 key=lambda r: r.center_rank)
+    assert [r.center_rank for r in out] == list(range(1, len(out) + 1))
+    assert len({r.vec_id for r in out}) == len(out)
+    dists = [r.sel_dist for r in out[1:]]  # rank 1 is the seed (0.0)
+    assert all(a >= b for a, b in zip(dists, dists[1:])), (
+        "covering radius must be non-increasing"
+    )
+    assert all(d > 0 for d in dists)
+
+
+def test_gopher_pass_equals_conjunction(spark, sf_dir):
+    for r in rows(spark, sf_dir, "text_gopher_rules"):
+        expect = (
+            50 <= r.n_tok <= 100000
+            and 3 <= r.mean_wlen <= 10
+            and r.stop_hits >= 2
+            and r.alpha_frac >= 0.8
+            and r.uniq_ratio >= 0.2
+        )
+        assert r["pass"] == expect, r
+
+
+def test_semdedup_accounts_every_vector_and_finds_plants(spark, sf_dir):
+    out = rows(spark, sf_dir, "dedup_semdedup")
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchone()[0]
+    assert sum(r.n_vectors for r in out) == 2 * n, "base + perturbed all assigned"
+    for r in out:
+        assert r.n_dropped <= r.n_vectors
+    # the +0.01 perturbation leaves cosine ~1: dups must exist somewhere
+    assert sum(r.n_dup_pairs for r in out) > 0
+
+
+def test_naive_bayes_covers_holdout_and_beats_chance(spark, sf_dir):
+    out = rows(spark, sf_dir, "ml_naive_bayes")
+    import duckdb
+
+    n_test = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE doc_id % 5 = 0"
+    ).fetchone()[0]
+    assert len(out) == n_test
+    assert all(r.score < 0 for r in out), "log-probabilities are negative"
+    acc = sum(r.true_lang == r.pred_lang for r in out) / len(out)
+    assert acc > 1 / 5, f"must beat 5-class chance, got {acc}"
+
+
+def test_match_recognize_pattern_contract(spark, sf_dir):
+    for r in rows(spark, sf_dir, "win_match_recognize"):
+        assert r.down_len >= 2
+        assert r.up_len >= 1
+        assert r.bottom_price >= 0
+
+
+def test_interpolation_bounded_by_neighbors(spark, sf_dir):
+    out = rows(spark, sf_dir, "ts_interpolate_linear")
+    kinds = {r.fill_kind for r in out}
+    assert "obs" in kinds and "interp" in kinds, kinds
+    # every filled value exists unless the entity had no observations
+    for r in out:
+        if r.fill_kind != "none":
+            assert r.v_filled is not None
+
+
+def test_bfs_distance_layers_are_connected(spark, sf_dir):
+    out = rows(spark, sf_dir, "graph_bfs_shortest")
+    by_dist = {}
+    for r in out:
+        by_dist.setdefault(r.dist, set()).add(r.node)
+    assert by_dist.get(0) == {0}, "source is the only dist-0 node"
+    assert len({r.node for r in out}) == len(out), "one distance per node"
+
+
+def test_mixture_epochs_token_budget(spark, sf_dir):
+    out = rows(spark, sf_dir, "sample_mixture_epochs")
+    for r in out:
+        assert r.factor > 0
+        lo = math.floor(r.factor) * r.dom_tokens
+        hi = math.ceil(r.factor) * r.dom_tokens
+        assert lo <= r.emitted_tokens <= hi, r
+        assert r.emitted_docs >= math.floor(r.factor) * r.n_docs
+
+
+def test_rouge_scores_in_unit_interval(spark, sf_dir):
+    out = rows(spark, sf_dir, "text_rouge_overlap")
+    assert out, "pairs must exist"
+    for r in out:
+        assert 0 <= r.rouge2_precision <= 1
+        assert 0 <= r.rouge2_recall <= 1
+        assert r.rouge2_f1 <= max(r.rouge2_precision, r.rouge2_recall) + 1e-9
+        if r.n_overlap == 0:
+            assert r.rouge2_f1 == 0
+
+
+def test_cuped_reduces_or_matches_welch_variance(spark, sf_dir):
+    cuped = rows(spark, sf_dir, "ab_test_cuped")[0]
+    assert cuped.n_a + cuped.n_b > 0
+    assert cuped.t_cuped == cuped.t_cuped, "t must not be NaN"
+
+
+def test_psi_terms_nonnegative(spark, sf_dir):
+    out = rows(spark, sf_dir, "profile_drift_psi")
+    for r in out:
+        # (p2-p1)*ln(p2/p1) >= 0 always (same sign factors)
+        assert r.psi_term >= 0, r
+        assert r.n_ref + r.n_cur > 0
+
+
+def test_jaccard_bounds_and_symmetric_pairs(spark, sf_dir):
+    out = rows(spark, sf_dir, "graph_jaccard_neighbors")
+    for r in out:
+        assert r.a < r.b, "one orientation per pair"
+        assert 0 < r.jaccard <= 1
+        assert r.n_common >= 1
+
+
+def test_merge_multi_clause_accounting(spark, sf_dir):
+    out = rows(spark, sf_dir, "sink_merge_multi_clause")
+    applied = {r.applied for r in out}
+    assert "insert" in applied and "keep" in applied
+    assert "close" not in applied, "deleted rows never surface"
+    vip = [r for r in out if r.applied == "vip"]
+    assert all(r.c_mktsegment == "VIP" for r in vip)
+
+
+def test_wap_blocks_dirty_batch(spark, sf_dir):
+    out = {r.batch: r for r in rows(spark, sf_dir, "sink_wap_publish")}
+    assert out["batch1"].published is True
+    assert out["batch2"].published is False
+    assert out["batch2"].n_violations > 0
+    assert out["final_state"].n_rows == out["batch1"].n_rows, (
+        "published state must still be batch 1"
+    )
