@@ -89,8 +89,19 @@ R4D_ADDITIONS = [
     "path_session_mining",  # sessionized click-path frequencies
 ]
 
+# round-5 breadth: the data-curation/selection family and the pattern
+# detector — the heavy shapes among this round's 16 additions
+R5_ADDITIONS = [
+    "dedup_semdedup",       # learned-cluster-blocked semantic dedup
+    "ml_naive_bayes",       # closed-form NB train+apply over the corpus
+    "text_gopher_rules",    # map-side quality-rule battery
+    "pack_length_pairs",    # global-rank complement packing
+    "win_match_recognize",  # gaps-and-islands row-pattern detection
+    "text_rouge_overlap",   # clipped-bigram pair overlap join
+]
+
 HEADLINE = (R2_HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R4B_ADDITIONS
-            + R4C_ADDITIONS + R4D_ADDITIONS)
+            + R4C_ADDITIONS + R4D_ADDITIONS + R5_ADDITIONS)
 
 
 def main() -> None:
