@@ -702,3 +702,338 @@ def text_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rouge2_f1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDedup with multi-probe assignment (boundary-loss recovery)
+# ---------------------------------------------------------------------------
+
+_SD_PROBES = 2
+
+
+def _semdedup_mp_sql() -> str:
+    from .pipeline_ext import _kmeans_blocks
+
+    return (
+        "WITH "
+        + _kmeans_blocks(_SD_K, _SD_DIMS, _SD_ITERS)
+        + f""",
+corpus AS (
+  SELECT vec_id, v FROM e
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, [v[1] + 0.01] || v[2:] AS v FROM e
+),
+probed AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT x.vec_id, x.v, c.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY {_SD_D2}, c.cid) AS rn
+    FROM corpus x CROSS JOIN c{_SD_ITERS} c
+  ) WHERE rn <= {_SD_PROBES}
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS drop_id
+  FROM probed a JOIN probed b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {_SD_COS.format(a="a.v", b="b.v")} >= 0.99
+)
+SELECT (SELECT count(DISTINCT vec_id) FROM probed) AS n_vectors,
+       (SELECT count(*) FROM probed) AS n_assignments,
+       count(*) AS n_dup_pairs,
+       count(DISTINCT drop_id) AS n_dropped
+FROM pairs
+"""
+    )
+
+
+@register("dedup_semdedup_multiprobe", oracle=_semdedup_mp_sql())
+def dedup_semdedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup with MULTI-PROBE assignment: every vector lands in its
+    TWO nearest centroids' cells, so near-dup pairs whose members sit
+    on opposite sides of a Voronoi edge — the 9/500 recall loss
+    dedup_semdedup measures in SCALING.md — still co-occur in at least
+    one probed cell. Probe count multiplies assignment rows (and
+    in-cell pair work) by 2, NOT the corpus shuffle: assignment stays
+    a broadcast-centroid map-side argsort, the pair join still runs
+    only within cells, and pairs found in both shared cells collapse
+    with one DISTINCT. This is exactly sim_lsh_multiprobe's lever
+    applied to learned buckets; the 1-row summary exposes the
+    assignment amplification (n_assignments / n_vectors) a capacity
+    planner needs."""
+    from ..operators.clustering import kmeans_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.slice(as_double_array("embedding"), 1, _SD_DIMS).alias("v")
+    )
+    perturbed = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("v", 1) + 0.01), F.slice("v", 2, _SD_DIMS - 1)
+        ).alias("v"),
+    )
+    corpus = base.unionByName(perturbed)
+    cents = kmeans_centroids(
+        emb, "vec_id", "embedding", k=_SD_K, dims=_SD_DIMS, iters=_SD_ITERS
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        ),
+        6,
+    )
+    win = W.partitionBy("vec_id").orderBy("d2", "cid")
+    probed = (
+        corpus.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "cid", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= _SD_PROBES)
+        .select("vec_id", "v", "cid")
+    )
+    probed = pin(probed, label="semdedup_mp_probed")
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        )
+
+    a = probed.select(
+        F.col("cid"), F.col("vec_id").alias("keep_id"), F.col("v").alias("va")
+    )
+    b = probed.select(
+        F.col("cid"), F.col("vec_id").alias("drop_id"), F.col("v").alias("vb")
+    )
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb"))
+        / (
+            F.sqrt(_dot(F.col("va"), F.col("va")))
+            * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+        ),
+        4,
+    )
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("keep_id") < F.col("drop_id"))
+        .filter(cos >= 0.99)
+        .select("keep_id", "drop_id")
+        .distinct()
+    )
+    stats = probed.agg(
+        F.countDistinct("vec_id").alias("n_vectors"),
+        F.count("*").alias("n_assignments"),
+    )
+    return pairs.agg(
+        F.count("*").alias("n_dup_pairs"),
+        F.countDistinct("drop_id").alias("n_dropped"),
+    ).crossJoin(F.broadcast(stats)).select(
+        "n_vectors", "n_assignments", "n_dup_pairs", "n_dropped"
+    )
+
+
+# ---------------------------------------------------------------------------
+# histogram-based decision stump (distributed 1R / LightGBM-style split)
+# ---------------------------------------------------------------------------
+
+_STUMP_BINS = 64
+_STUMP_W = 500000.0 / _STUMP_BINS
+
+_STUMP_SQL = f"""
+WITH labeled AS (
+  SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+         CAST(least(floor(o_totalprice / {_STUMP_W}), {_STUMP_BINS - 1}) AS INT)
+           AS price_bin,
+         CAST(month(o_orderdate) - 1 AS INT) AS month_bin
+  FROM orders
+), hist AS (
+  SELECT 'price' AS feature, price_bin AS bin,
+         count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM labeled GROUP BY price_bin
+  UNION ALL
+  SELECT 'month', month_bin, count(*), CAST(sum(y) AS BIGINT)
+  FROM labeled GROUP BY month_bin
+), cum AS (
+  SELECT feature, bin, n, pos,
+         sum(n) OVER w AS nl, CAST(sum(pos) OVER w AS BIGINT) AS pl,
+         sum(n) OVER (PARTITION BY feature) AS nt,
+         CAST(sum(pos) OVER (PARTITION BY feature) AS BIGINT) AS pt
+  FROM hist
+  WINDOW w AS (PARTITION BY feature ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), scored AS (
+  SELECT feature, bin, nl, nt,
+         round(
+           (nl / CAST(nt AS DOUBLE))
+             * (1 - (pl / CAST(nl AS DOUBLE)) * (pl / CAST(nl AS DOUBLE))
+                  - (1 - pl / CAST(nl AS DOUBLE)) * (1 - pl / CAST(nl AS DOUBLE)))
+           + ((nt - nl) / CAST(nt AS DOUBLE))
+             * (1 - ((pt - pl) / CAST(nt - nl AS DOUBLE))
+                      * ((pt - pl) / CAST(nt - nl AS DOUBLE))
+                  - (1 - (pt - pl) / CAST(nt - nl AS DOUBLE))
+                      * (1 - (pt - pl) / CAST(nt - nl AS DOUBLE))), 6)
+           AS wgini
+  FROM cum WHERE nl < nt
+)
+SELECT feature, bin AS split_bin, wgini FROM (
+  SELECT feature, bin, wgini,
+         row_number() OVER (PARTITION BY feature
+                            ORDER BY wgini, bin) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+@register("ml_decision_stump", oracle=_STUMP_SQL)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based decision-stump training (the split-finding inner
+    loop of every distributed GBDT — LightGBM/XGBoost-hist): bin each
+    feature map-side into <= 64 fixed bins, aggregate (feature, bin)
+    -> (count, positives) — the ONLY corpus-sized work, one shuffle
+    with map-side combine to at most features x 64 rows — then resolve
+    the best weighted-Gini split per feature with cumulative windows
+    over the TINY histogram (64 rows per partition, never the data).
+    This is why GBDT scales: split search cost is independent of row
+    count. Gini from exact integer counts, rounded once, bin
+    tie-break; label = order status 'F' vs rest, features = price and
+    order month."""
+    o = load(spark, sf_dir, "orders")
+    labeled = o.select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        F.least(
+            F.floor(F.col("o_totalprice") / _STUMP_W), F.lit(_STUMP_BINS - 1)
+        )
+        .cast("int")
+        .alias("price_bin"),
+        (F.month("o_orderdate") - 1).cast("int").alias("month_bin"),
+    )
+    hist = (
+        labeled.groupBy("price_bin")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
+        .select(
+            F.lit("price").alias("feature"),
+            F.col("price_bin").alias("bin"),
+            "n",
+            "pos",
+        )
+        .unionByName(
+            labeled.groupBy("month_bin")
+            .agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
+            .select(
+                F.lit("month").alias("feature"),
+                F.col("month_bin").alias("bin"),
+                "n",
+                "pos",
+            )
+        )
+    )
+    wcum = (
+        W.partitionBy("feature")
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("feature")
+    cum = hist.select(
+        "feature",
+        "bin",
+        F.sum("n").over(wcum).alias("nl"),
+        F.sum("pos").over(wcum).alias("pl"),
+        F.sum("n").over(wall).alias("nt"),
+        F.sum("pos").over(wall).alias("pt"),
+    )
+    pl_r = F.col("pl") / F.col("nl").cast("double")
+    pr_r = (F.col("pt") - F.col("pl")) / (F.col("nt") - F.col("nl")).cast(
+        "double"
+    )
+    wgini = F.round(
+        (F.col("nl") / F.col("nt").cast("double"))
+        * (1 - pl_r * pl_r - (1 - pl_r) * (1 - pl_r))
+        + ((F.col("nt") - F.col("nl")) / F.col("nt").cast("double"))
+        * (1 - pr_r * pr_r - (1 - pr_r) * (1 - pr_r)),
+        6,
+    )
+    scored = cum.filter(F.col("nl") < F.col("nt")).select(
+        "feature", "bin", wgini.alias("wgini")
+    )
+    wbest = W.partitionBy("feature").orderBy("wgini", "bin")
+    return (
+        scored.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select("feature", F.col("bin").alias("split_bin"), "wgini")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity rare-n-gram risk audit (privacy gate)
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+_KANON_SQL = f"""
+WITH tokd AS (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(tok) - 2),
+                i -> tok[i] || ' ' || tok[i + 1] || ' ' || tok[i + 2])) AS g
+  FROM tokd
+), freq AS (
+  SELECT g, count(*) AS corpus_c FROM grams GROUP BY g
+)
+SELECT gr.doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN f.corpus_c < {_KANON_K} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_rare,
+       round(sum(CASE WHEN f.corpus_c < {_KANON_K} THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS rare_frac,
+       sum(CASE WHEN f.corpus_c < {_KANON_K} THEN 1 ELSE 0 END)
+         > 0.5 * count(*) AS high_risk
+FROM grams gr JOIN freq f ON gr.g = f.g
+GROUP BY gr.doc_id
+"""
+
+
+@register("text_kanon_risk", oracle=_KANON_SQL)
+def text_kanon_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity rare-n-gram risk audit — the privacy gate before a
+    corpus (or an n-gram index) is released: a 3-gram appearing in
+    fewer than k=5 corpus positions can identify its source document
+    (the memorization/PII-leak proxy used to gate vocabulary and
+    suffix-array releases). Per document: gram count, rare-gram count,
+    rare fraction, and a >50 %-rare high-risk flag. Plan: one gram
+    explode (token array materialized once — the two-step projection),
+    the corpus gram-frequency table via one groupBy with map-side
+    combine, and a join back on the gram key; the frequency table IS
+    the standing index at scale (same artifact text_novelty_score
+    probes), so the audit amortizes to the join alone."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tokd = docs.select("doc_id", F.split("text", " ").alias("tok"))
+    grams = tokd.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tok") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("tok", i),
+                    F.element_at("tok", i + 1),
+                    F.element_at("tok", i + 2),
+                ),
+            )
+        ).alias("g"),
+    )
+    freq = grams.groupBy("g").agg(F.count("*").alias("corpus_c"))
+    rare = F.when(F.col("corpus_c") < _KANON_K, 1).otherwise(0)
+    return (
+        grams.join(freq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(rare).alias("n_rare"),
+            F.round(F.sum(rare) / F.count("*").cast("double"), 4).alias(
+                "rare_frac"
+            ),
+            (F.sum(rare) > 0.5 * F.count("*")).alias("high_risk"),
+        )
+    )

@@ -128,7 +128,9 @@ SECTIONS = [
         "ts_interpolate_linear", "ab_test_cuped", "profile_drift_psi",
         "graph_jaccard_neighbors", "sink_merge_multi_clause",
         "sink_wap_publish", "graph_bfs_shortest", "sample_mixture_epochs",
-        "agg_ratio_delta_test", "text_rouge_overlap"]),
+        "agg_ratio_delta_test", "text_rouge_overlap",
+        "dedup_semdedup_multiprobe", "ml_decision_stump",
+        "graph_degree_assortativity", "text_kanon_risk"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

@@ -86,6 +86,7 @@ NESTED_LOOP_ALLOWED = {
     "ml_naive_bayes",    # crossJoins against the 5-row class and 1-row vocab stats
     "profile_drift_psi",  # crossJoin against the 1-row snapshot totals
     "sample_mixture_epochs",  # crossJoin against the 1-row corpus totals
+    "dedup_semdedup_multiprobe",  # k-row centroid + 1-row stats crossJoins
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's

@@ -180,3 +180,35 @@ def test_wap_blocks_dirty_batch(spark, sf_dir):
     assert out["final_state"].n_rows == out["batch1"].n_rows, (
         "published state must still be batch 1"
     )
+
+
+def test_semdedup_multiprobe_dominates_single_probe(spark, sf_dir):
+    single = rows(spark, sf_dir, "dedup_semdedup")
+    multi = rows(spark, sf_dir, "dedup_semdedup_multiprobe")[0]
+    assert multi.n_assignments == 2 * multi.n_vectors
+    assert multi.n_dropped >= sum(r.n_dropped for r in single), (
+        "probing 2 cells can only find MORE dup pairs"
+    )
+
+
+def test_decision_stump_gini_bounds(spark, sf_dir):
+    out = rows(spark, sf_dir, "ml_decision_stump")
+    feats = {r.feature for r in out}
+    assert feats == {"price", "month"}
+    for r in out:
+        assert 0 <= r.wgini <= 0.5 + 1e-9, "binary weighted Gini is in [0, .5]"
+
+
+def test_assortativity_is_a_correlation(spark, sf_dir):
+    out = rows(spark, sf_dir, "graph_degree_assortativity")[0]
+    assert out.n_directed_edges > 0
+    assert -1 <= out.assortativity <= 1
+
+
+def test_kanon_risk_fractions(spark, sf_dir):
+    out = rows(spark, sf_dir, "text_kanon_risk")
+    assert out
+    for r in out:
+        assert 0 <= r.rare_frac <= 1
+        assert r.n_rare <= r.n_grams
+        assert r.high_risk == (r.n_rare > 0.5 * r.n_grams)
