@@ -1037,3 +1037,264 @@ def text_kanon_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(rare) > 0.5 * F.count("*")).alias("high_risk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pass@k estimator (Codex-style eval statistic)
+# ---------------------------------------------------------------------------
+
+_PASS_K = 5
+
+# unbiased pass@k (Chen et al., arXiv:2107.03374): 1 - C(n-c, k)/C(n, k),
+# computed as the telescoped product so no factorial overflows; any zero
+# factor (n - c < k) collapses the product and pass@k = 1 exactly.
+_PASS5 = (
+    "(1 - (greatest(n - c - 0, 0) / CAST(n - 0 AS DOUBLE))"
+    " * (greatest(n - c - 1, 0) / CAST(n - 1 AS DOUBLE))"
+    " * (greatest(n - c - 2, 0) / CAST(n - 2 AS DOUBLE))"
+    " * (greatest(n - c - 3, 0) / CAST(n - 3 AS DOUBLE))"
+    " * (greatest(n - c - 4, 0) / CAST(n - 4 AS DOUBLE)))"
+)
+
+_PASS_AT_K_SQL = f"""
+WITH s AS (
+  SELECT user_id AS problem_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c
+  FROM events GROUP BY user_id
+)
+SELECT problem_id, n, c,
+       round(c / CAST(n AS DOUBLE), 4) AS pass_at_1,
+       round({_PASS5}, 4) AS pass_at_5
+FROM s WHERE n >= {_PASS_K}
+"""
+
+
+@register("eval_pass_at_k", oracle=_PASS_AT_K_SQL)
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unbiased pass@k estimator (Chen et al., arXiv:2107.03374 —
+    the HumanEval statistic): per problem with n sampled attempts and
+    c successes, pass@k = 1 - C(n-c,k)/C(n,k), telescoped into k
+    bounded ratio factors so nothing overflows and n-c < k collapses
+    to exactly 1. Events stand in for attempt logs (problem = user,
+    success = purchase). ONE aggregation to (n, c) per problem — the
+    eval harness over a billion sampled completions is a groupBy, not
+    a loop — then pure row arithmetic sharing one expression tree with
+    the oracle (bitwise floats). Problems with n < k are excluded, as
+    the estimator requires."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.groupBy(F.col("user_id").alias("problem_id"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("c"),
+        )
+        .filter(F.col("n") >= _PASS_K)
+    )
+    return s.selectExpr(
+        "problem_id",
+        "CAST(n AS BIGINT) AS n",
+        "CAST(c AS BIGINT) AS c",
+        "round(c / CAST(n AS DOUBLE), 4) AS pass_at_1",
+        f"round({_PASS5}, 4) AS pass_at_5",
+    )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility (subwords per word, per language)
+# ---------------------------------------------------------------------------
+
+
+def _fertility_sql() -> str:
+    from .iterative_ext import _BPE_MERGES, _WORDS_CTE, _bpe_round_cte
+
+    rounds = ",\n".join(_bpe_round_cte(i) for i in range(1, _BPE_MERGES + 1))
+    return f"""WITH {_WORDS_CTE},
+{rounds},
+vocab AS (
+  SELECT word, len(string_split(trim(sym), ' '))::BIGINT AS n_pieces
+  FROM sym{_BPE_MERGES}
+),
+dt AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+)
+SELECT dt.lang,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(v.n_pieces) AS BIGINT) AS n_subwords,
+       round(sum(v.n_pieces) / CAST(count(*) AS DOUBLE), 4) AS fertility
+FROM dt JOIN vocab v ON dt.w = v.word
+GROUP BY dt.lang"""
+
+
+@register("text_tokenizer_fertility", oracle=_fertility_sql())
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — subwords emitted per word
+    under the trained 6-merge BPE vocabulary, THE metric for whether a
+    tokenizer under-serves a language (high fertility = more tokens
+    per sentence = less effective context and higher serving cost for
+    that language; the multilingual-tokenizer audit every lab runs).
+    The segmented vocabulary comes from the same distributed BPE
+    training loop as text_bpe_vocab (vocab-sized state only); the
+    corpus token stream joins it on the word key and per-language
+    sums reduce map-side. Exact integer counts; one rounded division
+    per language."""
+    from ..operators.bpe import bpe_segmented_vocab, word_frequencies
+    from .iterative_ext import _BPE_MERGES
+
+    docs = load(spark, sf_dir, "documents")
+    words = word_frequencies(docs, "text")
+    vocab = bpe_segmented_vocab(words, merges=_BPE_MERGES).select(
+        "word", F.col("n_pieces").cast("bigint").alias("n_pieces")
+    )
+    dt = docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+    return (
+        dt.join(vocab, "word")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_pieces").alias("n_subwords"),
+            F.round(
+                F.sum("n_pieces") / F.count("*").cast("double"), 4
+            ).alias("fertility"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dataset card (release-gate statistics summary)
+# ---------------------------------------------------------------------------
+
+_CARD_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, source, n_chars,
+         len(string_split(text, ' ')) AS n_tok,
+         md5(lower(text)) AS h
+  FROM documents
+), langs AS (
+  SELECT lang, count(*) AS c FROM t GROUP BY lang
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_exact_dups
+  FROM t
+), ent AS (
+  SELECT round(-sum((c / CAST(tot.n_docs AS DOUBLE))
+                    * ln(c / CAST(tot.n_docs AS DOUBLE))), 4) AS lang_entropy
+  FROM langs CROSS JOIN tot GROUP BY tot.n_docs
+)
+SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM tot
+UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM tot
+UNION ALL SELECT 'n_chars', CAST(n_chars AS DOUBLE) FROM tot
+UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM tot
+UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM tot
+UNION ALL SELECT 'exact_dup_rate',
+  round(n_exact_dups / CAST(n_docs AS DOUBLE), 4) FROM tot
+UNION ALL SELECT 'mean_doc_tokens',
+  round(n_tokens / CAST(n_docs AS DOUBLE), 4) FROM tot
+UNION ALL SELECT 'lang_entropy', lang_entropy FROM ent
+"""
+
+
+@register("profile_dataset_card", oracle=_CARD_SQL)
+def profile_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card — the release-gate statistics block every
+    published corpus ships (datasheet: size, composition, duplication,
+    language balance): doc/token/char totals, language and source
+    cardinalities, exact-duplicate rate (content-hash), mean document
+    length, and Shannon entropy of the language mix (the one number
+    that says 'balanced' vs 'one language dominates'). ONE scan
+    produces every global moment (count distincts share the pass);
+    the entropy folds the #langs-row distribution against the 1-row
+    total. Unpivoted to (metric, value) rows so the card is directly
+    diffable between releases — feed two of these into
+    diff_snapshots and the release gate is closed."""
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.md5(F.lower("text")).alias("h"),
+    )
+    tot = t.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        (F.count("*") - F.countDistinct("h")).alias("n_exact_dups"),
+    )
+    langs = t.groupBy("lang").agg(F.count("*").alias("c"))
+    p = F.col("c") / F.col("n_docs").cast("double")
+    ent = (
+        langs.crossJoin(F.broadcast(tot.select("n_docs")))
+        .agg(F.round(-F.sum(p * F.log(p)), 4).alias("lang_entropy"))
+    )
+    rows = tot.selectExpr(
+        "stack(7,"
+        " 'n_docs', CAST(n_docs AS DOUBLE),"
+        " 'n_tokens', CAST(n_tokens AS DOUBLE),"
+        " 'n_chars', CAST(n_chars AS DOUBLE),"
+        " 'n_langs', CAST(n_langs AS DOUBLE),"
+        " 'n_sources', CAST(n_sources AS DOUBLE),"
+        " 'exact_dup_rate', round(n_exact_dups / CAST(n_docs AS DOUBLE), 4),"
+        " 'mean_doc_tokens', round(n_tokens / CAST(n_docs AS DOUBLE), 4)"
+        ") AS (metric, value)"
+    )
+    return rows.unionByName(
+        ent.select(F.lit("lang_entropy").alias("metric"), F.col("lang_entropy").alias("value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# shard -> reader assignment (the loader side of the shard manifest)
+# ---------------------------------------------------------------------------
+
+_N_READERS = 8
+
+
+def _reader_assignment_sql() -> str:
+    from .pipeline_ext import _SHARD_MANIFEST_SQL
+
+    return f"""
+WITH manifest AS ({_SHARD_MANIFEST_SQL})
+SELECT CAST(shard % {_N_READERS} AS BIGINT) AS reader,
+       CAST(count(DISTINCT shard) AS BIGINT) AS n_shards,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(nb) AS BIGINT) AS total_bytes
+FROM manifest GROUP BY 1
+"""
+
+
+@register("mm_reader_assignment", oracle=_reader_assignment_sql())
+def mm_reader_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-to-reader assignment — the dataloader side of
+    mm_shard_manifest: distribute the byte-packed shards across 8
+    parallel readers by shard-id modulo (stateless, rerun-stable, new
+    shards rebalance automatically) and report per-reader shard/member/
+    byte loads — the skew table a training job checks before an epoch
+    (a reader 2x over byte budget = stragglers every step). Reuses the
+    registered manifest plan (range-partition byte cumsum, no
+    single-partition window) and adds ONE aggregation. Modulo keeps
+    assignment scale-free where LPT bin packing would need the full
+    shard list on the driver; byte-budget packing into near-equal
+    shards upstream is what makes modulo near-balanced here."""
+    from .pipeline_ext import mm_shard_manifest
+
+    manifest = mm_shard_manifest(spark, sf_dir)
+    return (
+        manifest.groupBy(
+            F.pmod(F.col("shard"), F.lit(_N_READERS)).cast("bigint").alias("reader")
+        )
+        .agg(
+            F.countDistinct("shard").alias("n_shards"),
+            F.count("*").alias("n_members"),
+            F.sum("nb").alias("total_bytes"),
+        )
+    )

@@ -130,7 +130,9 @@ SECTIONS = [
         "sink_wap_publish", "graph_bfs_shortest", "sample_mixture_epochs",
         "agg_ratio_delta_test", "text_rouge_overlap",
         "dedup_semdedup_multiprobe", "ml_decision_stump",
-        "graph_degree_assortativity", "text_kanon_risk"]),
+        "graph_degree_assortativity", "text_kanon_risk",
+        "eval_pass_at_k", "text_tokenizer_fertility",
+        "profile_dataset_card", "mm_reader_assignment"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

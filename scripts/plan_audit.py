@@ -87,6 +87,8 @@ NESTED_LOOP_ALLOWED = {
     "profile_drift_psi",  # crossJoin against the 1-row snapshot totals
     "sample_mixture_epochs",  # crossJoin against the 1-row corpus totals
     "dedup_semdedup_multiprobe",  # k-row centroid + 1-row stats crossJoins
+    "profile_dataset_card",  # #langs-row distribution x 1-row total fold
+    "text_tokenizer_fertility",  # lazy-chain BPE vocab (text_bpe_vocab's shape)
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's
@@ -102,6 +104,7 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "agg_gini_concentration",  # prefix-sum rank offsets over n_parts rows (8)
     "sim_hybrid_rrf",        # fusion ranks over the joined candidate set
     "pack_length_pairs",     # prefix-sum rank offsets over n_parts rows (8)
+    "mm_reader_assignment",  # reuses mm_shard_manifest's offsets window
 }
 
 

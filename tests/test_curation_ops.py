@@ -212,3 +212,43 @@ def test_kanon_risk_fractions(spark, sf_dir):
         assert 0 <= r.rare_frac <= 1
         assert r.n_rare <= r.n_grams
         assert r.high_risk == (r.n_rare > 0.5 * r.n_grams)
+
+
+def test_pass_at_k_bounds_and_saturation(spark, sf_dir):
+    out = rows(spark, sf_dir, "eval_pass_at_k")
+    assert out
+    for r in out:
+        assert 0 <= r.pass_at_1 <= 1
+        assert 0 <= r.pass_at_5 <= 1
+        assert r.pass_at_5 >= r.pass_at_1 - 1e-9, "pass@k grows with k"
+        if r.n - r.c < 5:
+            assert r.pass_at_5 == 1.0, "fewer failures than k -> certainty"
+
+
+def test_fertility_at_least_one(spark, sf_dir):
+    out = rows(spark, sf_dir, "text_tokenizer_fertility")
+    assert out
+    for r in out:
+        assert r.fertility >= 1.0, "a word is at least one piece"
+        assert r.n_subwords >= r.n_words
+
+
+def test_dataset_card_consistency(spark, sf_dir):
+    card = {r.metric: r.value for r in rows(spark, sf_dir, "profile_dataset_card")}
+    assert card["n_docs"] > 0
+    assert abs(card["mean_doc_tokens"] - round(card["n_tokens"] / card["n_docs"], 4)) < 1e-6
+    assert 0 <= card["exact_dup_rate"] < 1
+    import math
+    assert 0 <= card["lang_entropy"] <= math.log(card["n_langs"]) + 1e-9
+
+
+def test_reader_assignment_conserves_bytes(spark, sf_dir):
+    out = rows(spark, sf_dir, "mm_reader_assignment")
+    import duckdb
+
+    total = duckdb.sql(
+        f"SELECT sum(octet_length(encode(text))) FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    assert sum(r.total_bytes for r in out) == total, "no byte lost or doubled"
+    assert sum(r.n_members for r in out) > 0
