@@ -438,10 +438,13 @@ def pack_length_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset")
     )
     total = counts.agg(F.sum("cnt").alias("n"))
-    ranked = (
+    # pinned: both pairing sides read `ranked`; without the pin the
+    # Arrow enumeration and the 8-row offsets window execute twice
+    ranked = pin(
         local.join(F.broadcast(offsets), "pid")
         .select("doc_id", "n_tok", (F.col("offset") + F.col("local_pos")).alias("pos"))
-        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(total)),
+        label="pack_pairs_pos",
     )
     a = ranked.select("doc_id", "n_tok", "pos", "n")
     b = ranked.select(

@@ -103,7 +103,9 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "dq_anomaly_volume",     # trailing window over the #days daily rollup
     "agg_gini_concentration",  # prefix-sum rank offsets over n_parts rows (8)
     "sim_hybrid_rrf",        # fusion ranks over the joined candidate set
-    "pack_length_pairs",     # prefix-sum rank offsets over n_parts rows (8)
+    # pack_length_pairs needs no entry: its 8-row offsets window runs
+    # inside the pinned (materialized) ranked frame, so the final plan
+    # carries no WindowExec at all
     "mm_reader_assignment",  # reuses mm_shard_manifest's offsets window
 }
 
