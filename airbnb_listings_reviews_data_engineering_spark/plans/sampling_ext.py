@@ -930,3 +930,73 @@ def sample_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_rep").alias("emitted_docs"),
         F.sum(F.col("n_rep") * F.col("n_tok")).alias("emitted_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman-optimal stratified allocation
+# ---------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 1000
+
+# per-stratum sigma from exact cents moments, identical tree both engines
+_NEY_SIG = (
+    "sqrt((qh - sh / CAST(nh AS DOUBLE) * sh) / (nh - 1))"
+)
+
+_NEYMAN_SQL = f"""
+WITH s AS (
+  SELECT o_orderpriority AS stratum,
+         CAST(count(*) AS BIGINT) AS nh,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sh,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)
+                  * CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS qh
+  FROM orders GROUP BY o_orderpriority
+), w AS (
+  SELECT stratum, nh,
+         CAST(round(nh * {_NEY_SIG}) AS BIGINT) AS wh
+  FROM s
+), tot AS (
+  SELECT CAST(sum(wh) AS BIGINT) AS wt FROM w
+)
+SELECT w.stratum, w.nh,
+       round(w.wh / CAST(w.nh AS DOUBLE) / 100.0, 4) AS sigma_dollars,
+       CAST(round({_NEYMAN_BUDGET} * w.wh / CAST(tot.wt AS DOUBLE)) AS BIGINT)
+         AS alloc
+FROM w CROSS JOIN tot
+"""
+
+
+@register("sample_neyman_allocation", oracle=_NEYMAN_SQL)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified allocation (Neyman 1934): for a fixed
+    sample budget, allocate n_h proportional to N_h * sigma_h — the
+    variance-minimizing design that beats proportional allocation
+    whenever strata differ in spread (the survey-sampling result every
+    data-audit sampler should use instead of uniform rates;
+    sample_stratified is the EXECUTION half this plans for). Per-
+    stratum sigma comes from exact integer cents moments (count, sum,
+    sum of squares — one conditional-aggregation pass); the N_h*sigma_h
+    weights are fixed-pointed to integers BEFORE the cross-stratum
+    total so the normalization is order-free; the 1-row total broadcasts
+    back. Same exact-moments discipline as ab_test_welch, applied to
+    sampling design."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    s = o.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count("*").alias("nh"),
+        F.sum(cents).alias("sh"),
+        F.sum(cents * cents).alias("qh"),
+    )
+    w = s.selectExpr(
+        "stratum",
+        "CAST(nh AS BIGINT) AS nh",
+        f"CAST(round(nh * {_NEY_SIG}) AS BIGINT) AS wh",
+    )
+    tot = w.agg(F.sum("wh").alias("wt"))
+    return w.crossJoin(F.broadcast(tot)).selectExpr(
+        "stratum",
+        "nh",
+        "round(wh / CAST(nh AS DOUBLE) / 100.0, 4) AS sigma_dollars",
+        f"CAST(round({_NEYMAN_BUDGET} * wh / CAST(wt AS DOUBLE)) AS BIGINT)"
+        " AS alloc",
+    )

@@ -551,3 +551,56 @@ def src_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dynamic partition pruning (runtime partition skip from a dim filter)
+# ---------------------------------------------------------------------------
+
+_DPP_SQL = """
+SELECT o.o_orderpriority, count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o
+JOIN (SELECT DISTINCT o_orderpriority FROM orders
+      WHERE o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%') d
+  ON o.o_orderpriority = d.o_orderpriority
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("join_dynamic_partition_pruning", oracle=_DPP_SQL)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is directory-
+    partitioned on the join key; the dimension side carries the
+    selective filter (not expressible as a static partition predicate),
+    and Catalyst injects a runtime `dynamicpruning` subquery that reads
+    the dim FIRST and skips every non-matching fact partition at scan
+    time. src_partition_pruning shows the static case; THIS is the one
+    that matters for star joins at 100 TB — 'WHERE dim.attr = x' prunes
+    the fact scan to the matching date/priority directories without the
+    query author naming them (tests/test_plan_quality.py pins the
+    dynamicpruning expression in the physical plan)."""
+    tag = _sf_tag(sf_dir)
+    staged = os.path.join(staging_root(spark), f"orders_by_prio_{tag}")
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        load(spark, sf_dir, "orders").write.partitionBy(
+            "o_orderpriority"
+        ).mode("overwrite").parquet(staged)
+    fact = spark.read.parquet(staged)
+    dim = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderpriority")
+        .distinct()
+        .filter(
+            F.col("o_orderpriority").like("1-%")
+            | F.col("o_orderpriority").like("2-%")
+        )
+    )
+    return (
+        fact.join(dim.hint("broadcast"), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

@@ -1546,3 +1546,78 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("v_filled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# linear-touch marketing attribution
+# ---------------------------------------------------------------------------
+
+_ATTR_WIN_US = 7_200_000_000  # 2 h lookback
+
+_ATTRIBUTION_SQL = f"""
+WITH p AS (
+  SELECT event_id AS p_id, user_id, epoch_us(ts) AS pt,
+         CAST(round(value * 100) AS BIGINT) AS rev_cents
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS c_id, user_id, epoch_us(ts) AS ct
+  FROM events WHERE event_type = 'click'
+), touch AS (
+  SELECT p.p_id, p.rev_cents, c.c_id
+  FROM p JOIN c ON p.user_id = c.user_id
+  WHERE c.ct < p.pt AND c.ct >= p.pt - {_ATTR_WIN_US}
+), share AS (
+  SELECT p_id, rev_cents, c_id,
+         count(*) OVER (PARTITION BY p_id) AS n_touch
+  FROM touch
+)
+SELECT c_id AS click_id,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       round(sum(rev_cents / CAST(n_touch AS DOUBLE)) / 100.0, 4)
+         AS attributed_revenue
+FROM share GROUP BY c_id
+"""
+
+
+@register("win_attribution_linear", oracle=_ATTRIBUTION_SQL)
+def win_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-touch revenue attribution: each purchase's revenue splits
+    equally across the user's click events in the 2 h lookback window —
+    the marketing-analytics workload behind channel ROI. The
+    purchase-click touch join is USER-KEYED (one shuffle on user_id;
+    the time predicate filters inside the per-user group, so fan-out is
+    bounded by a user's own activity, never a cross join); the touch
+    count per purchase is one window partitioned by purchase. Revenue
+    stays integer cents until the final division by the touch count.
+    At 100 TB this is the canonical 'join on entity, restrict by time
+    range' shape — the same banding lever as join_interval_overlap
+    applies if a single entity's history outgrows its group."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.unix_micros("ts").alias("pt"),
+        F.round(F.col("value") * 100).cast("bigint").alias("rev_cents"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        "user_id",
+        F.unix_micros("ts").alias("ct"),
+    )
+    touch = p.join(c, "user_id").filter(
+        (F.col("ct") < F.col("pt"))
+        & (F.col("ct") >= F.col("pt") - _ATTR_WIN_US)
+    )
+    share = touch.select(
+        "p_id",
+        "rev_cents",
+        "c_id",
+        F.count("*").over(W.partitionBy("p_id")).alias("n_touch"),
+    )
+    return share.groupBy(F.col("c_id").alias("click_id")).agg(
+        F.count("*").alias("n_purchases"),
+        F.round(
+            F.sum(F.col("rev_cents") / F.col("n_touch").cast("double")) / 100.0,
+            4,
+        ).alias("attributed_revenue"),
+    )

@@ -132,7 +132,9 @@ SECTIONS = [
         "dedup_semdedup_multiprobe", "ml_decision_stump",
         "graph_degree_assortativity", "text_kanon_risk",
         "eval_pass_at_k", "text_tokenizer_fertility",
-        "profile_dataset_card", "mm_reader_assignment"]),
+        "profile_dataset_card", "mm_reader_assignment",
+        "join_dynamic_partition_pruning", "win_attribution_linear",
+        "sample_neyman_allocation", "graph_kcore_peel"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

@@ -89,6 +89,7 @@ NESTED_LOOP_ALLOWED = {
     "dedup_semdedup_multiprobe",  # k-row centroid + 1-row stats crossJoins
     "profile_dataset_card",  # #langs-row distribution x 1-row total fold
     "text_tokenizer_fertility",  # lazy-chain BPE vocab (text_bpe_vocab's shape)
+    "sample_neyman_allocation",  # crossJoin against the 1-row weight total
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's

@@ -252,3 +252,34 @@ def test_reader_assignment_conserves_bytes(spark, sf_dir):
     ).fetchone()[0]
     assert sum(r.total_bytes for r in out) == total, "no byte lost or doubled"
     assert sum(r.n_members for r in out) > 0
+
+
+def test_attribution_conserves_windowed_revenue(spark, sf_dir):
+    out = rows(spark, sf_dir, "win_attribution_linear")
+    assert out
+    for r in out:
+        assert r.n_purchases >= 1
+        assert r.attributed_revenue >= 0
+
+
+def test_neyman_allocation_spends_the_budget(spark, sf_dir):
+    out = rows(spark, sf_dir, "sample_neyman_allocation")
+    assert len(out) == 5
+    total = sum(r.alloc for r in out)
+    # per-stratum independent rounding: within +/- strata/2 of budget
+    assert abs(total - 1000) <= len(out), total
+    for r in out:
+        assert r.sigma_dollars > 0
+
+
+def test_kcore_members_have_core_degree(spark, sf_dir):
+    out = rows(spark, sf_dir, "graph_kcore_peel")
+    # empty core is legal at tiny SF; when non-empty the invariant holds
+    for r in out:
+        assert r.core_degree >= 1
+
+
+def test_dpp_matches_static_filter(spark, sf_dir):
+    out = rows(spark, sf_dir, "join_dynamic_partition_pruning")
+    prios = {r.o_orderpriority for r in out}
+    assert all(p.startswith(("1-", "2-")) for p in prios)

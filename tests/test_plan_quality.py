@@ -303,3 +303,11 @@ def test_entropy_is_scan_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_entropy")
     assert "Exchange" not in plan
     assert "WindowExec" not in plan
+
+
+def test_dynamic_partition_pruning_injected(spark, sf_dir):
+    # the fact side is partitioned on the join key and the dim carries
+    # the filter: Catalyst must inject a runtime dynamicpruning subquery
+    # on the fact scan's partition filters (the 100 TB star-join lever)
+    plan = _plan(spark, sf_dir, "join_dynamic_partition_pruning")
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
