@@ -1323,3 +1323,314 @@ def mm_reader_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nb").alias("total_bytes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization: per-subspace codebooks + encoding
+# ---------------------------------------------------------------------------
+
+_PQ_SUBSPACES = 4
+_PQ_SUBDIM = 16
+_PQ_K = 4
+_PQ_ITERS = 2
+
+
+def _pq_blocks(sub: int) -> str:
+    """One subspace's unrolled Lloyd chain (e{sub}, c{sub}_0, ... ),
+    mirroring pipeline_ext._kmeans_blocks but over the dimension slice
+    [sub*16+1, sub*16+16] so the four codebooks train independently."""
+    off = sub * _PQ_SUBDIM
+    t = f"s{sub}"
+    d2 = (
+        "round(list_sum(list_transform(generate_series(1, {dims}), "
+        "d -> (e.v[d] - c.cv[d]) * (e.v[d] - c.cv[d]))), 6)"
+    ).format(dims=_PQ_SUBDIM)
+    blocks = [
+        f"""
+e{t} AS (
+  SELECT vec_id,
+         list_transform(generate_series({off + 1}, {off + _PQ_SUBDIM}),
+                        d -> CAST(embedding[d] AS DOUBLE)) AS v
+  FROM embeddings
+),
+c{t}0 AS (SELECT CAST(vec_id - 1 AS INT) AS cid, v AS cv
+          FROM e{t} WHERE vec_id BETWEEN 1 AND {_PQ_K})
+"""
+    ]
+    for it in range(1, _PQ_ITERS + 1):
+        prev = f"c{t}{it - 1}"
+        blocks.append(
+            f"""
+a{t}{it} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cid) AS rn
+    FROM e{t} e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+c{t}{it} AS (
+  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+    SELECT cid, u.pos AS pos, round(avg(u.val), 6) AS m FROM (
+      SELECT cid,
+             unnest(list_transform(generate_series(1, {_PQ_SUBDIM}),
+                    d -> struct_pack(pos := d, val := v[d]))) AS u
+      FROM a{t}{it}
+    ) GROUP BY cid, u.pos
+  ) GROUP BY cid
+)"""
+        )
+    return ",".join(b.strip() for b in blocks)
+
+
+def _pq_sql() -> str:
+    d2 = (
+        "round(list_sum(list_transform(generate_series(1, {dims}), "
+        "d -> (e.v[d] - c.cv[d]) * (e.v[d] - c.cv[d]))), 6)"
+    ).format(dims=_PQ_SUBDIM)
+    chains = ",".join(_pq_blocks(s) for s in range(_PQ_SUBSPACES))
+    encodes = "\nUNION ALL\n".join(
+        f"""SELECT {s} AS subspace, cid AS code,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CAST(round(d2 * 1000000) AS BIGINT)) AS BIGINT) AS sum_d2_fp
+FROM (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT e.vec_id, c.cid, {d2} AS d2,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cid) AS rn
+    FROM es{s} e CROSS JOIN cs{s}{_PQ_ITERS} c
+  ) WHERE rn = 1
+) GROUP BY cid"""
+        for s in range(_PQ_SUBSPACES)
+    )
+    return "WITH " + chains + "\n" + encodes
+
+
+@register("sim_pq_quantize", oracle=_pq_sql())
+def sim_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jegou et al., TPAMI 2011 — the compression
+    layer of every billion-scale ANN index): the 64-dim embedding space
+    splits into 4 independent 16-dim subspaces, each learns its own
+    k=4 codebook with the exact Lloyd loop ml_kmeans uses, and every
+    vector encodes as 4 tiny code ids (here 8 bits total vs 512 bytes
+    raw — the 64x memory cut that lets an index live in RAM). Training
+    runs per subspace over the SAME scan (narrow slices, broadcast
+    codebooks, no corpus shuffle in assignment); the output is the
+    code histogram + fixed-point per-cell quantization error, i.e. the
+    codebook-quality report (imbalanced codes or fat error cells =
+    retrain). Distortions are fixed-pointed BEFORE summation so the
+    report is order-free and bitwise reproducible."""
+    from ..operators.clustering import _sq_dist, kmeans_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    outs = []
+    for s in range(_PQ_SUBSPACES):
+        off = s * _PQ_SUBDIM
+        sub = emb.select(
+            "vec_id",
+            F.slice(as_double_array("embedding"), off + 1, _PQ_SUBDIM).alias(
+                "embedding"
+            ),
+        )
+        cents = kmeans_centroids(
+            sub, "vec_id", "embedding", k=_PQ_K, dims=_PQ_SUBDIM, iters=_PQ_ITERS
+        )
+        v = sub.select("vec_id", F.col("embedding").alias("v"))
+        d2 = F.round(_sq_dist(F.col("v"), F.col("cv"), _PQ_SUBDIM), 6)
+        win = W.partitionBy("vec_id").orderBy("d2", "cid")
+        enc = (
+            v.crossJoin(F.broadcast(cents))
+            .select("vec_id", "cid", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+        )
+        outs.append(
+            enc.groupBy("cid").agg(
+                F.count("*").alias("n_vectors"),
+                F.sum(
+                    F.round(F.col("d2") * 1000000).cast("bigint")
+                ).alias("sum_d2_fp"),
+            ).select(
+                F.lit(s).alias("subspace"),
+                F.col("cid").alias("code"),
+                "n_vectors",
+                "sum_d2_fp",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining (phrase discovery)
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 25
+
+_PMI_SQL = f"""
+WITH tokd AS (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+), uni AS (
+  SELECT w, count(*) AS cw FROM (
+    SELECT unnest(tok) AS w FROM tokd
+  ) GROUP BY w
+), tot AS (
+  SELECT CAST(sum(cw) AS BIGINT) AS n_uni,
+         (SELECT CAST(sum(len(tok) - 1) AS BIGINT) FROM tokd
+          WHERE len(tok) > 1) AS n_bi
+  FROM uni
+), bi AS (
+  SELECT l, r, count(*) AS cb FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(tok) - 1),
+                  i -> struct_pack(l := tok[i], r := tok[i + 1]))) AS p
+    FROM tokd
+  ) t, LATERAL (SELECT p.l AS l, p.r AS r)
+  GROUP BY l, r
+)
+SELECT b.l || ' ' || b.r AS bigram, b.cb AS n_pair,
+       round(ln((b.cb / CAST(tot.n_bi AS DOUBLE))
+                / ((ul.cw / CAST(tot.n_uni AS DOUBLE))
+                   * (ur.cw / CAST(tot.n_uni AS DOUBLE)))), 4) AS pmi
+FROM bi b
+JOIN uni ul ON b.l = ul.w
+JOIN uni ur ON b.r = ur.w
+CROSS JOIN tot
+WHERE b.cb >= {_PMI_MIN_COUNT}
+ORDER BY pmi DESC, bigram
+LIMIT 20
+"""
+
+
+@register("text_collocation_pmi", oracle=_PMI_SQL)
+def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-ranked collocations (pointwise mutual information over
+    adjacent token pairs, count floor {mc}) — the phrase-mining pass
+    that decides which multiword units ('new york', 'machine
+    learning') deserve single tokens in a vocabulary (word2vec's
+    phrase pass; Mikolov et al., NIPS'13 §4). Unigram and bigram
+    count tables each reduce map-side; PMI is one ln over ratios of
+    exact integers per surviving bigram (bitwise cross-engine), the
+    count floor prunes the candidate set BEFORE the joins, and the
+    final top-20 is a TakeOrdered, not a global sort.""".format(
+        mc=_PMI_MIN_COUNT
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tokd = docs.select("doc_id", F.split("text", " ").alias("tok"))
+    uni = (
+        tokd.select(F.explode("tok").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cw"))
+    )
+    bi = (
+        tokd.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tok") - 1),
+                    lambda i: F.struct(
+                        F.element_at("tok", i).alias("l"),
+                        F.element_at("tok", i + 1).alias("r"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.l", "p.r")
+        .groupBy("l", "r")
+        .agg(F.count("*").alias("cb"))
+        .filter(F.col("cb") >= _PMI_MIN_COUNT)
+    )
+    tot = tokd.agg(
+        F.sum(F.size("tok")).alias("n_uni"),
+        F.sum(
+            F.when(F.size("tok") > 1, F.size("tok") - 1)
+        ).alias("n_bi"),
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("cb") / F.col("n_bi").cast("double"))
+            / (
+                (F.col("cwl") / F.col("n_uni").cast("double"))
+                * (F.col("cwr") / F.col("n_uni").cast("double"))
+            )
+        ),
+        4,
+    )
+    return (
+        bi.join(uni.select(F.col("w").alias("l"), F.col("cw").alias("cwl")), "l")
+        .join(uni.select(F.col("w").alias("r"), F.col("cw").alias("cwr")), "r")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.concat_ws(" ", "l", "r").alias("bigram"),
+            F.col("cb").alias("n_pair"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "bigram")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# probability calibration bins (reliability diagram / ECE)
+# ---------------------------------------------------------------------------
+
+_CAL_BINS = 10
+
+_CALIBRATION_SQL = f"""
+WITH scored AS (
+  SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+         round(1.0 / (1.0 + exp(-(o_totalprice / 250000.0 - 1.0))), 6) AS p
+  FROM orders
+), binned AS (
+  SELECT CAST(least(floor(p * {_CAL_BINS}), {_CAL_BINS - 1}) AS INT) AS bin,
+         y, CAST(round(p * 1000000) AS BIGINT) AS p_fp
+  FROM scored
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(p_fp) AS BIGINT) / CAST(count(*) AS DOUBLE)
+             / 1000000.0, 4) AS mean_pred,
+       round(CAST(sum(y) AS BIGINT) / CAST(count(*) AS DOUBLE), 4)
+         AS empirical_rate,
+       round(abs(CAST(sum(p_fp) AS BIGINT) / CAST(count(*) AS DOUBLE)
+                 / 1000000.0
+                 - CAST(sum(y) AS BIGINT) / CAST(count(*) AS DOUBLE)), 4)
+         AS abs_gap
+FROM binned GROUP BY bin
+"""
+
+
+@register("ml_calibration_bins", oracle=_CALIBRATION_SQL)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins (the per-bin decomposition of Expected
+    Calibration Error): a deterministic sigmoid score stands in for a
+    model's probability; each decile-of-score bin reports mean
+    predicted probability vs empirical positive rate and their gap —
+    the calibration audit run before any model's scores gate a
+    production decision (a 0.9-bin with a 0.6 hit rate means the
+    scores lie). Predictions are fixed-pointed to 1e-6 BEFORE the
+    per-bin summation (order-free integers, ab_test_welch's
+    discipline); one conditional-aggregation pass, 10 output rows at
+    any scale. The weighted sum of abs_gap * n / total IS the ECE."""
+    o = load(spark, sf_dir, "orders")
+    p = F.round(
+        1.0 / (1.0 + F.exp(-(F.col("o_totalprice") / 250000.0 - 1.0))), 6
+    )
+    scored = o.select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        p.alias("p"),
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("p") * _CAL_BINS), F.lit(_CAL_BINS - 1))
+        .cast("int")
+        .alias("bin"),
+        "y",
+        F.round(F.col("p") * 1000000).cast("bigint").alias("p_fp"),
+    )
+    mean_pred = F.sum("p_fp") / F.count("*").cast("double") / 1000000.0
+    emp = F.sum("y") / F.count("*").cast("double")
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.round(mean_pred, 4).alias("mean_pred"),
+        F.round(emp, 4).alias("empirical_rate"),
+        F.round(F.abs(mean_pred - emp), 4).alias("abs_gap"),
+    )

@@ -1010,3 +1010,82 @@ def sink_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pin(g1.unionByName(g2).unionByName(final), label="wap_out")
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# GDPR right-to-be-forgotten erasure with proof
+# ---------------------------------------------------------------------------
+
+_GDPR_SQL = """
+WITH forget AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 17 = 0
+), before_ AS (
+  SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_users FROM events
+), scrubbed AS (
+  SELECT e.* FROM events e
+  WHERE NOT EXISTS (SELECT 1 FROM forget f WHERE f.user_id = e.user_id)
+), after_ AS (
+  SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
+         count(*) FILTER (WHERE user_id % 17 = 0) AS n_residual
+  FROM scrubbed
+)
+SELECT 'before' AS phase, b.n_rows, b.n_users,
+       CAST(NULL AS BIGINT) AS n_residual
+FROM before_ b
+UNION ALL
+SELECT 'after', a.n_rows, a.n_users, a.n_residual FROM after_ a
+UNION ALL
+SELECT 'erased',
+       b.n_rows - a.n_rows,
+       b.n_users - a.n_users,
+       CAST(0 AS BIGINT)
+FROM before_ b, after_ a
+"""
+
+
+@register("sink_gdpr_erasure", oracle=_GDPR_SQL)
+def sink_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten erasure with PROOF: given a deletion-
+    request set of subject ids, drop every event of every requested
+    subject via one LEFT ANTI join (set-oriented — never a per-subject
+    DELETE loop) and emit the before/after/erased accounting INCLUDING
+    a residual probe (rows matching the request predicate that
+    survived — must be 0) — the audit artifact a DPO files. At 100 TB
+    the anti join shuffles on the subject key once (or broadcasts the
+    request set — deletion batches are small); with a partition-by-
+    subject layout it prunes to the affected partitions, and the same
+    plan drives the compacting rewrite that makes erasure physical."""
+    ev = load(spark, sf_dir, "events")
+    forget = ev.filter(F.col("user_id") % 17 == 0).select("user_id").distinct()
+    before = ev.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    scrubbed = ev.join(forget, "user_id", "left_anti")
+    after = scrubbed.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.when(F.col("user_id") % 17 == 0, 1)).alias("n_residual"),
+    )
+    b = pin(before, label="gdpr_before")
+    a = pin(after, label="gdpr_after")
+    out_b = b.select(
+        F.lit("before").alias("phase"),
+        "n_rows",
+        "n_users",
+        F.lit(None).cast("bigint").alias("n_residual"),
+    )
+    out_a = a.select(
+        F.lit("after").alias("phase"), "n_rows", "n_users", "n_residual"
+    )
+    out_e = b.crossJoin(
+        a.select(
+            F.col("n_rows").alias("a_rows"), F.col("n_users").alias("a_users")
+        )
+    ).select(
+        F.lit("erased").alias("phase"),
+        (F.col("n_rows") - F.col("a_rows")).alias("n_rows"),
+        (F.col("n_users") - F.col("a_users")).alias("n_users"),
+        F.lit(0).cast("bigint").alias("n_residual"),
+    )
+    return out_b.unionByName(out_a).unionByName(out_e)

@@ -1621,3 +1621,61 @@ def win_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("attributed_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# seasonal-naive forecast evaluation (the baseline every model must beat)
+# ---------------------------------------------------------------------------
+
+_SNAIVE_SQL = """
+WITH monthly AS (
+  SELECT o_custkey % 25 AS series_id,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS m,
+         CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1, 2
+), with_lag AS (
+  SELECT series_id, m, y,
+         lag(y, 12) OVER (PARTITION BY series_id ORDER BY m) AS yhat
+  FROM monthly
+)
+SELECT series_id,
+       CAST(count(*) AS BIGINT) AS n_scored,
+       CAST(sum(abs(y - yhat)) AS BIGINT) AS mae_total_dollars,
+       round(sum(abs(y - yhat)) / CAST(sum(abs(y)) AS DOUBLE), 4)
+         AS wape
+FROM with_lag WHERE yhat IS NOT NULL
+GROUP BY series_id
+"""
+
+
+@register("ts_seasonal_naive_eval", oracle=_SNAIVE_SQL)
+def ts_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive backtest — forecast(month) = actual(month - 12) —
+    scored per series with MAE and WAPE: the baseline every demand/
+    capacity model must beat before it ships (M-competition practice;
+    if your model loses to same-month-last-year, ship the lag).
+    Monthly rollup is one aggregation in whole dollars (exact ints);
+    the 12-step lag is a per-series window (one partitioned exchange,
+    no spine join needed because the lag is by ROW over the monthly
+    grid); errors aggregate exactly and WAPE divides once per
+    series."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.col("o_custkey") % 25).alias("series_id"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("m"),
+    ).agg(F.sum(F.round("o_totalprice").cast("bigint")).alias("y"))
+    w = W.partitionBy("series_id").orderBy("m")
+    wl = monthly.select(
+        "series_id", "m", "y", F.lag("y", 12).over(w).alias("yhat")
+    ).filter(F.col("yhat").isNotNull())
+    return wl.groupBy("series_id").agg(
+        F.count("*").alias("n_scored"),
+        F.sum(F.abs(F.col("y") - F.col("yhat"))).alias("mae_total_dollars"),
+        F.round(
+            F.sum(F.abs(F.col("y") - F.col("yhat")))
+            / F.sum(F.abs("y")).cast("double"),
+            4,
+        ).alias("wape"),
+    )

@@ -134,7 +134,9 @@ SECTIONS = [
         "eval_pass_at_k", "text_tokenizer_fertility",
         "profile_dataset_card", "mm_reader_assignment",
         "join_dynamic_partition_pruning", "win_attribution_linear",
-        "sample_neyman_allocation", "graph_kcore_peel"]),
+        "sample_neyman_allocation", "graph_kcore_peel",
+        "sim_pq_quantize", "text_collocation_pmi", "ml_calibration_bins",
+        "sink_gdpr_erasure", "ts_seasonal_naive_eval"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

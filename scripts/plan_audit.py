@@ -90,6 +90,9 @@ NESTED_LOOP_ALLOWED = {
     "profile_dataset_card",  # #langs-row distribution x 1-row total fold
     "text_tokenizer_fertility",  # lazy-chain BPE vocab (text_bpe_vocab's shape)
     "sample_neyman_allocation",  # crossJoin against the 1-row weight total
+    "sim_pq_quantize",   # 4x crossJoin against k-row subspace codebooks
+    "text_collocation_pmi",  # crossJoin against the 1-row corpus totals
+    "sink_gdpr_erasure",  # crossJoin of the paired 1-row before/after counts
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's

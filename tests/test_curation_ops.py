@@ -283,3 +283,48 @@ def test_dpp_matches_static_filter(spark, sf_dir):
     out = rows(spark, sf_dir, "join_dynamic_partition_pruning")
     prios = {r.o_orderpriority for r in out}
     assert all(p.startswith(("1-", "2-")) for p in prios)
+
+
+def test_pq_accounts_all_vectors_in_each_subspace(spark, sf_dir):
+    out = rows(spark, sf_dir, "sim_pq_quantize")
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchone()[0]
+    by_sub = {}
+    for r in out:
+        by_sub.setdefault(r.subspace, 0)
+        by_sub[r.subspace] += r.n_vectors
+        assert r.sum_d2_fp >= 0
+    assert set(by_sub) == {0, 1, 2, 3}
+    assert all(v == n for v in by_sub.values()), by_sub
+
+
+def test_pmi_collocations_ranked(spark, sf_dir):
+    out = rows(spark, sf_dir, "text_collocation_pmi")
+    pmis = [r.pmi for r in out]
+    assert pmis == sorted(pmis, reverse=True)
+    assert all(r.n_pair >= 25 for r in out) or sf_dir.endswith("0.001")
+
+
+def test_calibration_bins_partition_probability(spark, sf_dir):
+    out = rows(spark, sf_dir, "ml_calibration_bins")
+    for r in out:
+        assert 0 <= r.mean_pred <= 1
+        assert 0 <= r.empirical_rate <= 1
+        assert abs(r.abs_gap - round(abs(r.mean_pred - r.empirical_rate), 4)) <= 2e-4
+
+
+def test_gdpr_erasure_leaves_no_residual(spark, sf_dir):
+    out = {r.phase: r for r in rows(spark, sf_dir, "sink_gdpr_erasure")}
+    assert out["after"].n_residual == 0, "erasure must be total"
+    assert out["before"].n_rows == out["after"].n_rows + out["erased"].n_rows
+    assert out["erased"].n_users > 0
+
+
+def test_seasonal_naive_wape_positive(spark, sf_dir):
+    out = rows(spark, sf_dir, "ts_seasonal_naive_eval")
+    for r in out:
+        assert r.n_scored >= 1
+        assert r.wape >= 0
