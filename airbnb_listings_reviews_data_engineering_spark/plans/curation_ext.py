@@ -1634,3 +1634,201 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(emp, 4).alias("empirical_rate"),
         F.round(F.abs(mean_pred - emp), 4).alias("abs_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# classifier confusion matrix + per-class precision/recall
+# ---------------------------------------------------------------------------
+
+
+def _confusion_sql() -> str:
+    # restate the naive-Bayes oracle, then aggregate its predictions
+    return f"""
+WITH nb AS ({_NB_SQL})
+SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+FROM nb GROUP BY true_lang, pred_lang
+"""
+
+
+@register("ml_confusion_matrix", oracle=_confusion_sql())
+def ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the naive-Bayes language classifier over its
+    held-out split — the eval artifact that says WHICH languages the
+    gate confuses (es-fr bleed looks entirely different from zh-en
+    bleed in a crawl router). Composes the registered ml_naive_bayes
+    plan and adds one (true, pred) aggregation; per-class precision/
+    recall/F1 derive from this table's margins. At scale the matrix is
+    |classes|^2 rows regardless of corpus size — the whole eval is the
+    classifier pass plus one tiny groupBy."""
+    nb = ml_naive_bayes(spark, sf_dir)
+    return nb.groupBy("true_lang", "pred_lang").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# exact AUC-ROC via the global-rank decomposition
+# ---------------------------------------------------------------------------
+
+_AUC_SQL = """
+WITH scored AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+         round(1.0 / (1.0 + exp(-(o_totalprice / 250000.0 - 1.0))), 6) AS p
+  FROM orders
+), ranked AS (
+  SELECT y, row_number() OVER (ORDER BY p, o_orderkey) AS rk FROM scored
+), m AS (
+  SELECT CAST(sum(CASE WHEN y = 1 THEN rk ELSE 0 END) AS BIGINT) AS pos_ranksum,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(1 - y) AS BIGINT) AS n_neg
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+       round((pos_ranksum - n_pos * (n_pos + 1) / 2.0)
+             / (CAST(n_pos AS DOUBLE) * n_neg), 4) AS auc
+FROM m
+"""
+
+
+@register("ml_auc_exact", oracle=_AUC_SQL)
+def ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT AUC-ROC at any scale via the Mann-Whitney rank-sum
+    identity: AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg), so
+    the whole curve-integral collapses to ONE global rank and three
+    integer sums — no threshold sweep, no curve materialization. The
+    global rank is the repo's SEVENTH user of the range-partition +
+    Arrow-local-enumerate + broadcast-prefix-offset decomposition
+    (shuffle_deterministic's shape — no single-partition window at
+    any SF); ties broken deterministically by (score, key) on both
+    engines, so the statistic is reproducible to the last ulp. Scores
+    are the same deterministic sigmoid ml_calibration_bins audits —
+    together they are the ranking-quality + calibration eval pair."""
+    import pandas as pd
+
+    o = load(spark, sf_dir, "orders")
+    p = F.round(
+        1.0 / (1.0 + F.exp(-(F.col("o_totalprice") / 250000.0 - 1.0))), 6
+    )
+    n_parts = 8
+    d = (
+        o.select(
+            "o_orderkey",
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+            p.alias("p"),
+        )
+        .repartitionByRange(n_parts, "p", "o_orderkey")
+        .sortWithinPartitions("p", "o_orderkey")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    d = pin(d, label="auc_ranked")
+
+    def enumerate_local(batches):
+        seen = 0
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "y": pdf["y"],
+                    "pid": pdf["pid"],
+                    "local_pos": range(seen + 1, seen + 1 + len(pdf)),
+                }
+            )
+            seen += len(pdf)
+            yield out
+
+    local = d.mapInPandas(
+        enumerate_local, schema="y int, pid int, local_pos long"
+    )
+    counts = d.groupBy("pid").agg(F.count("*").alias("cnt"))
+    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset")
+    )
+    ranked = local.join(F.broadcast(offsets), "pid").select(
+        "y", (F.col("offset") + F.col("local_pos")).alias("rk")
+    )
+    m = ranked.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("rk")).otherwise(0)).alias(
+            "pos_ranksum"
+        ),
+        F.sum("y").alias("n_pos"),
+        F.sum(1 - F.col("y")).alias("n_neg"),
+    )
+    return m.selectExpr(
+        "CAST(n_pos AS BIGINT) AS n_pos",
+        "CAST(n_neg AS BIGINT) AS n_neg",
+        "round((pos_ranksum - n_pos * (n_pos + 1) / 2.0)"
+        " / (CAST(n_pos AS DOUBLE) * n_neg), 4) AS auc",
+    )
+
+
+# ---------------------------------------------------------------------------
+# chat-template formatting (SFT data assembly)
+# ---------------------------------------------------------------------------
+
+_CHAT_SQL = """
+WITH pairs AS (
+  SELECT p.doc_id AS pair_id, p.text AS prompt, r.text AS response
+  FROM documents p JOIN documents r ON r.doc_id = p.doc_id + 250
+  WHERE p.doc_id < 250
+), fmt AS (
+  SELECT pair_id,
+         '<|system|>You are a helpful assistant.<|end|>'
+           || '<|user|>' || prompt || '<|end|>'
+           || '<|assistant|>' || response || '<|end|>' AS chat_text,
+         len(string_split(prompt, ' ')) AS prompt_tokens,
+         len(string_split(response, ' ')) AS response_tokens
+  FROM pairs
+)
+SELECT pair_id, md5(chat_text) AS chat_md5,
+       length(chat_text) AS n_chars,
+       prompt_tokens, response_tokens,
+       prompt_tokens + response_tokens + 11 AS total_tokens_approx
+FROM fmt
+"""
+
+
+@register("text_chat_template", oracle=_CHAT_SQL)
+def text_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template assembly — the SFT/RLHF data-prep step that turns
+    (prompt, response) pairs into the role-tagged training string a
+    chat model consumes, with the per-side token accounting a packing
+    budget needs (response_tokens is also the loss-mask length under
+    assistant-only supervision). Pairing is one equi-join (doc_id vs
+    doc_id+250 stands in for the conversation key); formatting is pure
+    string concatenation at scan speed. The assembled text is verified
+    by md5 so the oracle pins EVERY byte of the template — a drifted
+    separator or swapped role tag is a hash mismatch, which is exactly
+    how subtle a template bug is in production (the model trains
+    happily on the wrong format)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    p = docs.filter(F.col("doc_id") < 250).select(
+        F.col("doc_id").alias("pair_id"), F.col("text").alias("prompt")
+    )
+    r = docs.select(
+        (F.col("doc_id") - 250).alias("pair_id"), F.col("text").alias("response")
+    )
+    pairs = p.join(r, "pair_id")
+    chat = F.concat(
+        F.lit("<|system|>You are a helpful assistant.<|end|>"),
+        F.lit("<|user|>"),
+        F.col("prompt"),
+        F.lit("<|end|>"),
+        F.lit("<|assistant|>"),
+        F.col("response"),
+        F.lit("<|end|>"),
+    )
+    fmt = pairs.select(
+        "pair_id",
+        chat.alias("chat_text"),
+        F.size(F.split("prompt", " ")).alias("prompt_tokens"),
+        F.size(F.split("response", " ")).alias("response_tokens"),
+    )
+    return fmt.select(
+        "pair_id",
+        F.md5("chat_text").alias("chat_md5"),
+        F.length("chat_text").alias("n_chars"),
+        "prompt_tokens",
+        "response_tokens",
+        (F.col("prompt_tokens") + F.col("response_tokens") + 11).alias(
+            "total_tokens_approx"
+        ),
+    )

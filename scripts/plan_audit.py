@@ -93,6 +93,7 @@ NESTED_LOOP_ALLOWED = {
     "sim_pq_quantize",   # 4x crossJoin against k-row subspace codebooks
     "text_collocation_pmi",  # crossJoin against the 1-row corpus totals
     "sink_gdpr_erasure",  # crossJoin of the paired 1-row before/after counts
+    "ml_confusion_matrix",  # composes ml_naive_bayes (class/vocab crossJoins)
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's
@@ -111,6 +112,7 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     # inside the pinned (materialized) ranked frame, so the final plan
     # carries no WindowExec at all
     "mm_reader_assignment",  # reuses mm_shard_manifest's offsets window
+    "ml_auc_exact",          # prefix-sum rank offsets over n_parts rows (8)
 }
 
 

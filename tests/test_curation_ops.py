@@ -328,3 +328,25 @@ def test_seasonal_naive_wape_positive(spark, sf_dir):
     for r in out:
         assert r.n_scored >= 1
         assert r.wape >= 0
+
+
+def test_confusion_matrix_diagonal_dominates(spark, sf_dir):
+    out = rows(spark, sf_dir, "ml_confusion_matrix")
+    total = sum(r.n for r in out)
+    diag = sum(r.n for r in out if r.true_lang == r.pred_lang)
+    assert total > 0
+    assert diag / total > 1 / 5, "accuracy consistency with the NB test"
+
+
+def test_auc_in_unit_interval_and_consistent(spark, sf_dir):
+    out = rows(spark, sf_dir, "ml_auc_exact")[0]
+    assert 0 <= out.auc <= 1
+    assert out.n_pos > 0 and out.n_neg > 0
+
+
+def test_chat_template_token_accounting(spark, sf_dir):
+    out = rows(spark, sf_dir, "text_chat_template")
+    assert out
+    for r in out:
+        assert r.total_tokens_approx == r.prompt_tokens + r.response_tokens + 11
+        assert len(r.chat_md5) == 32
