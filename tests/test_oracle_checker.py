@@ -61,3 +61,51 @@ def test_float_comparison_is_exact():
     assert oc.norm_cell(1.0000001) != oc.norm_cell(1.0000002)
     assert oc.norm_cell(0.1 + 0.2) != oc.norm_cell(0.3)
     assert oc.norm_cell(1.5) == oc.norm_cell(1.5)
+
+
+def test_lint_flags_spark_incompatible_duckdb_types():
+    """The round-4 postmortem class: an integer sum() types as HUGEINT in
+    DuckDB, which the driver's hasher distinguishes from Spark's bigint
+    even when values are identical — the mirror must FAIL such oracles,
+    not pass them."""
+    import duckdb
+
+    from airbnb_listings_reviews_data_engineering_spark.plans.registry import (
+        lint_oracle_types,
+    )
+
+    rel = duckdb.sql("SELECT sum(x) AS s FROM (VALUES (1), (2)) t(x)")
+    errs = lint_oracle_types(rel.columns, rel.types, "demo_key")
+    assert errs and "HUGEINT" in errs[0] and "demo_key" in errs[0]
+
+    ok = duckdb.sql(
+        "SELECT CAST(sum(x) AS BIGINT) AS s FROM (VALUES (1), (2)) t(x)"
+    )
+    assert lint_oracle_types(ok.columns, ok.types, "demo_key") == []
+
+
+def test_every_registered_oracle_is_lint_clean():
+    """No registered oracle may emit a DuckDB type with no exact Spark
+    analog — building each relation against the sf0.001 views is enough
+    to resolve the output types."""
+    import duckdb
+
+    from airbnb_listings_reviews_data_engineering_spark.plans import all_queries
+    from airbnb_listings_reviews_data_engineering_spark.plans.registry import (
+        TABLES,
+        lint_oracle_types,
+    )
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    bad = []
+    for key, spec in all_queries().items():
+        if spec.oracle is None:
+            continue
+        rel = con.sql(spec.oracle)
+        bad += lint_oracle_types(rel.columns, rel.types, key)
+    assert bad == []
