@@ -1832,3 +1832,170 @@ def text_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_tokens_approx"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance re-ranking (diversity-aware top-k)
+# ---------------------------------------------------------------------------
+
+_MMR_CANDS = 8
+_MMR_SELECT = 4
+_MMR_LAMBDA = 0.7
+
+_MMR_NCOS = "round(" + " + ".join(
+    f"({{a}}[{d}] * {{b}}[{d}])" for d in range(1, 9)
+) + ", 6)"
+
+
+def _mmr_sql() -> str:
+    norm = _SD_NORM_SQL
+    cos_qc = _MMR_NCOS.format(a="q.vn", b="e.vn")
+    cos_cs = _MMR_NCOS.format(a="c.vn", b="s.vn")
+    blocks = [
+        f"""
+e AS MATERIALIZED (
+  SELECT vec_id, {norm.format(v='list_transform(generate_series(1, 8), d -> CAST(embedding[d] AS DOUBLE))')} AS vn
+  FROM embeddings
+),
+q AS MATERIALIZED (
+  SELECT vec_id AS q_id, vn FROM e WHERE vec_id % 100 = 0 AND vec_id < 405
+),
+cand AS MATERIALIZED (
+  SELECT q_id, vec_id, vn, rel FROM (
+    SELECT q.q_id, e.vec_id, e.vn, {cos_qc} AS rel,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {cos_qc} DESC, e.vec_id) AS rn
+    FROM q CROSS JOIN e
+    WHERE q.q_id <> e.vec_id
+  ) WHERE rn <= {_MMR_CANDS}
+),
+s1 AS MATERIALIZED (
+  SELECT q_id, vec_id, vn, rel, 1 AS sel_rank FROM (
+    SELECT q_id, vec_id, vn, rel,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY rel DESC, vec_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)"""
+    ]
+    for r in range(2, _MMR_SELECT + 1):
+        prev_sel = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, r))
+        blocks.append(
+            f"""
+pool{r} AS MATERIALIZED (
+  SELECT c.q_id, c.vec_id, c.vn, c.rel,
+         max({cos_cs}) AS maxsim
+  FROM cand c JOIN ({prev_sel}) s
+    ON c.q_id = s.q_id
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM ({prev_sel}) z
+                         WHERE z.q_id = c.q_id)
+  GROUP BY c.q_id, c.vec_id, c.vn, c.rel
+),
+s{r} AS MATERIALIZED (
+  SELECT q_id, vec_id, vn, rel, {r} AS sel_rank FROM (
+    SELECT q_id, vec_id, vn, rel,
+           row_number() OVER (PARTITION BY q_id ORDER BY
+             round({_MMR_LAMBDA} * rel - {1 - _MMR_LAMBDA:.1f} * maxsim, 6)
+               DESC, vec_id) AS rn
+    FROM pool{r}
+  ) WHERE rn = 1
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT q_id, sel_rank, vec_id, rel FROM s{i}"
+        for i in range(1, _MMR_SELECT + 1)
+    )
+    return "WITH " + ",".join(b.strip() for b in blocks) + "\n" + union
+
+
+@register("sim_mmr_rerank", oracle=_mmr_sql())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98 — the diversity pass between ANN retrieval and a RAG
+    prompt): from each query's top-8 relevance candidates, greedily
+    select 4 maximizing lambda*rel - (1-lambda)*max-sim-to-selected,
+    so near-duplicate passages don't crowd the context window. The
+    candidate fetch is the multi-query brute-force top-k shape
+    (broadcast 5-query set, per-query WindowGroupLimit); each greedy
+    round then runs over the CANDIDATE table only — per query at most
+    8 x selected similarity pairs, so a round costs candidates-sized
+    work regardless of corpus size, and ALL queries advance in
+    parallel (the loop is sequential in k, never in queries). Vectors
+    pre-normalize once; every similarity is the flat codegen product
+    sum. Oracle: all four greedy rounds unrolled as MATERIALIZED
+    CTEs, so agreement checks the full selection trajectory."""
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        _normalized(
+            F.slice(as_double_array("embedding"), 1, 8).alias("v")
+        ).alias("vn"),
+    )
+    base = pin(base, label="mmr_base")
+    q = base.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 405)
+    ).select(F.col("vec_id").alias("q_id"), F.col("vn").alias("qv"))
+    rel = F.round(
+        sum(
+            F.element_at("qv", d) * F.element_at("vn", d)
+            for d in range(1, 9)
+        ),
+        6,
+    )
+    wq = W.partitionBy("q_id").orderBy(F.desc("rel"), "vec_id")
+    cand = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", "vn", rel.alias("rel"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _MMR_CANDS)
+        .drop("rn")
+    )
+    cand = pin(cand, label="mmr_cand")
+    sel = (
+        cand.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select("q_id", "vec_id", "vn", "rel", F.lit(1).alias("sel_rank"))
+    )
+    selected = pin(sel, label="mmr_s1")
+    cos_cs = F.round(
+        sum(
+            F.element_at("vn", d) * F.element_at("svn", d)
+            for d in range(1, 9)
+        ),
+        6,
+    )
+    for r in range(2, _MMR_SELECT + 1):
+        s = selected.select(
+            "q_id",
+            F.col("vec_id").alias("s_vid"),
+            F.col("vn").alias("svn"),
+        )
+        pool = (
+            cand.join(s, "q_id")
+            .filter(F.col("vec_id") != F.col("s_vid"))
+            .select("q_id", "vec_id", "vn", "rel", cos_cs.alias("cs"))
+            .groupBy("q_id", "vec_id")
+            .agg(
+                F.first("vn").alias("vn"),
+                F.first("rel").alias("rel"),
+                F.max("cs").alias("maxsim"),
+                F.count("*").alias("n_seen"),
+            )
+            # NOT IN selected: a candidate similar to ALL previous picks
+            # appears once per pick; equality to any pick excludes it
+            .filter(F.col("n_seen") == r - 1)
+        )
+        mmr = F.round(
+            _MMR_LAMBDA * F.col("rel") - (1 - _MMR_LAMBDA) * F.col("maxsim"),
+            6,
+        )
+        wpick = W.partitionBy("q_id").orderBy(F.desc("mmr"), "vec_id")
+        pick = (
+            pool.select("q_id", "vec_id", "vn", "rel", mmr.alias("mmr"))
+            .withColumn("rn", F.row_number().over(wpick))
+            .filter(F.col("rn") == 1)
+            .select("q_id", "vec_id", "vn", "rel", F.lit(r).alias("sel_rank"))
+        )
+        selected = pin(selected.unionByName(pick), label=f"mmr_s{r}")
+    return selected.select("q_id", "sel_rank", "vec_id", "rel")

@@ -137,7 +137,8 @@ SECTIONS = [
         "sample_neyman_allocation", "graph_kcore_peel",
         "sim_pq_quantize", "text_collocation_pmi", "ml_calibration_bins",
         "sink_gdpr_erasure", "ts_seasonal_naive_eval",
-        "ml_confusion_matrix", "ml_auc_exact", "text_chat_template"]),
+        "ml_confusion_matrix", "ml_auc_exact", "text_chat_template",
+        "sim_mmr_rerank"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

@@ -94,6 +94,7 @@ NESTED_LOOP_ALLOWED = {
     "text_collocation_pmi",  # crossJoin against the 1-row corpus totals
     "sink_gdpr_erasure",  # crossJoin of the paired 1-row before/after counts
     "ml_confusion_matrix",  # composes ml_naive_bayes (class/vocab crossJoins)
+    "sim_mmr_rerank",    # crossJoin against the broadcast 5-query set
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's

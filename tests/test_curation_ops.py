@@ -350,3 +350,19 @@ def test_chat_template_token_accounting(spark, sf_dir):
     for r in out:
         assert r.total_tokens_approx == r.prompt_tokens + r.response_tokens + 11
         assert len(r.chat_md5) == 32
+
+
+def test_mmr_first_pick_is_pure_relevance(spark, sf_dir):
+    out = rows(spark, sf_dir, "sim_mmr_rerank")
+    if not out:  # sf0.001 has no query ids under the modulus
+        return
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q_id, sels in by_q.items():
+        sels.sort(key=lambda r: r.sel_rank)
+        assert [s.sel_rank for s in sels] == list(range(1, len(sels) + 1))
+        assert sels[0].rel == max(s.rel for s in sels), (
+            "rank 1 must be the pure-relevance argmax"
+        )
+        assert len({s.vec_id for s in sels}) == len(sels)
