@@ -959,3 +959,107 @@ def agg_bitmask_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("caps").bitwiseAND(4) != 0).alias("has_purchase"),
         F.min("user_id").alias("min_user"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 surface: VARIANT ingestion, LATERAL joins, pipe SQL
+# ---------------------------------------------------------------------------
+
+_VARIANT_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS min_k
+FROM events
+WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+GROUP BY event_type
+"""
+
+
+@register("src_variant_json", oracle=_VARIANT_SQL)
+def src_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through Spark 4's VARIANT type:
+    parse_json shreds the payload ONCE into the binary variant
+    encoding and variant_get extracts typed paths — the open-schema
+    path that replaces per-query string re-parsing (get_json_object
+    re-tokenizes the JSON text on EVERY extraction; variant pays parse
+    cost once and field access is a binary probe, the difference
+    between 1x and extraction-count x parse cost over 100 TB of event
+    payloads). The predicate and aggregation run on the extracted
+    typed column; the oracle states the same semantics over DuckDB's
+    JSON reader."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.expr("variant_get(v, '$.k', 'long')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+        )
+    )
+
+
+_LATERAL_SQL = """
+SELECT n.n_name AS nation, t.c_name, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) t
+"""
+
+
+@register("join_lateral_topk", oracle=_LATERAL_SQL)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:1999 lateral derived table,
+    Spark 4 SQL): per outer row, an ordered-and-limited inner query —
+    'top 2 customers per nation' stated exactly as a user writes it.
+    Catalyst decorrelates the lateral into a ranked window join (the
+    same physical shape win_topk_per_group hand-builds), so the
+    declarative form costs what the manual rewrite costs — this key
+    pins that the ENGINE does the decorrelation, not the user. DuckDB
+    runs the identical statement."""
+    from .registry import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
+_PIPE_SQL_ORACLE = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+"""
+
+
+@register("src_sql_pipe", oracle=_PIPE_SQL_ORACLE)
+def src_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 / GoogleSQL FROM ... |> ...): the same
+    filtered rollup written as a linear dataflow — FROM orders
+    |> WHERE |> AGGREGATE ... GROUP BY — which compiles to the
+    identical logical plan as the classic form (the oracle IS the
+    classic form, so the hash match proves plan equivalence, not just
+    similar numbers). Pipe syntax matters operationally: generated and
+    templated queries compose by appending stages instead of splicing
+    into nested SELECTs."""
+    from .registry import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE count(*) AS n_orders,
+                     round(sum(o_totalprice), 2) AS total_price
+           GROUP BY o_orderpriority
+        """
+    )

@@ -138,7 +138,8 @@ SECTIONS = [
         "sim_pq_quantize", "text_collocation_pmi", "ml_calibration_bins",
         "sink_gdpr_erasure", "ts_seasonal_naive_eval",
         "ml_confusion_matrix", "ml_auc_exact", "text_chat_template",
-        "sim_mmr_rerank"]),
+        "sim_mmr_rerank", "src_variant_json", "join_lateral_topk",
+        "src_sql_pipe"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),
