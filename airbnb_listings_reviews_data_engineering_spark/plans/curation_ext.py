@@ -1999,3 +1999,130 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         selected = pin(selected.unionByName(pick), label=f"mmr_s{r}")
     return selected.select("q_id", "sel_rank", "vec_id", "rel")
+
+
+# ---------------------------------------------------------------------------
+# ranking-quality eval: NDCG@k / precision@k / recall@k
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+
+# 1e6-fixed-point 1/log2(rank+1) discount table, shared literally by
+# both engines so per-rank gains are exact integers (order-free sums)
+_NDCG_DISC = [round(1_000_000 / __import__("math").log2(r + 1)) for r in range(1, _NDCG_K + 1)]
+
+
+def _ndcg_sql() -> str:
+    disc_cases = " ".join(
+        f"WHEN {r} THEN {_NDCG_DISC[r - 1]}" for r in range(1, _NDCG_K + 1)
+    )
+    norm = _SD_NORM_SQL
+    cos = _MMR_NCOS.format(a="q.vn", b="e.vn")
+    ideal = sum(_NDCG_DISC)  # every one of the k slots relevant
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, label,
+         {norm.format(v='list_transform(generate_series(1, 8), d -> CAST(embedding[d] AS DOUBLE))')} AS vn
+  FROM embeddings
+),
+q AS MATERIALIZED (
+  SELECT vec_id AS q_id, label AS q_label, vn FROM e
+  WHERE vec_id % 100 = 0 AND vec_id < 2005
+),
+ranked AS (
+  SELECT q_id, q_label, vec_id, label, rn FROM (
+    SELECT q.q_id, q.q_label, e.vec_id, e.label,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {cos} DESC, e.vec_id) AS rn
+    FROM q CROSS JOIN e
+    WHERE q.q_id <> e.vec_id
+  ) WHERE rn <= {_NDCG_K}
+),
+scored AS (
+  SELECT q_id,
+         CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rel,
+         CAST(sum(CASE WHEN label = q_label
+                  THEN CASE rn {disc_cases} ELSE 0 END
+                  ELSE 0 END) AS BIGINT) AS dcg_fp
+  FROM ranked GROUP BY q_id
+),
+truth AS (
+  SELECT q.q_id, CAST(count(*) AS BIGINT) AS n_same
+  FROM q JOIN e ON e.label = q.q_label AND e.vec_id <> q.q_id
+  GROUP BY q.q_id
+)
+SELECT s.q_id, s.n_rel,
+       round(s.n_rel / CAST({_NDCG_K} AS DOUBLE), 4) AS precision_at_k,
+       round(s.n_rel / CAST(t.n_same AS DOUBLE), 4) AS recall_at_k,
+       round(s.dcg_fp / CAST({ideal} AS DOUBLE), 4) AS ndcg_at_k
+FROM scored s JOIN truth t ON s.q_id = t.q_id
+"""
+
+
+@register("ml_ndcg_at_k", oracle=_ndcg_sql())
+def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality eval — NDCG@10, precision@10, recall@10 of the
+    cosine retrieval against label-match relevance, per query: the
+    retrieval-eval triple every embedding-model change is gated on.
+    The rank discounts 1/log2(r+1) are a shared 1e6-fixed-point
+    LITERAL table, so per-query DCG is an exact integer sum
+    (order-free — a double DCG sum would depend on row arrival order);
+    the ideal DCG normalizer is the all-slots-relevant constant. One
+    broadcast query set, one per-query WindowGroupLimit top-k, one
+    label-join for the recall denominator — each piece already the
+    shape of sim_knn_join at scale."""
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        "label",
+        _normalized(
+            F.slice(as_double_array("embedding"), 1, 8).alias("v")
+        ).alias("vn"),
+    )
+    base = pin(base, label="ndcg_base")
+    q = base.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2005)
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("vn").alias("qv"),
+    )
+    cos = sum(
+        F.element_at("qv", d) * F.element_at("vn", d) for d in range(1, 9)
+    )
+    wq = W.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    ranked = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "q_label", "vec_id", "label", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _NDCG_K)
+    )
+    disc = F.when(F.col("rn") == 1, _NDCG_DISC[0])
+    for r in range(2, _NDCG_K + 1):
+        disc = disc.when(F.col("rn") == r, _NDCG_DISC[r - 1])
+    rel = F.col("label") == F.col("q_label")
+    scored = ranked.groupBy("q_id").agg(
+        F.sum(F.when(rel, 1).otherwise(0)).alias("n_rel"),
+        F.sum(F.when(rel, disc).otherwise(0)).alias("dcg_fp"),
+    )
+    truth = (
+        q.join(
+            base.select("vec_id", "label"),
+            (F.col("label") == F.col("q_label"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_same"))
+    )
+    ideal = sum(_NDCG_DISC)
+    return scored.join(truth, "q_id").select(
+        "q_id",
+        "n_rel",
+        F.round(F.col("n_rel") / float(_NDCG_K), 4).alias("precision_at_k"),
+        F.round(F.col("n_rel") / F.col("n_same").cast("double"), 4).alias(
+            "recall_at_k"
+        ),
+        F.round(F.col("dcg_fp") / float(ideal), 4).alias("ndcg_at_k"),
+    )

@@ -3265,3 +3265,102 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# scene-cut detection over sampled frames (video curation plumbing)
+# ---------------------------------------------------------------------------
+
+_SCENE_FRAME = 64  # bytes per pseudo-frame (mm_frame_sample's grid)
+_SCENE_THRESH = 300_000_000  # intensity-delta cut threshold (of ~1e9 range)
+
+_H60_FRAME = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' "
+    "|| CAST(fi AS VARCHAR)), 1, 8) AS BIGINT)"
+)
+
+_SCENE_CUTS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, octet_length(encode(text)) AS nb FROM documents
+), f AS (
+  SELECT doc_id,
+         unnest(generate_series(0, CAST(ceil(nb / {_SCENE_FRAME}.0) AS INT) - 1))
+           AS fi
+  FROM d WHERE nb > 0
+), feat AS (
+  SELECT doc_id, fi, {_H60_FRAME} AS intensity FROM f
+), delta AS (
+  SELECT doc_id, fi, intensity,
+         abs(intensity - lag(intensity)
+             OVER (PARTITION BY doc_id ORDER BY fi)) AS d_int
+  FROM feat
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(CASE WHEN d_int > {_SCENE_THRESH} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_cuts,
+       CAST(coalesce(min(CASE WHEN d_int > {_SCENE_THRESH} THEN fi END), -1)
+            AS INT) AS first_cut_frame
+FROM delta GROUP BY doc_id
+"""
+
+
+@register("mm_scene_cuts", oracle=_SCENE_CUTS_SQL)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the sampled frame grid — the shot-
+    boundary pass of video curation (cuts segment a clip before
+    per-scene captioning/dedup): per-frame scalar features, a lag
+    delta along the frame ORDER within each clip, threshold, per-clip
+    cut accounting. The frame feature here is the deterministic
+    md5-derived stand-in for a decoded frame's mean intensity (this
+    container has no codec — operators/multimodal.py documents the
+    honest boundary; the REAL pipeline swaps one mapInPandas decode
+    in), but every Spark-side piece that matters at scale is real:
+    the frame-grid explode (mm_frame_sample's shape), the
+    clip-partitioned ordered window (never global), and the per-clip
+    rollup. 32-bit intensity keeps |delta| exact in int64 on both
+    engines."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = docs.select(
+        "doc_id", F.octet_length(F.encode("text", "UTF-8")).alias("nb")
+    ).filter(F.col("nb") > 0)
+    f = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.col("nb") / float(_SCENE_FRAME)).cast("int") - 1,
+            )
+        ).alias("fi"),
+    )
+    intensity = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("fi").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = W.partitionBy("doc_id").orderBy("fi")
+    delta = f.select(
+        "doc_id", "fi", intensity.alias("intensity")
+    ).withColumn(
+        "d_int", F.abs(F.col("intensity") - F.lag("intensity").over(w))
+    )
+    cut = F.col("d_int") > _SCENE_THRESH
+    return delta.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum(F.when(cut, 1).otherwise(0)).alias("n_cuts"),
+        F.coalesce(F.min(F.when(cut, F.col("fi"))), F.lit(-1))
+        .cast("int")
+        .alias("first_cut_frame"),
+    )

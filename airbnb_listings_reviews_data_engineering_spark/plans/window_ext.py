@@ -1679,3 +1679,67 @@ def ts_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("wape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# peak concurrency (interval sweep per day)
+# ---------------------------------------------------------------------------
+
+_PEAK_SQL = """
+WITH sess AS (
+  SELECT user_id, CAST(min(ts)::DATE AS DATE) AS day,
+         epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
+  FROM events GROUP BY user_id, ts::DATE
+), pts AS (
+  SELECT day, s AS t, 1 AS delta, user_id FROM sess
+  UNION ALL
+  SELECT day, e + 1 AS t, -1 AS delta, user_id FROM sess
+), swept AS (
+  SELECT day, t, delta,
+         sum(delta) OVER (PARTITION BY day ORDER BY t, delta DESC, user_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS load
+  FROM pts
+)
+SELECT day, CAST(max(load) AS BIGINT) AS peak_concurrency,
+       CAST(count(*) / 2 AS BIGINT) AS n_sessions
+FROM swept GROUP BY day
+"""
+
+
+@register("win_peak_concurrency", oracle=_PEAK_SQL)
+def win_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day — the capacity-planning statistic
+    (max simultaneous active user-sessions): the classic interval
+    sweep, distributed. Each user-day session becomes a +1 at its
+    start and a -1 just after its end; the running sum over the
+    DAY-PARTITIONED ordered event points is the live load, its max
+    the peak. The sweep window partitions on the day key (never
+    global — days are the natural range-partition of any telemetry
+    table), ties order -1 after +1 at the same microsecond so back-
+    to-back sessions never double-count, and the session rollup is
+    one groupBy. Same decomposition a month/hour grain would use."""
+    ev = load(spark, sf_dir, "events")
+    sess = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.unix_micros(F.min("ts")).alias("s"),
+        F.unix_micros(F.max("ts")).alias("e"),
+    )
+    pts = sess.select(
+        "day", F.col("s").alias("t"), F.lit(1).alias("delta"), "user_id"
+    ).unionByName(
+        sess.select(
+            "day",
+            (F.col("e") + 1).alias("t"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+        )
+    )
+    w = W.partitionBy("day").orderBy(
+        "t", F.desc("delta"), "user_id"
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    swept = pts.withColumn("load", F.sum("delta").over(w))
+    return swept.groupBy("day").agg(
+        F.max("load").alias("peak_concurrency"),
+        (F.count("*") / 2).cast("bigint").alias("n_sessions"),
+    )

@@ -139,7 +139,8 @@ SECTIONS = [
         "sink_gdpr_erasure", "ts_seasonal_naive_eval",
         "ml_confusion_matrix", "ml_auc_exact", "text_chat_template",
         "sim_mmr_rerank", "src_variant_json", "join_lateral_topk",
-        "src_sql_pipe"]),
+        "src_sql_pipe", "ml_ndcg_at_k", "win_peak_concurrency",
+        "mm_scene_cuts", "graph_adamic_adar"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

@@ -95,6 +95,7 @@ NESTED_LOOP_ALLOWED = {
     "sink_gdpr_erasure",  # crossJoin of the paired 1-row before/after counts
     "ml_confusion_matrix",  # composes ml_naive_bayes (class/vocab crossJoins)
     "sim_mmr_rerank",    # crossJoin against the broadcast 5-query set
+    "ml_ndcg_at_k",      # crossJoin against the broadcast query set + theta truth join
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's

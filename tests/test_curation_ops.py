@@ -366,3 +366,39 @@ def test_mmr_first_pick_is_pure_relevance(spark, sf_dir):
             "rank 1 must be the pure-relevance argmax"
         )
         assert len({s.vec_id for s in sels}) == len(sels)
+
+
+def test_ndcg_bounds_and_perfect_when_all_relevant(spark, sf_dir):
+    out = rows(spark, sf_dir, "ml_ndcg_at_k")
+    for r in out:
+        assert 0 <= r.precision_at_k <= 1
+        assert 0 <= r.recall_at_k <= 1
+        assert 0 <= r.ndcg_at_k <= 1
+        if r.precision_at_k == 1.0:
+            assert r.ndcg_at_k == 1.0, "all slots relevant -> ideal DCG"
+
+
+def test_peak_concurrency_bounds(spark, sf_dir):
+    out = rows(spark, sf_dir, "win_peak_concurrency")
+    assert out
+    for r in out:
+        assert 1 <= r.peak_concurrency <= r.n_sessions
+
+
+def test_scene_cut_frames_consistent(spark, sf_dir):
+    out = rows(spark, sf_dir, "mm_scene_cuts")
+    assert out
+    for r in out:
+        assert r.n_cuts <= r.n_frames - 1 or r.n_frames == 1
+        if r.n_cuts == 0:
+            assert r.first_cut_frame == -1
+        else:
+            assert 1 <= r.first_cut_frame < r.n_frames
+
+
+def test_adamic_adar_positive_scores(spark, sf_dir):
+    out = rows(spark, sf_dir, "graph_adamic_adar")
+    for r in out:
+        assert r.a < r.b
+        assert r.n_common >= 3
+        assert r.adamic_adar > 0
