@@ -744,3 +744,189 @@ def agg_ratio_delta_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round({_RD_RB}, 4) AS ratio_b",
         f"round({_RD_T}, 4) AS t_delta",
     )
+
+
+# ------------------------------------------- CUSUM changepoint detection
+
+_CUSUM_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority AS series, o_orderdate::DATE AS day,
+         CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1, 2
+), stats AS (
+  SELECT series, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS sy
+  FROM daily GROUP BY series
+), dev AS (
+  SELECT d.series, d.day, d.y,
+         CAST(s.n AS BIGINT) AS n,
+         d.y * s.n - s.sy AS dev_scaled
+  FROM daily d JOIN stats s ON d.series = s.series
+), cusum AS (
+  SELECT series, day, n,
+         sum(dev_scaled) OVER (PARTITION BY series ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM dev
+)
+SELECT series, strftime(day, '%Y-%m-%d') AS changepoint_day,
+       CAST(abs_c AS BIGINT) AS cusum_peak_scaled, n AS n_days
+FROM (
+  SELECT series, day, n, abs(c) AS abs_c,
+         row_number() OVER (PARTITION BY series
+                            ORDER BY abs(c) DESC, day) AS rn
+  FROM cusum
+) WHERE rn = 1
+"""
+
+
+@register("ts_changepoint_cusum", oracle=_CUSUM_SQL)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per series (Page 1954): the argmax
+    of |cumulative deviation from the series mean| locates the most
+    likely level-shift day — the alerting primitive behind 'revenue
+    regime changed on the 14th'. The mean-deviation is kept EXACT by
+    scaling: dev = y*n - sum(y) (integer dollars times day count, no
+    division), so the running sum and its argmax are pure int64
+    arithmetic — a float mean would make the changepoint location
+    depend on rounding. One daily rollup, one broadcast of the per-
+    series (n, sum), one series-partitioned window, one argmax
+    window — all keyed by series, never global."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(F.sum(F.round("o_totalprice").cast("bigint")).alias("y"))
+    stats = daily.groupBy("series").agg(
+        F.count("*").alias("n"), F.sum("y").alias("sy")
+    )
+    dev = daily.join(F.broadcast(stats), "series").select(
+        "series",
+        "day",
+        "n",
+        (F.col("y") * F.col("n") - F.col("sy")).alias("dev_scaled"),
+    )
+    wc = W.partitionBy("series").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cusum = dev.withColumn("c", F.sum("dev_scaled").over(wc))
+    wbest = W.partitionBy("series").orderBy(F.desc(F.abs(F.col("c"))), "day")
+    return (
+        cusum.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            "series",
+            F.date_format("day", "yyyy-MM-dd").alias("changepoint_day"),
+            F.abs("c").cast("bigint").alias("cusum_peak_scaled"),
+            F.col("n").cast("bigint").alias("n_days"),
+        )
+    )
+
+
+# ------------------------------------------- deterministic Poisson bootstrap
+
+_BOOT_B = 8
+# Poisson(1) CDF thresholds scaled to the hash gate's 1e6 grid
+_BOOT_CDF = (367879, 735759, 919699, 981012, 996340)
+
+
+def _boot_weight_sql(r: int, dialect: str = "duckdb") -> str:
+    """Copies of a unit in resample r: inverse-CDF of Poisson(1) on the
+    md5 uniform. The hash60 value is bitwise identical across engines
+    (functions/hashing.py); only the cast/concat spelling differs."""
+    from ..functions.hashing import hash60_duckdb_sql, hash60_spark_sql
+
+    if dialect == "duckdb":
+        h = hash60_duckdb_sql(f"'boot{r}:' || CAST(o_custkey AS VARCHAR)")
+    else:
+        h = hash60_spark_sql(f"concat('boot{r}:', cast(o_custkey as string))")
+    u = f"({h} % 1000000)"
+    return (
+        f"(CASE WHEN {u} < {_BOOT_CDF[0]} THEN 0"
+        f" WHEN {u} < {_BOOT_CDF[1]} THEN 1"
+        f" WHEN {u} < {_BOOT_CDF[2]} THEN 2"
+        f" WHEN {u} < {_BOOT_CDF[3]} THEN 3"
+        f" ELSE 4 END)"
+    )
+
+
+def _boot_mean(r: int) -> str:
+    return f"(wy{r} / CAST(nullif(wn{r}, 0) AS DOUBLE))"
+
+
+def _bootstrap_sql() -> str:
+    ws = ",\n".join(
+        f"         CAST(sum({_boot_weight_sql(r)} * y) AS BIGINT) AS wy{r},\n"
+        f"         CAST(sum({_boot_weight_sql(r)}) AS BIGINT) AS wn{r}"
+        for r in range(1, _BOOT_B + 1)
+    )
+    means = [f"{_boot_mean(r)}" for r in range(1, _BOOT_B + 1)]
+    mbar = "((" + " + ".join(means) + f") / {_BOOT_B}.0)"
+    var = (
+        "(("
+        + " + ".join(f"({m} - {mbar}) * ({m} - {mbar})" for m in means)
+        + f") / {_BOOT_B - 1}.0)"
+    )
+    lo = "least(" + ", ".join(means) + ")"
+    hi = "greatest(" + ", ".join(means) + ")"
+    return f"""
+WITH unit AS (
+  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+           AS y
+  FROM orders GROUP BY o_custkey
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy,
+{ws}
+  FROM unit
+)
+SELECT n AS n_units,
+       round(sy / CAST(n AS DOUBLE), 4) AS point_mean,
+       round({mbar}, 4) AS boot_mean,
+       round(sqrt({var}), 4) AS boot_se,
+       round({lo}, 4) AS boot_lo, round({hi}, 4) AS boot_hi
+FROM m
+"""
+
+
+@register("ab_bootstrap_ci", oracle=_bootstrap_sql())
+def ab_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap (Chamandy et al., Google 2012 —
+    the resampling scheme that works in ONE distributed pass): each
+    unit's copy-count in resample r is the inverse-CDF of Poisson(1)
+    applied to a keyed md5 uniform, so all B=8 resamples are
+    conditional aggregations of the SAME scan (8 weight columns, no
+    data duplication, no RNG state — reruns and the oracle reproduce
+    every resample exactly). Resample means, their spread (the
+    bootstrap SE), and min/max envelope derive from exact integer
+    (weight x cents) sums through one shared expression tree. This is
+    how you put an error bar on a 100 TB statistic without sampling
+    infrastructure: the bootstrap IS the aggregation."""
+    o = load(spark, sf_dir, "orders")
+    unit = o.groupBy("o_custkey").agg(
+        F.sum(F.round("o_totalprice").cast("bigint")).alias("y")
+    )
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum("y").alias("sy"),
+    ]
+    for r in range(1, _BOOT_B + 1):
+        w = F.expr(_boot_weight_sql(r, dialect="spark"))
+        aggs.append(F.sum(w * F.col("y")).alias(f"wy{r}"))
+        aggs.append(F.sum(w).alias(f"wn{r}"))
+    m = unit.agg(*aggs)
+    means = [_boot_mean(r) for r in range(1, _BOOT_B + 1)]
+    mbar = "((" + " + ".join(means) + f") / {_BOOT_B}.0)"
+    var = (
+        "(("
+        + " + ".join(f"({x} - {mbar}) * ({x} - {mbar})" for x in means)
+        + f") / {_BOOT_B - 1}.0)"
+    )
+    lo = "least(" + ", ".join(means) + ")"
+    hi = "greatest(" + ", ".join(means) + ")"
+    return m.selectExpr(
+        "CAST(n AS BIGINT) AS n_units",
+        "round(sy / CAST(n AS DOUBLE), 4) AS point_mean",
+        f"round({mbar}, 4) AS boot_mean",
+        f"round(sqrt({var}), 4) AS boot_se",
+        f"round({lo}, 4) AS boot_lo",
+        f"round({hi}, 4) AS boot_hi",
+    )

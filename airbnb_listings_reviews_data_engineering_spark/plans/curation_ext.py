@@ -2126,3 +2126,67 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.col("dcg_fp") / float(ideal), 4).alias("ndcg_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# watermark detection (green-list bias z-score)
+# ---------------------------------------------------------------------------
+
+_WM_SQL = """
+WITH tokd AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), flags AS (
+  SELECT doc_id,
+         CASE WHEN CAST('0x' || substr(md5('wm:' || w), 1, 15) AS BIGINT)
+                   % 2 = 0
+              THEN 1 ELSE 0 END AS green
+  FROM tokd
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(sum(green) AS BIGINT) AS n_green,
+       round(sum(green) / CAST(count(*) AS DOUBLE), 4) AS green_frac,
+       round((sum(green) - 0.5 * count(*)) / sqrt(0.25 * count(*)), 4)
+         AS z_score,
+       (sum(green) - 0.5 * count(*)) / sqrt(0.25 * count(*)) > 4.0
+         AS flagged
+FROM flags GROUP BY doc_id
+"""
+
+
+@register("text_watermark_zscore", oracle=_WM_SQL)
+def text_watermark_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM watermark detection (Kirchenbauer et al., arXiv:2301.10226):
+    a watermarked generator over-samples a hash-keyed 'green list' of
+    tokens; the detector computes each document's green fraction and
+    its one-proportion z-score against the null p=0.5 — z > 4 is the
+    paper's detection threshold. Run over a crawl, this is the
+    synthetic-text filter that keeps model output OUT of the next
+    model's training set (the self-consumption guard). The green gate
+    is the md5-derived hash60 (bitwise identical in the oracle), the
+    score is exact-count arithmetic with one sqrt, and the whole
+    detector is explode + groupBy with map-side combine — scan-bound
+    at any corpus size. Expect ~no flags on natural text: the null
+    holds, which is exactly the calibration property a detector must
+    demonstrate before anyone trusts its positives."""
+    from ..functions.hashing import hash60
+
+    tokd = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    green = F.when(
+        F.pmod(hash60(F.concat(F.lit("wm:"), F.col("w"))), F.lit(2)) == 0, 1
+    ).otherwise(0)
+    z = (F.sum("green") - 0.5 * F.count("*")) / F.sqrt(0.25 * F.count("*"))
+    return (
+        tokd.select("doc_id", green.alias("green"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum("green").alias("n_green"),
+            F.round(F.sum("green") / F.count("*").cast("double"), 4).alias(
+                "green_frac"
+            ),
+            F.round(z, 4).alias("z_score"),
+            (z > 4.0).alias("flagged"),
+        )
+    )

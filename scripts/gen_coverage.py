@@ -140,7 +140,9 @@ SECTIONS = [
         "ml_confusion_matrix", "ml_auc_exact", "text_chat_template",
         "sim_mmr_rerank", "src_variant_json", "join_lateral_topk",
         "src_sql_pipe", "ml_ndcg_at_k", "win_peak_concurrency",
-        "mm_scene_cuts", "graph_adamic_adar"]),
+        "mm_scene_cuts", "graph_adamic_adar", "text_watermark_zscore",
+        "ts_changepoint_cusum", "graph_copurchase_projection",
+        "ab_bootstrap_ci"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

@@ -402,3 +402,36 @@ def test_adamic_adar_positive_scores(spark, sf_dir):
         assert r.a < r.b
         assert r.n_common >= 3
         assert r.adamic_adar > 0
+
+
+def test_watermark_null_calibration(spark, sf_dir):
+    out = rows(spark, sf_dir, "text_watermark_zscore")
+    assert out
+    flagged = sum(r.flagged for r in out)
+    # natural (hash-uncorrelated) text: essentially nothing clears z>4
+    assert flagged / len(out) < 0.01, flagged
+    for r in out:
+        assert 0 <= r.green_frac <= 1
+
+
+def test_cusum_changepoint_per_series(spark, sf_dir):
+    out = rows(spark, sf_dir, "ts_changepoint_cusum")
+    assert len(out) == len({r.series for r in out})
+    for r in out:
+        assert r.cusum_peak_scaled >= 0
+        assert r.n_days >= 1
+
+
+def test_copurchase_pairs_capped_and_floored(spark, sf_dir):
+    out = rows(spark, sf_dir, "graph_copurchase_projection")
+    for r in out:
+        assert r.p1 < r.p2
+        assert r.n_cobuyers >= 3
+
+
+def test_bootstrap_envelope_contains_boot_mean(spark, sf_dir):
+    out = rows(spark, sf_dir, "ab_bootstrap_ci")[0]
+    assert out.boot_lo <= out.boot_mean <= out.boot_hi
+    assert out.boot_se >= 0
+    # Poisson bootstrap is unbiased: envelope should bracket the point
+    assert out.boot_lo <= out.point_mean <= out.boot_hi
