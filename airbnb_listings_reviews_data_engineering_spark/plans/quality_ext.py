@@ -1352,3 +1352,57 @@ def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_cur, 6).alias("p_cur"),
         F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# join-cardinality (fanout) profiling
+# ---------------------------------------------------------------------------
+
+_JOIN_CARD_SQL = """
+WITH oc AS (
+  SELECT o_custkey AS k, count(*) AS fan FROM orders GROUP BY o_custkey
+), lo AS (
+  SELECT l_orderkey AS k, count(*) AS fan FROM lineitem GROUP BY l_orderkey
+)
+SELECT 'customer->orders' AS relationship,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(min(fan) AS BIGINT) AS min_fanout,
+       round(CAST(sum(fan) AS BIGINT) / CAST(count(*) AS DOUBLE), 4)
+         AS avg_fanout,
+       CAST(max(fan) AS BIGINT) AS max_fanout
+FROM oc
+UNION ALL
+SELECT 'orders->lineitem', count(*), min(fan),
+       round(CAST(sum(fan) AS BIGINT) / CAST(count(*) AS DOUBLE), 4), max(fan)
+FROM lo
+"""
+
+
+@register("profile_join_cardinality", oracle=_JOIN_CARD_SQL)
+def profile_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-fanout profile per FK relationship (min/avg/max children per
+    key) — the statistic that predicts a join's output size and flags
+    the hot keys BEFORE the shuffle runs (max_fanout >> avg = the
+    skew-salting trigger; join_salted is the cure this diagnoses for).
+    One groupBy per relationship with map-side combine; the profile is
+    relationship-count rows regardless of table size — the cheap
+    nightly health check a join-heavy warehouse runs against every
+    declared FK."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+
+    def prof(df, key, name):
+        fan = df.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("fan"))
+        return fan.agg(
+            F.lit(name).alias("relationship"),
+            F.count("*").alias("n_keys"),
+            F.min("fan").alias("min_fanout"),
+            F.round(
+                F.sum("fan") / F.count("*").cast("double"), 4
+            ).alias("avg_fanout"),
+            F.max("fan").alias("max_fanout"),
+        )
+
+    return prof(o, "o_custkey", "customer->orders").unionByName(
+        prof(li, "l_orderkey", "orders->lineitem")
+    )

@@ -1034,3 +1034,76 @@ def fn_str_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# date-dimension generation + conformed join (dimensional modeling)
+# ---------------------------------------------------------------------------
+
+_DATE_DIM_SQL = """
+WITH span AS (
+  SELECT min(o_orderdate::DATE) AS lo, max(o_orderdate::DATE) AS hi
+  FROM orders
+), dim AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM span
+), attrs AS (
+  SELECT d, CAST(isodow(d) AS INT) AS dow,
+         CAST(month(d) AS INT) AS month,
+         CAST(quarter(d) AS INT) AS quarter,
+         isodow(d) >= 6 AS is_weekend
+  FROM dim
+)
+SELECT a.quarter, a.is_weekend,
+       CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT a.d) AS BIGINT) AS n_days
+FROM attrs a LEFT JOIN orders o ON o.o_orderdate::DATE = a.d
+GROUP BY a.quarter, a.is_weekend
+"""
+
+
+@register("src_date_dim", oracle=_DATE_DIM_SQL)
+def src_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated date dimension (the Kimball calendar table) joined back
+    to the fact: sequence() materializes every day of the fact's date
+    span with conformed attributes (ISO weekday, month, quarter,
+    weekend flag), and the LEFT join preserves zero-activity days —
+    the rollup that makes 'orders by quarter x weekend' answer
+    correctly when a calendar day has no facts (a fact-only GROUP BY
+    silently drops them). The dimension derives from the fact's own
+    min/max (one 1-row aggregate, broadcast into the generator) and
+    is ~days-sized — always broadcastable; the join key is a date
+    equality the fact side computes map-side."""
+    o = load(spark, sf_dir, "orders")
+    span = o.agg(
+        F.to_date(F.min("o_orderdate")).alias("lo"),
+        F.to_date(F.max("o_orderdate")).alias("hi"),
+    )
+    dim = span.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    attrs = dim.select(
+        "d",
+        F.dayofweek("d").alias("_dow_sun1"),
+        F.month("d").alias("month"),
+        F.quarter("d").alias("quarter"),
+    ).select(
+        "d",
+        "month",
+        "quarter",
+        # ISO weekday (Mon=1..Sun=7) from Spark's Sun=1..Sat=7
+        F.when(F.col("_dow_sun1") == 1, 7)
+        .otherwise(F.col("_dow_sun1") - 1)
+        .cast("int")
+        .alias("dow"),
+    ).withColumn("is_weekend", F.col("dow") >= 6)
+    fact = o.select("o_orderkey", F.to_date("o_orderdate").alias("d"))
+    return (
+        F.broadcast(attrs)
+        .join(fact, "d", "left")
+        .groupBy("quarter", "is_weekend")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.countDistinct("d").alias("n_days"),
+        )
+    )

@@ -1743,3 +1743,60 @@ def win_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("load").alias("peak_concurrency"),
         (F.count("*") / 2).cast("bigint").alias("n_sessions"),
     )
+
+
+# ---------------------------------------------------------------------------
+# YTD / MTD running totals (fiscal BI windows)
+# ---------------------------------------------------------------------------
+
+_YTD_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority AS series,
+         CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(month(o_orderdate) AS INT) AS mo,
+         o_orderdate::DATE AS day,
+         CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1, 2, 3, 4
+)
+SELECT series, strftime(day, '%Y-%m-%d') AS day, rev,
+       CAST(sum(rev) OVER (PARTITION BY series, yr ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS ytd_rev,
+       CAST(sum(rev) OVER (PARTITION BY series, yr, mo ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS mtd_rev
+FROM daily
+"""
+
+
+@register("win_ytd_running", oracle=_YTD_SQL)
+def win_ytd_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-to-date and month-to-date running revenue per series — the
+    fiscal-period windows of every BI dashboard, done with PERIOD-
+    partitioned frames: the YTD window partitions on (series, year)
+    and MTD on (series, year, month), so the running state resets at
+    each period boundary BY PARTITIONING (no conditional reset logic,
+    no global window — a calendar year is the natural bound on any
+    frame's length). Both windows share the (series, ...) prefix, so
+    Spark satisfies the finer MTD partitioning from the same exchange
+    with a sort. Whole dollars stay exact integers."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(F.sum(F.round("o_totalprice").cast("bigint")).alias("rev"))
+    wy = W.partitionBy("series", "yr").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wm = W.partitionBy("series", "yr", "mo").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return daily.select(
+        "series",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "rev",
+        F.sum("rev").over(wy).alias("ytd_rev"),
+        F.sum("rev").over(wm).alias("mtd_rev"),
+    )

@@ -96,6 +96,7 @@ NESTED_LOOP_ALLOWED = {
     "ml_confusion_matrix",  # composes ml_naive_bayes (class/vocab crossJoins)
     "sim_mmr_rerank",    # crossJoin against the broadcast 5-query set
     "ml_ndcg_at_k",      # crossJoin against the broadcast query set + theta truth join
+    "agg_association_rules",  # crossJoin against the 1-row basket count
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's

@@ -435,3 +435,42 @@ def test_bootstrap_envelope_contains_boot_mean(spark, sf_dir):
     assert out.boot_se >= 0
     # Poisson bootstrap is unbiased: envelope should bracket the point
     assert out.boot_lo <= out.point_mean <= out.boot_hi
+
+
+def test_join_cardinality_profile_sane(spark, sf_dir):
+    out = {r.relationship: r for r in rows(spark, sf_dir, "profile_join_cardinality")}
+    assert set(out) == {"customer->orders", "orders->lineitem"}
+    for r in out.values():
+        assert r.min_fanout >= 1
+        assert r.min_fanout <= r.avg_fanout <= r.max_fanout
+
+
+def test_date_dim_covers_whole_span(spark, sf_dir):
+    out = rows(spark, sf_dir, "src_date_dim")
+    import duckdb
+
+    span = duckdb.sql(
+        f"SELECT max(o_orderdate::DATE) - min(o_orderdate::DATE) + 1 "
+        f"FROM read_parquet('{sf_dir}/orders.parquet')"
+    ).fetchone()[0]
+    assert sum(r.n_days for r in out) == span, "zero-activity days preserved"
+
+
+def test_ytd_resets_at_year_boundary(spark, sf_dir):
+    out = rows(spark, sf_dir, "win_ytd_running")
+    firsts = {}
+    for r in sorted(out, key=lambda r: (r.series, r.day)):
+        yr = r.day[:4]
+        k = (r.series, yr)
+        if k not in firsts:
+            firsts[k] = r
+            assert r.ytd_rev == r.rev, "first day of each year restarts YTD"
+        assert r.mtd_rev <= r.ytd_rev
+
+
+def test_association_rules_scores(spark, sf_dir):
+    out = rows(spark, sf_dir, "agg_association_rules")
+    for r in out:
+        assert 0 < r.support <= 1
+        assert 0 < r.confidence <= 1
+        assert r.lift > 0
