@@ -930,3 +930,210 @@ def ab_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round({lo}, 4) AS boot_lo",
         f"round({hi}, 4) AS boot_hi",
     )
+
+
+# ------------------------------------------- Markov transition matrix
+
+_TRANSITION_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+), trans AS (
+  SELECT event_type AS from_state, next_type AS to_state, count(*) AS c
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+), totals AS (
+  SELECT from_state, CAST(sum(c) AS BIGINT) AS row_total
+  FROM trans GROUP BY from_state
+)
+SELECT t.from_state, t.to_state, CAST(t.c AS BIGINT) AS n,
+       round(t.c / CAST(tt.row_total AS DOUBLE), 4) AS p
+FROM trans t JOIN totals tt ON t.from_state = tt.from_state
+"""
+
+
+@register("path_transition_matrix", oracle=_TRANSITION_SQL)
+def path_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams —
+    the state model behind next-action prediction and Markov
+    attribution (removal effects start from exactly this table): per
+    user the lead() pairs consecutive events (one entity-partitioned
+    window), transitions aggregate with map-side combine, and row
+    normalization joins the |states|-row totals back. The matrix is
+    |states|^2 rows regardless of corpus size — the entire model fits
+    in a broadcast forever."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_state"),
+        F.col("next_type").alias("to_state"),
+    ).agg(F.count("*").alias("c"))
+    totals = trans.groupBy("from_state").agg(F.sum("c").alias("row_total"))
+    return trans.join(F.broadcast(totals), "from_state").select(
+        "from_state",
+        "to_state",
+        F.col("c").alias("n"),
+        F.round(F.col("c") / F.col("row_total").cast("double"), 4).alias("p"),
+    )
+
+
+# ------------------------------------------- weighted median per group
+
+_WMEDIAN_SQL = """
+WITH w AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         CAST(round(l_quantity) AS BIGINT) AS wt
+  FROM lineitem
+), cum AS (
+  SELECT l_returnflag, v, wt,
+         sum(wt) OVER (PARTITION BY l_returnflag
+                       ORDER BY v, wt
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cw,
+         sum(wt) OVER (PARTITION BY l_returnflag) AS tw
+  FROM w
+)
+SELECT l_returnflag, min(v) AS weighted_median,
+       CAST(any_value(tw) AS BIGINT) AS total_weight
+FROM cum WHERE cw * 2 >= tw
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_weighted_median", oracle=_WMEDIAN_SQL)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median per group (price weighted by quantity): the
+    smallest value whose cumulative weight reaches half the group
+    total — the statistic unweighted percentile_cont gets wrong
+    whenever rows represent different masses (a 100-unit line must
+    pull the median 100x harder than a 1-unit line). One
+    group-partitioned cumulative-weight window with a deterministic
+    (value, weight) order, integer weights so the half-total
+    comparison is exact (cw*2 >= tw avoids the float half), and a
+    min() to pick the crossing value. Same shape at any group count;
+    a single giant group falls back to xform_quantile_bin's global
+    decomposition."""
+    li = load(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.round("l_quantity").cast("bigint").alias("wt"),
+    )
+    wc = W.partitionBy("l_returnflag").orderBy("v", "wt").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wt_all = W.partitionBy("l_returnflag")
+    cum = w.select(
+        "l_returnflag",
+        "v",
+        F.sum("wt").over(wc).alias("cw"),
+        F.sum("wt").over(wt_all).alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("v").alias("weighted_median"),
+            F.first("tw").alias("total_weight"),
+        )
+    )
+
+
+# ------------------------------------------- Kaplan-Meier survival curve
+
+_KM_SQL = """
+WITH life AS (
+  SELECT user_id,
+         CAST(min(ts)::DATE AS DATE) AS birth,
+         CAST(max(ts)::DATE AS DATE) AS death
+  FROM events GROUP BY user_id
+), spanend AS (
+  SELECT max(death) AS horizon FROM life
+), deaths AS (
+  -- users whose last activity precedes the horizon churned that day;
+  -- users active on the horizon are right-censored
+  SELECT l.death AS day, count(*) AS d
+  FROM life l CROSS JOIN spanend s
+  WHERE l.death < s.horizon
+  GROUP BY l.death
+), risk AS (
+  SELECT d1.day, d1.d,
+         (SELECT count(*) FROM life l WHERE l.death >= d1.day) AS n_risk
+  FROM deaths d1
+), terms AS (
+  SELECT day, d, n_risk,
+         CAST(round(ln(1.0 - d / CAST(n_risk AS DOUBLE)) * 1000000)
+              AS BIGINT) AS lnfp
+  FROM risk WHERE d < n_risk
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, CAST(d AS BIGINT) AS n_churned,
+       CAST(n_risk AS BIGINT) AS n_at_risk,
+       round(exp(CAST(sum(lnfp) OVER (ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         / 1000000.0), 4) AS survival
+FROM terms
+"""
+
+
+@register("ts_survival_km", oracle=_KM_SQL)
+def ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of user retention: S(t) =
+    prod over churn days (1 - d_i / n_i), with users still active at
+    the observation horizon right-censored (the estimator's whole
+    point — naive churn rates over-count the still-alive). The
+    product telescopes in LOG space: per-day ln(1 - d/n) terms are
+    fixed-pointed to 1e-6 integers, the running product becomes an
+    exact integer cumsum over the ~#days-sized day table (the window
+    runs over event DAYS, never events — tiny at any corpus size,
+    so the unpartitioned frame is bounded by the calendar), and one
+    exp() per row recovers S(t). Lifetimes are one groupBy; the risk
+    set is N_total minus the prefix sum of earlier deaths — the
+    counting identity that replaces the quadratic death >= day theta
+    join a naive formulation writes."""
+    from ..checkpoint import pin
+
+    ev = load(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        F.to_date(F.max("ts")).alias("death")
+    )
+    life = pin(life, label="km_life")
+    horizon = life.agg(F.max("death").alias("horizon"))
+    deaths = (
+        life.crossJoin(F.broadcast(horizon))
+        .filter(F.col("death") < F.col("horizon"))
+        .groupBy(F.col("death").alias("day"))
+        .agg(F.count("*").alias("d"))
+    )
+    # risk set WITHOUT a theta join (quadratic in users): everyone with
+    # death >= day is at risk, i.e. N_total minus the deaths on earlier
+    # days — a prefix sum over the #churn-days table + one 1-row count
+    n_total = life.agg(F.count("*").alias("n_total"))
+    w_prev = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    risk = deaths.crossJoin(F.broadcast(n_total)).select(
+        "day",
+        "d",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("d").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    lnfp = F.round(
+        F.log(1.0 - F.col("d") / F.col("n_risk").cast("double")) * 1000000
+    ).cast("bigint")
+    terms = risk.filter(F.col("d") < F.col("n_risk")).select(
+        "day", "d", "n_risk", lnfp.alias("lnfp")
+    )
+    wcum = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return terms.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("d").alias("n_churned"),
+        F.col("n_risk").alias("n_at_risk"),
+        F.round(
+            F.exp(F.sum("lnfp").over(wcum).cast("bigint") / 1000000.0), 4
+        ).alias("survival"),
+    )

@@ -143,7 +143,9 @@ SECTIONS = [
         "mm_scene_cuts", "graph_adamic_adar", "text_watermark_zscore",
         "ts_changepoint_cusum", "graph_copurchase_projection",
         "ab_bootstrap_ci", "profile_join_cardinality", "src_date_dim",
-        "win_ytd_running", "agg_association_rules"]),
+        "win_ytd_running", "agg_association_rules",
+        "path_transition_matrix", "agg_weighted_median",
+        "ts_survival_km"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

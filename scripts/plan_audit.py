@@ -97,6 +97,7 @@ NESTED_LOOP_ALLOWED = {
     "sim_mmr_rerank",    # crossJoin against the broadcast 5-query set
     "ml_ndcg_at_k",      # crossJoin against the broadcast query set + theta truth join
     "agg_association_rules",  # crossJoin against the 1-row basket count
+    "ts_survival_km",    # 1-row horizon + 1-row user-count folds
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's
@@ -116,6 +117,7 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     # carries no WindowExec at all
     "mm_reader_assignment",  # reuses mm_shard_manifest's offsets window
     "ml_auc_exact",          # prefix-sum rank offsets over n_parts rows (8)
+    "ts_survival_km",        # log-space cumprod over the #churn-days table
 }
 
 

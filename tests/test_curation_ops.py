@@ -474,3 +474,35 @@ def test_association_rules_scores(spark, sf_dir):
         assert 0 < r.support <= 1
         assert 0 < r.confidence <= 1
         assert r.lift > 0
+
+
+def test_transition_matrix_rows_normalize(spark, sf_dir):
+    out = rows(spark, sf_dir, "path_transition_matrix")
+    by_from = {}
+    for r in out:
+        by_from.setdefault(r.from_state, 0.0)
+        by_from[r.from_state] += r.p
+    for state, total in by_from.items():
+        assert abs(total - 1.0) < 0.01, (state, total)
+
+
+def test_weighted_median_within_value_range(spark, sf_dir):
+    out = rows(spark, sf_dir, "agg_weighted_median")
+    import duckdb
+
+    for r in out:
+        lo, hi = duckdb.sql(
+            f"SELECT min(l_extendedprice), max(l_extendedprice) FROM "
+            f"read_parquet('{sf_dir}/lineitem.parquet') "
+            f"WHERE l_returnflag = '{r.l_returnflag}'"
+        ).fetchone()
+        assert lo <= r.weighted_median <= hi
+
+
+def test_survival_monotone_nonincreasing(spark, sf_dir):
+    out = sorted(rows(spark, sf_dir, "ts_survival_km"), key=lambda r: r.day)
+    prev = 1.0
+    for r in out:
+        assert 0 <= r.survival <= prev + 1e-9, (r.day, r.survival, prev)
+        prev = r.survival
+        assert r.n_churned < r.n_at_risk

@@ -80,6 +80,10 @@ def test_allowlisted_windows_are_genuinely_tiny(audit_rows):
         # the RRF fusion ranks the SAME tiny candidate set twice
         # (lexical rank + vector rank) — two windows by design
         "sim_hybrid_rrf": 2,
+        # KM survival runs two prefix sums over the #churn-days table:
+        # the risk-set identity (deaths before day) and the log-space
+        # cumulative product — both bounded by the calendar
+        "ts_survival_km": 2,
     }
     for key in UNPARTITIONED_WINDOW_ALLOWED:
         assert audit_rows[key]["unpart_win"] == expected.get(key, 1), (
