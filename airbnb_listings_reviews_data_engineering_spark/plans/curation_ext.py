@@ -2190,3 +2190,151 @@ def text_watermark_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (z > 4.0).alias("flagged"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction
+# ---------------------------------------------------------------------------
+
+_RAKE_TOP = 20
+_RAKE_STOPS = "('the', 'a', 'of', 'and', 'to')"
+
+_RAKE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, u.pos AS pos, u.w AS w
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(text, ' '),
+                  (x, i) -> struct_pack(pos := i, w := x))) AS u
+    FROM documents
+  )
+), marked AS (
+  SELECT doc_id, pos, w, CASE WHEN w IN {_RAKE_STOPS} THEN 1 ELSE 0 END AS stop
+  FROM tok
+), grouped AS (
+  SELECT doc_id, pos, w, stop,
+         sum(stop) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phrase_id
+  FROM marked
+), phrases AS (
+  SELECT doc_id, phrase_id,
+         string_agg(w, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS plen
+  FROM grouped WHERE stop = 0
+  GROUP BY doc_id, phrase_id
+  HAVING count(*) BETWEEN 2 AND 5
+), words AS (
+  SELECT unnest(string_split(phrase, ' ')) AS w, plen FROM phrases
+), wstat AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(plen) AS BIGINT) AS deg
+  FROM words GROUP BY w
+), wscore AS (
+  SELECT w, CAST(round(deg * 1000000.0 / freq) AS BIGINT) AS score_fp
+  FROM wstat
+), pscore AS (
+  SELECT p.phrase,
+         CAST(sum(s.score_fp) AS BIGINT) AS score_fp,
+         CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM phrases p,
+       LATERAL (SELECT unnest(string_split(p.phrase, ' ')) AS w) pw
+  JOIN wscore s ON pw.w = s.w
+  GROUP BY p.phrase
+)
+SELECT phrase, CAST(n_occurrences / (length(phrase)
+         - length(replace(phrase, ' ', '')) + 1) AS BIGINT) AS n_docs_approx,
+       round(score_fp / (n_occurrences / (length(phrase)
+         - length(replace(phrase, ' ', '')) + 1)) / 1000000.0, 4) AS rake_score
+FROM pscore
+ORDER BY rake_score DESC, phrase
+LIMIT {_RAKE_TOP}
+"""
+
+
+@register("text_keyphrase_rake", oracle=_RAKE_SQL)
+def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs (2-5 words), each scored by
+    the sum of its words' degree/frequency ratios — the unsupervised
+    keyword miner used for corpus topic audits and index-term
+    generation. Phrase segmentation is the gaps-and-islands running
+    stopword count per document (entity-partitioned window); word
+    degree/frequency are corpus aggregations with map-side combine;
+    per-word scores are FIXED-POINTED before the per-phrase sum so
+    phrase scores are order-free integers; the top-20 is a
+    TakeOrdered. Every stage shuffles on bounded keys (doc, word,
+    phrase text)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    from ..operators.text import EN_STOPWORDS
+
+    marked = tok.select(
+        "doc_id",
+        "pos",
+        "w",
+        F.when(F.col("w").isin(*EN_STOPWORDS), 1).otherwise(0).alias("stop"),
+    )
+    wrun = W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    grouped = marked.withColumn("phrase_id", F.sum("stop").over(wrun))
+    phrases = (
+        grouped.filter(F.col("stop") == 0)
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").alias("plen"),
+        )
+        .filter(F.col("plen").between(2, 5))
+    )
+    phrases = pin(phrases, label="rake_phrases")
+    words = phrases.select(
+        F.explode(F.split("phrase", " ")).alias("w"), "plen"
+    )
+    wstat = words.groupBy("w").agg(
+        F.count("*").alias("freq"), F.sum("plen").alias("deg")
+    )
+    wscore = wstat.select(
+        "w",
+        F.round(F.col("deg") * 1000000.0 / F.col("freq"))
+        .cast("bigint")
+        .alias("score_fp"),
+    )
+    pw = phrases.select("phrase", F.explode(F.split("phrase", " ")).alias("w"))
+    pscore = (
+        pw.join(wscore, "w")
+        .groupBy("phrase")
+        .agg(
+            F.sum("score_fp").alias("score_fp"),
+            F.count("*").alias("n_occurrences"),
+        )
+    )
+    n_words = (
+        F.length("phrase")
+        - F.length(F.regexp_replace("phrase", " ", ""))
+        + 1
+    )
+    return (
+        pscore.select(
+            "phrase",
+            (F.col("n_occurrences") / n_words).cast("bigint").alias(
+                "n_docs_approx"
+            ),
+            F.round(
+                F.col("score_fp")
+                / (F.col("n_occurrences") / n_words)
+                / 1000000.0,
+                4,
+            ).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), "phrase")
+        .limit(_RAKE_TOP)
+    )

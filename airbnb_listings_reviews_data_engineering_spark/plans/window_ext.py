@@ -1800,3 +1800,87 @@ def win_ytd_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev").over(wy).alias("ytd_rev"),
         F.sum("rev").over(wm).alias("mtd_rev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling correlation between two series
+# ---------------------------------------------------------------------------
+
+_RCORR_WIN = 30  # trailing days
+
+_RCORR_SQL = f"""
+WITH daily AS (
+  SELECT o_orderdate::DATE AS day,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN CAST(round(o_totalprice) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+                  THEN CAST(round(o_totalprice) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), rolled AS (
+  SELECT day,
+         CAST(count(*) OVER w AS BIGINT) AS n,
+         CAST(sum(x) OVER w AS BIGINT) AS sx,
+         CAST(sum(y) OVER w AS BIGINT) AS sy,
+         CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+         CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+         CAST(sum(y * y) OVER w AS BIGINT) AS syy
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN {_RCORR_WIN - 1} PRECEDING
+               AND CURRENT ROW)
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, n,
+       round((sxy / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE))
+                * (sy / CAST(n AS DOUBLE)))
+             / sqrt((sxx / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE))
+                       * (sx / CAST(n AS DOUBLE)))
+                    * (syy / CAST(n AS DOUBLE) - (sy / CAST(n AS DOUBLE))
+                         * (sy / CAST(n AS DOUBLE)))), 4) + 0 AS rolling_corr
+FROM rolled WHERE n >= {_RCORR_WIN}
+"""
+
+
+@register("win_rolling_corr", oracle=_RCORR_SQL)
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day rolling correlation between two revenue series
+    (urgent vs low priority) — the co-movement monitor behind pairs
+    analysis and cannibalization alerts. All six rolling moments are
+    integer window sums over the DAY-grain table (bounded by the
+    calendar, the same tiny-frame argument as ts_survival_km; a
+    per-entity variant partitions the same windows by the pair key),
+    sharing ONE window frame so Spark computes them in a single
+    WindowExec pass; the correlation is the shared moments-to-r
+    expression evaluated identically by both engines. Rows before a
+    full window are suppressed rather than reported on a short
+    frame."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.round("o_totalprice").cast("bigint")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", cents).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "5-LOW", cents).otherwise(0)
+        ).alias("y"),
+    )
+    w = W.orderBy("day").rowsBetween(-(_RCORR_WIN - 1), W.currentRow)
+    rolled = daily.select(
+        "day",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    )
+    return rolled.filter(F.col("n") >= _RCORR_WIN).selectExpr(
+        "date_format(day, 'yyyy-MM-dd') AS day",
+        "CAST(n AS BIGINT) AS n",
+        "round((sxy / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE))"
+        " * (sy / CAST(n AS DOUBLE)))"
+        " / sqrt((sxx / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE))"
+        " * (sx / CAST(n AS DOUBLE)))"
+        " * (syy / CAST(n AS DOUBLE) - (sy / CAST(n AS DOUBLE))"
+        " * (sy / CAST(n AS DOUBLE)))), 4) + 0 AS rolling_corr",
+    )

@@ -118,6 +118,7 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "mm_reader_assignment",  # reuses mm_shard_manifest's offsets window
     "ml_auc_exact",          # prefix-sum rank offsets over n_parts rows (8)
     "ts_survival_km",        # log-space cumprod over the #churn-days table
+    "win_rolling_corr",      # rolling moments over the day-grain table
 }
 
 

@@ -506,3 +506,19 @@ def test_survival_monotone_nonincreasing(spark, sf_dir):
         assert 0 <= r.survival <= prev + 1e-9, (r.day, r.survival, prev)
         prev = r.survival
         assert r.n_churned < r.n_at_risk
+
+
+def test_rolling_corr_bounds(spark, sf_dir):
+    out = rows(spark, sf_dir, "win_rolling_corr")
+    for r in out:
+        assert -1 - 1e-9 <= r.rolling_corr <= 1 + 1e-9
+        assert r.n == 30
+
+
+def test_rake_phrases_multiword(spark, sf_dir):
+    out = rows(spark, sf_dir, "text_keyphrase_rake")
+    scores = [r.rake_score for r in out]
+    assert scores == sorted(scores, reverse=True)
+    for r in out:
+        assert 2 <= len(r.phrase.split(" ")) <= 5
+        assert r.rake_score > 0
