@@ -1137,3 +1137,234 @@ def ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exp(F.sum("lnfp").over(wcum).cast("bigint") / 1000000.0), 4
         ).alias("survival"),
     )
+
+
+# --------------------------------- Markov removal-effect attribution
+
+_MRK_STEPS = 12
+_MRK_CHANNELS = ("click", "error", "signup", "view")
+_MRK_FP = 1_000_000
+
+
+def _mrk_base_cte() -> str:
+    """Shared path -> transition-matrix SQL (DuckDB): paths truncate at
+    the first purchase, start -> first event, last non-purchase -> null."""
+    return f"""
+ordered AS MATERIALIZED (
+  SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS pos
+  FROM events
+),
+cut AS MATERIALIZED (
+  SELECT user_id, min(pos) AS ppos FROM ordered
+  WHERE event_type = 'purchase' GROUP BY user_id
+),
+path AS MATERIALIZED (
+  SELECT o.user_id, o.event_type, o.pos,
+         max(o.pos) OVER (PARTITION BY o.user_id) AS last_pos
+  FROM ordered o LEFT JOIN cut c ON o.user_id = c.user_id
+  WHERE c.ppos IS NULL OR o.pos <= c.ppos
+),
+edges AS MATERIALIZED (
+  SELECT 'start' AS s, event_type AS t FROM path WHERE pos = 1
+  UNION ALL
+  SELECT p.event_type, n.event_type FROM path p
+  JOIN path n ON p.user_id = n.user_id AND n.pos = p.pos + 1
+  UNION ALL
+  SELECT event_type, 'null' FROM path
+  WHERE pos = last_pos AND event_type <> 'purchase'
+),
+tc AS MATERIALIZED (
+  SELECT s, t, count(*) AS c FROM edges GROUP BY s, t
+),
+tp AS MATERIALIZED (
+  SELECT s, t, CAST(round(c * {_MRK_FP}.0 / sum(c) OVER (PARTITION BY s))
+                    AS BIGINT) AS p_fp
+  FROM tc
+),
+variants AS MATERIALIZED (
+  SELECT unnest(['base', {", ".join(repr(c) for c in _MRK_CHANNELS)}]) AS variant
+),
+mat AS MATERIALIZED (
+  SELECT v.variant, tp.s,
+         CASE WHEN tp.t = v.variant THEN 'null' ELSE tp.t END AS t,
+         CAST(sum(tp.p_fp) AS BIGINT) AS p_fp
+  FROM variants v CROSS JOIN tp
+  WHERE tp.s <> v.variant
+  GROUP BY v.variant, tp.s, 3
+  UNION ALL
+  SELECT variant, 'purchase', 'purchase', {_MRK_FP} FROM variants
+  UNION ALL
+  SELECT variant, 'null', 'null', {_MRK_FP} FROM variants
+  UNION ALL
+  SELECT variant, variant, 'null', {_MRK_FP} FROM variants
+  WHERE variant <> 'base'
+),
+v0 AS MATERIALIZED (
+  SELECT variant, 'start' AS state, CAST({_MRK_FP} AS BIGINT) AS v_fp
+  FROM variants
+)"""
+
+
+def _mrk_sql() -> str:
+    steps = []
+    for i in range(1, _MRK_STEPS + 1):
+        steps.append(
+            f"""
+v{i} AS MATERIALIZED (
+  SELECT v.variant, m.t AS state,
+         CAST(round(sum(v.v_fp * m.p_fp) / {_MRK_FP}.0) AS BIGINT) AS v_fp
+  FROM v{i - 1} v JOIN mat m ON v.variant = m.variant AND v.state = m.s
+  GROUP BY v.variant, m.t
+)"""
+        )
+    return (
+        "WITH "
+        + _mrk_base_cte().strip()
+        + ","
+        + ",".join(s.strip() for s in steps)
+        + f"""
+SELECT f.variant,
+       round(f.v_fp / {_MRK_FP}.0, 4) AS conv_prob,
+       round((b.v_fp - f.v_fp) / CAST(b.v_fp AS DOUBLE), 4) AS removal_effect
+FROM v{_MRK_STEPS} f
+JOIN (SELECT v_fp FROM v{_MRK_STEPS}
+      WHERE variant = 'base' AND state = 'purchase') b ON TRUE
+WHERE f.state = 'purchase'
+"""
+    )
+
+
+@register("path_markov_attribution", oracle=_mrk_sql())
+def path_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2014 — the
+    data-driven alternative to last-touch): build the absorbing
+    journey chain (start -> events -> purchase/null, truncated at the
+    first conversion), then for each channel ask what conversion
+    probability REMAINS when that channel's node routes to null — the
+    removal effect that prices the channel. Absorption probabilities
+    come from {_MRK_STEPS} bounded power-iteration steps of the tiny
+    state vector against the (variant, state, state) matrix — all
+    five variants advance in ONE joined chain (the matrix is
+    states^2 x variants rows = broadcastable forever; the corpus is
+    touched ONCE to count transitions), with vector mass fixed-pointed
+    so every step is an exact integer aggregation. The oracle unrolls
+    all steps as MATERIALIZED CTEs."""
+    from ..checkpoint import pin
+
+    ev = load(spark, sf_dir, "events")
+    wp = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "event_type", F.row_number().over(wp).alias("pos")
+    )
+    cut = (
+        ordered.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("pos").alias("ppos"))
+    )
+    path = (
+        ordered.join(cut, "user_id", "left")
+        .filter(F.col("ppos").isNull() | (F.col("pos") <= F.col("ppos")))
+        .withColumn("last_pos", F.max("pos").over(W.partitionBy("user_id")))
+    )
+    path = pin(path, label="markov_path")
+    nxt = path.select(
+        "user_id",
+        F.col("event_type").alias("nt"),
+        (F.col("pos") - 1).alias("ppos2"),
+    )
+    edges = (
+        path.filter(F.col("pos") == 1)
+        .select(F.lit("start").alias("s"), F.col("event_type").alias("t"))
+        .unionByName(
+            path.join(
+                nxt,
+                (path.user_id == nxt.user_id) & (path.pos == nxt.ppos2),
+            ).select(F.col("event_type").alias("s"), F.col("nt").alias("t"))
+        )
+        .unionByName(
+            path.filter(
+                (F.col("pos") == F.col("last_pos"))
+                & (F.col("event_type") != "purchase")
+            ).select(F.col("event_type").alias("s"), F.lit("null").alias("t"))
+        )
+    )
+    tc = edges.groupBy("s", "t").agg(F.count("*").alias("c"))
+    tp = tc.select(
+        "s",
+        "t",
+        F.round(
+            F.col("c") * float(_MRK_FP) / F.sum("c").over(W.partitionBy("s"))
+        )
+        .cast("bigint")
+        .alias("p_fp"),
+    )
+    variants = ev.sparkSession.createDataFrame(
+        [("base",)] + [(c,) for c in _MRK_CHANNELS], ["variant"]
+    )
+    redirected = (
+        variants.crossJoin(tp)
+        .filter(F.col("s") != F.col("variant"))
+        .select(
+            "variant",
+            "s",
+            F.when(F.col("t") == F.col("variant"), "null")
+            .otherwise(F.col("t"))
+            .alias("t"),
+            "p_fp",
+        )
+        .groupBy("variant", "s", "t")
+        .agg(F.sum("p_fp").alias("p_fp"))
+    )
+    absorbing = variants.select(
+        "variant", F.lit("purchase").alias("s"), F.lit("purchase").alias("t"),
+        F.lit(_MRK_FP).cast("bigint").alias("p_fp"),
+    ).unionByName(
+        variants.select(
+            "variant", F.lit("null").alias("s"), F.lit("null").alias("t"),
+            F.lit(_MRK_FP).cast("bigint").alias("p_fp"),
+        )
+    ).unionByName(
+        variants.filter(F.col("variant") != "base").select(
+            "variant", F.col("variant").alias("s"), F.lit("null").alias("t"),
+            F.lit(_MRK_FP).cast("bigint").alias("p_fp"),
+        )
+    )
+    mat = pin(redirected.unionByName(absorbing), label="markov_mat")
+    v = variants.select(
+        "variant", F.lit("start").alias("state"),
+        F.lit(_MRK_FP).cast("bigint").alias("v_fp"),
+    )
+    mstep = mat.select(
+        F.col("variant").alias("m_variant"),
+        F.col("s").alias("m_s"),
+        "t",
+        "p_fp",
+    )
+    for i in range(1, _MRK_STEPS + 1):
+        v = (
+            v.join(
+                mstep,
+                (F.col("variant") == F.col("m_variant"))
+                & (F.col("state") == F.col("m_s")),
+            )
+            .groupBy("variant", F.col("t"))
+            .agg(
+                F.round(F.sum(F.col("v_fp") * F.col("p_fp")) / float(_MRK_FP))
+                .cast("bigint")
+                .alias("v_fp")
+            )
+            .select("variant", F.col("t").alias("state"), "v_fp")
+        )
+        v = pin(v, label=f"markov_v{i}")
+    final = v.filter(F.col("state") == "purchase")
+    base = final.filter(F.col("variant") == "base").select(
+        F.col("v_fp").alias("b_fp")
+    )
+    return final.crossJoin(F.broadcast(base)).select(
+        "variant",
+        F.round(F.col("v_fp") / float(_MRK_FP), 4).alias("conv_prob"),
+        F.round(
+            (F.col("b_fp") - F.col("v_fp")) / F.col("b_fp").cast("double"), 4
+        ).alias("removal_effect"),
+    )

@@ -98,6 +98,7 @@ NESTED_LOOP_ALLOWED = {
     "ml_ndcg_at_k",      # crossJoin against the broadcast query set + theta truth join
     "agg_association_rules",  # crossJoin against the 1-row basket count
     "ts_survival_km",    # 1-row horizon + 1-row user-count folds
+    "path_markov_attribution",  # variants x tiny matrix folds + 1-row base
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's

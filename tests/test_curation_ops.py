@@ -522,3 +522,15 @@ def test_rake_phrases_multiword(spark, sf_dir):
     for r in out:
         assert 2 <= len(r.phrase.split(" ")) <= 5
         assert r.rake_score > 0
+
+
+def test_markov_attribution_base_dominates(spark, sf_dir):
+    out = {r.variant: r for r in rows(spark, sf_dir, "path_markov_attribution")}
+    assert out["base"].removal_effect == 0.0
+    for variant, r in out.items():
+        assert 0 <= r.conv_prob <= 1
+        if variant != "base":
+            assert r.conv_prob <= out["base"].conv_prob + 1e-9, (
+                "removing a channel can only reduce conversion"
+            )
+            assert 0 <= r.removal_effect <= 1
