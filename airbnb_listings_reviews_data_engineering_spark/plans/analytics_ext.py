@@ -1368,3 +1368,87 @@ def path_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("b_fp") - F.col("v_fp")) / F.col("b_fp").cast("double"), 4
         ).alias("removal_effect"),
     )
+
+
+# ------------------------------------------- autocorrelation function
+
+_ACF_MAX_LAG = 14
+
+_ACF_SQL = f"""
+WITH daily AS (
+  SELECT o_orderdate::DATE AS day,
+         CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM daily
+), lags AS (
+  SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS lag
+), prod AS (
+  SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(a.y * b.y) AS BIGINT) AS sxy,
+         CAST(sum(a.y) AS BIGINT) AS sa, CAST(sum(b.y) AS BIGINT) AS sb
+  FROM lags l
+  JOIN daily a ON TRUE
+  JOIN daily b ON b.day = a.day + CAST(l.lag AS INT)
+  GROUP BY l.lag
+)
+SELECT p.lag, p.n_pairs,
+       round((p.sxy / CAST(p.n_pairs AS DOUBLE)
+              - (p.sa / CAST(p.n_pairs AS DOUBLE))
+                * (p.sb / CAST(p.n_pairs AS DOUBLE)))
+             / (m.syy / CAST(m.n AS DOUBLE)
+                - (m.sy / CAST(m.n AS DOUBLE)) * (m.sy / CAST(m.n AS DOUBLE))),
+             4) + 0 AS acf
+FROM prod p CROSS JOIN m
+"""
+
+
+@register("ts_autocorrelation", oracle=_ACF_SQL)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily revenue at lags 1..14 — the
+    seasonality detector (a spike at lag 7 = weekly cycle) that decides
+    whether ts_seasonal_naive_eval's lag is the right baseline. Lagged
+    pairs come from an equi-join on day+lag (the day-grain table is
+    calendar-bounded, so the 14-lag expansion is tiny at any corpus
+    size); per-lag cross moments and the global variance are exact
+    integer sums; each ACF value is one shared moments expression with
+    the +0 negative-zero guard. No window over raw events — the rollup
+    happens first, the lag algebra runs on days."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round("o_totalprice").cast("bigint")).alias("y")
+    )
+    from ..checkpoint import pin
+
+    daily = pin(daily, label="acf_daily")
+    m = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    lags = daily.sparkSession.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.select(F.col("day").alias("a_day"), F.col("y").alias("ay"))
+    b = daily.select(F.col("day").alias("b_day"), F.col("y").alias("by"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.expr("b_day = date_add(a_day, lag)"))
+    )
+    prod = pairs.groupBy("lag").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.col("ay") * F.col("by")).alias("sxy"),
+        F.sum("ay").alias("sa"),
+        F.sum("by").alias("sb"),
+    )
+    return prod.crossJoin(F.broadcast(m)).selectExpr(
+        "lag",
+        "n_pairs",
+        "round((sxy / CAST(n_pairs AS DOUBLE)"
+        " - (sa / CAST(n_pairs AS DOUBLE)) * (sb / CAST(n_pairs AS DOUBLE)))"
+        " / (syy / CAST(n AS DOUBLE)"
+        " - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE))), 4) + 0"
+        " AS acf",
+    )

@@ -146,7 +146,7 @@ SECTIONS = [
         "win_ytd_running", "agg_association_rules",
         "path_transition_matrix", "agg_weighted_median",
         "ts_survival_km", "win_rolling_corr", "text_keyphrase_rake",
-        "path_markov_attribution"]),
+        "path_markov_attribution", "ts_autocorrelation"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

@@ -99,6 +99,7 @@ NESTED_LOOP_ALLOWED = {
     "agg_association_rules",  # crossJoin against the 1-row basket count
     "ts_survival_km",    # 1-row horizon + 1-row user-count folds
     "path_markov_attribution",  # variants x tiny matrix folds + 1-row base
+    "ts_autocorrelation",  # 14-row lag grid x day table + 1-row moments
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's

@@ -534,3 +534,11 @@ def test_markov_attribution_base_dominates(spark, sf_dir):
                 "removing a channel can only reduce conversion"
             )
             assert 0 <= r.removal_effect <= 1
+
+
+def test_acf_lag_zero_normalization(spark, sf_dir):
+    out = rows(spark, sf_dir, "ts_autocorrelation")
+    assert len(out) == 14
+    for r in out:
+        assert -1.05 <= r.acf <= 1.05, r
+        assert r.n_pairs >= 1
