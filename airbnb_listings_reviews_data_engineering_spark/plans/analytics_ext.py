@@ -1452,3 +1452,179 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         " - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE))), 4) + 0"
         " AS acf",
     )
+
+
+# ------------------------------------------- new vs returning users
+
+_NVR_SQL = """
+WITH seen AS (
+  SELECT user_id, ts::DATE AS day FROM events GROUP BY user_id, ts::DATE
+), first_day AS (
+  SELECT user_id, min(day) AS fday FROM seen GROUP BY user_id
+)
+SELECT strftime(s.day, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(sum(CASE WHEN s.day = f.fday THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(sum(CASE WHEN s.day = f.fday THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_returning
+FROM seen s JOIN first_day f ON s.user_id = f.user_id
+GROUP BY s.day
+"""
+
+
+@register("agg_new_vs_returning", oracle=_NVR_SQL)
+def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split — the top-line growth metric:
+    a user is 'new' only on their first-ever active day. The first-
+    occurrence decomposition (win_running_distinct / text_vocab_growth
+    's trick): per-user first day is ONE aggregation, joined back on
+    the user key, so no window ever scans a user's full history per
+    row. Two shuffles on user_id (both with map-side combine), one
+    final day rollup."""
+    ev = load(spark, sf_dir, "events")
+    seen = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first_day = seen.groupBy("user_id").agg(F.min("day").alias("fday"))
+    is_new = F.when(F.col("day") == F.col("fday"), 1).otherwise(0)
+    return (
+        seen.join(first_day, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_active"),
+            F.sum(is_new).alias("n_new"),
+            F.sum(1 - is_new).alias("n_returning"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_active",
+            "n_new",
+            "n_returning",
+        )
+    )
+
+
+# ------------------------------------------- longest activity streaks
+
+_STREAK_SQL = """
+WITH seen AS (
+  SELECT user_id, ts::DATE AS day FROM events GROUP BY user_id, ts::DATE
+), isl AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INT) AS grp
+  FROM seen
+), streaks AS (
+  SELECT user_id, grp, count(*) AS len,
+         strftime(min(day), '%Y-%m-%d') AS streak_start
+  FROM isl GROUP BY user_id, grp
+)
+SELECT user_id, CAST(len AS BIGINT) AS longest_streak, streak_start
+FROM (
+  SELECT user_id, len, streak_start,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY len DESC, streak_start) AS rn
+  FROM streaks
+) WHERE rn = 1
+"""
+
+
+@register("win_activity_streaks", oracle=_STREAK_SQL)
+def win_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (engagement /
+    gamification metric) via the date-minus-row-number islands trick:
+    consecutive days share (day - rank), so maximal runs fall out of
+    ONE user-partitioned window plus a groupBy — no self-join on
+    day+1 chains and no iteration. Tie-break on earliest start. All
+    windows partition on the entity; state per user is their distinct
+    active days."""
+    ev = load(spark, sf_dir, "events")
+    seen = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    isl = seen.withColumn(
+        "grp", F.date_sub("day", F.row_number().over(w))
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count("*").alias("len"),
+        F.date_format(F.min("day"), "yyyy-MM-dd").alias("streak_start"),
+    )
+    wbest = W.partitionBy("user_id").orderBy(F.desc("len"), "streak_start")
+    return (
+        streaks.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("len").alias("longest_streak"), "streak_start")
+    )
+
+
+# ------------------------------------------- RFM segmentation
+
+_RFM_SQL = """
+WITH horizon AS (
+  SELECT max(o_orderdate::DATE) AS h FROM orders
+), rfm AS (
+  SELECT o_custkey,
+         CAST(h.h - max(o.o_orderdate::DATE) AS BIGINT) AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(o.o_totalprice) AS BIGINT)) AS BIGINT)
+           AS monetary
+  FROM orders o CROSS JOIN horizon h
+  GROUP BY o_custkey, h.h
+), cuts AS (
+  SELECT round(quantile_cont(recency_days, 0.5), 4) AS r_med,
+         round(quantile_cont(frequency, 0.5), 4) AS f_med,
+         round(quantile_cont(monetary, 0.5), 4) AS m_med
+  FROM rfm
+)
+SELECT (CASE WHEN r.recency_days <= c.r_med THEN 'R+' ELSE 'R-' END)
+       || (CASE WHEN r.frequency > c.f_med THEN 'F+' ELSE 'F-' END)
+       || (CASE WHEN r.monetary > c.m_med THEN 'M+' ELSE 'M-' END)
+         AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(r.monetary) AS BIGINT) AS segment_revenue
+FROM rfm r CROSS JOIN cuts c
+GROUP BY 1
+"""
+
+
+@register("agg_rfm_segmentation", oracle=_RFM_SQL)
+def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency/frequency/monetary per
+    customer split at the exact MEDIAN of each dimension into the 8
+    classic segments (R+F+M+ champions ... R-F-M- lapsed) with
+    per-segment size and revenue. The per-customer rollup is one
+    shuffle; the three medians go through the scale-guarded exact
+    percentile (the 3-row cut table broadcasts back, so scoring is
+    map-side CASE logic — never a global ntile window over the
+    customer table, which is the naive RFM plan that dies at scale).
+    Revenue stays integer dollars."""
+    o = load(spark, sf_dir, "orders")
+    horizon = o.agg(F.to_date(F.max("o_orderdate")).alias("h"))
+    rfm = (
+        o.crossJoin(F.broadcast(horizon))
+        .groupBy("o_custkey", "h")
+        .agg(
+            F.datediff("h", F.to_date(F.max("o_orderdate")))
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(F.round("o_totalprice").cast("bigint")).alias("monetary"),
+        )
+    )
+    rfm = rfm.select("o_custkey", "recency_days", "frequency", "monetary")
+    cuts = rfm.agg(
+        F.round(F.expr("percentile(recency_days, 0.5)"), 4).alias("r_med"),
+        F.round(F.expr("percentile(frequency, 0.5)"), 4).alias("f_med"),
+        F.round(F.expr("percentile(monetary, 0.5)"), 4).alias("m_med"),
+    )
+    seg = F.concat(
+        F.when(F.col("recency_days") <= F.col("r_med"), "R+").otherwise("R-"),
+        F.when(F.col("frequency") > F.col("f_med"), "F+").otherwise("F-"),
+        F.when(F.col("monetary") > F.col("m_med"), "M+").otherwise("M-"),
+    )
+    return (
+        rfm.crossJoin(F.broadcast(cuts))
+        .groupBy(seg.alias("segment"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("monetary").alias("segment_revenue"),
+        )
+    )

@@ -100,6 +100,7 @@ NESTED_LOOP_ALLOWED = {
     "ts_survival_km",    # 1-row horizon + 1-row user-count folds
     "path_markov_attribution",  # variants x tiny matrix folds + 1-row base
     "ts_autocorrelation",  # 14-row lag grid x day table + 1-row moments
+    "agg_rfm_segmentation",  # 1-row horizon + 3-value median cut folds
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's

@@ -542,3 +542,37 @@ def test_acf_lag_zero_normalization(spark, sf_dir):
     for r in out:
         assert -1.05 <= r.acf <= 1.05, r
         assert r.n_pairs >= 1
+
+
+def test_new_plus_returning_equals_active(spark, sf_dir):
+    out = rows(spark, sf_dir, "agg_new_vs_returning")
+    total_new = 0
+    for r in out:
+        assert r.n_new + r.n_returning == r.n_active
+        total_new += r.n_new
+    import duckdb
+
+    n_users = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()[0]
+    assert total_new == n_users, "every user is new exactly once"
+
+
+def test_streaks_positive(spark, sf_dir):
+    out = rows(spark, sf_dir, "win_activity_streaks")
+    assert out
+    for r in out:
+        assert r.longest_streak >= 1
+
+
+def test_rfm_partitions_customers(spark, sf_dir):
+    out = rows(spark, sf_dir, "agg_rfm_segmentation")
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(DISTINCT o_custkey) FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    ).fetchone()[0]
+    assert sum(r.n_customers for r in out) == n
+    assert len(out) <= 8
