@@ -1628,3 +1628,177 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("monetary").alias("segment_revenue"),
         )
     )
+
+
+# ------------------------------------------- price/volume/mix bridge
+
+_PVM_SQL = """
+WITH per AS (
+  SELECT o_orderpriority AS segment,
+         CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS sa,
+         CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS sb
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT segment, na AS n_orders_a, nb AS n_orders_b,
+       round((sb - sa) / CAST(100 AS DOUBLE), 2) AS delta_revenue,
+       round((nb - na) * (sa / CAST(na AS DOUBLE)) / CAST(100 AS DOUBLE), 2)
+         AS volume_effect,
+       round(nb * (sb / CAST(nb AS DOUBLE) - sa / CAST(na AS DOUBLE))
+             / CAST(100 AS DOUBLE), 2) AS price_effect
+FROM per WHERE na > 0 AND nb > 0
+"""
+
+
+@register("agg_price_volume_mix", oracle=_PVM_SQL)
+def agg_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume bridge per segment — the FP&A waterfall that
+    explains a period-over-period revenue change as volume effect
+    ((n_B - n_A) x old avg price) plus price effect (n_B x avg-price
+    change), which sum EXACTLY to the delta by construction (the
+    algebra is an identity, so the bridge always reconciles — the
+    property finance teams audit first). One conditional-aggregation
+    pass to four integer cents moments per segment; every effect is
+    the shared moments expression, bitwise cross-engine."""
+    o = load(spark, sf_dir, "orders")
+    pre = F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    per = o.groupBy(F.col("o_orderpriority").alias("segment")).agg(
+        F.sum(F.when(pre, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(pre, cents).otherwise(F.lit(0).cast("bigint"))).alias("sa"),
+        F.sum(F.when(pre, 0).otherwise(1)).alias("nb"),
+        F.sum(F.when(pre, F.lit(0).cast("bigint")).otherwise(cents)).alias("sb"),
+    )
+    return per.filter((F.col("na") > 0) & (F.col("nb") > 0)).selectExpr(
+        "segment",
+        "CAST(na AS BIGINT) AS n_orders_a",
+        "CAST(nb AS BIGINT) AS n_orders_b",
+        "round((sb - sa) / CAST(100 AS DOUBLE), 2) AS delta_revenue",
+        "round((nb - na) * (sa / CAST(na AS DOUBLE)) / CAST(100 AS DOUBLE), 2)"
+        " AS volume_effect",
+        "round(nb * (sb / CAST(nb AS DOUBLE) - sa / CAST(na AS DOUBLE))"
+        " / CAST(100 AS DOUBLE), 2) AS price_effect",
+    )
+
+
+# ------------------------------------------- Pareto coverage point
+
+_PARETO_TARGET = 80  # percent of revenue
+
+_PARETO_SQL = f"""
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT cents,
+         sum(cents) OVER (ORDER BY cents DESC, o_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk,
+         sum(cents) OVER () AS total, count(*) OVER () AS n
+  FROM cust
+)
+SELECT CAST(any_value(n) AS BIGINT) AS n_customers,
+       CAST(min(rk) AS BIGINT) AS n_top,
+       round(min(rk) / CAST(any_value(n) AS DOUBLE), 4) AS customer_share,
+       round({_PARETO_TARGET} / 100.0, 4) AS revenue_share_target
+FROM ranked WHERE cum * 100 >= total * {_PARETO_TARGET}
+"""
+
+
+@register("agg_pareto_coverage", oracle=_PARETO_SQL)
+def agg_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pareto point: how few top customers cover 80 % of revenue —
+    the concentration readout next to agg_gini_concentration's
+    coefficient. The oracle states the spec as one global
+    descending-revenue cumsum; THIS plan is the EIGHTH user of the
+    range-partition + Arrow-local-cumsum + broadcast-prefix-offset
+    decomposition (repartitionByRange on (-cents, key) so descending
+    order maps to ascending ranges) — no single-partition window. The
+    crossing rank resolves with exact integer comparison
+    (cum*100 >= total*80, no float percentage)."""
+    import pandas as pd
+
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    n_parts = 8
+    d = (
+        cust.select("o_custkey", "cents", (-F.col("cents")).alias("neg"))
+        .repartitionByRange(n_parts, "neg", "o_custkey")
+        .sortWithinPartitions("neg", "o_custkey")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    from ..checkpoint import pin
+
+    d = pin(d, label="pareto_ranked")
+
+    def cum_local(batches):
+        seen_c = 0
+        seen_n = 0
+        for pdf in batches:
+            cum = pdf["cents"].cumsum() + seen_c
+            out = pd.DataFrame(
+                {
+                    "pid": pdf["pid"],
+                    "cents": pdf["cents"],
+                    "local_cum": cum,
+                    "local_rk": range(seen_n + 1, seen_n + 1 + len(pdf)),
+                }
+            )
+            seen_c = int(cum.iloc[-1]) if len(cum) else seen_c
+            seen_n += len(pdf)
+            yield out
+
+    local = d.mapInPandas(
+        cum_local, schema="pid int, cents long, local_cum long, local_rk long"
+    )
+    totals = d.groupBy("pid").agg(
+        F.sum("cents").alias("tc"), F.count("*").alias("tn")
+    )
+    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "pid",
+        F.coalesce(F.sum("tc").over(w_off), F.lit(0)).alias("c_off"),
+        F.coalesce(F.sum("tn").over(w_off), F.lit(0)).alias("n_off"),
+    )
+    grand = totals.agg(
+        F.sum("tc").alias("total"), F.sum("tn").alias("n")
+    )
+    ranked = (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            (F.col("c_off") + F.col("local_cum")).alias("cum"),
+            (F.col("n_off") + F.col("local_rk")).alias("rk"),
+        )
+        .crossJoin(F.broadcast(grand))
+    )
+    return (
+        ranked.filter(F.col("cum") * 100 >= F.col("total") * _PARETO_TARGET)
+        .agg(
+            F.first("n").alias("n_customers"),
+            F.min("rk").alias("n_top"),
+        )
+        .crossJoin(F.broadcast(grand.select(F.col("n").alias("n2"))))
+        .select(
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+            F.col("n_top").cast("bigint").alias("n_top"),
+            F.round(F.col("n_top") / F.col("n2").cast("double"), 4).alias(
+                "customer_share"
+            ),
+            F.round(F.lit(_PARETO_TARGET) / 100.0, 4).alias(
+                "revenue_share_target"
+            ),
+        )
+    )

@@ -26,7 +26,8 @@ from .registry import load, register
     "agg_collect_struct",
     oracle="""
 SELECT l_orderkey,
-       to_json(list_sort(list(struct_pack(ln := l_linenumber, qty := CAST(l_quantity AS BIGINT)))))
+       CAST(to_json(list_sort(list(struct_pack(ln := l_linenumber,
+                qty := CAST(l_quantity AS BIGINT))))) AS VARCHAR)
          AS items_json
 FROM lineitem GROUP BY l_orderkey
 """,

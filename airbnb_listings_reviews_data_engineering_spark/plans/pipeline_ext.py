@@ -2742,7 +2742,13 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.selectExpr(
         "doc_id",
         "CAST(n AS BIGINT) AS n_chars_counted",
-        f"round(-({_ENT_TERMS}) / 1000000000.0, 4) AS entropy_bits",
+        # CAST the divisor: a bare 1e9 decimal literal makes Spark SQL
+        # type the column DECIMAL while DuckDB types it DOUBLE — the
+        # local hash matched only through string formatting, and a
+        # type-divergent column is exactly the class the round-4
+        # HUGEINT postmortem warns about
+        f"round(-({_ENT_TERMS}) / CAST(1000000000 AS DOUBLE), 4)"
+        " AS entropy_bits",
     )
 
 

@@ -101,6 +101,7 @@ NESTED_LOOP_ALLOWED = {
     "path_markov_attribution",  # variants x tiny matrix folds + 1-row base
     "ts_autocorrelation",  # 14-row lag grid x day table + 1-row moments
     "agg_rfm_segmentation",  # 1-row horizon + 3-value median cut folds
+    "agg_pareto_coverage",  # 1-row grand-total folds onto the ranked frame
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's
@@ -122,6 +123,7 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "ml_auc_exact",          # prefix-sum rank offsets over n_parts rows (8)
     "ts_survival_km",        # log-space cumprod over the #churn-days table
     "win_rolling_corr",      # rolling moments over the day-grain table
+    "agg_pareto_coverage",   # prefix-sum offsets over n_parts rows (8)
 }
 
 

@@ -576,3 +576,18 @@ def test_rfm_partitions_customers(spark, sf_dir):
     ).fetchone()[0]
     assert sum(r.n_customers for r in out) == n
     assert len(out) <= 8
+
+
+def test_price_volume_bridge_reconciles(spark, sf_dir):
+    out = rows(spark, sf_dir, "agg_price_volume_mix")
+    for r in out:
+        assert abs(r.delta_revenue - (r.volume_effect + r.price_effect)) < 0.05, r
+
+
+def test_pareto_point_sane(spark, sf_dir):
+    out = rows(spark, sf_dir, "agg_pareto_coverage")[0]
+    assert 1 <= out.n_top <= out.n_customers
+    assert 0 < out.customer_share <= 1
+    # 80% of revenue should need fewer than ~80% of customers on any
+    # non-uniform revenue distribution
+    assert out.customer_share < 0.95

@@ -109,3 +109,86 @@ def test_every_registered_oracle_is_lint_clean():
         rel = con.sql(spec.oracle)
         bad += lint_oracle_types(rel.columns, rel.types, key)
     assert bad == []
+
+
+def _coarse_spark_type(dt: str) -> str:
+    dt = dt.lower()
+    if dt.startswith("decimal"):
+        return "decimal"
+    if dt in ("bigint", "int", "smallint", "tinyint"):
+        return "int"
+    if dt in ("double", "float"):
+        return "float"
+    if dt == "boolean":
+        return "bool"
+    if dt in ("string", "varchar"):
+        return "str"
+    if dt == "date":
+        return "date"
+    if dt.startswith("timestamp"):
+        return "ts"
+    return dt
+
+
+def _coarse_duck_type(dt) -> str:
+    dt = str(dt).upper()
+    if dt.startswith("DECIMAL"):
+        return "decimal"
+    if dt in ("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "HUGEINT"):
+        return "int"
+    if dt in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if dt == "BOOLEAN":
+        return "bool"
+    if dt in ("VARCHAR", "JSON"):
+        # JSON stringifies identically; oracles still CAST to VARCHAR
+        return "str"
+    if dt == "DATE":
+        return "date"
+    if dt.startswith("TIMESTAMP"):
+        return "ts"
+    return dt.lower()
+
+
+def test_spark_and_oracle_output_types_agree(spark):
+    """Cross-engine TYPE differential over every registered key: a
+    column typed DECIMAL by Spark but DOUBLE by DuckDB (or vice versa)
+    can hash equal locally through string formatting and still diverge
+    in the driver's normalizer — the round-4 HUGEINT failure class from
+    the Spark side. Plans are built (never executed), so this covers
+    all keys cheaply."""
+    import duckdb
+
+    from airbnb_listings_reviews_data_engineering_spark.checkpoint import (
+        release_pins,
+    )
+    from airbnb_listings_reviews_data_engineering_spark.plans import all_queries
+    from airbnb_listings_reviews_data_engineering_spark.plans.registry import (
+        TABLES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    bad = []
+    for key, spec in sorted(all_queries().items()):
+        if spec.oracle is None:
+            continue
+        try:
+            sdf = spec.fn(spark, sf)
+            stypes = {n: _coarse_spark_type(d) for n, d in sdf.dtypes}
+            rel = con.sql(spec.oracle)
+            dtypes = {
+                c: _coarse_duck_type(t) for c, t in zip(rel.columns, rel.types)
+            }
+            bad += [
+                (key, c, stypes[c], dtypes[c])
+                for c in stypes
+                if c in dtypes and stypes[c] != dtypes[c]
+            ]
+        finally:
+            release_pins(spark)
+    assert bad == []
