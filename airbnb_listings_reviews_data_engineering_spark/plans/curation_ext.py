@@ -2338,3 +2338,150 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rake_score"), "phrase")
         .limit(_RAKE_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprint selection (robust minimizer sampling)
+# ---------------------------------------------------------------------------
+
+_WIN_K = 5   # k-gram length (chars)
+_WIN_W = 4   # winnowing window (k-grams per window)
+_WIN_MOD = 1_000_000_007
+_WIN_BASE = 31
+
+
+def _winnow_sql() -> str:
+    h = (
+        f"list_sum(list_transform(generate_series(i, i + {_WIN_K - 1}), "
+        f"j -> CAST(ascii(substr(text, j, 1)) * "
+        f"CAST(pow({_WIN_BASE}, i + {_WIN_K - 1} - j) AS BIGINT) AS BIGINT)))"
+        f" % {_WIN_MOD}"
+    )
+    return f"""
+WITH grams AS MATERIALIZED (
+  SELECT doc_id, u.i AS pos, u.h AS h FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, length(text) - {_WIN_K - 1}),
+             i -> struct_pack(i := i, h := {h}))) AS u
+    FROM documents WHERE length(text) >= {_WIN_K}
+  )
+), windowed AS (
+  SELECT doc_id, pos, h,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW) AS wmin,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM grams
+), selected AS (
+  SELECT doc_id, h FROM windowed
+  WHERE rn >= {_WIN_W} AND h = wmin
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_kgrams,
+       (SELECT count(DISTINCT s.h) FROM selected s
+        WHERE s.doc_id = g.doc_id) AS n_fingerprints
+FROM grams g GROUP BY g.doc_id
+"""
+
+
+@register("text_winnowing_fingerprints", oracle=_winnow_sql())
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken —
+    SIGMOD'03, the MOSS algorithm): from each document's rolling k-gram
+    hash stream, keep each w-window's MINIMUM — the guarantee-bearing
+    sampling (any shared substring of length >= w+k-1 shares a selected
+    fingerprint) that document-similarity indexes are built on, with
+    expected density 2/(w+1) instead of keeping every gram. The hash
+    is the Rabin-Karp polynomial both engines already share
+    (operators/text.py); minima come from a doc-partitioned bounded
+    window — one exchange keyed on the document, frames of w rows.
+    Output: per-doc gram and distinct-fingerprint counts (the index
+    size planner's numbers). The fingerprint -> posting-list join that
+    follows is dedup_shared_spans' registered shape."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = docs.filter(F.length("text") >= _WIN_K).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(text) - {_WIN_K - 1}), "
+                f"i -> aggregate(transform(sequence(i, i + {_WIN_K - 1}), "
+                f"j -> cast(ascii(substring(text, j, 1)) * "
+                f"cast(pow({_WIN_BASE}, i + {_WIN_K - 1} - j) as bigint) as bigint)), "
+                f"0L, (acc, x) -> acc + x) % {_WIN_MOD})"
+            )
+        ).alias("pos0", "h"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    wmin = w.rowsBetween(-(_WIN_W - 1), W.currentRow)
+    windowed = grams.select(
+        "doc_id",
+        "pos",
+        "h",
+        F.min("h").over(wmin).alias("wmin"),
+        F.row_number().over(w).alias("rn"),
+    )
+    selected = windowed.filter(
+        (F.col("rn") >= _WIN_W) & (F.col("h") == F.col("wmin"))
+    )
+    n_sel = selected.groupBy("doc_id").agg(
+        F.countDistinct("h").alias("n_fingerprints")
+    )
+    n_grams = grams.groupBy("doc_id").agg(F.count("*").alias("n_kgrams"))
+    return n_grams.join(n_sel, "doc_id").select(
+        "doc_id", "n_kgrams", "n_fingerprints"
+    )
+
+
+# ---------------------------------------------------------------------------
+# classifier agreement audit (heuristic vs learned language ID)
+# ---------------------------------------------------------------------------
+
+
+def _agreement_sql() -> str:
+    return f"""
+WITH nb AS ({_NB_SQL}),
+heur AS (
+  SELECT doc_id,
+         CASE WHEN len(list_filter(string_split(text, ' '),
+                    w -> w IN ('the', 'a', 'of', 'and', 'to')))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.05
+              THEN 'en' ELSE 'unk' END AS heur_pred
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT h.heur_pred, nb.pred_lang AS nb_pred,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN nb.pred_lang = nb.true_lang THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_nb_correct
+FROM heur h JOIN nb ON h.doc_id = nb.doc_id
+GROUP BY h.heur_pred, nb.pred_lang
+"""
+
+
+@register("ml_classifier_agreement", oracle=_agreement_sql())
+def ml_classifier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement audit between the two registered language gates — the
+    cheap stopword heuristic (text_lang_id) and the learned naive
+    Bayes — on the shared holdout: per (heuristic verdict, NB verdict)
+    cell, the volume and how often NB was actually right. This is the
+    cascade-design table: cells where the cheap gate agrees with a
+    correct NB are safe to route WITHOUT the expensive model (the
+    heuristic-first cascade every crawl router uses to cut inference
+    cost); disagreement cells price the upgrade. Pure composition of
+    two registered plans plus one aggregation."""
+    from ..operators.text import lang_id
+
+    docs = load(spark, sf_dir, "documents")
+    heur = lang_id(docs.filter(F.col("doc_id") % 5 == 0), "doc_id", "text").select(
+        "doc_id", F.col("lang_pred").alias("heur_pred")
+    )
+    nb = ml_naive_bayes(spark, sf_dir)
+    return (
+        heur.join(nb, "doc_id")
+        .groupBy("heur_pred", F.col("pred_lang").alias("nb_pred"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("pred_lang") == F.col("true_lang"), 1).otherwise(0)
+            ).alias("n_nb_correct"),
+        )
+    )

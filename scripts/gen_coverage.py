@@ -149,7 +149,8 @@ SECTIONS = [
         "path_markov_attribution", "ts_autocorrelation",
         "agg_new_vs_returning", "win_activity_streaks",
         "agg_rfm_segmentation", "agg_price_volume_mix",
-        "agg_pareto_coverage"]),
+        "agg_pareto_coverage", "text_winnowing_fingerprints",
+        "ml_classifier_agreement"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

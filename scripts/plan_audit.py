@@ -102,6 +102,7 @@ NESTED_LOOP_ALLOWED = {
     "ts_autocorrelation",  # 14-row lag grid x day table + 1-row moments
     "agg_rfm_segmentation",  # 1-row horizon + 3-value median cut folds
     "agg_pareto_coverage",  # 1-row grand-total folds onto the ranked frame
+    "ml_classifier_agreement",  # composes ml_naive_bayes (class/vocab folds)
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's

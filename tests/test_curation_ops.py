@@ -591,3 +591,31 @@ def test_pareto_point_sane(spark, sf_dir):
     # 80% of revenue should need fewer than ~80% of customers on any
     # non-uniform revenue distribution
     assert out.customer_share < 0.95
+
+
+def test_winnowing_density_near_theory(spark, sf_dir):
+    out = rows(spark, sf_dir, "text_winnowing_fingerprints")
+    assert out
+    import statistics
+
+    dens = [r.n_fingerprints / r.n_kgrams for r in out if r.n_kgrams > 50]
+    if dens:
+        # expected density 2/(w+1) = 0.4 for w=4 (distinct-hash dedup
+        # within a doc pulls it slightly below); must be a real sample,
+        # far from keep-everything and from degenerate
+        assert 0.1 < statistics.mean(dens) < 0.6, statistics.mean(dens)
+    for r in out:
+        assert 1 <= r.n_fingerprints <= r.n_kgrams
+
+
+def test_classifier_agreement_accounts_holdout(spark, sf_dir):
+    out = rows(spark, sf_dir, "ml_classifier_agreement")
+    import duckdb
+
+    n_test = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE doc_id % 5 = 0"
+    ).fetchone()[0]
+    assert sum(r.n for r in out) == n_test
+    for r in out:
+        assert 0 <= r.n_nb_correct <= r.n
