@@ -52,6 +52,54 @@ _MODES = ("local", "reliable", "parquet")
 # session JVM id -> list[(weakref to pinned DataFrame | None, release callable)]
 _PINS: dict[int, list[tuple[object, object]]] = {}
 
+# Pre-materialization stage-plan capture: pin() truncates lineage, so
+# the final plan the audit lints is structurally blind to every stage
+# that runs inside a pin job (VERDICT r5 — the SemDedup assignment
+# shuffle hid exactly there). When recording is on, pin() snapshots each
+# input's formatted plan + its unpartitioned-window count BEFORE
+# materializing, and scripts/plan_audit.py lints those snapshots with
+# the same rules as the final plan. Off by default: plan compilation
+# isn't free and the capture is audit tooling, not the data path.
+_STAGE_RECORDING = False
+# session JVM id -> list[(label, formatted plan, n unpartitioned windows)]
+_STAGE_PLANS: dict[int, list[tuple[str, str, int]]] = {}
+
+
+def record_stage_plans(enabled: bool) -> None:
+    """Toggle pre-materialization plan capture inside ``pin()``."""
+    global _STAGE_RECORDING
+    _STAGE_RECORDING = enabled
+
+
+def drain_stage_plans(spark: SparkSession) -> list[tuple[str, str, int]]:
+    """Return and clear the stage plans recorded for this session since
+    the last drain: [(pin label, formatted plan, unpartitioned-window
+    count)]."""
+    return _STAGE_PLANS.pop(_session_key(spark), [])
+
+
+# Per-pin wall-clock capture (bench instrumentation, VERDICT r5 #7):
+# an EAGER pin blocks until its stage is materialized, so timing the
+# pin() call measures that stage's cost exactly — the per-stage anatomy
+# SCALING.md previously reconstructed ad hoc. Lazy pins record their
+# (near-zero) call time; their cost lands in the downstream action.
+_PIN_TIMING = False
+_PIN_TIMES: dict[int, list[tuple[str, float]]] = {}
+
+
+def record_pin_timings(enabled: bool) -> None:
+    """Toggle per-pin wall-clock capture (one perf_counter pair and a
+    list append per pin — cheap enough to leave on inside a timed
+    bench rep)."""
+    global _PIN_TIMING
+    _PIN_TIMING = enabled
+
+
+def drain_pin_timings(spark: SparkSession) -> list[tuple[str, float]]:
+    """Return and clear [(pin label, seconds)] recorded since the last
+    drain, in pin order."""
+    return _PIN_TIMES.pop(_session_key(spark), [])
+
 
 def checkpoint_mode(spark: SparkSession) -> str:
     mode = spark.conf.get(MODE_CONF, None) or os.environ.get(MODE_ENV, "local")
@@ -96,6 +144,32 @@ def pin(df: DataFrame, *, eager: bool = True, label: str = "pin") -> DataFrame:
     so the stage happens eagerly, which preserves the barrier semantics.
     """
     spark = df.sparkSession
+    if _STAGE_RECORDING:
+        try:
+            from .planlint import formatted_plan, unpartitioned_windows
+
+            _STAGE_PLANS.setdefault(_session_key(spark), []).append(
+                (label, formatted_plan(df), unpartitioned_windows(df))
+            )
+        except Exception as e:  # noqa: BLE001 — capture must not break the pin
+            _STAGE_PLANS.setdefault(_session_key(spark), []).append(
+                (label, f"<capture failed: {e!r}>", 0)
+            )
+    if not _PIN_TIMING:
+        return _pin_impl(df, spark, eager, label)
+    import time
+
+    t0 = time.perf_counter()
+    out = _pin_impl(df, spark, eager, label)
+    _PIN_TIMES.setdefault(_session_key(spark), []).append(
+        (label, time.perf_counter() - t0)
+    )
+    return out
+
+
+def _pin_impl(
+    df: DataFrame, spark: SparkSession, eager: bool, label: str
+) -> DataFrame:
     mode = checkpoint_mode(spark)
     if mode == "local":
         out = df.localCheckpoint(eager=eager)

