@@ -16,7 +16,7 @@ rounded to 6 dp. The oracle SQL mirrors both rounding points exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..checkpoint import pin
@@ -46,6 +46,50 @@ def _sq_dist(a, b, dims: int | None = None):
     )
 
 
+def assign_nearest(
+    v: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: DataFrame,
+    *,
+    probes: int = 1,
+    dims: int | None = None,
+) -> DataFrame:
+    """MAP-SIDE nearest-centroid assignment by squared distance: the
+    k-row (cid, cv) centroid table collapses to ONE broadcast
+    array-of-structs row and the per-vector pick is a pure column
+    expression — ``array_min`` (probes=1) or
+    ``slice(array_sort(...), 1, probes)`` over ``struct(d2, cid)``,
+    whose lexicographic ordering reproduces the oracle's
+    ``row_number() ORDER BY d2, cid`` exactly. No
+    ``Exchange hashpartitioning(id)``, no per-vector window: the corpus
+    is touched by one narrow projection — the only assignment plan that
+    survives 100 TB (the window formulation this replaces shuffled the
+    full corpus once per Lloyd round, VERDICT r6 #2). Distances round
+    to 6 dp before the argmin, matching every registered oracle.
+    Returns (id, vec, cid), one row per probe."""
+    carr = F.broadcast(
+        cents.agg(F.collect_list(F.struct("cid", "cv")).alias("_cents"))
+    )
+    scores = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            F.round(_sq_dist(F.col(vec_col), c["cv"], dims), 6).alias("d2"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    joined = v.crossJoin(carr)
+    if probes == 1:
+        return joined.select(
+            id_col, vec_col, F.array_min(scores)["cid"].alias("cid")
+        )
+    return joined.select(
+        id_col,
+        vec_col,
+        F.explode(F.slice(F.array_sort(scores), 1, probes)).alias("_pc"),
+    ).select(id_col, vec_col, F.col("_pc")["cid"].alias("cid"))
+
+
 def _lloyd(v: DataFrame, id_col: str, k: int, iters: int, dims: int | None = None):
     """Run `iters` Lloyd rounds over (id, v) rows; centroids seeded from
     ids 1..k. Returns (cents, assigned): the final (cid, cv) centroid
@@ -56,18 +100,7 @@ def _lloyd(v: DataFrame, id_col: str, k: int, iters: int, dims: int | None = Non
     )
     assigned = None
     for _ in range(iters):
-        scored = v.crossJoin(F.broadcast(cents)).select(
-            id_col,
-            "v",
-            "cid",
-            F.round(_sq_dist(F.col("v"), F.col("cv"), dims), 6).alias("d2"),
-        )
-        w = Window.partitionBy(id_col).orderBy("d2", "cid")
-        assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(id_col, "v", "cid")
-        )
+        assigned = assign_nearest(v, id_col, "v", cents, dims=dims)
         means = (
             assigned.select("cid", F.posexplode("v").alias("pos", "val"))
             .groupBy("cid", "pos")

@@ -179,10 +179,12 @@ def ivf_assign(
     The K centroids collapse to a single broadcast array row
     (:func:`_centroid_array`); the per-row argmax is ``array_max`` over a
     ``transform`` — no shuffle of the corpus, no per-row window (the
-    window formulation in plans/pipeline_ext.sim_ivf_topk shuffles the
-    whole corpus on vec_id; this is the index-build shape a 100 TB
-    corpus needs, writing the result partitioned by cell so probes
-    become partition pruning). Tie-break: lowest cell id, matching the
+    row_number-over-partitionBy(vec_id) formulation shuffles the whole
+    corpus on vec_id; since round 7 every assignment site — including
+    plans/pipeline_ext.sim_ivf_topk and the Lloyd training rounds in
+    operators/clustering — uses this map-side shape, writing the result
+    partitioned by cell so probes become partition pruning).
+    Tie-break: lowest cell id, matching the
     registered oracle's ``row_number ORDER BY cos DESC, cell``.
     Returns (id, v, cell).
     """

@@ -68,43 +68,14 @@ def _normalized(v: str):
 
 
 def _assign_cells(corpus: DataFrame, cents: DataFrame, probes: int = 1) -> DataFrame:
-    """MAP-SIDE nearest-centroid assignment (the shape
-    operators/similarity.ivf_assign uses, VERDICT r5 #1): the k-row
-    learned centroid table collapses to ONE broadcast array-of-structs
-    row, and the per-vector pick is a pure column expression —
-    ``array_min`` (probes=1) or ``slice(array_sort(...), 1, probes)``
-    over ``struct(d2, cid)``, whose lexicographic ordering reproduces
-    the oracle's ``row_number() ORDER BY d2, cid`` exactly. No
-    ``Exchange hashpartitioning(vec_id)``, no per-vector window: the
-    corpus is touched by one narrow projection, which is the only
-    assignment plan that survives 100 TB. Returns (vec_id, v, cid),
-    one row per probe."""
-    carr = F.broadcast(
-        cents.agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
-    )
+    """MAP-SIDE nearest-centroid assignment over (vec_id, v) rows.
+    Promoted in round 7 to :func:`operators.clustering.assign_nearest`
+    (VERDICT r6 #2: ``_lloyd``'s training rounds needed the same shape);
+    this wrapper keeps the curation-module call sites and the semdedup
+    oracles' exact numeric contract (zip_with fold, round 6 dp)."""
+    from ..operators.clustering import assign_nearest
 
-    def d2(c):
-        return F.round(
-            F.aggregate(
-                F.zip_with("v", c["cv"], lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, val: acc + val,
-            ),
-            6,
-        )
-
-    scores = F.transform(
-        F.col("cents"),
-        lambda c: F.struct(d2(c).alias("d2"), c["cid"].alias("cid")),
-    )
-    joined = corpus.crossJoin(carr)
-    if probes == 1:
-        return joined.select(
-            "vec_id", "v", F.array_min(scores)["cid"].alias("cid")
-        )
-    return joined.select(
-        "vec_id", "v", F.explode(F.slice(F.array_sort(scores), 1, probes)).alias("pc")
-    ).select("vec_id", "v", F.col("pc")["cid"].alias("cid"))
+    return assign_nearest(corpus, "vec_id", "v", cents, probes=probes)
 
 
 

@@ -484,35 +484,36 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors 1..8, deterministic seed), probe the query's 2 nearest cells,
     and take exact top-10 within the probed cells only.
 
-    The scale shape: centroid assignment is a broadcast cross-join against
-    K tiny rows + a per-row argmax (map-side, no shuffle of the corpus);
+    The scale shape: centroid assignment is operators/similarity's
+    ``ivf_assign`` — the 8 centroids collapse to ONE broadcast array row
+    and the per-row argmax is ``array_max`` over ``struct(cos, -cell,
+    cell)``, a pure map-side expression (no ``Exchange
+    hashpartitioning(vec_id)``, no per-vector window — the window
+    formulation this replaces shuffled the whole corpus, VERDICT r6 #3);
     the probe scans ~nprobe/K of the data. At 100 TB the assigned corpus
     would be written partitioned by cell so a probe is partition pruning.
+    The struct tie-break reproduces the oracle's ``row_number ORDER BY
+    cos_c DESC, cell`` exactly.
     """
-    from pyspark.sql import Window as W
-
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("v")
     )
     cents = emb.filter(F.col("vec_id").between(1, 8)).select(
         F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("cv")
     )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "v", "cell", F.round(cosine(F.col("v"), F.col("cv")), 6).alias("cos_c")
-    )
-    w = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), "cell")
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cell")
-    )
-    qcells = (
-        scored.filter(F.col("vec_id") == 0)
-        .orderBy(F.desc("cos_c"), "cell")
-        .limit(2)
-        .select("cell")
-    )
+    assigned = S.ivf_assign(emb, "vec_id", "v", cents)
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    qcells = (
+        qv.crossJoin(S._centroid_array(cents))
+        .select(
+            F.explode(
+                F.slice(
+                    F.reverse(F.array_sort(S._cell_scores(F.col("qv")))), 1, 2
+                )
+            ).alias("pc")
+        )
+        .select(F.col("pc")["cell"].alias("cell"))
+    )
     return (
         assigned.join(F.broadcast(qcells), "cell")
         .crossJoin(F.broadcast(qv))
