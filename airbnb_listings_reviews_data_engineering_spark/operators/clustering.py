@@ -54,6 +54,7 @@ def assign_nearest(
     *,
     probes: int = 1,
     dims: int | None = None,
+    with_dist: bool = False,
 ) -> DataFrame:
     """MAP-SIDE nearest-centroid assignment by squared distance: the
     k-row (cid, cv) centroid table collapses to ONE broadcast
@@ -80,14 +81,20 @@ def assign_nearest(
     )
     joined = v.crossJoin(carr)
     if probes == 1:
-        return joined.select(
-            id_col, vec_col, F.array_min(scores)["cid"].alias("cid")
-        )
-    return joined.select(
+        best = F.array_min(scores)
+        cols = [id_col, vec_col, best["cid"].alias("cid")]
+        if with_dist:
+            cols.append(best["d2"].alias("d2"))
+        return joined.select(*cols)
+    picked = joined.select(
         id_col,
         vec_col,
         F.explode(F.slice(F.array_sort(scores), 1, probes)).alias("_pc"),
-    ).select(id_col, vec_col, F.col("_pc")["cid"].alias("cid"))
+    )
+    cols = [id_col, vec_col, F.col("_pc")["cid"].alias("cid")]
+    if with_dist:
+        cols.append(F.col("_pc")["d2"].alias("d2"))
+    return picked.select(*cols)
 
 
 def _lloyd(v: DataFrame, id_col: str, k: int, iters: int, dims: int | None = None):

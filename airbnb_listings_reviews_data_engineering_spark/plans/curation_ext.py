@@ -145,8 +145,10 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector is assigned to its nearest centroid MAP-SIDE (the k
     centroids collapse to ONE broadcast array row; the pick is
     ``array_min`` over ``struct(rounded d2, cid)`` — a pure column
-    expression, no corpus shuffle and no per-vector window, verified
-    by tests/test_plan_audit.py over the recorded pre-pin stage plan),
+    expression, no corpus shuffle and no per-vector window — verified
+    by tests/test_plan_audit.py::test_assignment_stages_stay_map_side,
+    which pins this key's pinned-stage exchange/window counts and
+    asserts no hashpartitioning(vec_id) in any recorded stage plan),
     and cosine >= 0.99 pairs are found ONLY inside a cluster. Per
     cluster: member count, dup-pair count, and how many vectors a
     keep-lowest-id policy would drop. At 100 TB k grows with the
@@ -1409,7 +1411,7 @@ def sim_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook-quality report (imbalanced codes or fat error cells =
     retrain). Distortions are fixed-pointed BEFORE summation so the
     report is order-free and bitwise reproducible."""
-    from ..operators.clustering import _sq_dist, kmeans_centroids
+    from ..operators.clustering import assign_nearest, kmeans_centroids
 
     emb = load(spark, sf_dir, "embeddings")
     outs = []
@@ -1425,13 +1427,12 @@ def sim_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             sub, "vec_id", "embedding", k=_PQ_K, dims=_PQ_SUBDIM, iters=_PQ_ITERS
         )
         v = sub.select("vec_id", F.col("embedding").alias("v"))
-        d2 = F.round(_sq_dist(F.col("v"), F.col("cv"), _PQ_SUBDIM), 6)
-        win = W.partitionBy("vec_id").orderBy("d2", "cid")
-        enc = (
-            v.crossJoin(F.broadcast(cents))
-            .select("vec_id", "cid", d2.alias("d2"))
-            .withColumn("rn", F.row_number().over(win))
-            .filter(F.col("rn") == 1)
+        # map-side argmin (assign_nearest's struct ordering == the
+        # oracle's row_number ORDER BY d2, cid) — the window/crossJoin
+        # formulation this replaces shuffled the corpus on vec_id once
+        # per subspace (caught by test_assignment_stages_stay_map_side)
+        enc = assign_nearest(
+            v, "vec_id", "v", cents, dims=_PQ_SUBDIM, with_dist=True
         )
         outs.append(
             enc.groupBy("cid").agg(

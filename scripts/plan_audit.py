@@ -23,7 +23,12 @@ The SAME rules run over every PRE-materialization stage plan recorded
 by pin() (checkpoint.record_stage_plans): pin truncates lineage, so the
 final plan is structurally blind to stages that run inside a pin job —
 round 5's SemDedup assignment shuffle hid exactly there (VERDICT r5).
-Stage findings are tagged PIN[<label>]:<flag>.
+Stage findings are tagged PIN[<label>]:<flag> and allowlisted per
+(key, pin label) — never per key (VERDICT r6 #4). Stage WindowExec
+nodes are counted partitioned-or-not (stage_windows): the r5/r6
+shuffle-assignment class was a PARTITIONED window, invisible to the
+unpartitioned counter; tests/test_plan_audit.py pins stage_windows==0
+and zero corpus-key hashpartitioning for every assignment-bearing key.
 
 Writes PLAN_AUDIT.md (one row per key: exchanges, python-eval mode,
 pinned-stage counts, flags). tests/test_plan_audit.py pins the
@@ -123,9 +128,6 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "dq_anomaly_volume",     # trailing window over the #days daily rollup
     "agg_gini_concentration",  # prefix-sum rank offsets over n_parts rows (8)
     "sim_hybrid_rrf",        # fusion ranks over the joined candidate set
-    "pack_length_pairs",     # 8-row offsets window inside the pinned ranked
-                             # frame — surfaced by the stage-plan capture
-                             # (it was invisible pre-r6; VERDICT r5 #1)
     "mm_reader_assignment",  # reuses mm_shard_manifest's offsets window
     "ml_auc_exact",          # prefix-sum rank offsets over n_parts rows (8)
     "ts_survival_km",        # log-space cumprod over the #churn-days table
@@ -134,20 +136,87 @@ UNPARTITIONED_WINDOW_ALLOWED = {
 }
 
 
+# Pinned STAGE plans are allowlisted per (key, pin label), NOT per key
+# (VERDICT r6 #4): a key-level pass would let a future corpus-sized
+# stage under a different label ride an allowlist earned by a 1-row
+# fold. Every entry names the fixed-tiny side that justifies it.
+NESTED_LOOP_STAGE_ALLOWED = {
+    # Lloyd training rounds: corpus crossJoins the ONE-row broadcast
+    # centroid array (operators/clustering.assign_nearest — map-side
+    # argmin, no corpus shuffle; the means step is the stage's only
+    # exchange)
+    ("dedup_semdedup", "kmeans_cents"),
+    ("dedup_semdedup_multiprobe", "kmeans_cents"),
+    ("ml_kmeans", "kmeans_cents"),
+    ("sim_ivf_join_learned", "kmeans_cents"),
+    ("sim_pq_quantize", "kmeans_cents"),  # per-subspace codebooks
+    # map-side cell assignment: same ONE-row centroid-array crossJoin
+    ("dedup_semdedup", "semdedup_assigned"),
+    ("dedup_semdedup_multiprobe", "semdedup_mp_probed"),
+    # power iteration: corpus x the ONE-row broadcast direction vector
+    ("emb_pca_project", "power_iter_v"),
+    ("emb_power_iteration", "power_iter_v"),
+    # the ONE-row bloom bit-map broadcast against the probe side
+    ("join_bloom_prefilter", "bloom_pruned"),
+    # ranked frame x the 1-row corpus count (complement pairing)
+    ("pack_length_pairs", "pack_pairs_pos"),
+    # variants x the tiny transition matrix + 1-row base fold
+    ("path_markov_attribution", "markov_mat"),
+    # greedy k-center rounds: corpus x the 1-row chosen-center pick
+    ("sample_kcenter_coreset", "kcenter_state_2"),
+    ("sample_kcenter_coreset", "kcenter_state_3"),
+    ("sample_kcenter_coreset", "kcenter_state_4"),
+    ("sample_kcenter_coreset", "kcenter_state_5"),
+    ("sample_kcenter_coreset", "kcenter_state_6"),
+    # fixed n_planes hyperplane rows build the bucket bits
+    ("sim_lsh_bucketed", "lsh_buckets"),
+    # candidate set x the broadcast 5-query set
+    ("sim_mmr_rerank", "mmr_cand"),
+    # BPE merge rounds: symbol chain x the pinned 1-ROW argmax winner
+    # (VERDICT r6 #4 — the same fixed-tiny shape as the bpe final plans)
+    ("text_bpe_train", "bpe_best"),
+    ("text_bpe_vocab", "bpe_best"),
+    ("text_bpe_encode_docs", "bpe_best"),
+    ("text_tokenizer_fertility", "bpe_best"),
+}
+
+# stage plans allowed an unpartitioned WindowExec: (key, pin label),
+# window input provably tiny and fixed
+UNPARTITIONED_WINDOW_STAGE_ALLOWED = {
+    # 8-row range-partition offsets window inside the pinned ranked
+    # frame (invisible pre-r6; was mis-allowlisted at key level, which
+    # broke the final-plan tiny-window pin — VERDICT r6 #1)
+    ("pack_length_pairs", "pack_pairs_pos"),
+}
+
+
 def _lint_plan_text(key: str, plan: str, unpart_win: int, stage: str | None) -> list[str]:
     """The shared rule battery; ``stage`` labels findings from a
-    recorded pre-pin stage plan (same rules, same allowlists — the
-    100 TB posture applies to the hidden half of a pipeline exactly as
-    to the visible half)."""
+    recorded pre-pin stage plan. Final plans are allowlisted per key;
+    stage plans per (key, pin label) — the 100 TB posture applies to
+    the hidden half of a pipeline exactly as to the visible half, and
+    a stage allowlist earned by one 1-row fold must not cover a future
+    corpus-sized stage under another label."""
     tag = f"PIN[{stage}]:" if stage else ""
     flags = []
     if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
-        if key not in NESTED_LOOP_ALLOWED:
+        allowed = (
+            (key, stage) in NESTED_LOOP_STAGE_ALLOWED
+            if stage
+            else key in NESTED_LOOP_ALLOWED
+        )
+        if not allowed:
             flags.append(f"{tag}NESTED_LOOP")
     if "BatchEvalPython" in plan:
         flags.append(f"{tag}ROW_PYTHON")
-    if unpart_win and key not in UNPARTITIONED_WINDOW_ALLOWED:
-        flags.append(f"{tag}GLOBAL_WINDOW")
+    if unpart_win:
+        allowed = (
+            (key, stage) in UNPARTITIONED_WINDOW_STAGE_ALLOWED
+            if stage
+            else key in UNPARTITIONED_WINDOW_ALLOWED
+        )
+        if not allowed:
+            flags.append(f"{tag}GLOBAL_WINDOW")
     return flags
 
 
@@ -158,6 +227,8 @@ def audit(key: str, spec, spark, sf_dir: str) -> dict:
         unpartitioned_windows,
     )
 
+    import re
+
     _ckpt.drain_stage_plans(spark)  # discard leftovers from prior keys
     df = spec.fn(spark, sf_dir)
     stages = _ckpt.drain_stage_plans(spark)
@@ -166,9 +237,14 @@ def audit(key: str, spec, spark, sf_dir: str) -> dict:
     flags = _lint_plan_text(key, plan, unpart_win, stage=None)
     stage_exchanges = 0
     stage_unpart = 0
+    stage_windows = 0
     for label, splan, sup in stages:
         stage_exchanges += splan.count("Exchange ")
         stage_unpart += sup
+        # ANY WindowExec in a pinned stage (partitioned included): the
+        # r5/r6 shuffle-assignment class was a PARTITIONED window the
+        # unpart counter is blind to — tests pin this per key
+        stage_windows += len(re.findall(r"\(\d+\) Window", splan))
         flags += _lint_plan_text(key, splan, sup, stage=label)
     return {
         "key": key,
@@ -182,7 +258,11 @@ def audit(key: str, spec, spark, sf_dir: str) -> dict:
         "pinned_stages": len(stages),
         "stage_exchanges": stage_exchanges,
         "stage_unpart_win": stage_unpart,
-        "stage_plans": {label: splan for label, splan, _ in stages},
+        "stage_windows": stage_windows,
+        # duplicate pin labels (looped pins) must all survive — a dict
+        # keyed by label kept only the last one (ADVICE r6)
+        "stage_plans": [(label, splan) for label, splan, _ in stages],
+        "plan": plan,
         "flags": flags,
     }
 
@@ -202,7 +282,8 @@ def run(keys=None, sf_dir: str = DEFAULT_SF_DIR) -> list[dict]:
                 rows.append({"key": key, "exchanges": -1, "arrow_python": False,
                              "nested_loop": False, "unpart_win": 0,
                              "pinned_stages": 0, "stage_exchanges": 0,
-                             "stage_unpart_win": 0, "stage_plans": {},
+                             "stage_unpart_win": 0, "stage_windows": 0,
+                             "stage_plans": [], "plan": "",
                              "flags": [f"ERROR:{e!r:.80}"]})
     finally:
         _ckpt.record_stage_plans(False)
@@ -225,8 +306,8 @@ def main() -> None:
         "pinned by tests/test_plan_audit.py.",
         "",
         "| key | exchanges | arrow python | nested loop | unpart window |"
-        " pinned stages | stage exchanges | flags |",
-        "|---|---|---|---|---|---|---|---|",
+        " pinned stages | stage exchanges | stage windows | flags |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append(
@@ -236,6 +317,7 @@ def main() -> None:
             f"{r.get('unpart_win', 0) or ''} | "
             f"{r.get('pinned_stages', 0) or ''} | "
             f"{r.get('stage_exchanges', 0) or ''} | "
+            f"{r.get('stage_windows', 0) or ''} | "
             f"{', '.join(r['flags'])} |"
         )
     with open("/root/repo/PLAN_AUDIT.md", "w") as f:

@@ -15,7 +15,9 @@ sys.path.insert(0, "/root/repo")
 
 from scripts.plan_audit import (  # noqa: E402
     NESTED_LOOP_ALLOWED,
+    NESTED_LOOP_STAGE_ALLOWED,
     UNPARTITIONED_WINDOW_ALLOWED,
+    UNPARTITIONED_WINDOW_STAGE_ALLOWED,
     run,
 )
 
@@ -41,6 +43,8 @@ RISK_KEYS = sorted(
         # allowlists stay honest
         *NESTED_LOOP_ALLOWED,
         *UNPARTITIONED_WINDOW_ALLOWED,
+        *(k for k, _ in NESTED_LOOP_STAGE_ALLOWED),
+        *(k for k, _ in UNPARTITIONED_WINDOW_STAGE_ALLOWED),
     }
 )
 
@@ -69,6 +73,12 @@ def test_allowlisted_keys_exist(audit_rows):
     assert missing == set(), missing
     missing_w = UNPARTITIONED_WINDOW_ALLOWED - set(all_queries())
     assert missing_w == set(), missing_w
+    missing_s = {k for k, _ in NESTED_LOOP_STAGE_ALLOWED} - set(all_queries())
+    assert missing_s == set(), missing_s
+    missing_sw = {
+        k for k, _ in UNPARTITIONED_WINDOW_STAGE_ALLOWED
+    } - set(all_queries())
+    assert missing_sw == set(), missing_sw
 
 
 def test_allowlisted_windows_are_genuinely_tiny(audit_rows):
@@ -90,3 +100,61 @@ def test_allowlisted_windows_are_genuinely_tiny(audit_rows):
             key,
             audit_rows[key]["unpart_win"],
         )
+    # stage-allowlisted windows are pinned the same way (the key-level
+    # loop above sees FINAL plans only; a window living inside a pinned
+    # stage is counted by stage_unpart_win — VERDICT r6 #1)
+    stage_expected = {"pack_length_pairs": 1}
+    for key in {k for k, _ in UNPARTITIONED_WINDOW_STAGE_ALLOWED}:
+        assert audit_rows[key]["stage_unpart_win"] == stage_expected[key], (
+            key,
+            audit_rows[key]["stage_unpart_win"],
+        )
+
+
+# The shuffle-assignment regression pin (VERDICT r6 #2/#3/missing-#3):
+# every assignment-bearing key's pinned stages must stay MAP-SIDE — a
+# reintroduced crossJoin + row_number()-over-partitionBy(id) formulation
+# adds a WindowExec and an Exchange hashpartitioning(<id>) to a stage
+# (or final) plan and fails these exact pins. stage_windows counts ALL
+# WindowExec nodes (partitioned included — the r5 SemDedup shuffle was a
+# partitioned window the unpartitioned counter is blind to).
+#   key: (pinned_stages, stage_exchanges, stage_windows)
+ASSIGNMENT_STAGE_PINS = {
+    "dedup_semdedup": (3, 10, 0),
+    "dedup_semdedup_multiprobe": (3, 10, 0),
+    "ml_kmeans": (2, 8, 0),
+    "sim_ivf_join_learned": (2, 8, 0),
+    "sim_pq_quantize": (8, 32, 0),
+    "sim_ivf_topk": (0, 0, 0),
+    "text_bpe_train": (7, 22, 0),
+    "text_bpe_vocab": (7, 22, 0),
+    "text_bpe_encode_docs": (7, 22, 0),
+}
+
+# the textual signature of a PER-VECTOR window (the assignment defect:
+# row_number() windowspecdefinition(vec_id, ...) forces an Exchange
+# hashpartitioning(vec_id) of the whole corpus). A vec_id GROUPBY
+# aggregation is legitimate (e.g. multiprobe's per-vector count) — only
+# the window formulation is banned.
+PER_VECTOR_WINDOW = "windowspecdefinition(vec_id"
+CORPUS_ID_SHUFFLE = "hashpartitioning(vec_id"
+
+
+def test_assignment_stages_stay_map_side(audit_rows):
+    actual = {
+        k: (
+            audit_rows[k]["pinned_stages"],
+            audit_rows[k]["stage_exchanges"],
+            audit_rows[k]["stage_windows"],
+        )
+        for k in ASSIGNMENT_STAGE_PINS
+    }
+    assert actual == ASSIGNMENT_STAGE_PINS
+    for k in ASSIGNMENT_STAGE_PINS:
+        assert PER_VECTOR_WINDOW not in audit_rows[k]["plan"], k
+        for label, splan in audit_rows[k]["stage_plans"]:
+            # stages get the stricter pin: no per-vector window AND no
+            # corpus shuffle on vec_id at all (stage_windows==0 above
+            # already bans every WindowExec; this adds the exchange)
+            assert PER_VECTOR_WINDOW not in splan, (k, label)
+            assert CORPUS_ID_SHUFFLE not in splan, (k, label)
