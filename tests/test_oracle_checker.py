@@ -111,8 +111,40 @@ def test_every_registered_oracle_is_lint_clean():
     assert bad == []
 
 
+def _split_top(s: str, sep: str) -> list[str]:
+    """Split on ``sep`` at nesting depth 0 only (angle brackets and
+    parens open a level) — DECIMAL(10,2) inside a STRUCT field list must
+    not split on its own comma."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
 def _coarse_spark_type(dt: str) -> str:
-    dt = dt.lower()
+    dt = dt.strip().lower()
+    # recurse into nested ELEMENT types (VERDICT r5 #5: array<bigint> vs
+    # LIST(HUGEINT) must compare element-wise, like the scalars do)
+    if dt.startswith("array<") and dt.endswith(">"):
+        return f"array<{_coarse_spark_type(dt[6:-1])}>"
+    if dt.startswith("map<") and dt.endswith(">"):
+        k, v = _split_top(dt[4:-1], ",")
+        return f"map<{_coarse_spark_type(k)},{_coarse_spark_type(v)}>"
+    if dt.startswith("struct<") and dt.endswith(">"):
+        fields = []
+        for f in _split_top(dt[7:-1], ","):
+            name, _, t = f.partition(":")
+            fields.append(f"{name.strip()}:{_coarse_spark_type(t)}")
+        return "struct<" + ",".join(fields) + ">"
     if dt.startswith("decimal"):
         return "decimal"
     if dt in ("bigint", "int", "smallint", "tinyint"):
@@ -131,7 +163,18 @@ def _coarse_spark_type(dt: str) -> str:
 
 
 def _coarse_duck_type(dt) -> str:
-    dt = str(dt).upper()
+    dt = str(dt).strip().upper()
+    if dt.endswith("[]"):
+        return f"array<{_coarse_duck_type(dt[:-2])}>"
+    if dt.startswith("MAP(") and dt.endswith(")"):
+        k, v = _split_top(dt[4:-1], ",")
+        return f"map<{_coarse_duck_type(k)},{_coarse_duck_type(v)}>"
+    if dt.startswith("STRUCT(") and dt.endswith(")"):
+        fields = []
+        for f in _split_top(dt[7:-1], ","):
+            name, _, t = f.strip().partition(" ")
+            fields.append(f'{name.strip().strip(chr(34)).lower()}:{_coarse_duck_type(t)}')
+        return "struct<" + ",".join(fields) + ">"
     if dt.startswith("DECIMAL"):
         return "decimal"
     if dt in ("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "HUGEINT"):
@@ -148,6 +191,48 @@ def _coarse_duck_type(dt) -> str:
     if dt.startswith("TIMESTAMP"):
         return "ts"
     return dt.lower()
+
+
+def test_coarse_types_recurse_into_nested():
+    """array/struct/map ELEMENT types normalize like the scalars do:
+    compatible nested pairs agree, incompatible ones stay distinct."""
+    assert _coarse_spark_type("array<bigint>") == _coarse_duck_type("BIGINT[]")
+    assert _coarse_spark_type("array<string>") == _coarse_duck_type("VARCHAR[]")
+    assert _coarse_spark_type(
+        "struct<p:int,m:double>"
+    ) == _coarse_duck_type("STRUCT(p INTEGER, m DOUBLE)")
+    assert _coarse_spark_type(
+        "array<struct<p:int,m:decimal(10,2)>>"
+    ) == _coarse_duck_type("STRUCT(p INTEGER, m DECIMAL(10,2))[]")
+    assert _coarse_spark_type("map<string,bigint>") == _coarse_duck_type(
+        "MAP(VARCHAR, BIGINT)"
+    )
+    # a nested element divergence must NOT collapse to equality
+    assert _coarse_spark_type("array<bigint>") != _coarse_duck_type("DOUBLE[]")
+    assert _coarse_spark_type("array<bigint>") != _coarse_duck_type(
+        "BIGINT[][]"
+    )
+
+
+def test_lint_fires_on_nested_hugeint():
+    """LIST(HUGEINT) must fail the no-Spark-analog lint exactly like a
+    bare HUGEINT (VERDICT r5 #5's negative test): list_agg of an
+    uncast sum() is the realistic way this type sneaks into an oracle."""
+    import duckdb
+
+    from airbnb_listings_reviews_data_engineering_spark.plans.registry import (
+        lint_oracle_types,
+    )
+
+    rel = duckdb.sql(
+        "SELECT list(s) AS xs FROM "
+        "(SELECT sum(x) AS s FROM (VALUES (1), (2)) t(x))"
+    )
+    assert str(rel.types[0]).upper() == "HUGEINT[]"
+    errs = lint_oracle_types(rel.columns, rel.types, "demo_key")
+    assert errs and "HUGEINT" in errs[0]
+    # and the coarse differential sees the element type too
+    assert _coarse_duck_type("HUGEINT[]") == "array<int>"
 
 
 def test_spark_and_oracle_output_types_agree(spark):
