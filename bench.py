@@ -18,7 +18,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from airbnb_listings_reviews_data_engineering_spark.checkpoint import release_pins  # noqa: E402
+from airbnb_listings_reviews_data_engineering_spark.checkpoint import (  # noqa: E402
+    drain_pin_timings,
+    record_pin_timings,
+    release_pins,
+)
 from airbnb_listings_reviews_data_engineering_spark.plans import all_queries  # noqa: E402
 from airbnb_listings_reviews_data_engineering_spark.session import get_spark  # noqa: E402
 
@@ -105,6 +109,16 @@ HEADLINE = (R2_HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R4B_ADDITIONS
 
 
 def main() -> None:
+    # experiment hook (drift attribution, VERDICT r6 #7): restrict the
+    # run to a named subset, e.g. SPARK_GRAFT_BENCH_ONLY=r2 times the
+    # comparable set alone in a fresh session — isolating whether the
+    # r4->r6 subtotal drift is per-query or session-accumulation
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    global HEADLINE
+    if only == "r2":
+        HEADLINE = list(R2_HEADLINE)
+    elif only:
+        HEADLINE = [k for k in HEADLINE if k in set(only.split(","))]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark()
@@ -128,20 +142,33 @@ def main() -> None:
     # deterministic plan, which is what cross-round comparison wants
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
+    # per-pin wall-clock from the winning rep (checkpoint.record_pin_timings,
+    # VERDICT r5 #7): an eager pin blocks until its stage materializes, so
+    # its call time IS that stage's cost — the per-stage anatomy SCALING.md
+    # uses for the expensive iterative keys
+    pin_lines: dict[str, list] = {}
+    record_pin_timings(True)
     for key in HEADLINE:
         fn = qs[key].fn
         best = float("inf")
         for _ in range(reps):
+            drain_pin_timings(spark)  # discard leftovers
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            pins = drain_pin_timings(spark)
+            if dt < best:
+                best = dt
+                pin_lines[key] = [[lab, round(s, 3)] for lab, s in pins]
             release_pins(spark)  # free checkpoint blocks between reps
         timings[key] = round(best, 3)
+    record_pin_timings(False)
 
     # the named round-1/2 set gives the like-for-like subtotal for
     # cross-round comparison; later additions widen coverage but
     # inflate headline_total
     r2_set = R2_HEADLINE
+    top5 = sorted(timings, key=lambda k: timings[k], reverse=True)[:5]
     print(
         json.dumps(
             {
@@ -153,6 +180,12 @@ def main() -> None:
                 "subtotal_r2_comparable": round(
                     sum(timings[k] for k in r2_set), 3
                 ),
+                # (pin label, seconds) per pinned stage of the 5 most
+                # expensive keys, from each key's winning rep — eager
+                # pins block, so these are real per-stage costs
+                "pin_stages": {
+                    k: pin_lines[k] for k in top5 if pin_lines.get(k)
+                },
             }
         )
     )
