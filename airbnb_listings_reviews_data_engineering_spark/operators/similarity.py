@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..checkpoint import pin
 
-from ..functions.arrays import as_double_array, cosine, dot
+from ..functions.arrays import as_double_array, cosine, dot, norm
 
 
 def brute_force_topk(
@@ -149,26 +149,45 @@ def _salted_topk(
 
 def _centroid_array(centroids: DataFrame) -> DataFrame:
     """Collapse the K-row (cell, cv) centroid table to ONE broadcastable
-    row holding an array of structs — the shape that lets per-row argmax
-    run as a pure column expression with no shuffle and no window."""
+    row holding an array of (cell, cv, nc) structs — the shape that lets
+    per-row argmax run as a pure column expression with no shuffle and no
+    window. The centroid norm ``nc`` is precomputed here (k tiny rows,
+    once) so the per-corpus-row score is a single dot-product aggregate
+    per centroid instead of re-deriving ``norm(cv)`` per (row, centroid)."""
     return F.broadcast(
         centroids.agg(
-            F.collect_list(F.struct(F.col("cell"), F.col("cv"))).alias("cents")
+            F.collect_list(
+                F.struct(F.col("cell"), F.col("cv"), norm(F.col("cv")).alias("nc"))
+            ).alias("cents")
         )
     )
 
 
 def _cell_scores(vec: Column) -> Column:
     """transform(cents, c -> struct(score, tiebreak, cell)) — lexicographic
-    struct ordering gives argmax-by-score with ascending-cell tie-break."""
+    struct ordering gives argmax-by-score with ascending-cell tie-break.
+
+    The row norm is LET-BOUND via a single-element-array ``transform``:
+    higher-order-function lambdas evaluate per element and Catalyst's
+    CollapseProject inlines a hoisted projection straight back into the
+    lambda, so a plain ``withColumn("nv", norm(v))`` still pays k norm
+    aggregates per row. Binding ``norm(vec)`` as the OUTER lambda's
+    variable forces exactly one evaluation; the inner per-centroid work
+    drops from three 64-element folds (dot + both norms) to one (dot).
+    Bitwise-identical to ``round(cosine(vec, cv), 6)``: same fold, same
+    ``dot / (norm(a) * norm(b))`` operation order. Measured 2x on the
+    sf0.1 assignment (SCALING.md)."""
     return F.transform(
-        F.col("cents"),
-        lambda c: F.struct(
-            F.round(cosine(vec, c["cv"]), 6).alias("s"),
-            (-c["cell"]).alias("negc"),
-            c["cell"].alias("cell"),
+        F.array(norm(vec)),
+        lambda nv: F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.round(dot(vec, c["cv"]) / (nv * c["nc"]), 6).alias("s"),
+                (-c["cell"]).alias("negc"),
+                c["cell"].alias("cell"),
+            ),
         ),
-    )
+    )[0]
 
 
 def ivf_assign(

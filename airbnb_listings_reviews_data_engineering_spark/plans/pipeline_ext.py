@@ -503,20 +503,25 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = S.ivf_assign(emb, "vec_id", "v", cents)
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-    qcells = (
+    # ONE broadcast subtree carries both the probe cells and the query
+    # vector (a corpus row lives in exactly one cell, the 2 probe cells
+    # are distinct, so the equi-join matches each probed row once);
+    # splitting qcells and qv into separate broadcasts costs an extra
+    # broadcast-build job per run for zero data-volume benefit
+    qprobe = (
         qv.crossJoin(S._centroid_array(cents))
         .select(
+            "qv",
             F.explode(
                 F.slice(
                     F.reverse(F.array_sort(S._cell_scores(F.col("qv")))), 1, 2
                 )
-            ).alias("pc")
+            ).alias("pc"),
         )
-        .select(F.col("pc")["cell"].alias("cell"))
+        .select(F.col("pc")["cell"].alias("cell"), "qv")
     )
     return (
-        assigned.join(F.broadcast(qcells), "cell")
-        .crossJoin(F.broadcast(qv))
+        assigned.join(F.broadcast(qprobe), "cell")
         .select(
             "vec_id",
             F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
