@@ -81,11 +81,16 @@ def _assign_cells(corpus: DataFrame, cents: DataFrame, probes: int = 1) -> DataF
 
 def _semdedup_k(sf_dir: str) -> int:
     """SemDedup's k scales with the corpus so cell population stays
-    bounded (the paper's regime): k = max(4, n_vectors // 625), read
+    bounded (the paper's regime): k = max(4, n_vectors // 125), read
     from the parquet FOOTER (no scan — the percentile guard's trick).
-    At the oracle gate's scales (<= 5k vectors at sf<=0.01) this is
-    exactly the static k=4 the generated SQL states; at bench sf0.1 it
-    doubles cells to 8 and quarters the per-cell pair work."""
+    At the oracle gate's scales (<= 500 vectors at sf <= 0.01) this is
+    exactly the static k=4 the generated SQL states; at bench sf0.1
+    (2000 vectors) it gives 16 cells. That matters twice: the pair scan
+    is quadratic in cell population (~250 corpus rows/cell vs ~1000 at
+    k=4 — 4x fewer candidate pairs), and the in-cell pair JOIN's
+    parallelism equals the number of distinct cids, so k IS the task
+    count of the heaviest stage (measured: the k=4 pair phase ran 4
+    tasks on a 32-core box; k=16 runs 16)."""
     try:
         import os
 
@@ -93,7 +98,7 @@ def _semdedup_k(sf_dir: str) -> int:
 
         path = os.path.join(sf_dir, "embeddings.parquet")
         n = pq.ParquetFile(path).metadata.num_rows
-        return max(_SD_K, n // 625)
+        return max(_SD_K, n // 125)
     except Exception:  # noqa: BLE001 — fall back to the oracle's k
         return _SD_K
 

@@ -120,11 +120,11 @@ def test_allowlisted_windows_are_genuinely_tiny(audit_rows):
 # partitioned window the unpartitioned counter is blind to).
 #   key: (pinned_stages, stage_exchanges, stage_windows)
 ASSIGNMENT_STAGE_PINS = {
-    "dedup_semdedup": (3, 10, 0),
-    "dedup_semdedup_multiprobe": (3, 10, 0),
-    "ml_kmeans": (2, 8, 0),
-    "sim_ivf_join_learned": (2, 8, 0),
-    "sim_pq_quantize": (8, 32, 0),
+    "dedup_semdedup": (3, 8, 0),
+    "dedup_semdedup_multiprobe": (3, 8, 0),
+    "ml_kmeans": (2, 6, 0),
+    "sim_ivf_join_learned": (2, 6, 0),
+    "sim_pq_quantize": (8, 24, 0),
     "sim_ivf_topk": (0, 0, 0),
     "text_bpe_train": (7, 22, 0),
     "text_bpe_vocab": (7, 22, 0),
