@@ -27,15 +27,28 @@ def brute_force_topk(
     """Exact top-k by cosine to the (single-row) query vector.
 
     The query side is broadcast; scores round to 6 dp for cross-engine
-    determinism; ties break on id.
+    determinism; ties break on id. Norms are hoisted to each join side
+    (the query's into the broadcast row, the corpus row's into a
+    pre-join column) so the per-pair work is ONE dot-product fold, not
+    cosine's three — same ``dot / (norm(a) * norm(b))`` op order, so
+    rounded scores are bitwise unchanged.
     """
-    q = F.broadcast(query.select(as_double_array(vec_col).alias("qv")))
+    q = F.broadcast(
+        query.select(as_double_array(vec_col).alias("qv")).select(
+            "qv", norm(F.col("qv")).alias("_nq")
+        )
+    )
     scored = (
-        df.select(F.col(id_col), as_double_array(vec_col).alias("v"))
+        df.select(
+            F.col(id_col), as_double_array(vec_col).alias("v")
+        )
+        .select(F.col(id_col), "v", norm(F.col("v")).alias("_nv"))
         .crossJoin(q)
         .select(
             F.col(id_col),
-            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("v"), F.col("qv")) / (F.col("_nv") * F.col("_nq")), 6
+            ).alias("cos_sim"),
         )
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
@@ -113,13 +126,25 @@ def lsh_probe(
         label="lsh_buckets",
     )
     qrow = bucketed.filter(F.col(id_col) == query_id).select(
-        F.col("bucket").alias("qbucket"), as_double_array(vec_col).alias("qv")
+        F.col("bucket").alias("qbucket"),
+        as_double_array(vec_col).alias("qv"),
+        norm(as_double_array(vec_col)).alias("_nq"),
     )
     return (
-        bucketed.join(F.broadcast(qrow), F.col("bucket") == F.col("qbucket"))
+        bucketed.select(
+            F.col(id_col),
+            "bucket",
+            as_double_array(vec_col).alias("v"),
+            norm(as_double_array(vec_col)).alias("_nv"),
+        )
+        .join(F.broadcast(qrow), F.col("bucket") == F.col("qbucket"))
         .select(
             F.col(id_col),
-            F.round(cosine(as_double_array(vec_col), F.col("qv")), 6).alias("cos_sim"),
+            # norms hoisted to the join sides: one fold per pair, same
+            # dot/(norm*norm) op order as cosine() => bitwise-equal
+            F.round(
+                dot(F.col("v"), F.col("qv")) / (F.col("_nv") * F.col("_nq")), 6
+            ).alias("cos_sim"),
         )
     )
 
@@ -238,24 +263,32 @@ def ivf_topk_join(
     SCALING.md — recall rises with nprobe and reaches 1.0 at nprobe=K
     by construction.
     """
-    assigned = ivf_assign(corpus, id_col, vec_col, centroids)
+    assigned = ivf_assign(corpus, id_col, vec_col, centroids).select(
+        id_col, "v", "cell", norm(F.col("v")).alias("_nv")
+    )
     qcells = (
         queries.crossJoin(_centroid_array(centroids))
         .select(
             "q_id",
             "qv",
+            norm(F.col("qv")).alias("_nq"),
             F.explode(
                 F.slice(
                     F.reverse(F.array_sort(_cell_scores(F.col("qv")))), 1, nprobe
                 )
             ).alias("pc"),
         )
-        .select("q_id", "qv", F.col("pc")["cell"].alias("cell"))
+        .select("q_id", "qv", "_nq", F.col("pc")["cell"].alias("cell"))
     )
     scored = assigned.join(F.broadcast(qcells), "cell").select(
         "q_id",
         F.col(id_col),
-        F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        # norms hoisted to the join sides (corpus norm once per row,
+        # query norm once per probe row): one fold per probed pair,
+        # same dot/(norm*norm) op order as cosine() => bitwise-equal
+        F.round(
+            dot(F.col("v"), F.col("qv")) / (F.col("_nv") * F.col("_nq")), 6
+        ).alias("cos_sim"),
     )
     return _salted_topk(scored, id_col, k, n_salt)
 
@@ -317,10 +350,25 @@ def lsh_topk_join(
             F.array(*[F.col("qbucket").bitwiseXOR(F.lit(m)) for m in masks])
         ).alias("bucket"),
     )
-    scored = bucketed.join(F.broadcast(probes), "bucket").select(
-        "q_id",
-        F.col(id_col),
-        F.round(cosine(as_double_array(vec_col), F.col("qv")), 6).alias("cos_sim"),
+    scored = (
+        bucketed.select(
+            F.col(id_col),
+            "bucket",
+            as_double_array(vec_col).alias("v"),
+            norm(as_double_array(vec_col)).alias("_nv"),
+        )
+        .join(
+            F.broadcast(probes.withColumn("_nq", norm(F.col("qv")))), "bucket"
+        )
+        .select(
+            "q_id",
+            F.col(id_col),
+            # norms hoisted to the join sides: one fold per probed pair,
+            # same dot/(norm*norm) op order as cosine() => bitwise-equal
+            F.round(
+                dot(F.col("v"), F.col("qv")) / (F.col("_nv") * F.col("_nq")), 6
+            ).alias("cos_sim"),
+        )
     )
     return _salted_topk(scored, id_col, k, n_salt)
 
@@ -356,12 +404,21 @@ def knn_join(
     from pyspark.sql.window import Window  # noqa: PLC0415
 
     scored = (
-        corpus.select(F.col(id_col), as_double_array(vec_col).alias("v"))
-        .crossJoin(F.broadcast(queries))
+        corpus.select(
+            F.col(id_col),
+            as_double_array(vec_col).alias("v"),
+            norm(as_double_array(vec_col)).alias("_nv"),
+        )
+        .crossJoin(F.broadcast(queries.withColumn("_nq", norm(F.col("qv")))))
         .select(
             "q_id",
             F.col(id_col),
-            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+            # norms hoisted to the join sides (corpus norm once per row
+            # instead of once per (row, query) pair): one fold per pair,
+            # same dot/(norm*norm) op order as cosine() => bitwise-equal
+            F.round(
+                dot(F.col("v"), F.col("qv")) / (F.col("_nv") * F.col("_nq")), 6
+            ).alias("cos_sim"),
             (F.crc32(F.col(id_col).cast("string")) % n_salt).alias("salt"),
         )
     )

@@ -167,7 +167,7 @@ def main() -> None:
     # the named round-1/2 set gives the like-for-like subtotal for
     # cross-round comparison; later additions widen coverage but
     # inflate headline_total
-    r2_set = R2_HEADLINE
+    r2_set = [k for k in R2_HEADLINE if k in timings]
     top5 = sorted(timings, key=lambda k: timings[k], reverse=True)[:5]
     print(
         json.dumps(
