@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..checkpoint import pin, release
-from ..functions.arrays import as_double_array, cosine
+from ..functions.arrays import as_double_array, dot, norm
 from ..functions.hashing import hash60
 
 
@@ -365,10 +365,16 @@ def embedding_near_dup_pairs(
     """
     v = df.select(
         F.col(id_col), F.col(block_col).alias("blk"), as_double_array(vec_col).alias("v")
-    )
+    ).withColumn("_n", norm(F.col("v")))
     a = v.alias("a")
     b = v.alias("b")
-    cos = F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
+    # each row's norm computes ONCE before the pair join (the pair scan
+    # is quadratic in block population; cosine() inline would re-fold
+    # both norms per pair) — same dot/(norm*norm) op order, so the
+    # rounded scores are bitwise identical to cosine()
+    cos = F.round(
+        dot(F.col("a.v"), F.col("b.v")) / (F.col("a._n") * F.col("b._n")), 4
+    )
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .withColumn("cos_sim", cos)

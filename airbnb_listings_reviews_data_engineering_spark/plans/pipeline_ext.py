@@ -3114,16 +3114,22 @@ def sim_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     dims = spark.createDataFrame([(8,), (16,), (32,), (64,)], "d int")
-    base = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(dims)).crossJoin(
-        F.broadcast(q)
+    # the query prefix + its norm depend only on d: precompute both in
+    # the 4-row broadcast so the per-(row, d) work is two folds (pair
+    # dot + corpus-prefix norm) instead of three — same
+    # dot/(sqrt*sqrt) op order, bitwise-equal rounded scores
+    qd = (
+        dims.crossJoin(q)
+        .select("d", F.slice("qv", 1, F.col("d")).alias("pq"))
+        .select("d", "pq", F.sqrt(dot("pq", "pq")).alias("_nq"))
     )
+    base = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qd))
     pv = F.slice("v", 1, F.col("d"))
-    pq = F.slice("qv", 1, F.col("d"))
     scored = base.select(
         "d",
         "vec_id",
         F.round(
-            dot(pv, pq) / (F.sqrt(dot(pv, pv)) * F.sqrt(dot(pq, pq))), 6
+            dot(pv, F.col("pq")) / (F.sqrt(dot(pv, pv)) * F.col("_nq")), 6
         ).alias("cs"),
     )
     from pyspark.sql import Window as W
