@@ -137,6 +137,24 @@ def main() -> None:
                 pass
         release_pins(spark)
 
+    # Host-load calibration probe (SCALING.md "bench-drift attribution"):
+    # cross-round drift on unchanged code measured as a UNIFORM ~1.1-1.2x
+    # multiplicative factor — shared-box background load. This fixed
+    # reference plan (scan + two-column agg over lineitem, no Python, no
+    # HOFs, plan unchanged across rounds) is timed the same min-of-N way;
+    # dividing any round's per-query numbers by the calibration ratio of
+    # the two rounds separates real regressions from a busy box.
+    calib_df = (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg({"l_quantity": "sum", "l_extendedprice": "avg"})
+    )
+    calib = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        calib_df.write.format("noop").mode("overwrite").save()
+        calib = min(calib, time.perf_counter() - t0)
+
     # min-of-N per query (default 2): the shared box has ~15 % run-to-run
     # noise; the minimum is the least-interfered measurement of the same
     # deterministic plan, which is what cross-round comparison wants
@@ -180,6 +198,10 @@ def main() -> None:
                 "subtotal_r2_comparable": round(
                     sum(timings[k] for k in r2_set), 3
                 ),
+                # fixed reference plan, min of 3 — divide per-query
+                # numbers by the cross-round ratio of this line to
+                # normalize out host load (see SCALING.md)
+                "calibration_sec": round(calib, 3),
                 # (pin label, seconds) per pinned stage of the 5 most
                 # expensive keys, from each key's winning rep — eager
                 # pins block, so these are real per-stage costs
