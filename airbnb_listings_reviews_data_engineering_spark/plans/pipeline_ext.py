@@ -2081,6 +2081,15 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded then summed as DECIMAL — exact, order-independent addition —
     making a floating-point log-likelihood bitwise-stable cross-engine."""
     docs = load(spark, sf_dir, "documents")
+    return _unigram_doc_scores(docs)
+
+
+def _unigram_doc_scores(docs: DataFrame) -> DataFrame:
+    """Per-doc mean token surprisal under the corpus's own unigram LM
+    (the text_unigram_logprob contract): (doc_id, n_tok, avg_surprisal),
+    with the rounded-DECIMAL summation that keeps the score bitwise
+    stable cross-engine. Shared by the raw score report and the CCNet
+    bucket split (text_perplexity_bucket)."""
     terms = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     freqs = terms.groupBy("term").agg(F.count("*").alias("freq"))
     tot = freqs.agg(F.sum("freq").alias("n"))
@@ -2095,6 +2104,97 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.sum("s").cast("double") / F.count("*"), 4) + F.lit(0)).alias(
             "avg_surprisal"
         ),
+    )
+
+
+# --- CCNet-style perplexity bucketing ----------------------------------------
+
+_PPL_DOC_CTE = f"""
+terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+freqs AS (SELECT term, count(*) AS freq FROM terms GROUP BY term),
+tot AS (SELECT sum(freq) AS n FROM freqs),
+fr AS (SELECT term, freq, CAST(tot.n AS DOUBLE) AS total_d FROM freqs, tot),
+scored AS (
+  SELECT t.doc_id, {_SURPRISAL} AS s
+  FROM terms t JOIN fr ON t.term = fr.term
+),
+doc AS (
+  SELECT doc_id,
+         round(CAST(sum(s) AS DOUBLE) / count(*), 4) + 0 AS ppl
+  FROM scored GROUP BY doc_id
+)"""
+
+_PPL_BUCKET_SQL = f"""
+WITH {_PPL_DOC_CTE},
+dl AS (
+  SELECT d.doc_id, docs.lang, d.ppl
+  FROM doc d JOIN documents docs USING (doc_id)
+),
+cuts AS (
+  SELECT lang,
+         round(quantile_cont(ppl, CAST(1 AS DOUBLE) / 3), 6) AS c1,
+         round(quantile_cont(ppl, CAST(2 AS DOUBLE) / 3), 6) AS c2
+  FROM dl GROUP BY lang
+),
+b AS (
+  SELECT dl.lang,
+         CASE WHEN dl.ppl <= cuts.c1 THEN 'head'
+              WHEN dl.ppl <= cuts.c2 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         dl.ppl
+  FROM dl JOIN cuts USING (lang)
+)
+SELECT lang, bucket, count(*) AS n_docs,
+       round(min(ppl), 4) AS lo, round(max(ppl), 4) AS hi
+FROM b GROUP BY lang, bucket
+"""
+
+
+@register("text_perplexity_bucket", oracle=_PPL_BUCKET_SQL)
+def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al.,
+    arXiv:1911.00359): split each language's corpus into head / middle
+    / tail terciles by LM score — the standard triage that keeps the
+    fluent third, reviews the middle, and drops or down-weights the
+    tail. The LM is the same self-trained unigram surprisal as
+    text_unigram_logprob (shared helper, identical DECIMAL-sum
+    determinism contract).
+
+    Scale shape: the per-lang tercile CUTS are computed on the tiny
+    (lang, cuts) side — one exact-percentile aggregate over the per-doc
+    score table collapsing to one row per language — and broadcast back
+    so bucket assignment is a map-side CASE, never a per-lang ntile
+    window over the corpus (a global sort per language; the
+    formulation that dies at 100 TB). At real scale the exact
+    percentile swaps for approx_percentile cuts with no plan change.
+    Cuts round to 6 dp and scores to 4 dp before comparison, so the
+    head/middle/tail split is deterministic cross-engine."""
+    docs = load(spark, sf_dir, "documents")
+    dl = _unigram_doc_scores(docs).select(
+        "doc_id", F.col("avg_surprisal").alias("ppl")
+    ).join(docs.select("doc_id", "lang"), "doc_id")
+    cuts = dl.groupBy("lang").agg(
+        F.round(
+            F.expr("percentile(ppl, CAST(1 AS DOUBLE) / 3)"), 6
+        ).alias("c1"),
+        F.round(
+            F.expr("percentile(ppl, CAST(2 AS DOUBLE) / 3)"), 6
+        ).alias("c2"),
+    )
+    b = dl.join(F.broadcast(cuts), "lang").select(
+        "lang",
+        F.when(F.col("ppl") <= F.col("c1"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+        "ppl",
+    )
+    return b.groupBy("lang", "bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.min("ppl"), 4).alias("lo"),
+        F.round(F.max("ppl"), 4).alias("hi"),
     )
 
 

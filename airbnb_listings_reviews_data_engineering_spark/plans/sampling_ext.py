@@ -1000,3 +1000,136 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(round({_NEYMAN_BUDGET} * wh / CAST(wt AS DOUBLE)) AS BIGINT)"
         " AS alloc",
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: importance resampling toward a target domain
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 64        # hashed-ngram feature buckets
+_DSIR_N = 100       # resample size
+_DSIR_TARGET = "src0"  # target-domain proxy corpus
+
+_H_DSIR = hash60_duckdb_sql("CAST(doc_id AS VARCHAR) || '|dsir'")
+
+_DSIR_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % {_DSIR_B} AS b
+  FROM (SELECT doc_id, source,
+               unnest(list_transform(generate_series(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i + 1])) AS g
+        FROM tok)
+),
+t AS (SELECT b, count(*)::DOUBLE AS c FROM grams
+      WHERE source = '{_DSIR_TARGET}' GROUP BY b),
+q AS (SELECT b, count(*)::DOUBLE AS c FROM grams
+      WHERE source <> '{_DSIR_TARGET}' GROUP BY b),
+tt AS (SELECT count(*)::DOUBLE AS n FROM grams WHERE source = '{_DSIR_TARGET}'),
+qq AS (SELECT count(*)::DOUBLE AS n FROM grams WHERE source <> '{_DSIR_TARGET}'),
+lam AS (
+  SELECT COALESCE(t.b, q.b) AS b,
+         ln((COALESCE(t.c, 0) + 1) / (tt.n + {_DSIR_B}))
+         - ln((COALESCE(q.c, 0) + 1) / (qq.n + {_DSIR_B})) AS lam
+  FROM t FULL OUTER JOIN q ON t.b = q.b CROSS JOIN tt CROSS JOIN qq
+),
+lw AS (
+  SELECT g.doc_id, round(sum(l.lam), 4) AS logw
+  FROM grams g JOIN lam l USING (b)
+  WHERE g.source <> '{_DSIR_TARGET}'
+  GROUP BY g.doc_id
+),
+keyed AS (
+  SELECT d.doc_id, d.source, lw.logw,
+         round(lw.logw
+               - ln(-ln(({_H_DSIR} + 1) / 1152921504606846976.0)), 6) AS gk
+  FROM lw JOIN documents d USING (doc_id)
+)
+SELECT doc_id, source, logw, gk FROM keyed
+ORDER BY gk DESC, doc_id LIMIT {_DSIR_N}
+"""
+
+
+@register("sample_dsir", oracle=_DSIR_SQL)
+def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    arXiv:2302.03169): pick raw-pool documents whose hashed-ngram
+    distribution looks like a target domain. The target proxy is the
+    'src0' source; features are bigrams hashed into B=64 buckets
+    (hash60 % B, bitwise cross-engine); both bag-of-buckets models get
+    add-1 smoothing; a raw doc's importance weight is
+    log w = sum over its bigram OCCURRENCES of (ln p_target[b] -
+    ln q_raw[b]). Resampling without replacement uses the Gumbel
+    top-k trick (log w + Gumbel noise, take top N) with the md5-gate
+    uniform instead of RNG, so the sample is rerun-stable.
+
+    Scale shape: bucket counts are two map-side-combined aggregates
+    collapsing to <= B rows each; the lambda table (B rows, the whole
+    "model") broadcasts onto the gram stream; per-doc weights are a
+    groupBy(doc_id) whose partials collapse map-side because a doc's
+    grams never leave its input partition (explode preserves
+    locality); the final top-N is TakeOrderedAndProject (per-partition
+    heaps, N*P rows to one merge — never a global sort). Weight sums
+    round to 4 dp before ranking (Gumbel key 6 dp, doc_id tie-break),
+    so selection is deterministic cross-engine at any partitioning."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "source", F.split("text", " ").alias("w"))
+    grams = tok.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(slice(w, 1, size(w) - 1),"
+                " (x, i) -> concat(x, ' ', element_at(w, i + 2)))"
+            )
+        ).alias("g"),
+    ).select(
+        "doc_id", "source", F.pmod(hash60(F.col("g")), F.lit(_DSIR_B)).alias("b")
+    )
+    is_t = F.col("source") == _DSIR_TARGET
+    t = grams.filter(is_t).groupBy("b").agg(
+        F.count("*").cast("double").alias("tc")
+    )
+    q = grams.filter(~is_t).groupBy("b").agg(
+        F.count("*").cast("double").alias("qc")
+    )
+    tots = grams.agg(
+        F.sum(is_t.cast("double")).alias("tn"),
+        F.sum((~is_t).cast("double")).alias("qn"),
+    )
+    lam = (
+        t.join(q, "b", "full_outer")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce("tc", F.lit(0.0)) + 1)
+                    / (F.col("tn") + _DSIR_B)
+                )
+                - F.log(
+                    (F.coalesce("qc", F.lit(0.0)) + 1)
+                    / (F.col("qn") + _DSIR_B)
+                )
+            ).alias("lam"),
+        )
+    )
+    lw = (
+        grams.filter(~is_t)
+        .join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("lam"), 4).alias("logw"))
+    )
+    u = (
+        hash60(F.concat(F.col("doc_id").cast("string"), F.lit("|dsir"))) + 1
+    ) / F.lit(float(1 << 60))
+    keyed = lw.join(docs.select("doc_id", "source"), "doc_id").select(
+        "doc_id",
+        "source",
+        "logw",
+        F.round(F.col("logw") - F.log(-F.log(u)), 6).alias("gk"),
+    )
+    return keyed.orderBy(F.desc("gk"), "doc_id").limit(_DSIR_N)

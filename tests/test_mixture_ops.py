@@ -48,3 +48,68 @@ def test_curriculum_schedule_interleaves_buckets(spark):
         by_bucket.setdefault(r.bucket, []).append(r.pos)
     for poss in by_bucket.values():
         assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_dsir_selects_target_like_docs(spark):
+    from airbnb_listings_reviews_data_engineering_spark.plans.sampling_ext import (
+        _DSIR_N,
+        _DSIR_TARGET,
+        sample_dsir,
+    )
+
+    rows = sample_dsir(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= _DSIR_N
+    # the target proxy corpus itself is never in the resample
+    assert all(r.source != _DSIR_TARGET for r in rows)
+    # deterministic: same selection on a second run (hash-gate Gumbel,
+    # no RNG state)
+    again = sample_dsir(spark, SF_DIR).collect()
+    assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in again)
+    # importance resampling must pull the sample toward the target: the
+    # sampled docs' mean log-weight exceeds the raw-pool mean (Gumbel
+    # noise is O(1) while logw spreads over tens of nats). Pool stats
+    # come from the registered oracle's own CTE (DuckDB), so the test
+    # does not re-derive the weight model in a second Spark path.
+    if len(rows) == _DSIR_N:  # pool large enough to leave a remainder
+        import duckdb
+
+        from airbnb_listings_reviews_data_engineering_spark.plans.sampling_ext import (
+            _DSIR_SQL,
+        )
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/documents.parquet')"
+        )
+        pool_sql = _DSIR_SQL[: _DSIR_SQL.rindex("SELECT")] \
+            + "SELECT avg(logw) FROM keyed"
+        pool_mean = con.execute(pool_sql).fetchone()[0]
+        sel_mean = sum(r.logw for r in rows) / len(rows)
+        assert sel_mean > pool_mean
+
+
+def test_perplexity_buckets_partition_each_lang(spark):
+    from airbnb_listings_reviews_data_engineering_spark.plans.pipeline_ext import (
+        text_perplexity_bucket,
+    )
+
+    rows = text_perplexity_bucket(spark, SF_DIR).collect()
+    assert rows
+    by_lang: dict[str, dict[str, object]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r
+    for lang, buckets in by_lang.items():
+        assert set(buckets) <= {"head", "middle", "tail"}
+        # tercile cuts order the buckets on the score axis:
+        # head.hi <= c1 < middle.lo and middle.hi <= c2 < tail.lo
+        if "head" in buckets and "middle" in buckets:
+            assert buckets["head"].hi <= buckets["middle"].lo, lang
+        if "middle" in buckets and "tail" in buckets:
+            assert buckets["middle"].hi <= buckets["tail"].lo, lang
+        if "head" in buckets and "tail" in buckets:
+            assert buckets["head"].hi <= buckets["tail"].lo, lang
+    # bucket doc counts add up to the corpus (every doc lands somewhere)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    assert sum(r.n_docs for r in rows) == n_docs
