@@ -104,8 +104,15 @@ R5_ADDITIONS = [
     "text_rouge_overlap",   # clipped-bigram pair overlap join
 ]
 
+# round-7 breadth: the importance-resampling and perplexity-bucket
+# additions (both corpus-scan + broadcast-model shapes)
+R7_ADDITIONS = [
+    "sample_dsir",          # hashed-bigram importance resample, Gumbel top-k
+    "text_perplexity_bucket",  # per-lang tercile split by broadcast cuts
+]
+
 HEADLINE = (R2_HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R4B_ADDITIONS
-            + R4C_ADDITIONS + R4D_ADDITIONS + R5_ADDITIONS)
+            + R4C_ADDITIONS + R4D_ADDITIONS + R5_ADDITIONS + R7_ADDITIONS)
 
 
 def main() -> None:

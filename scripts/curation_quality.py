@@ -256,6 +256,110 @@ def pq_quality(spark, sf_dir: str, k: int) -> tuple[float, float]:
     return mean_recon, len(got & gt) / len(gt)
 
 
+def dsir_target_shift(spark, sf_dir: str) -> dict:
+    """Does DSIR (sample_dsir) actually pull the sample toward the
+    target domain? Two measurements against the SAME hashed-bigram
+    bucket space the operator scores in:
+
+    - mean per-doc importance weight (log target/raw likelihood ratio)
+      of the selected set vs an equal-size hash-random baseline pick
+      from the raw pool — the quantity DSIR maximizes, so selected
+      must beat baseline by construction (regression proof);
+    - total-variation distance of the add-1-smoothed bucket
+      distribution to the TARGET model, selected vs baseline — the
+      distributional claim (arXiv:2302.03169 Fig. 2): resampled data
+      should look more like the target than random raw data does.
+
+    Returns {"lw_sel", "lw_base", "tv_sel", "tv_base"}.
+    """
+    from airbnb_listings_reviews_data_engineering_spark.functions.hashing import (
+        hash60,
+    )
+    from airbnb_listings_reviews_data_engineering_spark.plans.sampling_ext import (
+        _DSIR_B,
+        _DSIR_TARGET,
+        sample_dsir,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "source", F.split("text", " ").alias("w"))
+    grams = tok.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(slice(w, 1, size(w) - 1),"
+                " (x, i) -> concat(x, ' ', element_at(w, i + 2)))"
+            )
+        ).alias("g"),
+    ).select(
+        "doc_id",
+        "source",
+        F.pmod(hash60(F.col("g")), F.lit(_DSIR_B)).alias("b"),
+    )
+
+    def bucket_dist(df) -> dict[int, float]:
+        rows = df.groupBy("b").count().collect()
+        tot = sum(r["count"] for r in rows) + _DSIR_B
+        d = {b: 1.0 / tot for b in range(_DSIR_B)}
+        for r in rows:
+            d[r["b"]] = (r["count"] + 1.0) / tot
+        return d
+
+    target_p = bucket_dist(grams.filter(F.col("source") == _DSIR_TARGET))
+
+    sel_rows = sample_dsir(spark, sf_dir).collect()
+    sel_ids = [r.doc_id for r in sel_rows]
+    lw_sel = sum(r.logw for r in sel_rows) / len(sel_rows)
+
+    raw_grams = grams.filter(F.col("source") != _DSIR_TARGET)
+    # equal-size hash-random baseline from the raw pool
+    pool = docs.filter(F.col("source") != _DSIR_TARGET).select(
+        "doc_id",
+        hash60(
+            F.concat(F.col("doc_id").cast("string"), F.lit("|dsirbase"))
+        ).alias("hk"),
+    )
+    base_ids = [
+        r.doc_id
+        for r in pool.orderBy("hk", "doc_id").limit(len(sel_ids)).collect()
+    ]
+    # baseline mean log-weight, scored by the operator's own model:
+    # re-rank the pool by gk is not needed — read logw off the same
+    # keyed table by re-running the scorer on the baseline ids
+    from airbnb_listings_reviews_data_engineering_spark.plans.sampling_ext import (  # noqa: E501
+        _DSIR_SQL,
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    pool_sql = _DSIR_SQL[: _DSIR_SQL.rindex("SELECT")] + (
+        "SELECT doc_id, logw FROM keyed"
+    )
+    logw_by_id = dict(con.execute(pool_sql).fetchall())
+    lw_base = sum(logw_by_id[i] for i in base_ids) / len(base_ids)
+
+    def tv(d: dict[int, float]) -> float:
+        return 0.5 * sum(
+            abs(d[b] - target_p[b]) for b in range(_DSIR_B)
+        )
+
+    tv_sel = tv(bucket_dist(raw_grams.filter(F.col("doc_id").isin(sel_ids))))
+    tv_base = tv(
+        bucket_dist(raw_grams.filter(F.col("doc_id").isin(base_ids)))
+    )
+    return {
+        "lw_sel": lw_sel,
+        "lw_base": lw_base,
+        "tv_sel": tv_sel,
+        "tv_base": tv_base,
+    }
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark()
@@ -263,6 +367,7 @@ def main() -> None:
     sd = semdedup_pair_recall(spark, sf_dir)
     kc_g, kc_b = kcenter_radius_vs_baseline(spark, sf_dir)
     pq_rows = [(k, *pq_quality(spark, sf_dir, k)) for k in (4, 8)]
+    ds = dsir_target_shift(spark, sf_dir)
 
     lines = [
         START,
@@ -315,6 +420,20 @@ def main() -> None:
         "Doubling each codebook cuts distortion and lifts recall; the",
         "64x raw-vs-code memory ratio (512 B -> 1-1.5 B) is unchanged",
         "in order of magnitude, which is the trade PQ exists to make.",
+        "",
+        "### DSIR selection shift toward the target domain (round 7)",
+        "",
+        "| selector | mean log-weight | TV to target model |",
+        "|---|---|---|",
+        f"| sample_dsir (importance resample) | {ds['lw_sel']:.2f} "
+        f"| {ds['tv_sel']:.4f} |",
+        f"| hash-random baseline (same size) | {ds['lw_base']:.2f} "
+        f"| {ds['tv_base']:.4f} |",
+        "",
+        "Selected docs carry a higher target/raw log-likelihood ratio",
+        "by construction (the regression proof); the TV row is the",
+        "distributional claim — the resample should LOOK more like the",
+        "target's hashed-bigram distribution than random raw data does.",
         END,
     ]
 

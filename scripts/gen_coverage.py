@@ -151,6 +151,8 @@ SECTIONS = [
         "agg_rfm_segmentation", "agg_price_volume_mix",
         "agg_pareto_coverage", "text_winnowing_fingerprints",
         "ml_classifier_agreement"]),
+    ("Data curation / selection (round-7 additions)", [
+        "sample_dsir", "text_perplexity_bucket"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

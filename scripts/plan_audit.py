@@ -114,6 +114,8 @@ NESTED_LOOP_ALLOWED = {
     "agg_rfm_segmentation",  # 1-row horizon + 3-value median cut folds
     "agg_pareto_coverage",  # 1-row grand-total folds onto the ranked frame
     "ml_classifier_agreement",  # composes ml_naive_bayes (class/vocab folds)
+    "sample_dsir",       # 1-row gram totals folded into the B=64-row lambda table
+    "text_perplexity_bucket",  # text_unigram_logprob's 1-row corpus-total fold
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's

@@ -58,3 +58,17 @@ def test_pq_distortion_and_recall_move_with_codebook_size(spark, sf_dir):
     assert recall8 >= recall4, (recall8, recall4)
     # sanity floor well under the measured 0.18
     assert recall4 >= 0.1, recall4
+
+
+def test_dsir_shifts_sample_toward_target(spark, sf_dir):
+    from scripts.curation_quality import dsir_target_shift
+
+    ds = dsir_target_shift(spark, sf_dir)
+    # selected docs maximize the importance weight, so their mean must
+    # beat an equal-size hash-random pick (Gumbel noise is O(1) vs the
+    # multi-nat logw spread)
+    assert ds["lw_sel"] > ds["lw_base"], ds
+    # and the distributional claim: the resample's hashed-bigram
+    # distribution sits closer to the target model than random raw
+    # data (measured 0.053 vs 0.098 at sf0.01; floor at parity)
+    assert ds["tv_sel"] < ds["tv_base"], ds
