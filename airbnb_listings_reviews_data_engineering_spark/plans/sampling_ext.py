@@ -1066,15 +1066,16 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k trick (log w + Gumbel noise, take top N) with the md5-gate
     uniform instead of RNG, so the sample is rerun-stable.
 
-    Scale shape: bucket counts are two map-side-combined aggregates
-    collapsing to <= B rows each; the lambda table (B rows, the whole
-    "model") broadcasts onto the gram stream; per-doc weights are a
-    groupBy(doc_id) whose partials collapse map-side because a doc's
-    grams never leave its input partition (explode preserves
-    locality); the final top-N is TakeOrderedAndProject (per-partition
-    heaps, N*P rows to one merge — never a global sort). Weight sums
-    round to 4 dp before ranking (Gumbel key 6 dp, doc_id tie-break),
-    so selection is deterministic cross-engine at any partitioning."""
+    Scale shape: ONE corpus scan tokenizes, hashes and collapses to a
+    pinned per-doc bucket-count table (<= B rows per doc — the md5 per
+    bigram runs exactly once); model counts, totals and the B-row
+    lambda table all derive from that pinned frame, and per-doc
+    weights are sum(count * lambda) over each doc's <= B buckets after
+    a broadcast join (map-side-combinable groupBy(doc_id)); the final
+    top-N is TakeOrderedAndProject (per-partition heaps, N*P rows to
+    one merge — never a global sort). Weight sums round to 4 dp before
+    ranking (Gumbel key 6 dp, doc_id tie-break), so selection is
+    deterministic cross-engine at any partitioning."""
     docs = load(spark, sf_dir, "documents")
     tok = docs.select("doc_id", "source", F.split("text", " ").alias("w"))
     grams = tok.select(
@@ -1089,16 +1090,23 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "source", F.pmod(hash60(F.col("g")), F.lit(_DSIR_B)).alias("b")
     )
+    # ONE corpus scan: all four downstream derivations (t/q counts,
+    # totals, scoring) read this pinned doc x bucket table instead of
+    # re-tokenizing + re-hashing the corpus each (4 scans before).
+    dbc = pin(
+        grams.groupBy("doc_id", "source", "b").agg(F.count("*").alias("nb")),
+        label="dsir_buckets",
+    )
     is_t = F.col("source") == _DSIR_TARGET
-    t = grams.filter(is_t).groupBy("b").agg(
-        F.count("*").cast("double").alias("tc")
+    t = dbc.filter(is_t).groupBy("b").agg(
+        F.sum("nb").cast("double").alias("tc")
     )
-    q = grams.filter(~is_t).groupBy("b").agg(
-        F.count("*").cast("double").alias("qc")
+    q = dbc.filter(~is_t).groupBy("b").agg(
+        F.sum("nb").cast("double").alias("qc")
     )
-    tots = grams.agg(
-        F.sum(is_t.cast("double")).alias("tn"),
-        F.sum((~is_t).cast("double")).alias("qn"),
+    tots = dbc.agg(
+        F.sum(F.when(is_t, F.col("nb")).otherwise(0)).cast("double").alias("tn"),
+        F.sum(F.when(~is_t, F.col("nb")).otherwise(0)).cast("double").alias("qn"),
     )
     lam = (
         t.join(q, "b", "full_outer")
@@ -1118,10 +1126,10 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     lw = (
-        grams.filter(~is_t)
+        dbc.filter(~is_t)
         .join(F.broadcast(lam), "b")
         .groupBy("doc_id")
-        .agg(F.round(F.sum("lam"), 4).alias("logw"))
+        .agg(F.round(F.sum(F.col("nb") * F.col("lam")), 4).alias("logw"))
     )
     u = (
         hash60(F.concat(F.col("doc_id").cast("string"), F.lit("|dsir"))) + 1
@@ -1133,3 +1141,162 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("logw") - F.log(-F.log(u)), 6).alias("gk"),
     )
     return keyed.orderBy(F.desc("gk"), "doc_id").limit(_DSIR_N)
+
+
+# ---------------------------------------------------------------------------
+# DoReMi: excess-loss domain reweighting
+# ---------------------------------------------------------------------------
+
+_DRM_TAU = 1.0  # excess-loss temperature
+
+_DRM_SQL = """
+WITH terms AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+),
+st AS (
+  SELECT source, term, count(*)::BIGINT AS n_st
+  FROM terms GROUP BY source, term
+),
+ns AS (SELECT source, sum(n_st)::BIGINT AS n_s FROM st GROUP BY source),
+ct AS (SELECT term, sum(n_st)::BIGINT AS n_t FROM st GROUP BY term),
+n AS (SELECT sum(n_st)::BIGINT AS n_tot FROM st),
+contrib AS (
+  SELECT st.source,
+         st.n_st * cast(round(-ln(CAST(st.n_st AS DOUBLE)
+                                  / CAST(ns.n_s AS DOUBLE)), 4)
+                        AS decimal(18,4)) AS dom_c,
+         st.n_st * cast(round(-ln(CAST(ct.n_t AS DOUBLE)
+                                  / CAST(n.n_tot AS DOUBLE)), 4)
+                        AS decimal(18,4)) AS ref_c,
+         ns.n_s
+  FROM st JOIN ns USING (source) JOIN ct USING (term) CROSS JOIN n
+),
+loss AS (
+  SELECT source,
+         round(CAST(sum(ref_c) AS DOUBLE) / CAST(min(n_s) AS DOUBLE), 4) + 0
+           AS ref_loss,
+         round(CAST(sum(dom_c) AS DOUBLE) / CAST(min(n_s) AS DOUBLE), 4) + 0
+           AS dom_loss,
+         min(n_s) AS n_tok
+  FROM contrib GROUP BY source
+),
+e AS (
+  SELECT source, n_tok, ref_loss, dom_loss,
+         round(ref_loss - dom_loss, 4) + 0 AS excess,
+         cast(round(exp(round(ref_loss - dom_loss, 4)), 6)
+              AS decimal(18,6)) AS ew
+  FROM loss
+),
+tot AS (SELECT sum(ew) AS wt FROM e)
+SELECT e.source, e.n_tok, e.ref_loss, e.dom_loss, e.excess,
+       round(CAST(e.ew AS DOUBLE) / CAST(tot.wt AS DOUBLE), 4) + 0 AS weight
+FROM e CROSS JOIN tot
+"""
+
+
+@register("sample_doremi_weights", oracle=_DRM_SQL)
+def sample_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi domain reweighting (Xie et al., arXiv:2305.10429),
+    closed-form: upweight the domains a reference model fits WORST
+    relative to a domain-fit model — the excess-loss signal DoReMi's
+    proxy training estimates, computed here exactly with unigram LMs
+    (MLE, no smoothing needed: each model only ever scores tokens it
+    was trained on, so no zero probabilities). Per domain (source):
+    ref_loss = cross-entropy of the corpus-trained LM on the domain's
+    tokens; dom_loss = the domain's own entropy; excess = ref - dom
+    (>= 0 by Gibbs' inequality); weight proportional to exp(excess/tau)
+    normalized across domains.
+
+    Scale shape: ONE corpus scan collapses to the (source, term) count
+    table (map-side combine; vocabulary x domains rows, Heaps-bounded);
+    every join and aggregate after that is vocabulary-sized, and the
+    corpus total is a 1-row broadcast fold. Losses use the rounded-
+    DECIMAL summation contract (order-independent, bitwise stable);
+    the exp-weights normalize through an exact DECIMAL(18,6) total, so
+    the final weights are deterministic cross-engine."""
+    docs = load(spark, sf_dir, "documents")
+    terms = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    # ONE corpus scan: everything after this pin is vocabulary-sized.
+    # Without it Catalyst plans 8 separate corpus scans (ns/ct/n/contrib
+    # each re-derive st and subtree differences defeat exchange reuse).
+    st = pin(
+        terms.groupBy("source", "term").agg(F.count("*").alias("n_st")),
+        label="doremi_st",
+    )
+    ns = st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    ct = st.groupBy("term").agg(F.sum("n_st").alias("n_t"))
+    n = st.agg(F.sum("n_st").alias("n_tot"))
+    contrib = (
+        st.join(ns, "source")
+        .join(ct, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "n_s",
+            (
+                F.col("n_st")
+                * F.round(
+                    -F.log(
+                        F.col("n_st").cast("double")
+                        / F.col("n_s").cast("double")
+                    ),
+                    4,
+                ).cast("decimal(18,4)")
+            ).alias("dom_c"),
+            (
+                F.col("n_st")
+                * F.round(
+                    -F.log(
+                        F.col("n_t").cast("double")
+                        / F.col("n_tot").cast("double")
+                    ),
+                    4,
+                ).cast("decimal(18,4)")
+            ).alias("ref_c"),
+        )
+    )
+    loss = contrib.groupBy("source").agg(
+        (
+            F.round(
+                F.sum("ref_c").cast("double") / F.min("n_s").cast("double"), 4
+            )
+            + F.lit(0)
+        ).alias("ref_loss"),
+        (
+            F.round(
+                F.sum("dom_c").cast("double") / F.min("n_s").cast("double"), 4
+            )
+            + F.lit(0)
+        ).alias("dom_loss"),
+        F.min("n_s").alias("n_tok"),
+    )
+    e = loss.select(
+        "source",
+        "n_tok",
+        "ref_loss",
+        "dom_loss",
+        (F.round(F.col("ref_loss") - F.col("dom_loss"), 4) + F.lit(0)).alias(
+            "excess"
+        ),
+        F.round(
+            F.exp(F.round(F.col("ref_loss") - F.col("dom_loss"), 4)), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("ew"),
+    )
+    tot = e.agg(F.sum("ew").alias("wt"))
+    return e.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tok",
+        "ref_loss",
+        "dom_loss",
+        "excess",
+        (
+            F.round(
+                F.col("ew").cast("double") / F.col("wt").cast("double"), 4
+            )
+            + F.lit(0)
+        ).alias("weight"),
+    )

@@ -109,6 +109,7 @@ R5_ADDITIONS = [
 R7_ADDITIONS = [
     "sample_dsir",          # hashed-bigram importance resample, Gumbel top-k
     "text_perplexity_bucket",  # per-lang tercile split by broadcast cuts
+    "sample_doremi_weights",   # excess-loss domain reweighting (pinned scan)
 ]
 
 HEADLINE = (R2_HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R4B_ADDITIONS

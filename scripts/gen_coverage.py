@@ -152,7 +152,7 @@ SECTIONS = [
         "agg_pareto_coverage", "text_winnowing_fingerprints",
         "ml_classifier_agreement"]),
     ("Data curation / selection (round-7 additions)", [
-        "sample_dsir", "text_perplexity_bucket"]),
+        "sample_dsir", "text_perplexity_bucket", "sample_doremi_weights"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

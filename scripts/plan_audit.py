@@ -116,6 +116,7 @@ NESTED_LOOP_ALLOWED = {
     "ml_classifier_agreement",  # composes ml_naive_bayes (class/vocab folds)
     "sample_dsir",       # 1-row gram totals folded into the B=64-row lambda table
     "text_perplexity_bucket",  # text_unigram_logprob's 1-row corpus-total fold
+    "sample_doremi_weights",  # 1-row corpus-total + 1-row weight-total folds
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's

@@ -113,3 +113,24 @@ def test_perplexity_buckets_partition_each_lang(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n_docs = docs.count()
     assert sum(r.n_docs for r in rows) == n_docs
+
+
+def test_doremi_excess_loss_and_weights(spark):
+    from airbnb_listings_reviews_data_engineering_spark.plans.sampling_ext import (
+        sample_doremi_weights,
+    )
+
+    rows = sample_doremi_weights(spark, SF_DIR).collect()
+    assert rows
+    # Gibbs' inequality: cross-entropy of the corpus LM on a domain is
+    # >= the domain's own entropy, so excess >= 0 everywhere (0 only if
+    # the domain's unigram distribution equals the corpus's)
+    assert all(r.excess >= 0 for r in rows), rows
+    # weights are a normalized distribution over domains
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-2
+    assert all(r.weight > 0 for r in rows)
+    # the most distinctive domain gets the largest weight (monotone in
+    # excess by construction)
+    by_excess = max(rows, key=lambda r: r.excess)
+    by_weight = max(rows, key=lambda r: r.weight)
+    assert by_excess.source == by_weight.source
