@@ -259,15 +259,23 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     docs = load(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.split("text", " ").alias("w"))
-    pairs = tok.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(slice(w, 1, size(w) - 1),"
-                " (x, i) -> struct(x AS w1, element_at(w, i + 2) AS w2))"
-            )
-        ).alias("p"),
-    ).select("doc_id", "p.w1", "p.w2")
+    # pinned: the unigram model, bigram model and scoring join all read
+    # the pair stream — unpinned each re-tokenized the corpus (6
+    # documents scans in the final plan; max_rescan audit, round 7)
+    from ..checkpoint import pin
+
+    pairs = pin(
+        tok.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(w, 1, size(w) - 1),"
+                    " (x, i) -> struct(x AS w1, element_at(w, i + 2) AS w2))"
+                )
+            ).alias("p"),
+        ).select("doc_id", "p.w1", "p.w2"),
+        label="bigram_pairs",
+    )
     last_tok = tok.filter(F.size("w") > 0).select(
         F.element_at("w", F.size("w")).alias("w1")
     )

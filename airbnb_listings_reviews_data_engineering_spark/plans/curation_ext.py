@@ -579,8 +579,15 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline of ab_test_welch applied to logs); the single ln() per
     token and per prior is bitwise cross-engine."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    tokd = docs.select(
-        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    # pinned: class stats, vocab total, count table and the test stream
+    # all read the token stream — unpinned each re-tokenized the corpus
+    # (4 scans in the final plan; max_rescan audit, round 7), and the
+    # two composing keys (confusion matrix, cascade audit) doubled it
+    tokd = pin(
+        docs.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+        ),
+        label="nb_tokens",
     )
     train = tokd.filter(F.col("doc_id") % 5 != 0)
     test = tokd.filter(F.col("doc_id") % 5 == 0).select(

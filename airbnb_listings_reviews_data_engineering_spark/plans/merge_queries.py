@@ -61,7 +61,15 @@ WHERE u.o_orderkey IS NULL
 
 
 def _orders_base_and_updates(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    # pinned: base + updates both derive from this projection and each
+    # upsert application reads both sides — inc_daily_snapshot's double
+    # application read orders 6x unpinned (max_rescan audit, round 7)
+    o = pin(
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ),
+        label="orders_src",
+    )
     base = o.filter(F.col("o_orderkey") % 4 != 0)
     updates = o.filter(F.col("o_orderkey") % 2 == 0).withColumn(
         "o_totalprice", F.col("o_totalprice") + 1000.0
@@ -197,7 +205,13 @@ def sink_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     .py:143-151) destroys history; SCD2 is what a warehouse keeps
     instead, and it is one shuffle join here (operators/merge.py
     merge_scd2), not a per-row UPDATE loop."""
-    c = load(spark, sf_dir, "customer")
+    # pinned source projection: current + history + update batch all
+    # derive from it and the merge reads each side again — 7 customer
+    # scans unpinned (max_rescan audit column, round 7)
+    c = pin(
+        load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        label="scd2_src",
+    )
     cur = c.select(
         "c_custkey",
         "c_mktsegment",
@@ -296,7 +310,14 @@ def sink_scd2_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     valid_to. The reference's replace-style upsert
     (Airbnb_Listings_ETL.py:143-151) keeps no history at all; this is
     the backfill-replay form a warehouse needs."""
-    c = load(spark, sf_dir, "customer")
+    # pin the source projection: the CDC fixture derives NINE frames
+    # from it (current + history + 7 change streams) and the merge
+    # references each again — unpinned, the final plan read the
+    # customer table 27 times (max_rescan audit column, round 7)
+    c = pin(
+        load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        label="scd2_src",
+    )
     cur = c.select(
         "c_custkey",
         "c_mktsegment",

@@ -373,8 +373,16 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured in SCALING.md; the oracle states the identical bucket
     semantics so the gate checks implementation, recall is measured
     separately."""
-    base = load(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array("embedding").alias("v")
+    # pin the decoded base: perturbed/planes/corpus all derive from it
+    # (3 embeddings scans unpinned), and pin the bucketed corpus: the
+    # near-dup self-join reads it on BOTH sides (2 more scans + the
+    # 8-plane bucket expression evaluated twice). 10 -> 1 scan
+    # (max_rescan audit column, round 7).
+    base = pin(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double_array("embedding").alias("v")
+        ),
+        label="emb_base",
     )
     perturbed = base.select(
         (F.col("vec_id") + 100000).alias("vec_id"),
@@ -386,7 +394,10 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = base.filter(F.col("vec_id").between(1, 8)).select(
         F.col("vec_id").cast("int").alias("pid"), "v"
     )
-    bucketed = S.with_lsh_bucket(corpus, "vec_id", "v", planes, "pid", 8)
+    bucketed = pin(
+        S.with_lsh_bucket(corpus, "vec_id", "v", planes, "pid", 8),
+        label="lsh_bucketed",
+    )
     return D.embedding_near_dup_pairs(
         bucketed, "vec_id", "v", "bucket", threshold=0.99
     )
@@ -1891,9 +1902,12 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join — the same boilerplate-span guard the ngram-Jaccard path
     uses (SCALING.md): an uncapped ubiquitous span emits k^2/2
     candidates and one hot shuffle key. Span hashes are md5-derived
-    (hash60), bitwise-equal cross-engine."""
+    (hash60), bitwise-equal cross-engine. The span posting table is
+    PINNED: the DF-cap filter and both self-join sides read it, and
+    unpinned each re-tokenized + re-hashed the corpus (8 scans in the
+    final plan — max_rescan audit column, round 7)."""
     corpus = _variant_corpus(spark, sf_dir, max_id=300)
-    spans = (
+    spans = pin(
         corpus.withColumn("tok", F.split("text", " "))
         .filter(F.size("tok") >= _SPAN_W)
         .select(
@@ -1906,7 +1920,8 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("h"),
         )
-        .distinct()
+        .distinct(),
+        label="span_postings",
     )
     keep = (
         spans.groupBy("h")
@@ -2091,7 +2106,14 @@ def _unigram_doc_scores(docs: DataFrame) -> DataFrame:
     stable cross-engine. Shared by the raw score report and the CCNet
     bucket split (text_perplexity_bucket)."""
     terms = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    freqs = terms.groupBy("term").agg(F.count("*").alias("freq"))
+    # pin the vocabulary-sized frequency table: without it every
+    # downstream reference (total, score join) re-derives it from a
+    # fresh corpus scan — the multi-derivation anti-pattern the
+    # max_rescan audit column counts
+    freqs = pin(
+        terms.groupBy("term").agg(F.count("*").alias("freq")),
+        label="unigram_freqs",
+    )
     tot = freqs.agg(F.sum("freq").alias("n"))
     fr = freqs.crossJoin(F.broadcast(tot)).select(
         "term", "freq", F.col("n").cast("double").alias("total_d")
@@ -2172,9 +2194,15 @@ def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cuts round to 6 dp and scores to 4 dp before comparison, so the
     head/middle/tail split is deterministic cross-engine."""
     docs = load(spark, sf_dir, "documents")
-    dl = _unigram_doc_scores(docs).select(
-        "doc_id", F.col("avg_surprisal").alias("ppl")
-    ).join(docs.select("doc_id", "lang"), "doc_id")
+    # pin the per-doc score table: the cuts aggregate AND the bucket
+    # assignment both consume it — unpinned, each re-runs the whole
+    # scoring pipeline (8 corpus scans in the final plan)
+    dl = pin(
+        _unigram_doc_scores(docs)
+        .select("doc_id", F.col("avg_surprisal").alias("ppl"))
+        .join(docs.select("doc_id", "lang"), "doc_id"),
+        label="ppl_scores",
+    )
     cuts = dl.groupBy("lang").agg(
         F.round(
             F.expr("percentile(ppl, CAST(1 AS DOUBLE) / 3)"), 6

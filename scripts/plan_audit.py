@@ -173,6 +173,10 @@ NESTED_LOOP_STAGE_ALLOWED = {
     ("sample_kcenter_coreset", "kcenter_state_6"),
     # fixed n_planes hyperplane rows build the bucket bits
     ("sim_lsh_bucketed", "lsh_buckets"),
+    ("dedup_embedding_lsh", "lsh_bucketed"),
+    # 1-row corpus-total fold inside the pinned per-doc score stage
+    # (text_unigram_logprob's allowlisted shape, now behind a pin)
+    ("text_perplexity_bucket", "ppl_scores"),
     # candidate set x the broadcast 5-query set
     ("sim_mmr_rerank", "mmr_cand"),
     # BPE merge rounds: symbol chain x the pinned 1-ROW argmax winner
@@ -223,6 +227,15 @@ def _lint_plan_text(key: str, plan: str, unpart_win: int, stage: str | None) -> 
     return flags
 
 
+def _max_same_table_scans(plan: str) -> int:
+    """Highest number of scan nodes pointing at ONE parquet path."""
+    import re
+    from collections import Counter
+
+    paths = re.findall(r"Location: \S+ \[([^\]]+)\]", plan)
+    return max(Counter(paths).values()) if paths else 0
+
+
 def audit(key: str, spec, spark, sf_dir: str) -> dict:
     from airbnb_listings_reviews_data_engineering_spark import checkpoint as _ckpt
     from airbnb_listings_reviews_data_engineering_spark.planlint import (
@@ -258,6 +271,16 @@ def audit(key: str, spec, spark, sf_dir: str) -> dict:
         "nested_loop": "CartesianProduct" in plan
         or "BroadcastNestedLoopJoin" in plan,
         "unpart_win": unpart_win,
+        # worst same-table rescan count across final + pinned stage
+        # plans: a plan that reads the same parquet table k times does
+        # k corpus passes at 100 TB — the multi-derivation anti-pattern
+        # fixed by pinning the shared intermediate (sample_dsir /
+        # sample_doremi_weights, round 7). Legitimate multi-table joins
+        # score 1 per table; only REPEATS of one path count.
+        "max_rescan": max(
+            [_max_same_table_scans(plan)]
+            + [_max_same_table_scans(sp) for _, sp, _ in stages]
+        ),
         "pinned_stages": len(stages),
         "stage_exchanges": stage_exchanges,
         "stage_unpart_win": stage_unpart,
@@ -284,6 +307,7 @@ def run(keys=None, sf_dir: str = DEFAULT_SF_DIR) -> list[dict]:
             except Exception as e:  # noqa: BLE001 — audit must report, not die
                 rows.append({"key": key, "exchanges": -1, "arrow_python": False,
                              "nested_loop": False, "unpart_win": 0,
+                             "max_rescan": 0,
                              "pinned_stages": 0, "stage_exchanges": 0,
                              "stage_unpart_win": 0, "stage_windows": 0,
                              "stage_plans": [], "plan": "",
@@ -309,8 +333,9 @@ def main() -> None:
         "pinned by tests/test_plan_audit.py.",
         "",
         "| key | exchanges | arrow python | nested loop | unpart window |"
-        " pinned stages | stage exchanges | stage windows | flags |",
-        "|---|---|---|---|---|---|---|---|---|",
+        " max rescan | pinned stages | stage exchanges | stage windows |"
+        " flags |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append(
@@ -318,6 +343,7 @@ def main() -> None:
             f"{'y' if r['arrow_python'] else ''} | "
             f"{'y' if r['nested_loop'] else ''} | "
             f"{r.get('unpart_win', 0) or ''} | "
+            f"{r.get('max_rescan', 0) or ''} | "
             f"{r.get('pinned_stages', 0) or ''} | "
             f"{r.get('stage_exchanges', 0) or ''} | "
             f"{r.get('stage_windows', 0) or ''} | "

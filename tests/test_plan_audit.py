@@ -21,6 +21,32 @@ from scripts.plan_audit import (  # noqa: E402
     run,
 )
 
+# same-table rescan ceilings for the keys the round-7 pin pass fixed:
+# a final (or pinned-stage) plan that reads one parquet table k times
+# does k corpus passes at 100 TB. These keys each read their fact table
+# 4-27x before the shared-intermediate pins; the ceiling pins the fix.
+# (Benign shapes are excluded on purpose: tiny-dim rescans — nation in
+# pagerank — and pushdown-pruned fixture extractions — query/centroid
+# slices of embeddings — don't scan the corpus.)
+RESCAN_CEILINGS = {
+    "sink_scd2_multi": 1,       # was 27 (customer)
+    "dedup_embedding_lsh": 1,   # was 10 (embeddings)
+    "graph_jaccard_neighbors": 1,   # was 8 (4 fact tables)
+    "dedup_shared_spans": 2,    # was 8 (documents; 2 = variant union)
+    "text_perplexity_bucket": 2,  # was 8 (documents)
+    "sink_scd2": 1,             # was 7 (customer)
+    "graph_adamic_adar": 1,     # was 6 (4 fact tables)
+    "graph_degree_assortativity": 1,  # was 6
+    "inc_daily_snapshot": 1,    # was 6 (orders)
+    "text_bigram_logprob": 2,   # was 6 (documents)
+    "ml_classifier_agreement": 1,   # was 5 (documents)
+    "ml_naive_bayes": 1,        # was 4
+    "ml_confusion_matrix": 1,   # was 4
+    "graph_triangle_count": 1,  # was 4
+    "sample_dsir": 1,           # was 4 (documents, pre-restructure)
+    "sample_doremi_weights": 1, # was 8 (documents, pre-pin)
+}
+
 RISK_KEYS = sorted(
     {
         # joins of growing tables — must never go nested-loop
@@ -45,6 +71,7 @@ RISK_KEYS = sorted(
         *UNPARTITIONED_WINDOW_ALLOWED,
         *(k for k, _ in NESTED_LOOP_STAGE_ALLOWED),
         *(k for k, _ in UNPARTITIONED_WINDOW_STAGE_ALLOWED),
+        *RESCAN_CEILINGS,
     }
 )
 
@@ -158,3 +185,13 @@ def test_assignment_stages_stay_map_side(audit_rows):
             # already bans every WindowExec; this adds the exchange)
             assert PER_VECTOR_WINDOW not in splan, (k, label)
             assert CORPUS_ID_SHUFFLE not in splan, (k, label)
+
+
+
+def test_rescan_ceilings(audit_rows):
+    over = {
+        k: audit_rows[k]["max_rescan"]
+        for k, ceil in RESCAN_CEILINGS.items()
+        if audit_rows[k]["max_rescan"] > ceil
+    }
+    assert over == {}, over
