@@ -2489,3 +2489,272 @@ def ml_classifier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_nb_correct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cluster-balanced sampling: uniform per-semantic-cluster cap
+# ---------------------------------------------------------------------------
+
+_CBAL_K = 4
+_CBAL_DIMS = 8
+_CBAL_ITERS = 2
+_CBAL_CAP = 40
+
+
+def _cbal_sql() -> str:
+    from .pipeline_ext import _kmeans_blocks
+    from ..functions.hashing import hash60_duckdb_sql
+
+    d2 = (
+        "round(list_sum(list_transform(generate_series(1, {dims}), "
+        "d -> (e.v[d] - c.cv[d]) * (e.v[d] - c.cv[d]))), 6)"
+    ).format(dims=_CBAL_DIMS)
+    gate = hash60_duckdb_sql("CAST(vec_id AS VARCHAR) || '|cbal'")
+    return (
+        "WITH "
+        + _kmeans_blocks(_CBAL_K, _CBAL_DIMS, _CBAL_ITERS)
+        + f""",
+af AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cid)
+             AS rn
+    FROM e CROSS JOIN c{_CBAL_ITERS} c
+  ) WHERE rn = 1
+),
+r AS (
+  SELECT vec_id, cid,
+         count(*) OVER (PARTITION BY cid) AS cell_n,
+         row_number() OVER (PARTITION BY cid ORDER BY {gate}, vec_id) AS rk
+  FROM af
+)
+SELECT vec_id, cid, cell_n FROM r WHERE rk <= {_CBAL_CAP}
+"""
+    )
+
+
+@register("sample_cluster_balanced", oracle=_cbal_sql())
+def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling: learn semantic clusters
+    (the exact deterministic Lloyd loop ml_kmeans trains, k=4 over the
+    first 8 embedding dims), assign every vector MAP-SIDE to its final
+    centroid, then keep at most CAP vectors per cluster under a
+    hash-gated order — the de-biasing pass curation pipelines run so
+    that over-represented content modes (boilerplate clusters) don't
+    dominate the training mix (cluster-then-sample as in SemDeDup-style
+    pipelines and DataComp baselines, arXiv:2302.00578 / 2304.14108).
+    Emits the pre-cap cell size next to each kept row so the report
+    shows what the cap actually cut.
+
+    Scale shape: training is ml_kmeans's bounded-round loop (each round
+    ONE corpus scan + a broadcast k-row argmin — operators/clustering
+    .assign_nearest; centroid tables pinned per round, so no lineage
+    blow-up); the final assignment is the same map-side argmin (no
+    per-vector window, no corpus hashpartition exchange); the cap is a
+    cid-partitioned window — k cells, combiner-free but bounded by the
+    cell count, the one shuffle the semantics require. The md5 gate
+    (hash60, bitwise cross-engine) replaces rand() so the kept set is
+    retry- and partitioning-stable."""
+    from ..functions.hashing import hash60
+    from ..operators.clustering import assign_nearest, kmeans_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.slice(as_double_array("embedding"), 1, _CBAL_DIMS).alias("v")
+    )
+    cents = kmeans_centroids(
+        emb, "vec_id", "embedding", k=_CBAL_K, dims=_CBAL_DIMS, iters=_CBAL_ITERS
+    )
+    assigned = assign_nearest(v, "vec_id", "v", cents, dims=_CBAL_DIMS)
+    gate = hash60(F.concat(F.col("vec_id").cast("string"), F.lit("|cbal")))
+    win_u = W.partitionBy("cid")
+    win_o = W.partitionBy("cid").orderBy(gate, "vec_id")
+    return (
+        assigned.select(
+            "vec_id",
+            "cid",
+            F.count("*").over(win_u).alias("cell_n"),
+            F.row_number().over(win_o).alias("rk"),
+        )
+        .filter(F.col("rk") <= _CBAL_CAP)
+        .select("vec_id", "cid", "cell_n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry strength fitting over pairwise judgments (arena-style eval)
+# ---------------------------------------------------------------------------
+
+_BT_ITERS = 5
+
+
+def _bt_sql() -> str:
+    blocks = ["""
+m AS MATERIALIZED (
+  SELECT x.source AS sa, y.source AS sb,
+         CASE WHEN x.n_chars > y.n_chars THEN x.source
+              WHEN x.n_chars < y.n_chars THEN y.source
+              WHEN x.source < y.source THEN x.source ELSE y.source
+         END AS win
+  FROM documents x JOIN documents y
+    ON y.doc_id = x.doc_id + 1 AND x.source <> y.source
+  UNION ALL
+  SELECT x.source AS sa, y.source AS sb,
+         CASE WHEN x.n_chars > y.n_chars THEN x.source
+              WHEN x.n_chars < y.n_chars THEN y.source
+              WHEN x.source < y.source THEN x.source ELSE y.source
+         END AS win
+  FROM documents x JOIN documents y
+    ON y.doc_id = x.doc_id + 2 AND x.source <> y.source
+),
+nij AS MATERIALIZED (
+  SELECT least(sa, sb) AS i, greatest(sa, sb) AS j,
+         count(*)::DOUBLE AS n
+  FROM m GROUP BY 1, 2
+),
+dn AS MATERIALIZED (
+  SELECT i AS s, j AS o, n FROM nij
+  UNION ALL
+  SELECT j AS s, i AS o, n FROM nij
+),
+wins AS MATERIALIZED (SELECT win AS s, count(*)::DOUBLE AS w FROM m GROUP BY win),
+p0 AS MATERIALIZED (SELECT DISTINCT s, 1.0 AS p FROM dn)
+"""]
+    for t in range(1, _BT_ITERS + 1):
+        prev = f"p{t - 1}"
+        blocks.append(f"""
+q{t} AS MATERIALIZED (
+  SELECT d.s,
+         COALESCE(w.w, 0) / sum(d.n / (pa.p + pb.p)) AS p_raw
+  FROM dn d
+  JOIN {prev} pa ON pa.s = d.s
+  JOIN {prev} pb ON pb.s = d.o
+  LEFT JOIN wins w ON w.s = d.s
+  GROUP BY d.s, w.w
+),
+p{t} AS MATERIALIZED (
+  SELECT s, round(p_raw * (SELECT count(*) FROM q{t})
+                  / (SELECT sum(p_raw) FROM q{t}), 9) AS p
+  FROM q{t}
+)
+""")
+    return (
+        "WITH " + ",".join(b.strip() for b in blocks) + f"""
+SELECT p.s AS source, round(p.p, 6) AS strength,
+       CAST(COALESCE(w.w, 0) AS BIGINT) AS wins,
+       CAST(g.games AS BIGINT) AS games
+FROM p{_BT_ITERS} p
+LEFT JOIN wins w ON w.s = p.s
+JOIN (SELECT s, sum(n) AS games FROM dn GROUP BY s) g ON g.s = p.s
+"""
+    )
+
+
+@register("eval_bradley_terry", oracle=_bt_sql())
+def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength fitting over pairwise judgments — the
+    arena-style eval aggregation (Chatbot-Arena-like leaderboards fit
+    exactly this model; Hunter 2004's MM algorithm, 5 deterministic
+    iterations): given per-pair game counts n_ij and per-player win
+    totals w_i, iterate p_i <- w_i / sum_j n_ij / (p_i + p_j), then
+    normalize so strengths sum to the player count. The judgment
+    fixture pits each doc against its +1 and +2 neighbors (sources
+    differ by construction in the cyclic layout), winner = longer doc,
+    source-name tie-break — deterministic in both engines.
+
+    Scale shape: ONE pass over the judgment log builds the (i, j, n)
+    match matrix and the win totals — at arena scale that log is the
+    corpus-sized input and this is its only shuffle (pair-keyed,
+    combiner-reduced). Everything after is K-row state (K = number of
+    models): each MM round joins the K^2-at-most match matrix against
+    the pinned K-row strength table and renormalizes via a broadcast
+    1-row total — bounded rounds, pinned per round exactly like
+    graph_pagerank, so lineage stays flat and no round re-scans the
+    log. Per-round strengths round to 9 dp (final to 6) so the fixed
+    point is bitwise cross-engine."""
+    docs = pin(
+        load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars"),
+        label="bt_docs",
+    )
+    y1 = docs.select(
+        (F.col("doc_id") - 1).alias("k1"),
+        F.col("source").alias("sb"),
+        F.col("n_chars").alias("cb"),
+    )
+    y2 = docs.select(
+        (F.col("doc_id") - 2).alias("k2"),
+        F.col("source").alias("sb"),
+        F.col("n_chars").alias("cb"),
+    )
+    win = (
+        F.when(F.col("n_chars") > F.col("cb"), F.col("source"))
+        .when(F.col("n_chars") < F.col("cb"), F.col("sb"))
+        .when(F.col("source") < F.col("sb"), F.col("source"))
+        .otherwise(F.col("sb"))
+    )
+    m = (
+        docs.join(y1, F.col("doc_id") == F.col("k1"))
+        .filter(F.col("source") != F.col("sb"))
+        .select(F.col("source").alias("sa"), "sb", win.alias("win"))
+        .unionByName(
+            docs.join(y2, F.col("doc_id") == F.col("k2"))
+            .filter(F.col("source") != F.col("sb"))
+            .select(F.col("source").alias("sa"), "sb", win.alias("win"))
+        )
+    )
+    nij = pin(
+        m.groupBy(
+            F.least("sa", "sb").alias("i"), F.greatest("sa", "sb").alias("j")
+        ).agg(
+            F.count("*").cast("double").alias("n"),
+        ),
+        label="bt_matches",
+    )
+    wins = pin(
+        m.groupBy(F.col("win").alias("s")).agg(
+            F.count("*").cast("double").alias("w")
+        ),
+        label="bt_wins",
+    )
+    dn = nij.select(F.col("i").alias("s"), F.col("j").alias("o"), "n").unionByName(
+        nij.select(F.col("j").alias("s"), F.col("i").alias("o"), "n")
+    )
+    p = dn.select("s").distinct().withColumn("p", F.lit(1.0))
+    for _ in range(_BT_ITERS):
+        pa = p.select(F.col("s").alias("_s"), F.col("p").alias("pa"))
+        pb = p.select(F.col("s").alias("_o"), F.col("p").alias("pb"))
+        q = (
+            dn.join(F.broadcast(pa), F.col("s") == F.col("_s"))
+            .join(F.broadcast(pb), F.col("o") == F.col("_o"))
+            .join(F.broadcast(wins), "s", "left")
+            .groupBy("s", "w")
+            .agg(
+                (
+                    F.coalesce(F.first("w"), F.lit(0.0))
+                    / F.sum(F.col("n") / (F.col("pa") + F.col("pb")))
+                ).alias("p_raw")
+            )
+            .select("s", "p_raw")
+        )
+        tot = q.agg(
+            F.count("*").cast("double").alias("k"),
+            F.sum("p_raw").alias("t"),
+        )
+        p = pin(
+            q.crossJoin(F.broadcast(tot)).select(
+                "s",
+                F.round(F.col("p_raw") * F.col("k") / F.col("t"), 9).alias("p"),
+            ),
+            label="bt_round",
+        )
+    games = dn.groupBy("s").agg(F.sum("n").alias("games"))
+    return (
+        p.join(F.broadcast(wins), "s", "left")
+        .join(F.broadcast(games), "s")
+        .select(
+            F.col("s").alias("source"),
+            F.round("p", 6).alias("strength"),
+            F.coalesce("w", F.lit(0.0)).cast("bigint").alias("wins"),
+            F.col("games").cast("bigint").alias("games"),
+        )
+    )

@@ -3510,3 +3510,324 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("first_cut_frame"),
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination: n-gram overlap against a held-out eval set
+# ---------------------------------------------------------------------------
+
+_DECON_N = 3          # n-gram order (13 on real text; 3 fits the tiny vocab)
+_DECON_EVAL_MOD = 97  # doc_id % 97 == 0 plays the benchmark suite
+
+_DECON_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         unnest(CASE WHEN len(w) < {_DECON_N} THEN [NULL]
+                ELSE list_transform(
+                       generate_series(1, len(w) - {_DECON_N - 1}),
+                       i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
+                END) AS g
+  FROM tok
+),
+ev AS (
+  SELECT DISTINCT g FROM grams
+  WHERE doc_id % {_DECON_EVAL_MOD} = 0 AND g IS NOT NULL
+)
+SELECT t.doc_id, t.source,
+       count(DISTINCT CASE WHEN ev.g IS NOT NULL THEN t.g END) AS n_hits,
+       count(DISTINCT CASE WHEN ev.g IS NOT NULL THEN t.g END) > 0
+         AS contaminated
+FROM grams t LEFT JOIN ev ON t.g = ev.g
+WHERE t.doc_id % {_DECON_EVAL_MOD} <> 0
+GROUP BY t.doc_id, t.source
+"""
+
+
+@register("text_decontaminate", oracle=_DECON_SQL)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (Brown et al., arXiv:2005.14165
+    Appendix C; standard practice since): flag every training document
+    that shares any length-N token n-gram with the evaluation suite,
+    so test data can be excised from the training corpus before a run.
+    N=13 on real text; N=3 here because the synthetic vocabulary is
+    ~40 words (the overlap statistics are non-degenerate: ~1/3 of the
+    corpus shares a trigram with the 1/97 eval slice). Emits per-doc
+    matched-distinct-gram counts, not just the verdict — a 100 TB
+    decontamination run reports how MUCH of each doc overlaps before
+    choosing between dropping the doc and splicing out the span.
+
+    Scale shape: the eval suite is tiny and fixed (benchmarks, not
+    corpus), so its distinct gram set is built once, PINNED, and
+    BROADCAST — the corpus side is ONE scan -> explode -> map-side
+    broadcast left-join -> partial-aggregated count(DISTINCT matched)
+    per doc. No corpus shuffle except the per-doc distinct-count
+    combine (keyed on doc_id, combiner-reduced). explode_outer keeps
+    sub-N-token docs in the result with n_hits = 0 (the oracle's
+    [NULL]-list CASE is the same outer semantics). In production the
+    eval slice is an external table; deriving it from the corpus here
+    costs the fixture one extra 1/97 slice scan."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "source", F.split("text", " ").alias("w"))
+    grams = tok.select(
+        "doc_id",
+        "source",
+        F.explode_outer(
+            F.expr(
+                f"transform(slice(w, 1, greatest(size(w) - {_DECON_N - 1}, 0)),"
+                " (x, i) -> concat(x, ' ', element_at(w, i + 2),"
+                " ' ', element_at(w, i + 3)))"
+            )
+        ).alias("g"),
+    )
+    ev = pin(
+        grams.filter(
+            (F.col("doc_id") % _DECON_EVAL_MOD == 0) & F.col("g").isNotNull()
+        )
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1)),
+        label="eval_grams",
+    )
+    tr = grams.filter(F.col("doc_id") % _DECON_EVAL_MOD != 0)
+    return (
+        tr.join(F.broadcast(ev), "g", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("hit").isNotNull(), F.col("g"))
+            ).alias("n_hits")
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_hits",
+            (F.col("n_hits") > 0).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-split near-dup leakage audit (train/test contamination by near-dups)
+# ---------------------------------------------------------------------------
+
+_LEAK_TEST_MOD = 7  # doc_id % 7 == 0 -> test split (100000 % 7 != 0, so a
+#                     variant and its original can land in DIFFERENT splits)
+
+
+def _leakage_sql() -> str:
+    band_cond = " OR ".join(
+        "(" + " AND ".join(f"a.h{b*2+r} = b.h{b*2+r}" for r in range(2)) + ")"
+        for b in range(_BANDS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END)"
+        for j in range(_NUM_HASHES)
+    )
+    m = _LEAK_TEST_MOD
+    return f"""
+WITH {_VARIANT_CORPUS_SQL.strip().rstrip()},
+{_minhash_sig_sql().strip()},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(({agree}) / {float(_NUM_HASHES)}, 4) AS est
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_cond})
+  WHERE round(({agree}) / {float(_NUM_HASHES)}, 4) >= 0.5
+),
+leaks AS (
+  SELECT CASE WHEN doc_a % {m} = 0 THEN doc_a ELSE doc_b END AS test_doc,
+         est
+  FROM pairs
+  WHERE (doc_a % {m} = 0) <> (doc_b % {m} = 0)
+)
+SELECT test_doc, CAST(count(*) AS BIGINT) AS n_train_dups, max(est) AS max_est
+FROM leaks GROUP BY test_doc
+"""
+
+
+@register("split_leakage_audit", oracle=_leakage_sql())
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split near-duplicate leakage audit: find every TEST
+    document that has a near-duplicate in the TRAIN split. A random
+    per-document split sends near-identical copies to opposite sides,
+    so held-out metrics silently measure memorization — the C4/ LM
+    contamination failure documented by Dodge et al. (arXiv:2104.08758
+    §4) and why Lee et al. (arXiv:2107.06499) dedup BEFORE splitting.
+    This is the audit a pipeline runs over an EXISTING split before
+    trusting its eval numbers: one row per leaked test doc with the
+    train-dup count and the strongest estimated Jaccard.
+
+    Scale shape: identical to dedup_minhash_lsh (shingle -> minhash ->
+    band -> uniform bucket join — never O(n^2); the signature table is
+    pinned once and both join sides read it), plus a pure map-side
+    split classification and a test-doc-keyed combine. The split gate
+    is doc_id mod 7 (the naive random split being audited); variants
+    sit 100000 ids from their originals, so original and near-dup do
+    straddle the split — the fixture reproduces the leak the audit
+    exists to catch."""
+    corpus = _variant_corpus(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        corpus, "doc_id", "text",
+        num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5,
+    )
+    a_test = F.col("doc_a") % _LEAK_TEST_MOD == 0
+    b_test = F.col("doc_b") % _LEAK_TEST_MOD == 0
+    leaks = pairs.filter(a_test != b_test).select(
+        F.when(a_test, F.col("doc_a")).otherwise(F.col("doc_b")).alias("test_doc"),
+        F.col("est_jaccard").alias("est"),
+    )
+    return leaks.groupBy("test_doc").agg(
+        F.count("*").alias("n_train_dups"),
+        F.max("est").alias("max_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image dedup (dHash + hamming pigeonhole blocking)
+# ---------------------------------------------------------------------------
+
+_PH_MAXID = 250   # originals: doc_id < 250; variants: +100000, 0-5 cells flipped
+_PH_CELLS = 63    # pseudo-pixel grid (64-cell row-major grid, last cell unused)
+_PH_BITS = 62     # adjacent-cell comparisons -> bits 0..61 (signed-safe)
+_PH_HAM = 3       # near-dup hamming radius
+_PH_CHUNKS = 4    # 16-bit pigeonhole chunks: ham <= 3 => >= 1 chunk equal
+
+# md5-derived pseudo-pixel (0..255) for cell c of the ORIGINAL image —
+# the deterministic stand-in for a decoded thumbnail (the container has
+# no codec; operators/multimodal.py:77 documents the honest boundary)
+_PH_PX_DUCK = (
+    "CAST('0x' || substr(md5(CAST(doc_id % 100000 AS VARCHAR) || ':' "
+    "|| CAST(c AS VARCHAR)), 1, 2) AS BIGINT)"
+)
+
+
+def _phash_sql() -> str:
+    flip = (
+        "CASE WHEN doc_id >= 100000 AND (c - 1) < (doc_id % 100000) % 6 "
+        f"THEN ({_PH_PX_DUCK} + 128) % 256 ELSE {_PH_PX_DUCK} END"
+    )
+    chunk = "(h >> (16 * ck)) & 65535"
+    return f"""
+WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id < {_PH_MAXID}
+  UNION ALL
+  SELECT doc_id + 100000 FROM documents WHERE doc_id < {_PH_MAXID}
+),
+pxa AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, {_PH_CELLS}), c -> {flip}) AS px
+  FROM ids
+),
+sig AS (
+  SELECT doc_id,
+         list_sum(list_transform(generate_series(1, {_PH_BITS}), i ->
+           CASE WHEN px[i] > px[i + 1]
+                THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)) AS h
+  FROM pxa
+),
+bands AS (
+  SELECT doc_id, h, ck, {chunk} AS cv
+  FROM sig, unnest(generate_series(0, {_PH_CHUNKS - 1})) AS t(ck)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.h AS ha, b.h AS hb
+  FROM bands a JOIN bands b
+    ON a.ck = b.ck AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {_PH_HAM}
+"""
+
+
+@register("mm_phash_dedup", oracle=_phash_sql())
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup: dHash each image (adjacent-pixel
+    brightness comparisons over a fixed thumbnail grid -> one 62-bit
+    signature), then find all pairs within hamming distance 3 via
+    pigeonhole chunk blocking — the standard image near-dup pass of a
+    multimodal training pipeline (resized re-encodes and watermarked
+    copies hash within a few bits of the original). The pixel grid is
+    the deterministic md5-derived stand-in for a decoded thumbnail
+    (operators/multimodal.py:77 documents the honest no-codec
+    boundary; a real deployment swaps ONE mapInPandas decode in and
+    every stage below is unchanged). The fixture plants a variant per
+    original with 0-5 flipped cells, so pair distances straddle the
+    radius and the blocking does real work.
+
+    Scale shape: the signature is a PURE map-side projection — the
+    pixel array and the 62 comparisons are array expressions
+    (transform/aggregate over sequence), no explode, no window, no
+    shuffle; each signature then explodes to exactly 4 (chunk, value)
+    band keys and only band collisions shuffle (dedup_simhash's
+    pigeonhole guarantee: hamming <= 3 over 4 chunks forces >= 1 equal
+    chunk, so recall is 1.0 by construction — no S-curve). Signatures
+    ride the band join so verification needs no re-join. At 100 TB:
+    64-byte signatures per image, band keys uniform by construction."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _PH_MAXID
+    ).select("doc_id")
+    ids = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"))
+    )
+    px_expr = (
+        "transform(sequence(1, {cells}), c -> CASE WHEN"
+        " doc_id >= 100000 AND (c - 1) < (doc_id % 100000) % 6"
+        " THEN (CAST(conv(substring(md5(concat(CAST(doc_id % 100000 AS"
+        " STRING), ':', CAST(c AS STRING))), 1, 2), 16, 10) AS BIGINT)"
+        " + 128) % 256"
+        " ELSE CAST(conv(substring(md5(concat(CAST(doc_id % 100000 AS"
+        " STRING), ':', CAST(c AS STRING))), 1, 2), 16, 10) AS BIGINT)"
+        " END)"
+    ).format(cells=_PH_CELLS)
+    sig_expr = (
+        "aggregate(sequence(1, {bits}), CAST(0 AS BIGINT), (acc, i) ->"
+        " acc + IF(element_at(px, i) > element_at(px, i + 1),"
+        " shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT)))"
+    ).format(bits=_PH_BITS)
+    # pinned: both sides of the band self-join read the signature table
+    # (unpinned, each side re-derives it — 4 documents scans in the
+    # final plan; max_rescan audit column)
+    sig = pin(
+        ids.withColumn("px", F.expr(px_expr)).select(
+            "doc_id", F.expr(sig_expr).alias("h")
+        ),
+        label="phash_sig",
+    )
+    bands = sig.select(
+        "doc_id",
+        "h",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("ck"),
+                    (
+                        F.shiftright("h", 16 * c).bitwiseAND(F.lit(65535))
+                    ).alias("cv"),
+                )
+                for c in range(_PH_CHUNKS)
+            ])
+        ).alias("bk"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.h").alias("ha"),
+            F.col("b.h").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.filter(ham <= _PH_HAM).select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
+    )

@@ -1300,3 +1300,117 @@ def sample_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0)
         ).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RHO-loss: reducible-holdout-loss data selection
+# ---------------------------------------------------------------------------
+
+_RHO_N = 120        # selection size
+_RHO_HOLD_MOD = 7   # doc_id % 7 == 0 plays the holdout split
+
+_RHO_SQL = f"""
+WITH tc AS (
+  SELECT doc_id, source, doc_id % {_RHO_HOLD_MOD} = 0 AS is_hold,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+cnts AS (
+  SELECT doc_id, source, is_hold, term, count(*)::DOUBLE AS cnt
+  FROM tc GROUP BY ALL
+),
+v AS (SELECT count(DISTINCT term)::DOUBLE AS v FROM cnts),
+h AS (SELECT term, sum(cnt) AS ch FROM cnts WHERE is_hold GROUP BY term),
+p AS (SELECT term, sum(cnt) AS cp FROM cnts WHERE NOT is_hold GROUP BY term),
+n AS (SELECT sum(CASE WHEN is_hold THEN cnt ELSE 0 END) AS nh,
+             sum(CASE WHEN NOT is_hold THEN cnt ELSE 0 END) AS np
+      FROM cnts),
+lam AS (
+  SELECT COALESCE(h.term, p.term) AS term,
+         ln((COALESCE(h.ch, 0) + 1) / (n.nh + v.v)) AS lnph,
+         ln((COALESCE(p.cp, 0) + 1) / (n.np + v.v)) AS lnpp
+  FROM h FULL OUTER JOIN p ON h.term = p.term CROSS JOIN n CROSS JOIN v
+),
+scored AS (
+  SELECT c.doc_id, c.source,
+         CAST(sum(c.cnt) AS BIGINT) AS n_tok,
+         round(-sum(c.cnt * l.lnpp), 4) AS loss_pool,
+         round(-sum(c.cnt * l.lnph), 4) AS loss_hold,
+         round(sum(c.cnt * (l.lnph - l.lnpp)), 4) AS excess
+  FROM cnts c JOIN lam l USING (term)
+  WHERE NOT c.is_hold
+  GROUP BY c.doc_id, c.source
+)
+SELECT * FROM scored ORDER BY excess DESC, doc_id LIMIT {_RHO_N}
+"""
+
+
+@register("sample_rho_loss", oracle=_RHO_SQL)
+def sample_rho_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHO-loss data selection (Mindermann et al., arXiv:2206.07137):
+    rank each candidate training document by its REDUCIBLE loss — the
+    loss under the current training model minus the loss under a model
+    fit on a held-out split — and keep the top N. High reducible loss
+    means learnable-but-not-yet-learned; low means noise (high on both
+    models) or already learned (low on both), and both are wasted
+    compute at training time. The two models here are add-1-smoothed
+    unigram LMs over a shared vocabulary — the static, oracle-checkable
+    analog of the paper's neural losses: loss_pool is fit on the
+    candidate pool itself, loss_hold on the doc_id %% 7 == 0 holdout.
+
+    Scale shape: ONE corpus scan tokenizes and collapses to a pinned
+    (doc, term, count) table; both models, the vocabulary size and the
+    token totals are vocabulary-sized aggregates of that pinned frame
+    (map-side combinable), joined full-outer into one broadcast
+    per-term (lnph, lnpp) table; per-doc losses are then a broadcast
+    join + one combiner-reduced groupBy(doc_id). The final top-N is
+    TakeOrderedAndProject (per-partition heaps), never a global sort.
+    Excess rounds to 4 dp before ranking (doc_id tie-break), so the
+    selected set is deterministic cross-engine at any partitioning."""
+    docs = load(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % _RHO_HOLD_MOD == 0).alias("is_hold"),
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    cnts = pin(
+        terms.groupBy("doc_id", "source", "is_hold", "term").agg(
+            F.count("*").cast("double").alias("cnt")
+        ),
+        label="rho_counts",
+    )
+    h = cnts.filter("is_hold").groupBy("term").agg(F.sum("cnt").alias("ch"))
+    p = cnts.filter("NOT is_hold").groupBy("term").agg(
+        F.sum("cnt").alias("cp")
+    )
+    n = cnts.agg(
+        F.sum(F.when(F.col("is_hold"), F.col("cnt")).otherwise(0.0)).alias("nh"),
+        F.sum(F.when(~F.col("is_hold"), F.col("cnt")).otherwise(0.0)).alias("np"),
+        F.count_distinct("term").cast("double").alias("v"),
+    )
+    lam = (
+        h.join(p, "term", "full_outer")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            F.log((F.coalesce("ch", F.lit(0.0)) + 1) / (F.col("nh") + F.col("v")))
+            .alias("lnph"),
+            F.log((F.coalesce("cp", F.lit(0.0)) + 1) / (F.col("np") + F.col("v")))
+            .alias("lnpp"),
+        )
+    )
+    scored = (
+        cnts.filter("NOT is_hold")
+        .join(F.broadcast(lam), "term")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tok"),
+            F.round(-F.sum(F.col("cnt") * F.col("lnpp")), 4).alias("loss_pool"),
+            F.round(-F.sum(F.col("cnt") * F.col("lnph")), 4).alias("loss_hold"),
+            F.round(
+                F.sum(F.col("cnt") * (F.col("lnph") - F.col("lnpp"))), 4
+            ).alias("excess"),
+        )
+    )
+    return scored.orderBy(F.desc("excess"), "doc_id").limit(_RHO_N)

@@ -110,6 +110,11 @@ R7_ADDITIONS = [
     "sample_dsir",          # hashed-bigram importance resample, Gumbel top-k
     "text_perplexity_bucket",  # per-lang tercile split by broadcast cuts
     "sample_doremi_weights",   # excess-loss domain reweighting (pinned scan)
+    "text_decontaminate",   # n-gram overlap vs broadcast eval-suite grams
+    "sample_rho_loss",      # reducible-holdout-loss top-N selection
+    "split_leakage_audit",  # cross-split near-dup leakage (minhash bands)
+    "mm_phash_dedup",       # map-side dHash signatures + pigeonhole bands
+    "eval_bradley_terry",   # one-pass match matrix + K-row MM rounds
 ]
 
 HEADLINE = (R2_HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R4B_ADDITIONS

@@ -89,7 +89,8 @@ SECTIONS = [
         "text_entropy", "text_novelty_score"]),
     ("Multimodal (north star)", [
         "mm_binary_meta", "mm_decode_fake", "mm_frame_sample",
-        "mm_probe_media", "mm_shard_manifest", "mm_audio_rms"]),
+        "mm_probe_media", "mm_shard_manifest", "mm_audio_rms",
+        "mm_phash_dedup"]),
     ("Sampling / splitting / packing / profiling (training-data ops)", [
         "sample_stratified", "split_train_test_group", "sample_class_cap",
         "pack_token_shards", "profile_columns", "sample_temperature",
@@ -152,7 +153,10 @@ SECTIONS = [
         "agg_pareto_coverage", "text_winnowing_fingerprints",
         "ml_classifier_agreement"]),
     ("Data curation / selection (round-7 additions)", [
-        "sample_dsir", "text_perplexity_bucket", "sample_doremi_weights"]),
+        "sample_dsir", "text_perplexity_bucket", "sample_doremi_weights",
+        "text_decontaminate", "sample_rho_loss",
+        "sample_cluster_balanced", "split_leakage_audit",
+        "eval_bradley_terry"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

@@ -62,6 +62,7 @@ NESTED_LOOP_ALLOWED = {
     "dedup_embedding_lsh",  # same fixed-plane crossJoin builds the blocking key
     "emb_label_centroid",
     "ml_kmeans",         # k centroids
+    "sample_cluster_balanced",  # same 1-row broadcast centroid-array argmin
     "stream_stateful_stats",  # single-row watermark literal join
     "sim_knn_join",      # broadcast query set capped at 6 rows (vec_id < 2005)
     "join_bloom_prefilter",  # crossJoin against the ONE-row bloom bit map
@@ -117,6 +118,7 @@ NESTED_LOOP_ALLOWED = {
     "sample_dsir",       # 1-row gram totals folded into the B=64-row lambda table
     "text_perplexity_bucket",  # text_unigram_logprob's 1-row corpus-total fold
     "sample_doremi_weights",  # 1-row corpus-total + 1-row weight-total folds
+    "sample_rho_loss",   # 1-row (nh, np, V) totals folded into the vocab-row lambda table
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's
@@ -153,6 +155,9 @@ NESTED_LOOP_STAGE_ALLOWED = {
     ("ml_kmeans", "kmeans_cents"),
     ("sim_ivf_join_learned", "kmeans_cents"),
     ("sim_pq_quantize", "kmeans_cents"),  # per-subspace codebooks
+    ("sample_cluster_balanced", "kmeans_cents"),
+    # 1-row normalization total folded onto the K-row strength table
+    ("eval_bradley_terry", "bt_round"),
     # map-side cell assignment: same ONE-row centroid-array crossJoin
     ("dedup_semdedup", "semdedup_assigned"),
     ("dedup_semdedup_multiprobe", "semdedup_mp_probed"),

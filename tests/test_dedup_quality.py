@@ -155,3 +155,34 @@ def test_containment_floors(spark, sf_dir):
     # every emitted pair is a real computed containment (no estimate):
     # directed truth pairs found by the probe keep identical counts
     assert all(a != b for a, b in probe)
+
+
+def test_split_leakage_audit_full_recall(spark, sf_dir):
+    """split_leakage_audit must flag EVERY test doc with an exact
+    (AllPairs n-gram Jaccard >= 0.5) cross-split near-dup. On the
+    variant fixture the planted dups are near-identical, so the
+    banding probe is exact — recall and precision both 1.0 (measured
+    in SCALING.md "Round-7 curation additions"); threshold-marginal
+    behavior is covered by the budget-sweep floors above."""
+    from airbnb_listings_reviews_data_engineering_spark.plans.pipeline_ext import (
+        _LEAK_TEST_MOD,
+        _variant_corpus,
+        split_leakage_audit,
+    )
+
+    corpus = _variant_corpus(spark, sf_dir)
+    m = _LEAK_TEST_MOD
+    exact = D.ngram_jaccard_pairs(
+        corpus, "doc_id", "text", shingle=SHINGLE, threshold=THRESHOLD
+    )
+    cross = exact.filter(
+        (F.col("doc_a") % m == 0) != (F.col("doc_b") % m == 0)
+    )
+    truth = {(r["doc_a"], r["doc_b"]) for r in cross.collect()}
+    leaked_truth = {a if a % m == 0 else b for a, b in truth}
+    audit = {
+        r["test_doc"] for r in split_leakage_audit(spark, sf_dir).collect()
+    }
+    release_pins(spark)
+    assert len(truth) > 50  # the fixture must plant real cross-split leaks
+    assert audit == leaked_truth
