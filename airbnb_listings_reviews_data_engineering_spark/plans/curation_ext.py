@@ -129,11 +129,14 @@ pairs AS (
     ON a.cid = b.cid AND a.vec_id < b.vec_id
   WHERE {_SD_COS.format(a="a.vn", b="b.vn")} >= 0.99
 )
-SELECT s.cid, count(DISTINCT s.vec_id) AS n_vectors,
-       count(p.drop_id) AS n_dup_pairs,
-       count(DISTINCT p.drop_id) AS n_dropped
-FROM assigned s LEFT JOIN pairs p ON s.cid = p.cid
-GROUP BY s.cid
+SELECT c.cid, c.n_vectors,
+       COALESCE(p.n_dup_pairs, 0) AS n_dup_pairs,
+       COALESCE(p.n_dropped, 0) AS n_dropped
+FROM (SELECT cid, count(DISTINCT vec_id) AS n_vectors
+      FROM assigned GROUP BY cid) c
+LEFT JOIN (SELECT cid, count(*) AS n_dup_pairs,
+                  count(DISTINCT drop_id) AS n_dropped
+           FROM pairs GROUP BY cid) p ON p.cid = c.cid
 """
     )
 
@@ -198,15 +201,23 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= 0.99)
         .select("cid", "keep_id", "drop_id")
     )
-    return (
-        assigned.select("cid", "vec_id")
-        .join(pairs, "cid", "left")
-        .groupBy("cid")
-        .agg(
-            F.countDistinct("vec_id").alias("n_vectors"),
-            F.count("drop_id").alias("n_dup_pairs"),
-            F.countDistinct("drop_id").alias("n_dropped"),
-        )
+    # aggregate BOTH sides to k rows before joining: the previous
+    # per-vector x per-pair left join on cid alone materialized
+    # |cell| x |pairs-in-cell| rows per cell before its groupBy — the
+    # fact-blow-up shape the round-7 sweep measures. Two combiner-
+    # reduced aggregates + a k-row join produce identical counts.
+    cellstats = assigned.groupBy("cid").agg(
+        F.countDistinct("vec_id").alias("n_vectors")
+    )
+    pairstats = pairs.groupBy("cid").agg(
+        F.count("*").alias("n_dup_pairs"),
+        F.countDistinct("drop_id").alias("n_dropped"),
+    )
+    return cellstats.join(pairstats, "cid", "left").select(
+        "cid",
+        "n_vectors",
+        F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
     )
 
 
