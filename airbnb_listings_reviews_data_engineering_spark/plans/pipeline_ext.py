@@ -3831,3 +3831,112 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(ham <= _PH_HAM).select(
         "doc_a", "doc_b", ham.cast("int").alias("hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# decontamination repair: splice contaminated spans out of training docs
+# ---------------------------------------------------------------------------
+
+_EXCISE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS g
+  FROM tok, unnest(generate_series(1, len(w) - {_DECON_N - 1})) AS t(i)
+  WHERE len(w) >= {_DECON_N}
+),
+ev AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % {_DECON_EVAL_MOD} = 0
+),
+hits AS (
+  SELECT t.doc_id, list(t.pos) AS starts
+  FROM grams t JOIN ev USING (g)
+  WHERE t.doc_id % {_DECON_EVAL_MOD} <> 0
+  GROUP BY t.doc_id
+),
+kept AS (
+  SELECT t.doc_id,
+         len(t.w) AS n_tok,
+         list_transform(
+           list_filter(generate_series(1, len(t.w)), i ->
+             len(list_filter(COALESCE(h.starts, []), s ->
+                 i >= s AND i <= s + {_DECON_N - 1})) = 0),
+           i -> t.w[i]) AS kw
+  FROM tok t LEFT JOIN hits h USING (doc_id)
+  WHERE t.doc_id % {_DECON_EVAL_MOD} <> 0
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(n_tok - len(kw) AS BIGINT) AS n_removed,
+       -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
+       COALESCE(array_to_string(kw, ' '), '') AS clean_text
+FROM kept
+"""
+
+
+@register("text_span_excise", oracle=_EXCISE_SQL)
+def text_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination REPAIR: instead of dropping every training doc
+    that overlaps the eval suite (text_decontaminate's verdict), splice
+    the contaminated spans out and keep the rest — the GPT-3 remedy
+    (Brown et al., arXiv:2005.14165 Appendix C removes the colliding
+    window, not the document; dropping whole docs at a 34.6% hit rate
+    would cost a third of the corpus for a few tokens per doc). A
+    token is removed iff it is covered by ANY matching n-gram window;
+    emitted counts show exactly what the excision cost each doc.
+
+    Scale shape: same as text_decontaminate — the eval gram set is
+    pinned and BROADCAST; the corpus side is one scan -> positional
+    gram explode -> map-side broadcast join -> per-doc start-position
+    collect (combiner-reduced; bounded by hits-per-doc, not doc
+    length). The rebuild is a pure array expression over the token
+    array (filter positions covered by a start, reassemble with
+    array_join) — no Python, no window, no second corpus shuffle
+    beyond the doc-keyed join of hit lists back to the token table
+    (left join: clean docs pass through with an empty start list)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.split("text", " ").alias("w"))
+    grams = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(w) - {_DECON_N - 1},"
+                " 0)), i -> struct(i AS pos, concat(element_at(w, i), ' ',"
+                " element_at(w, i + 1), ' ', element_at(w, i + 2)) AS g))"
+            )
+        ).alias("pg"),
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    ev = pin(
+        grams.filter(F.col("doc_id") % _DECON_EVAL_MOD == 0)
+        .select("g")
+        .distinct(),
+        label="excise_eval_grams",
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % _DECON_EVAL_MOD != 0)
+        .join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("starts"))
+    )
+    kept = (
+        tok.filter(F.col("doc_id") % _DECON_EVAL_MOD != 0)
+        .join(hits, "doc_id", "left")
+        .withColumn(
+            "starts",
+            F.coalesce("starts", F.expr("CAST(array() AS array<int>)")),
+        )
+        .withColumn(
+            "kw",
+            F.expr(
+                "transform(filter(sequence(1, size(w)), i ->"
+                f" size(filter(starts, s -> i >= s AND i <= s"
+                f" + {_DECON_N - 1})) = 0), i -> element_at(w, i))"
+            ),
+        )
+    )
+    return kept.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_tok"),
+        (F.size("w") - F.size("kw")).cast("bigint").alias("n_removed"),
+        F.array_join("kw", " ").alias("clean_text"),
+    )

@@ -1414,3 +1414,106 @@ def sample_rho_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("excess"), "doc_id").limit(_RHO_N)
+
+
+# ---------------------------------------------------------------------------
+# first-fit-decreasing bin packing (sequence packing into context windows)
+# ---------------------------------------------------------------------------
+
+_FFD_CAP = 400   # token capacity per bin (context window)
+_FFD_GRP = 8     # parallel packing groups (shards)
+
+_FFD_SQL = f"""
+WITH RECURSIVE lens AS (
+  SELECT doc_id % {_FFD_GRP} AS grp, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+t AS (
+  SELECT grp, doc_id, n_tok,
+         CAST(row_number() OVER (PARTITION BY grp
+                                 ORDER BY n_tok DESC, doc_id) AS INT) AS rn,
+         CAST(count(*) OVER (PARTITION BY grp) AS INT) AS n
+  FROM lens
+),
+rec AS (
+  SELECT grp, 0 AS rn, CAST([] AS BIGINT[]) AS loads,
+         CAST([] AS INT[]) AS binof
+  FROM (SELECT DISTINCT grp FROM t)
+  UNION ALL
+  SELECT grp, rn,
+         CASE WHEN fit IS NULL THEN list_append(loads, n_tok)
+              ELSE list_transform(generate_series(1, len(loads)),
+                     i -> CASE WHEN i = fit THEN loads[i] + n_tok
+                          ELSE loads[i] END)
+         END AS loads,
+         list_append(binof, CAST(COALESCE(fit, len(loads) + 1) AS INT))
+           AS binof
+  FROM (
+    SELECT r.grp, d.rn, r.loads, r.binof, d.n_tok,
+           list_filter(generate_series(1, len(r.loads)),
+                       i -> r.loads[i] + d.n_tok <= {_FFD_CAP})[1] AS fit
+    FROM rec r JOIN t d ON d.grp = r.grp AND d.rn = r.rn + 1
+  )
+),
+fin AS (
+  SELECT r.grp, r.binof
+  FROM rec r JOIN (SELECT grp, max(rn) AS n FROM t GROUP BY grp) m
+    ON r.grp = m.grp AND r.rn = m.n
+)
+SELECT t.grp, t.doc_id, t.n_tok, f.binof[t.rn] AS bin_idx
+FROM t JOIN fin f USING (grp)
+"""
+
+
+@register("pack_bin_ffd", oracle=_FFD_SQL)
+def pack_bin_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing bin packing of documents into fixed-token
+    context windows — the sequence-packing pass that turns a cleaned
+    corpus into training rows with minimal padding (FFD uses at most
+    ~11/9 OPT + 1 bins, the classical guarantee; the running-sum shard
+    cut of pack_token_shards splits documents greedily in id order and
+    leaves far more slack). Packing is inherently SEQUENTIAL within a
+    bin set, so the corpus is hash-split into independent groups and
+    each group packs in parallel — exactly how production packers
+    scale: groups of bins, not one global bin list.
+
+    Scale shape: ONE narrow projection (doc_id, token count), one
+    shuffle on the group key, then FlatMapGroupsInPandas (Arrow-
+    batched; the engine's only sanctioned Python path) runs the
+    sequential first-fit loop per group. State per group is the bin
+    load list — bounded by group token mass / capacity, never by
+    corpus size; group count scales with executors. The oracle
+    reproduces the exact same placement as a DuckDB recursive CTE over
+    the identical (n_tok DESC, doc_id) order, so determinism is pinned
+    cross-engine, not just cross-run."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    lens = docs.select(
+        (F.col("doc_id") % _FFD_GRP).alias("grp"),
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+
+    def ffd(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["n_tok", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        loads: list[int] = []
+        out: list[int] = []
+        for L in pdf["n_tok"]:
+            for i, ld in enumerate(loads):
+                if ld + L <= _FFD_CAP:
+                    loads[i] += L
+                    out.append(i + 1)
+                    break
+            else:
+                loads.append(int(L))
+                out.append(len(loads))
+        pdf["bin_idx"] = pd.Series(out, dtype="int32")
+        return pdf[["grp", "doc_id", "n_tok", "bin_idx"]]
+
+    return lens.groupBy("grp").applyInPandas(
+        ffd, "grp bigint, doc_id bigint, n_tok bigint, bin_idx int"
+    )

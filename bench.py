@@ -115,6 +115,8 @@ R7_ADDITIONS = [
     "split_leakage_audit",  # cross-split near-dup leakage (minhash bands)
     "mm_phash_dedup",       # map-side dHash signatures + pigeonhole bands
     "eval_bradley_terry",   # one-pass match matrix + K-row MM rounds
+    "text_span_excise",     # positional gram explode + array rebuild
+    "pack_bin_ffd",         # grouped Arrow FFD sequence packing
 ]
 
 HEADLINE = (R2_HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R4B_ADDITIONS

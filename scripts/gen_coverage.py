@@ -156,7 +156,7 @@ SECTIONS = [
         "sample_dsir", "text_perplexity_bucket", "sample_doremi_weights",
         "text_decontaminate", "sample_rho_loss",
         "sample_cluster_balanced", "split_leakage_audit",
-        "eval_bradley_terry"]),
+        "eval_bradley_terry", "text_span_excise", "pack_bin_ffd"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),
