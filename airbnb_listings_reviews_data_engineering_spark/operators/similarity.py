@@ -94,21 +94,35 @@ def with_lsh_bucket(
     broadcast; bucket bit j = sign(dot(v, plane_j)). One cross join against
     n_planes rows + a groupBy on the id: both scale linearly.
     """
-    v = df.select(F.col(id_col), as_double_array(vec_col).alias("v"))
-    p = F.broadcast(
-        planes.select(F.col(plane_id).alias("pid"), as_double_array(vec_col).alias("pv"))
-    )
-    bits = v.crossJoin(p).select(
-        F.col(id_col),
-        F.when(
-            dot(F.col("v"), F.col("pv")) > 0,
-            F.expr("shiftleft(1, cast(pid - 1 as int))"),
+    # the n_planes rows collapse to ONE broadcast array row and the
+    # bucket id is a pure fold over it — no per-bit groupBy shuffle and
+    # no join of df back to itself (the previous bits+join formulation
+    # read the input TWICE; max_rescan audit, round 7)
+    parr = F.broadcast(
+        planes.select(
+            F.col(plane_id).alias("pid"), as_double_array(vec_col).alias("pv")
         )
-        .otherwise(0)
-        .alias("bit"),
+        .select(
+            F.struct(
+                "pid",
+                "pv",
+                F.expr(
+                    "CAST(shiftleft(1, CAST(pid AS INT) - 1) AS BIGINT)"
+                ).alias("bit"),
+            ).alias("p")
+        )
+        .agg(F.collect_list("p").alias("_planes"))
     )
-    buckets = bits.groupBy(id_col).agg(F.sum("bit").cast("bigint").alias("bucket"))
-    return df.join(buckets, id_col)
+    vcol = as_double_array(vec_col)
+    bucket = F.aggregate(
+        F.col("_planes"),
+        F.lit(0).cast("bigint"),
+        lambda acc, p: acc
+        + F.when(dot(vcol, p["pv"]) > 0, p["bit"]).otherwise(
+            F.lit(0).cast("bigint")
+        ),
+    )
+    return df.crossJoin(parr).withColumn("bucket", bucket).drop("_planes")
 
 
 def lsh_probe(

@@ -150,11 +150,19 @@ def profile_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         cache_key=(sf_dir, "lineitem", "l_returnflag", "l_extendedprice"),
         stats_path=f"{sf_dir}/lineitem.parquet",
     )
-    dev = li.join(F.broadcast(med), "l_returnflag").select(
-        "l_returnflag",
-        "l_extendedprice",
-        F.abs(F.col("l_extendedprice") - F.col("med")).alias("dev"),
-        "med",
+    from ..checkpoint import pin
+
+    # pinned: the MAD percentile and the outlier count both read the
+    # deviation projection — unpinned, each re-scanned the fact table
+    # (4 lineitem scans in the final plan; max_rescan audit, round 7)
+    dev = pin(
+        li.join(F.broadcast(med), "l_returnflag").select(
+            "l_returnflag",
+            "l_extendedprice",
+            F.abs(F.col("l_extendedprice") - F.col("med")).alias("dev"),
+            "med",
+        ),
+        label="mad_dev",
     )
     mad, _ = guarded_percentile(
         dev,
@@ -1604,20 +1612,28 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side CASE logic — never a global ntile window over the
     customer table, which is the naive RFM plan that dies at scale).
     Revenue stays integer dollars."""
+    from ..checkpoint import pin
+
     o = load(spark, sf_dir, "orders")
     horizon = o.agg(F.to_date(F.max("o_orderdate")).alias("h"))
-    rfm = (
-        o.crossJoin(F.broadcast(horizon))
-        .groupBy("o_custkey", "h")
-        .agg(
-            F.datediff("h", F.to_date(F.max("o_orderdate")))
-            .cast("bigint")
-            .alias("recency_days"),
-            F.count("*").alias("frequency"),
-            F.sum(F.round("o_totalprice").cast("bigint")).alias("monetary"),
-        )
+    # per-customer rollup FIRST (one fact scan), horizon folded onto
+    # the customer-sized aggregate, and the result PINNED: the median
+    # cuts and the segment scoring both read it — unpinned, the fact
+    # table re-scanned 4x (max_rescan audit, round 7)
+    per_cust = o.groupBy("o_custkey").agg(
+        F.to_date(F.max("o_orderdate")).alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.round("o_totalprice").cast("bigint")).alias("monetary"),
     )
-    rfm = rfm.select("o_custkey", "recency_days", "frequency", "monetary")
+    rfm = pin(
+        per_cust.crossJoin(F.broadcast(horizon)).select(
+            "o_custkey",
+            F.datediff("h", "last_order").cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary",
+        ),
+        label="rfm_rollup",
+    )
     cuts = rfm.agg(
         F.round(F.expr("percentile(recency_days, 0.5)"), 4).alias("r_med"),
         F.round(F.expr("percentile(frequency, 0.5)"), 4).alias("f_med"),

@@ -732,7 +732,12 @@ def text_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    counts = bg.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    # pinned: cand and ref each feed the overlap join AND a total agg —
+    # unpinned, the corpus re-tokenized 4x (max_rescan audit, round 7)
+    counts = pin(
+        bg.groupBy("doc_id", "g").agg(F.count("*").alias("c")),
+        label="rouge_counts",
+    )
     cand = counts.filter(F.col("doc_id") < _ROUGE_PAIR_GAP).select(
         F.col("doc_id").alias("cand_id"), "g", F.col("c").alias("cc")
     )
@@ -1255,13 +1260,19 @@ def profile_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     total. Unpivoted to (metric, value) rows so the card is directly
     diffable between releases — feed two of these into
     diff_snapshots and the release gate is closed."""
-    t = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        "source",
-        "n_chars",
-        F.size(F.split("text", " ")).alias("n_tok"),
-        F.md5(F.lower("text")).alias("h"),
+    # pinned: the global moments, the language distribution and the
+    # entropy fold all read this projection — unpinned, 3 documents
+    # scans in the final plan (max_rescan audit, round 7)
+    t = pin(
+        load(spark, sf_dir, "documents").select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.size(F.split("text", " ")).alias("n_tok"),
+            F.md5(F.lower("text")).alias("h"),
+        ),
+        label="card_base",
     )
     tot = t.agg(
         F.count("*").alias("n_docs"),
@@ -1434,10 +1445,27 @@ def sim_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook-quality report (imbalanced codes or fat error cells =
     retrain). Distortions are fixed-pointed BEFORE summation so the
     report is order-free and bitwise reproducible."""
-    from ..operators.clustering import assign_nearest, kmeans_centroids
+    from ..operators.clustering import _sq_dist, kmeans_centroids
 
     emb = load(spark, sf_dir, "embeddings")
-    outs = []
+    # encode side reads the corpus ONCE, carrying all four subspace
+    # slices in one projection; each subspace's codebook collapses to a
+    # broadcast 1-row array and its pick is the same map-side
+    # struct(d2, cid) argmin as assign_nearest (== the oracle's
+    # row_number ORDER BY d2, cid). The per-subspace union this
+    # replaces scanned the corpus once PER subspace (4 full embeddings
+    # scans in the final plan; max_rescan audit, round 7). Training is
+    # unchanged: per-subspace Lloyd with pinned per-round centroids.
+    enc = emb.select(
+        "vec_id",
+        *[
+            F.slice(
+                as_double_array("embedding"), s * _PQ_SUBDIM + 1, _PQ_SUBDIM
+            ).alias(f"v{s}")
+            for s in range(_PQ_SUBSPACES)
+        ],
+    )
+    picks = []
     for s in range(_PQ_SUBSPACES):
         off = s * _PQ_SUBDIM
         sub = emb.select(
@@ -1449,31 +1477,40 @@ def sim_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = kmeans_centroids(
             sub, "vec_id", "embedding", k=_PQ_K, dims=_PQ_SUBDIM, iters=_PQ_ITERS
         )
-        v = sub.select("vec_id", F.col("embedding").alias("v"))
-        # map-side argmin (assign_nearest's struct ordering == the
-        # oracle's row_number ORDER BY d2, cid) — the window/crossJoin
-        # formulation this replaces shuffled the corpus on vec_id once
-        # per subspace (caught by test_assignment_stages_stay_map_side)
-        enc = assign_nearest(
-            v, "vec_id", "v", cents, dims=_PQ_SUBDIM, with_dist=True
+        carr = F.broadcast(
+            cents.agg(F.collect_list(F.struct("cid", "cv")).alias(f"_c{s}"))
         )
-        outs.append(
-            enc.groupBy("cid").agg(
-                F.count("*").alias("n_vectors"),
-                F.sum(
-                    F.round(F.col("d2") * 1000000).cast("bigint")
-                ).alias("sum_d2_fp"),
-            ).select(
+        enc = enc.crossJoin(carr)
+        def _score(sub_idx: int):
+            # factory, not a default-arg lambda: F.transform feeds a
+            # 2-parameter lambda (element, INDEX) — the index column
+            # would shadow the captured subspace id
+            def f(c):
+                return F.struct(
+                    F.round(
+                        _sq_dist(F.col(f"v{sub_idx}"), c["cv"], _PQ_SUBDIM), 6
+                    ).alias("d2"),
+                    c["cid"].alias("cid"),
+                )
+
+            return f
+
+        scores = F.transform(F.col(f"_c{s}"), _score(s))
+        best = F.array_min(scores)
+        picks.append(
+            F.struct(
                 F.lit(s).alias("subspace"),
-                F.col("cid").alias("code"),
-                "n_vectors",
-                "sum_d2_fp",
+                best["cid"].alias("code"),
+                best["d2"].alias("d2"),
             )
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    rows = enc.select(F.explode(F.array(*picks)).alias("r")).select("r.*")
+    return rows.groupBy("subspace", "code").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.round(F.col("d2") * 1000000).cast("bigint")).alias(
+            "sum_d2_fp"
+        ),
+    ).select("subspace", F.col("code"), "n_vectors", "sum_d2_fp")
 
 
 # ---------------------------------------------------------------------------
@@ -1531,11 +1568,18 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         mc=_PMI_MIN_COUNT
     )
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    tokd = docs.select("doc_id", F.split("text", " ").alias("tok"))
-    uni = (
+    # pinned: the unigram/bigram counts and the totals all read the
+    # token table, and the vocab-sized unigram table feeds BOTH PMI
+    # joins — unpinned the corpus tokenized 4x (max_rescan, round 7)
+    tokd = pin(
+        docs.select("doc_id", F.split("text", " ").alias("tok")),
+        label="pmi_tok",
+    )
+    uni = pin(
         tokd.select(F.explode("tok").alias("w"))
         .groupBy("w")
-        .agg(F.count("*").alias("cw"))
+        .agg(F.count("*").alias("cw")),
+        label="pmi_uni",
     )
     bi = (
         tokd.select(
@@ -2620,7 +2664,8 @@ m AS MATERIALIZED (
 ),
 nij AS MATERIALIZED (
   SELECT least(sa, sb) AS i, greatest(sa, sb) AS j,
-         count(*)::DOUBLE AS n
+         count(*)::DOUBLE AS n,
+         sum(CASE WHEN win = least(sa, sb) THEN 1 ELSE 0 END)::DOUBLE AS wi
   FROM m GROUP BY 1, 2
 ),
 dn AS MATERIALIZED (
@@ -2628,7 +2673,13 @@ dn AS MATERIALIZED (
   UNION ALL
   SELECT j AS s, i AS o, n FROM nij
 ),
-wins AS MATERIALIZED (SELECT win AS s, count(*)::DOUBLE AS w FROM m GROUP BY win),
+wins AS MATERIALIZED (
+  SELECT s, sum(w) AS w FROM (
+    SELECT i AS s, wi AS w FROM nij
+    UNION ALL
+    SELECT j AS s, n - wi AS w FROM nij
+  ) GROUP BY s
+),
 p0 AS MATERIALIZED (SELECT DISTINCT s, 1.0 AS p FROM dn)
 """]
     for t in range(1, _BT_ITERS + 1):
@@ -2713,25 +2764,33 @@ def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("source").alias("sa"), "sb", win.alias("win"))
         )
     )
+    # ONE pinned aggregate carries pair counts AND directed wins: the
+    # per-source win totals derive from it (k^2-row arithmetic), so the
+    # match log m is aggregated once, not twice, and one pin job drops
     nij = pin(
         m.groupBy(
             F.least("sa", "sb").alias("i"), F.greatest("sa", "sb").alias("j")
         ).agg(
             F.count("*").cast("double").alias("n"),
+            F.sum(
+                F.when(F.col("win") == F.least("sa", "sb"), 1).otherwise(0)
+            ).cast("double").alias("wi"),
         ),
         label="bt_matches",
     )
-    wins = pin(
-        m.groupBy(F.col("win").alias("s")).agg(
-            F.count("*").cast("double").alias("w")
-        ),
-        label="bt_wins",
+    wins = (
+        nij.select(F.col("i").alias("s"), F.col("wi").alias("w"))
+        .unionByName(
+            nij.select(F.col("j").alias("s"), (F.col("n") - F.col("wi")).alias("w"))
+        )
+        .groupBy("s")
+        .agg(F.sum("w").alias("w"))
     )
     dn = nij.select(F.col("i").alias("s"), F.col("j").alias("o"), "n").unionByName(
         nij.select(F.col("j").alias("s"), F.col("i").alias("o"), "n")
     )
     p = dn.select("s").distinct().withColumn("p", F.lit(1.0))
-    for _ in range(_BT_ITERS):
+    for _it in range(_BT_ITERS):
         pa = p.select(F.col("s").alias("_s"), F.col("p").alias("pa"))
         pb = p.select(F.col("s").alias("_o"), F.col("p").alias("pb"))
         q = (

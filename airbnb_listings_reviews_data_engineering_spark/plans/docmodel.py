@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.merge import merge_array_accum
+from ..checkpoint import pin
 from .registry import load, register
 
 
@@ -139,6 +140,11 @@ def inc_doc_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match proves idempotence.
     """
     old, new = _event_sets(spark, sf_dir)
+    # pin the batch: it is applied twice (the idempotence proof) and
+    # unpinned each application re-scanned events (max_rescan, r7) —
+    # pinning also matches the semantics: a REDELIVERED batch is the
+    # same materialized data, not a recomputation
+    new = pin(new, label="accum_batch")
     once = merge_array_accum(old, new, "user_id", "arr")
     twice = merge_array_accum(once, new, "user_id", "arr")
     return twice.select(

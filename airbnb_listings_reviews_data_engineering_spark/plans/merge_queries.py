@@ -113,7 +113,14 @@ def sink_doc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Airbnb_Listings_ETL.py:182-207). Spark: the same composite-key merge
     as the relational sink; one shuffle, no loop.
     """
-    docs = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    # pinned: base, the update batch and the merge's two sides all
+    # derive from this projection (3 customer scans unpinned; r7)
+    docs = pin(
+        load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_mktsegment"
+        ),
+        label="docup_src",
+    )
     updates = docs.filter(F.col("c_custkey") % 5 == 0).withColumn(
         "c_mktsegment", F.lit("UPDATED")
     )
@@ -644,7 +651,12 @@ def sink_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     state. Op sets are disjoint by construction (a real feed
     deduplicates to one op per key first — sink_scd2_multi handles the
     full-history-per-key case)."""
-    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # pinned source projection: base + the three change-op fixtures all
+    # derive from it — unpinned, 4 customer scans (max_rescan, round 7)
+    c = pin(
+        load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        label="cdc_src",
+    )
     dels = c.filter(F.col("c_custkey") % 7 == 0).select("c_custkey")
     upds = c.filter(
         (F.col("c_custkey") % 5 == 0) & (F.col("c_custkey") % 7 != 0)
@@ -878,7 +890,12 @@ def sink_merge_multi_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
     )
-    c = load(spark, sf_dir, "customer").select("c_custkey")
+    # pinned: the two change-stream arms both read this key column
+    # (3 customer scans unpinned; max_rescan audit, round 7)
+    c = pin(
+        load(spark, sf_dir, "customer").select("c_custkey"),
+        label="merge_keys",
+    )
     src = (
         c.filter(F.col("c_custkey") % 3 == 0)
         .select(

@@ -324,8 +324,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     so true near-dups exist. At 100 TB the label block becomes an LSH/IVF
     bucket — same plan shape.
     """
-    base = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double_array("embedding").alias("v")
+    # pinned decoded base: the perturbed copy and BOTH sides of the
+    # near-dup self-join derive from it — unpinned, 4 embeddings scans
+    # in the final plan (max_rescan audit, round 7)
+    base = pin(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", as_double_array("embedding").alias("v")
+        ),
+        label="emb_cos_base",
     )
     perturbed = base.select(
         (F.col("vec_id") + 100000).alias("vec_id"),
@@ -1308,7 +1314,11 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench. At 100 TB the benchmark side is tiny (eval sets are KBs-MBs)
     and broadcasts; n_hits per doc feeds the drop/keep policy."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    # pinned: the planted copies and the benchmark gram set both read
+    # the eval slice — unpinned, it re-scanned per use (max_rescan, r7)
+    bench = pin(
+        docs.filter(F.col("doc_id") % 17 == 0), label="decon_bench"
+    )
     planted = bench.select(
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.regexp_replace("text", r"^[a-z]+ ", "").alias("text"),
@@ -1756,13 +1766,15 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = docs.agg(
         F.count("*").alias("n"), F.avg(F.size("tok")).alias("avgdl")
     )
-    qterms = (
+    # pinned: tf and df both read the filtered posting table (tiny —
+    # only query-term hits) — unpinned, each re-tokenized the corpus
+    qterms = pin(
         docs.select(
             "doc_id",
             F.size("tok").alias("dl"),
             F.explode("tok").alias("term"),
-        )
-        .filter(F.col("term").isin(*_BM25_TERMS))
+        ).filter(F.col("term").isin(*_BM25_TERMS)),
+        label="bm25_postings",
     )
     tf = qterms.groupBy("doc_id", "term").agg(
         F.max("dl").alias("dl"), F.count("*").alias("tf")
@@ -2448,7 +2460,7 @@ WITH e AS (
 cand AS (
   SELECT vec_id AS anchor_id, label,
          ({hash60_duckdb_sql("CAST(vec_id AS VARCHAR) || '|neg'")})
-           % (SELECT count(*) FROM e) + 1000 AS neg_id, v
+           % (SELECT count(*) FROM e) AS neg_id, v
   FROM e
 )
 SELECT c.anchor_id, c.neg_id,
@@ -2477,8 +2489,16 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.arrays import as_double_array, cosine
     from ..functions.hashing import hash60
 
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.slice(as_double_array("embedding"), 1, 8).alias("v")
+    # pinned: the count, the anchor side and the negative side all read
+    # this decoded projection — unpinned, 3 full embeddings scans in
+    # the final plan (max_rescan audit, round 7)
+    e = pin(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            "label",
+            F.slice(as_double_array("embedding"), 1, 8).alias("v"),
+        ),
+        label="neg_base",
     )
     n_row = F.broadcast(e.groupBy().agg(F.count("*").alias("n")))
     cand = e.crossJoin(n_row).select(
@@ -2486,9 +2506,11 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("a_label"),
         F.col("v").alias("a_v"),
         (
+            # hash % n lands in the actual 0..n-1 id range (a +1000
+            # offset here used to miss every id — the join matched ZERO
+            # rows and the oracle gate compared empty-to-empty)
             hash60(F.concat(F.col("vec_id").cast("string"), F.lit("|neg")))
             % F.col("n")
-            + 1000
         ).alias("neg_id"),
     )
     neg = e.select(
@@ -2582,6 +2604,10 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("line_no", "line"),
     )
+    # pinned: the DF-count agg, the keep join and the spine all read
+    # the segmented line table — unpinned, each re-tokenized the corpus
+    # (3 documents scans in the final plan)
+    lines = pin(lines, label="line_table")
     df_counts = lines.groupBy("line").agg(
         F.countDistinct("doc_id").alias("n_docs")
     )
@@ -2600,9 +2626,7 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("kept_md5"),
     )
-    spine = docs.select(
-        "doc_id", F.ceil(F.size("tok") / 3.0).cast("bigint").alias("n_lines")
-    )
+    spine = lines.select("doc_id", "n_lines").distinct()
     return spine.join(reassembled, "doc_id", "left").select(
         "doc_id",
         "n_lines",
@@ -3089,7 +3113,12 @@ def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
 
-    bg = grams(docs.filter(F.col("doc_id") % 17 == 0))
+    # pinned: the distinct gram set and the final probe join both read
+    # the batch gram stream — unpinned, the batch slice re-tokenized
+    # twice (3 documents scans in the final plan; max_rescan, round 7)
+    bg = pin(
+        grams(docs.filter(F.col("doc_id") % 17 == 0)), label="novelty_batch"
+    )
     bgd = bg.select("g").distinct()
     cg = (
         grams(docs.filter(F.col("doc_id") % 17 != 0))
@@ -3352,9 +3381,12 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = docs.agg(
         F.count("*").alias("n"), F.avg(F.size("tok")).alias("avgdl")
     )
-    qt = docs.select(
-        "doc_id", F.size("tok").alias("dl"), F.explode("tok").alias("term")
-    ).filter(F.col("term").isin(*_BM25_TERMS))
+    qt = pin(
+        docs.select(
+            "doc_id", F.size("tok").alias("dl"), F.explode("tok").alias("term")
+        ).filter(F.col("term").isin(*_BM25_TERMS)),
+        label="rrf_postings",
+    )
     tf = qt.groupBy("doc_id", "term").agg(
         F.max("dl").alias("dl"), F.count("*").alias("tf")
     )

@@ -179,38 +179,71 @@ def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     p = load(spark, sf_dir, "part")
 
-    def check(name: str, child: DataFrame, orphans: DataFrame) -> DataFrame:
-        # two 1-row aggregates crossJoined — both sides fixed-cardinality
-        return (
-            orphans.agg(F.count("*").alias("n_orphans"))
-            .crossJoin(F.broadcast(child.agg(F.count("*").alias("n_child"))))
-            .select(
-                F.lit(name).alias("check_name"), "n_child", "n_orphans"
-            )
+    # Each fact is scanned ONCE: orphanhood is a LEFT join + conditional
+    # count inside the same aggregate (the anti-join + count(*) pair
+    # re-planned every child table — orders 3x / lineitem 4x in the
+    # final plan; max_rescan audit, round 7). The two lineitem FKs ride
+    # one shared scan and explode into their two report rows.
+    fk1 = (
+        o.join(c, o.o_custkey == c.c_custkey, "left")
+        .agg(
+            F.count("*").alias("n_child"),
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias(
+                "n_orphans"
+            ),
         )
-
-    fk1 = check(
-        "orders.o_custkey->customer",
-        o,
-        o.join(c, o.o_custkey == c.c_custkey, "left_anti"),
+        .select(
+            F.lit("orders.o_custkey->customer").alias("check_name"),
+            "n_child",
+            "n_orphans",
+        )
     )
-    fk2 = check(
-        "lineitem.l_orderkey->orders",
-        li,
-        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"),
+    fk23 = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left")
+        .join(p, li.l_partkey == p.p_partkey, "left")
+        .agg(
+            F.count("*").alias("n_child"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias(
+                "orph_o"
+            ),
+            F.sum(F.when(F.col("p_partkey").isNull(), 1).otherwise(0)).alias(
+                "orph_p"
+            ),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("lineitem.l_orderkey->orders").alias(
+                            "check_name"
+                        ),
+                        F.col("n_child"),
+                        F.col("orph_o").alias("n_orphans"),
+                    ),
+                    F.struct(
+                        F.lit("lineitem.l_partkey->part").alias("check_name"),
+                        F.col("n_child"),
+                        F.col("orph_p").alias("n_orphans"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
     )
-    fk3 = check(
-        "lineitem.l_partkey->part",
-        li,
-        li.join(p, li.l_partkey == p.p_partkey, "left_anti"),
-    )
-    dup = (
+    pk = (
         c.groupBy("c_custkey")
         .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") > 1)
+        .agg(
+            F.sum("cnt").alias("n_child"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias("n_orphans"),
+        )
+        .select(
+            F.lit("customer.c_custkey unique").alias("check_name"),
+            "n_child",
+            "n_orphans",
+        )
     )
-    pk = check("customer.c_custkey unique", c, dup)
-    return fk1.unionByName(fk2).unionByName(fk3).unionByName(pk)
+    return fk1.unionByName(fk23).unionByName(pk)
 
 
 # ---------------------------------------------------------------------------
@@ -890,7 +923,13 @@ def profile_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = load(spark, sf_dir, "documents").select(
         "source", F.explode(F.split("text", " ")).alias("word")
     )
-    sw = w.groupBy("source", "word").agg(F.count("*").alias("c_sw"))
+    # pinned: the per-source totals, the corpus vocabulary and the grid
+    # join all read this (source x word) count table — unpinned the
+    # corpus re-tokenized 4x (max_rescan audit, round 7)
+    sw = pin(
+        w.groupBy("source", "word").agg(F.count("*").alias("c_sw")),
+        label="drift_sw",
+    )
     s_tot = sw.groupBy("source").agg(F.sum("c_sw").alias("t_s"))
     g = sw.groupBy("word").agg(F.sum("c_sw").alias("c_w"))
     tot = g.agg(F.sum("c_w").alias("t"))
@@ -958,30 +997,30 @@ def aqp_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash60(F.concat(F.lit("aqp:"), F.col("o_orderkey").cast("string"))),
         F.lit(10),
     )
-    ex = o.agg(F.count("*").alias("c"), F.sum(cents).alias("m"))
-    es = o.filter(gate == 0).agg(
-        (F.count("*") * 10).alias("c"), (F.sum(cents) * 10).alias("m")
+    # exact + scaled-sample moments in ONE conditional aggregate (the
+    # sample is a predicate over the same rows), then the two report
+    # rows explode from a struct array — one orders scan instead of the
+    # 4 the ex/es crossJoin + two-arm union re-planned (max_rescan,
+    # round 7)
+    a = o.agg(
+        F.count("*").alias("xc"),
+        F.sum(cents).alias("xm"),
+        (F.sum(F.when(gate == 0, 1).otherwise(0)) * 10).alias("c"),
+        (F.sum(F.when(gate == 0, cents)) * 10).alias("m"),
     )
-    j = ex.withColumnsRenamed({"c": "xc", "m": "xm"}).crossJoin(
-        F.broadcast(es)
-    )
-    cnt = j.select(
-        F.lit("count").alias("metric"),
-        F.col("xc").cast("bigint").alias("exact_value"),
-        F.col("c").cast("bigint").alias("estimate"),
+    row = lambda name, xv, ev: F.struct(  # noqa: E731
+        F.lit(name).alias("metric"),
+        F.col(xv).cast("bigint").alias("exact_value"),
+        F.col(ev).cast("bigint").alias("estimate"),
         F.round(
-            F.abs(F.col("c") - F.col("xc")) / F.col("xc").cast("double"), 4
+            F.abs(F.col(ev) - F.col(xv)) / F.col(xv).cast("double"), 4
         ).alias("rel_err"),
     )
-    sm = j.select(
-        F.lit("sum_cents").alias("metric"),
-        F.col("xm").alias("exact_value"),
-        F.col("m").alias("estimate"),
-        F.round(
-            F.abs(F.col("m") - F.col("xm")) / F.col("xm").cast("double"), 4
-        ).alias("rel_err"),
-    )
-    return cnt.unionByName(sm)
+    return a.select(
+        F.explode(
+            F.array(row("count", "xc", "c"), row("sum_cents", "xm", "m"))
+        ).alias("r")
+    ).select("r.*")
 
 
 # ---------------------------------------------------------------------------
@@ -1094,7 +1133,12 @@ def profile_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = c.join(n, c.c_nationkey == n.n_nationkey).select(
         F.col("c_mktsegment").alias("x"), F.col("n_name").alias("y")
     )
-    xy = j.groupBy("x", "y").agg(F.count("*").alias("c_xy"))
+    # pinned: marginals, total and the term join all read the tiny
+    # contingency table — unpinned, each re-ran the customer x nation
+    # join (4 customer scans in the final plan; max_rescan, round 7)
+    xy = pin(
+        j.groupBy("x", "y").agg(F.count("*").alias("c_xy")), label="mi_xy"
+    )
     xs = xy.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
     ys = xy.groupBy("y").agg(F.sum("c_xy").alias("c_y"))
     tot = xy.agg(F.sum("c_xy").alias("n"))

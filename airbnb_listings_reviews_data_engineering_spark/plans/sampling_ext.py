@@ -278,21 +278,37 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     (agg_approx_count_distinct is the checked variant)."""
     c = load(spark, sf_dir, "customer")
 
-    def prof(tag: str, col: F.Column) -> DataFrame:
-        return c.select(col.alias("v")).agg(
+    # ONE multi-distinct aggregate profiles every column in a single
+    # scan (Spark EXPANDs per distinct — agg_multi_distinct's checked
+    # shape), then the per-column report rows explode from a struct
+    # array. The per-column agg+union this replaces scanned the table
+    # once PER column (max_rescan audit, round 7).
+    cols = {
+        "c_acctbal": F.col("c_acctbal"),
+        "c_nationkey": F.col("c_nationkey"),
+        "c_name_len": F.length("c_name"),
+    }
+    aggs = [F.count("*").alias("n")]
+    for tag, col in cols.items():
+        aggs += [
+            F.count(col).alias(f"nn_{tag}"),
+            F.countDistinct(col).alias(f"ndv_{tag}"),
+            F.min(col).cast("double").alias(f"min_{tag}"),
+            F.max(col).cast("double").alias(f"max_{tag}"),
+        ]
+    a = c.agg(*aggs)
+    rows = [
+        F.struct(
             F.lit(tag).alias("col"),
-            F.count("*").alias("n"),
-            F.count("v").alias("n_nonnull"),
-            F.countDistinct("v").alias("ndv"),
-            F.min("v").cast("double").alias("min_v"),
-            F.max("v").cast("double").alias("max_v"),
+            F.col("n"),
+            F.col(f"nn_{tag}").alias("n_nonnull"),
+            F.col(f"ndv_{tag}").alias("ndv"),
+            F.col(f"min_{tag}").alias("min_v"),
+            F.col(f"max_{tag}").alias("max_v"),
         )
-
-    return (
-        prof("c_acctbal", F.col("c_acctbal"))
-        .unionByName(prof("c_nationkey", F.col("c_nationkey")))
-        .unionByName(prof("c_name_len", F.length("c_name")))
-    )
+        for tag in cols
+    ]
+    return a.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
 
 
 # ---------------------------------------------------------------------------
@@ -889,8 +905,13 @@ def sample_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "source", "doc_id", F.size(F.split("text", " ")).alias("n_tok")
     )
-    dom = docs.groupBy("source").agg(
-        F.count("*").alias("n_docs"), F.sum("n_tok").alias("dom_tokens")
+    # pinned: the totals and the factor table both read the #domains-row
+    # aggregate — unpinned, each re-scanned the corpus (max_rescan, r7)
+    dom = pin(
+        docs.groupBy("source").agg(
+            F.count("*").alias("n_docs"), F.sum("n_tok").alias("dom_tokens")
+        ),
+        label="mixep_dom",
     )
     tot = dom.agg(
         F.sum("dom_tokens").alias("corpus_tokens"),

@@ -158,6 +158,8 @@ NESTED_LOOP_STAGE_ALLOWED = {
     ("sample_cluster_balanced", "kmeans_cents"),
     # 1-row normalization total folded onto the K-row strength table
     ("eval_bradley_terry", "bt_round"),
+    # 1-row horizon date folded onto the per-customer rollup
+    ("agg_rfm_segmentation", "rfm_rollup"),
     # map-side cell assignment: same ONE-row centroid-array crossJoin
     ("dedup_semdedup", "semdedup_assigned"),
     ("dedup_semdedup_multiprobe", "semdedup_mp_probed"),

@@ -45,6 +45,42 @@ RESCAN_CEILINGS = {
     "graph_triangle_count": 1,  # was 4
     "sample_dsir": 1,           # was 4 (documents, pre-restructure)
     "sample_doremi_weights": 1, # was 8 (documents, pre-pin)
+    # second sweep (round 7, same session): the >=3 tail triaged by
+    # which TABLE repeats — every corpus-sized repeat pinned or folded
+    # into a single conditional-aggregate scan; remaining 2s are
+    # fixture unions / second-percentile passes / training-vs-encode
+    "agg_rfm_segmentation": 2,  # was 4 (orders; 2 = horizon + rollup)
+    "aqp_sample_estimate": 1,   # was 4 (orders; one conditional agg)
+    "dedup_embedding_cosine": 1,  # was 4 (embeddings)
+    "dq_referential": 2,        # was 4 lineitem / 3 orders / 3 customer
+    "inc_doc_accum": 1,         # was 3 (events; batch pinned)
+    "pipeline_decontaminate": 1,  # was 3 (documents)
+    "profile_columns": 1,       # was 3 (customer; one multi-distinct agg)
+    "profile_dataset_card": 1,  # was 3 (documents)
+    "profile_drift_tv": 1,      # was 4 (documents)
+    "profile_mutual_info": 1,   # was 4 (customer)
+    "profile_outliers_mad": 2,  # was 4 (lineitem; med pass + pinned dev)
+    "sample_mixture_epochs": 1, # was 3 (documents)
+    "sample_negative_pairs": 1, # was 3 full (embeddings)
+    "sim_hybrid_rrf": 2,        # was 2 full + slices (documents)
+    "sim_pq_quantize": 2,       # was 4 FULL encode scans -> 1 (+1 training)
+    "sink_cdc_apply": 1,        # was 4 (customer)
+    "sink_doc_upsert": 1,       # was 3 (customer)
+    "sink_merge_multi_clause": 1,  # was 3 (customer)
+    "text_bm25": 1,             # was 3 (documents)
+    "text_collocation_pmi": 1,  # was 4 (documents)
+    "text_novelty_score": 1,    # was 3 (documents)
+    "text_rouge_overlap": 1,    # was 4 (documents)
+    "text_line_dedup": 1,       # was 3 (documents)
+    # round-7 new keys, pinned at their shipped shapes
+    "eval_bradley_terry": 1,
+    "mm_phash_dedup": 2,        # fixture union of originals + variants
+    "text_decontaminate": 1,
+    "sample_rho_loss": 1,
+    "text_span_excise": 2,      # eval-slice pass + corpus pass
+    "pack_bin_ffd": 1,
+    "split_leakage_audit": 2,   # variant-corpus union
+    "sample_cluster_balanced": 2,  # training scan + encode scan
 }
 
 RISK_KEYS = sorted(
