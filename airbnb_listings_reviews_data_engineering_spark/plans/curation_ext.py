@@ -719,7 +719,15 @@ def text_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     one rounding each. The bigram-count build is the same shape as
     text_ngram_freq; at 100 TB the join shuffles on the (pair,
     bigram) key with map-side partial counts."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # only the paired id range participates — prune BEFORE tokenizing
+    # (the filter reaches the parquet scan as a pushed predicate; the
+    # unpruned pin materialized bigram counts for the WHOLE corpus to
+    # serve a 2*GAP slice)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 2 * _ROUGE_PAIR_GAP)
+    )
     tokd = docs.select("doc_id", F.split("text", " ").alias("tok"))
     bg = tokd.select(
         "doc_id",

@@ -3915,7 +3915,11 @@ def text_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, not the document; dropping whole docs at a 34.6% hit rate
     would cost a third of the corpus for a few tokens per doc). A
     token is removed iff it is covered by ANY matching n-gram window;
-    emitted counts show exactly what the excision cost each doc.
+    emitted counts show exactly what the excision cost each doc. One
+    caveat, pinned by tests/test_round7_ops.py: splicing makes the
+    tokens flanking a removed span adjacent, which can CREATE a new
+    matching window at the seam (223 -> 7 occurrences at sf0.01 — a
+    >95%% kill; a production pass inserts a boundary token there).
 
     Scale shape: same as text_decontaminate — the eval gram set is
     pinned and BROADCAST; the corpus side is one scan -> positional
