@@ -96,8 +96,13 @@ def _semdedup_k(sf_dir: str) -> int:
 
         import pyarrow.parquet as pq
 
+        from ..functions.percentile import _parquet_files
+
         path = os.path.join(sf_dir, "embeddings.parquet")
-        n = pq.ParquetFile(path).metadata.num_rows
+        # a written table is a DIRECTORY of part files — sum their
+        # footers (ParquetFile on the dir throws; the silent fallback
+        # froze k at 4 on blown corpora and unbounded the cells)
+        n = sum(pq.ParquetFile(f).metadata.num_rows for f in _parquet_files(path))
         return max(_SD_K, n // 125)
     except Exception:  # noqa: BLE001 — fall back to the oracle's k
         return _SD_K

@@ -1442,7 +1442,33 @@ def sample_rho_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _FFD_CAP = 400   # token capacity per bin (context window)
-_FFD_GRP = 8     # parallel packing groups (shards)
+_FFD_GRP = 8     # parallel packing groups (shards) at the oracle gate
+
+
+def _ffd_groups(sf_dir: str) -> int:
+    """Group count scales with the corpus so the per-group sequential
+    first-fit loop stays O(bounded): groups = max(8, n_docs // 256),
+    read from the parquet FOOTER (no scan — _semdedup_k's trick). At
+    the oracle gate's scales (500 docs at sf <= 0.01) this is exactly
+    the static 8 groups the generated SQL states; the 30x blow-up
+    sweep measured the FIXED-group version SUPERLINEAR (marginal 8.75
+    vs 3.22 — per-group work is docs x bins and both grew), and this
+    bound restores linearity (SCALING.md)."""
+    try:
+        import pyarrow.parquet as pq
+
+        from ..functions.percentile import _parquet_files
+
+        # a written table is a DIRECTORY of part files — sum their
+        # footers (ParquetFile on the dir throws, and the silent
+        # 8-group fallback re-created the quadratic loop at 30x)
+        n = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in _parquet_files(f"{sf_dir}/documents.parquet")
+        )
+        return max(_FFD_GRP, n // 256)
+    except Exception:  # noqa: BLE001 — fall back to the oracle's count
+        return _FFD_GRP
 
 _FFD_SQL = f"""
 WITH RECURSIVE lens AS (
@@ -1510,9 +1536,10 @@ def pack_bin_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine, not just cross-run."""
     import pandas as pd
 
+    n_grp = _ffd_groups(sf_dir)
     docs = load(spark, sf_dir, "documents")
     lens = docs.select(
-        (F.col("doc_id") % _FFD_GRP).alias("grp"),
+        (F.col("doc_id") % n_grp).alias("grp"),
         "doc_id",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
     )

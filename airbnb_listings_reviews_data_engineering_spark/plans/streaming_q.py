@@ -558,3 +558,125 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("svq") / 10000.0, 4).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming near-dup dedup against a static standing corpus (minhash bands)
+# ---------------------------------------------------------------------------
+
+_SDM_MOD = 17        # doc_id % 17 == 0 seeds the incoming batch (variants)
+_SDM_OFFSET = 300000  # incoming variant ids
+_SDM_HASHES = 8
+_SDM_BANDS = 4
+_SDM_THRESHOLD = 0.5
+
+
+def _stream_minhash_sql() -> str:
+    from .pipeline_ext import _minhash_sig_sql
+
+    band_cond = " OR ".join(
+        "(" + " AND ".join(f"a.h{b*2+r} = b.h{b*2+r}" for r in range(2)) + ")"
+        for b in range(_SDM_BANDS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END)"
+        for j in range(_SDM_HASHES)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_SDM_OFFSET} AS doc_id,
+         regexp_replace(text, '^[a-z]+ ', '') AS text
+  FROM documents WHERE doc_id % {_SDM_MOD} = 0
+),
+{_minhash_sig_sql().strip()}
+SELECT DISTINCT a.doc_id AS in_doc, b.doc_id AS corpus_doc,
+       round(({agree}) / {float(_SDM_HASHES)}, 4) AS est_jaccard
+FROM sig a JOIN sig b
+  ON a.doc_id >= {_SDM_OFFSET} AND b.doc_id < {_SDM_OFFSET}
+ AND ({band_cond})
+WHERE round(({agree}) / {float(_SDM_HASHES)}, 4) >= {_SDM_THRESHOLD}
+"""
+
+
+@register("stream_dedup_minhash", oracle=_stream_minhash_sql())
+def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup admission control: every micro-batch of
+    incoming documents is checked against the STATIC standing corpus
+    by MinHash band collision before ingestion — the shape a crawl
+    pipeline runs continuously (dedup_incremental is the nightly batch
+    form; stream_dedup is the exact-id form; this is the fuzzy-content
+    form, live). The incoming fixture is a one-word-dropped variant of
+    every 17th doc staged into the landing zone, so every incoming doc
+    has a true near-dup standing in the corpus (the standing
+    side is the FULL corpus, origins included).
+
+    Scale shape: the stream side computes signatures as PURE column
+    expressions per micro-batch (md5 once per shingle, XOR
+    permutations — operators/dedup.minhash_signature, map-side); the
+    standing corpus's banded signature table is computed once, PINNED,
+    and equi-joined per batch on the uniform band key (stream-static
+    join: no stream state for the join itself). Duplicate band hits
+    collapse with dropDuplicates over the pair key — state bounded by
+    the finite availableNow batch here; a continuous deployment uses
+    dropDuplicatesWithinWatermark keyed the same way. Emitted:
+    (in_doc, corpus_doc, est_jaccard >= 0.5) — the reject list."""
+    from ..operators.dedup import minhash_signature
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    incoming = docs.filter(F.col("doc_id") % _SDM_MOD == 0).select(
+        (F.col("doc_id") + _SDM_OFFSET).alias("doc_id"),
+        F.regexp_replace("text", r"^[a-z]+ ", "").alias("text"),
+    )
+    stream_dir = _landing_zone(spark, "stream_dedup_minhash")
+    _stage_batch(incoming, stream_dir, "batch1.parquet", 1)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(
+        stream_dir
+    )
+
+    rows_per_band = _SDM_HASHES // _SDM_BANDS
+
+    def banded(sig: DataFrame) -> DataFrame:
+        structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                *[
+                    F.col(f"h{b * rows_per_band + r}").alias(f"k{r}")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(_SDM_BANDS)
+        ]
+        hcols = [f"h{j}" for j in range(_SDM_HASHES)]
+        return sig.select(
+            "doc_id", *hcols, F.explode(F.array(*structs)).alias("bk")
+        )
+
+    standing = pin(
+        banded(minhash_signature(docs, "doc_id", "text", _SDM_HASHES)),
+        label="standing_bands",
+    )
+    live = banded(
+        minhash_signature(stream, "doc_id", "text", _SDM_HASHES)
+    )
+    a = live.alias("a")
+    b = standing.alias("b")
+    agree = sum(
+        F.when(F.col(f"a.h{j}") == F.col(f"b.h{j}"), 1).otherwise(0)
+        for j in range(_SDM_HASHES)
+    )
+    est = F.round(agree / float(_SDM_HASHES), 4)
+    out = (
+        a.join(b, F.col("a.bk") == F.col("b.bk"))
+        .select(
+            F.col("a.doc_id").alias("in_doc"),
+            F.col("b.doc_id").alias("corpus_doc"),
+            est.alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= _SDM_THRESHOLD)
+        .dropDuplicates(["in_doc", "corpus_doc"])
+    )
+    return run_available_now(
+        out, query_name="stream_dedup_minhash", output_mode="append"
+    )

@@ -46,6 +46,8 @@ KEYS = [
     "split_leakage_audit",  # minhash bands + cross-split classification
     "sample_cluster_balanced",  # Lloyd training + map-side argmin + cap
     "eval_bradley_terry",   # one-pass match matrix + K-row MM rounds
+    "text_span_excise",     # positional gram explode + array rebuild
+    "pack_bin_ffd",         # grouped Arrow FFD (sequential loop per group)
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part",

@@ -73,7 +73,8 @@ SECTIONS = [
         "stream_session_window", "stream_stateful_stats",
         "stream_static_join", "stream_stream_join", "stream_dedup",
         "stream_late_data", "stream_upsert_merge", "inc_mv_merge",
-        "sink_cdc_apply", "stream_mv_merge", "stream_sliding_window"]),
+        "sink_cdc_apply", "stream_mv_merge", "stream_sliding_window",
+        "stream_dedup_minhash"]),
     ("Similarity search (north star)", [
         "sim_cosine_topk", "sim_cosine_topk_pandas", "sim_lsh_bucketed",
         "sim_ivf_topk", "sim_ivf_join", "sim_ivf_join_learned",
