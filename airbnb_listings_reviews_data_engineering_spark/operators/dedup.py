@@ -396,6 +396,7 @@ def minhash_lsh_join(
     bands: int = 4,
     threshold: float = 0.5,
     shingle: int = 3,
+    pin_batch: bool = True,
 ) -> DataFrame:
     """Near-dup matches of a NEW batch against an EXISTING corpus — the
     incremental-ingest form of LSH dedup (`minhash_lsh_pairs` is the
@@ -411,8 +412,10 @@ def minhash_lsh_join(
     rows_per_band = num_hashes // bands
     hcols = [f"h{j}" for j in range(num_hashes)]
 
-    def exploded(df: DataFrame) -> DataFrame:
+    def exploded(df: DataFrame, do_pin: bool) -> DataFrame:
         sig = minhash_signature(df, id_col, text_col, num_hashes, shingle)
+        if do_pin:
+            sig = pin(sig, label="lsh_join_sig")
         band_structs = [
             F.struct(
                 F.lit(b).alias("band"),
@@ -423,12 +426,15 @@ def minhash_lsh_join(
             )
             for b in range(bands)
         ]
-        return pin(sig, label="lsh_join_sig").select(
+        return sig.select(
             F.col(id_col), *hcols, F.explode(F.array(*band_structs)).alias("bk")
         )
 
-    a = exploded(batch).alias("a")
-    b = exploded(corpus).alias("b")
+    # pin_batch=False lets a STREAMING batch side through (a streaming
+    # DataFrame cannot localCheckpoint; its signature is recomputed per
+    # micro-batch — map-side expressions, so nothing is lost)
+    a = exploded(batch, pin_batch).alias("a")
+    b = exploded(corpus, True).alias("b")
     agree = sum(
         F.when(F.col(f"a.h{j}") == F.col(f"b.h{j}"), 1).otherwise(0)
         for j in range(num_hashes)

@@ -209,8 +209,11 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate BOTH sides to k rows before joining: the previous
     # per-vector x per-pair left join on cid alone materialized
     # |cell| x |pairs-in-cell| rows per cell before its groupBy — the
-    # fact-blow-up shape the round-7 sweep measures. Two combiner-
-    # reduced aggregates + a k-row join produce identical counts.
+    # fact-blow-up shape the round-7 sweep measures. NOTE this also
+    # CORRECTED n_dup_pairs' meaning (oracle updated in lockstep): the
+    # blown-up count was pairs x members per cell; it is now the
+    # honest per-cell pair count, so the column is not comparable
+    # across releases that straddle this change.
     cellstats = assigned.groupBy("cid").agg(
         F.countDistinct("vec_id").alias("n_vectors")
     )

@@ -3932,13 +3932,17 @@ def text_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     (left join: clean docs pass through with an empty start list)."""
     docs = load(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.split("text", " ").alias("w"))
+    # slice-then-transform, NOT sequence(1, n-2): Spark's sequence(1, 0)
+    # is the DESCENDING [1, 0], so a sub-N-token doc would evaluate
+    # element_at(w, 0) and abort the job under ANSI mode (the oracle
+    # guards with len(w) >= N; slice of length 0 is the matching empty)
     grams = tok.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(size(w) - {_DECON_N - 1},"
-                " 0)), i -> struct(i AS pos, concat(element_at(w, i), ' ',"
-                " element_at(w, i + 1), ' ', element_at(w, i + 2)) AS g))"
+                f"transform(slice(w, 1, greatest(size(w) - {_DECON_N - 1},"
+                " 0)), (x, i) -> struct(i + 1 AS pos, concat(x, ' ',"
+                " element_at(w, i + 2), ' ', element_at(w, i + 3)) AS g))"
             )
         ).alias("pg"),
     ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))

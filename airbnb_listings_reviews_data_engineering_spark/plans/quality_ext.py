@@ -183,9 +183,16 @@ def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count inside the same aggregate (the anti-join + count(*) pair
     # re-planned every child table — orders 3x / lineitem 4x in the
     # final plan; max_rescan audit, round 7). The two lineitem FKs ride
-    # one shared scan and explode into their two report rows.
+    # one shared scan and explode into their two report rows. Parent
+    # sides join as DISTINCT key sets: a duplicated parent PK — exactly
+    # the anomaly the sibling uniqueness check reports — would fan the
+    # child out and corrupt n_child/n_orphans (the anti-join semantics
+    # this rewrite must preserve).
+    ck = c.select("c_custkey").distinct()
+    ok_ = o.select("o_orderkey").distinct()
+    pk_ = p.select("p_partkey").distinct()
     fk1 = (
-        o.join(c, o.o_custkey == c.c_custkey, "left")
+        o.join(ck, o.o_custkey == ck.c_custkey, "left")
         .agg(
             F.count("*").alias("n_child"),
             F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias(
@@ -199,8 +206,8 @@ def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     fk23 = (
-        li.join(o, li.l_orderkey == o.o_orderkey, "left")
-        .join(p, li.l_partkey == p.p_partkey, "left")
+        li.join(ok_, li.l_orderkey == ok_.o_orderkey, "left")
+        .join(pk_, li.l_partkey == pk_.p_partkey, "left")
         .agg(
             F.count("*").alias("n_child"),
             F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias(

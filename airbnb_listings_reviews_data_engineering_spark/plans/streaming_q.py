@@ -622,7 +622,7 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the finite availableNow batch here; a continuous deployment uses
     dropDuplicatesWithinWatermark keyed the same way. Emitted:
     (in_doc, corpus_doc, est_jaccard >= 0.5) — the reject list."""
-    from ..operators.dedup import minhash_signature
+    from ..operators.dedup import minhash_lsh_join
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     incoming = docs.filter(F.col("doc_id") % _SDM_MOD == 0).select(
@@ -634,48 +634,22 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema("doc_id bigint, text string").parquet(
         stream_dir
     )
-
-    rows_per_band = _SDM_HASHES // _SDM_BANDS
-
-    def banded(sig: DataFrame) -> DataFrame:
-        structs = [
-            F.struct(
-                F.lit(b).alias("band"),
-                *[
-                    F.col(f"h{b * rows_per_band + r}").alias(f"k{r}")
-                    for r in range(rows_per_band)
-                ],
-            )
-            for b in range(_SDM_BANDS)
-        ]
-        hcols = [f"h{j}" for j in range(_SDM_HASHES)]
-        return sig.select(
-            "doc_id", *hcols, F.explode(F.array(*structs)).alias("bk")
-        )
-
-    standing = pin(
-        banded(minhash_signature(docs, "doc_id", "text", _SDM_HASHES)),
-        label="standing_bands",
-    )
-    live = banded(
-        minhash_signature(stream, "doc_id", "text", _SDM_HASHES)
-    )
-    a = live.alias("a")
-    b = standing.alias("b")
-    agree = sum(
-        F.when(F.col(f"a.h{j}") == F.col(f"b.h{j}"), 1).otherwise(0)
-        for j in range(_SDM_HASHES)
-    )
-    est = F.round(agree / float(_SDM_HASHES), 4)
-    out = (
-        a.join(b, F.col("a.bk") == F.col("b.bk"))
-        .select(
-            F.col("a.doc_id").alias("in_doc"),
-            F.col("b.doc_id").alias("corpus_doc"),
-            est.alias("est_jaccard"),
-        )
-        .filter(F.col("est_jaccard") >= _SDM_THRESHOLD)
-        .dropDuplicates(["in_doc", "corpus_doc"])
+    # the SAME operator dedup_incremental runs nightly, fed a streaming
+    # batch side (pin_batch=False — a streaming frame cannot pin; its
+    # signature recomputes per micro-batch as map-side expressions)
+    out = minhash_lsh_join(
+        stream,
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=_SDM_HASHES,
+        bands=_SDM_BANDS,
+        threshold=_SDM_THRESHOLD,
+        pin_batch=False,
+    ).select(
+        F.col("batch_id").alias("in_doc"),
+        F.col("corpus_id").alias("corpus_doc"),
+        "est_jaccard",
     )
     return run_available_now(
         out, query_name="stream_dedup_minhash", output_mode="append"

@@ -156,14 +156,35 @@ def test_cluster_balanced_cap_and_coverage(q, spark, sf_dir):
 
 
 def test_rho_loss_selects_high_excess(q, spark, sf_dir):
-    """Every selected doc's excess is >= the pool's median excess —
-    top-N by excess cannot dip into the lower half (N < pool/2)."""
+    """The selection really is the top-N of the FULL scored pool: no
+    unselected doc has excess above the selected minimum (ties break by
+    doc_id), checked against the pool recomputed via the oracle with
+    the LIMIT stripped. Also pins the loss identity per row."""
+    import duckdb
+
+    from airbnb_listings_reviews_data_engineering_spark.plans.sampling_ext import (
+        _RHO_SQL,
+    )
+
     out = rows(q, spark, sf_dir, "sample_rho_loss")
     assert len(out) > 0
-    sel = [r["excess"] for r in out]
-    assert min(sel) >= 0 or sorted(sel)[0] == min(sel)  # sanity
-    # selection is contiguous from the top: max excluded <= min included
-    # is guaranteed by ORDER BY; here check internal consistency
+    sel_ids = {r["doc_id"] for r in out}
+    min_sel = min((r["excess"], r["doc_id"]) for r in out)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    pool_sql = _RHO_SQL[: _RHO_SQL.rindex("SELECT")] + "SELECT * FROM scored"
+    pool = con.execute(pool_sql).fetchall()
+    assert len(pool) > len(out)  # the cut excludes real candidates
+    for doc_id, _src, _n, _lp, _lh, excess in pool:
+        if doc_id not in sel_ids:
+            # sort is (excess DESC, doc_id ASC): an excluded doc must
+            # rank strictly after the selected minimum
+            assert excess < min_sel[0] or (
+                excess == min_sel[0] and doc_id > min_sel[1]
+            ), (doc_id, excess)
     for r in out:
         assert r["loss_pool"] > 0 and r["loss_hold"] > 0
         assert abs((r["loss_pool"] - r["loss_hold"]) - r["excess"]) < 2e-4
