@@ -146,7 +146,7 @@ LEFT JOIN (SELECT cid, count(*) AS n_dup_pairs,
     )
 
 
-@register("dedup_semdedup", oracle=_semdedup_sql())
+@register("dedup_semdedup", oracle=_semdedup_sql(), gate_sf_max=0.01)
 def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDedup (Abbas et al., arXiv:2303.09540): semantic near-dup
     removal where the blocking key is a LEARNED k-means cluster rather
@@ -831,7 +831,8 @@ FROM pairs
     )
 
 
-@register("dedup_semdedup_multiprobe", oracle=_semdedup_mp_sql())
+@register("dedup_semdedup_multiprobe", oracle=_semdedup_mp_sql(),
+          gate_sf_max=0.01)
 def dedup_semdedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDedup with MULTI-PROBE assignment: every vector lands in its
     TWO nearest centroids' cells, so near-dup pairs whose members sit

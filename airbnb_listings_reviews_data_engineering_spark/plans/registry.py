@@ -46,18 +46,36 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
     doc: str
+    # Spark side reads a scale knob from the parquet footers (SemDedup
+    # k, FFD group count, the pHash fixture cap) while the oracle SQL
+    # hard-codes the gate-scale value. Cross-engine parity holds only
+    # up to ``gate_sf_max``; above it the local checker downgrades to a
+    # rows-only check with a loud SKIP instead of reporting a bogus
+    # mismatch (ADVICE r7). The driver gate runs at sf0.01, within the
+    # bound for every key.
+    gate_sf_max: float | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def register(
+    key: str,
+    oracle: str | None = None,
+    gate_sf_max: float | None = None,
+) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a driver-contract query under ``key``."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if key in REGISTRY:
             raise ValueError(f"duplicate query key: {key}")
-        REGISTRY[key] = QuerySpec(key=key, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        REGISTRY[key] = QuerySpec(
+            key=key,
+            fn=fn,
+            oracle=oracle,
+            doc=fn.__doc__ or "",
+            gate_sf_max=gate_sf_max,
+        )
         return fn
 
     return deco

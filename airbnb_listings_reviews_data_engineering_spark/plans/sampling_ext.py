@@ -1513,7 +1513,7 @@ FROM t JOIN fin f USING (grp)
 """
 
 
-@register("pack_bin_ffd", oracle=_FFD_SQL)
+@register("pack_bin_ffd", oracle=_FFD_SQL, gate_sf_max=0.01)
 def pack_bin_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing bin packing of documents into fixed-token
     context windows — the sequence-packing pass that turns a cleaned

@@ -133,7 +133,18 @@ def main() -> None:
     if only == "r2":
         HEADLINE = list(R2_HEADLINE)
     elif only:
-        HEADLINE = [k for k in HEADLINE if k in set(only.split(","))]
+        wanted = {k for k in only.split(",") if k}
+        unknown = wanted - set(HEADLINE)
+        subset = [k for k in HEADLINE if k in wanted]
+        # fail loudly on typos / empty selections: a silently empty run
+        # prints a zero headline_total that reads like a measurement
+        # (ADVICE r7)
+        if unknown or not subset:
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_ONLY selects no headline keys: "
+                f"unknown={sorted(unknown)}; headline keys are {HEADLINE}"
+            )
+        HEADLINE = subset
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark()

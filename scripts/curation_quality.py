@@ -341,7 +341,10 @@ def dsir_target_shift(spark, sf_dir: str) -> dict:
         "SELECT doc_id, logw FROM keyed"
     )
     logw_by_id = dict(con.execute(pool_sql).fetchall())
-    lw_base = sum(logw_by_id[i] for i in base_ids) / len(base_ids)
+    # .get(i, 0.0): `keyed` only contains docs with >= 1 bigram, so a
+    # baseline-sampled single-token doc is absent from it (logw 0 = the
+    # neutral weight a bigram-less doc earns) — ADVICE r7
+    lw_base = sum(logw_by_id.get(i, 0.0) for i in base_ids) / len(base_ids)
 
     def tv(d: dict[int, float]) -> float:
         return 0.5 * sum(

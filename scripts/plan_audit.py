@@ -235,12 +235,35 @@ def _lint_plan_text(key: str, plan: str, unpart_win: int, stage: str | None) -> 
 
 
 def _max_same_table_scans(plan: str) -> int:
-    """Highest number of scan nodes pointing at ONE parquet path."""
+    """Highest number of scan nodes pointing at ONE parquet path.
+
+    Measures parquet-SOURCE passes only: a ``Scan ExistingRDD`` over a
+    pinned intermediate is NOT a parquet path and never counts here —
+    pin rescans are memory-backed and deliberately cheap. Their
+    multiplicity is tracked separately by ``_max_pin_rescans`` so a
+    regression that re-derives one pinned frame many times stays
+    visible without conflating it with corpus re-reads (ADVICE r7)."""
     import re
     from collections import Counter
 
     paths = re.findall(r"Location: \S+ \[([^\]]+)\]", plan)
     return max(Counter(paths).values()) if paths else 0
+
+
+def _max_pin_rescans(plan: str) -> int:
+    """Highest number of ``Scan ExistingRDD`` nodes reading ONE pinned
+    RDD (identified by its ``MapPartitionsRDD[<id>] at (local)checkpoint``
+    argument — the id is per-materialization, so two scans sharing it
+    read the same pin). A count of 2-3 is the normal self-join /
+    filter+join fan-out a pin exists to serve; a large count means some
+    loop re-references one pin per iteration inside a single plan."""
+    import re
+    from collections import Counter
+
+    ids = re.findall(
+        r"(MapPartitionsRDD\[\d+\] at \w*[cC]heckpoint)", plan
+    )
+    return max(Counter(ids).values()) if ids else 0
 
 
 def audit(key: str, spec, spark, sf_dir: str) -> dict:
@@ -288,6 +311,13 @@ def audit(key: str, spec, spark, sf_dir: str) -> dict:
             [_max_same_table_scans(plan)]
             + [_max_same_table_scans(sp) for _, sp, _ in stages]
         ),
+        # worst single-pin rescan count (Scan ExistingRDD multiplicity):
+        # cheap by design, but a loop that re-references one pin per
+        # round inside a single plan shows up here (ADVICE r7)
+        "max_pin_rescan": max(
+            [_max_pin_rescans(plan)]
+            + [_max_pin_rescans(sp) for _, sp, _ in stages]
+        ),
         "pinned_stages": len(stages),
         "stage_exchanges": stage_exchanges,
         "stage_unpart_win": stage_unpart,
@@ -314,7 +344,7 @@ def run(keys=None, sf_dir: str = DEFAULT_SF_DIR) -> list[dict]:
             except Exception as e:  # noqa: BLE001 — audit must report, not die
                 rows.append({"key": key, "exchanges": -1, "arrow_python": False,
                              "nested_loop": False, "unpart_win": 0,
-                             "max_rescan": 0,
+                             "max_rescan": 0, "max_pin_rescan": 0,
                              "pinned_stages": 0, "stage_exchanges": 0,
                              "stage_unpart_win": 0, "stage_windows": 0,
                              "stage_plans": [], "plan": "",
@@ -340,9 +370,9 @@ def main() -> None:
         "pinned by tests/test_plan_audit.py.",
         "",
         "| key | exchanges | arrow python | nested loop | unpart window |"
-        " max rescan | pinned stages | stage exchanges | stage windows |"
-        " flags |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        " max rescan | max pin rescan | pinned stages | stage exchanges |"
+        " stage windows | flags |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append(
@@ -351,6 +381,7 @@ def main() -> None:
             f"{'y' if r['nested_loop'] else ''} | "
             f"{r.get('unpart_win', 0) or ''} | "
             f"{r.get('max_rescan', 0) or ''} | "
+            f"{r.get('max_pin_rescan', 0) or ''} | "
             f"{r.get('pinned_stages', 0) or ''} | "
             f"{r.get('stage_exchanges', 0) or ''} | "
             f"{r.get('stage_windows', 0) or ''} | "
