@@ -387,6 +387,46 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_near_dup_join(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Batch-vs-corpus embedding near-dup candidates within a blocking
+    key — the cross-frame twin of :func:`embedding_near_dup_pairs`
+    (which self-joins one corpus) and the embedding analog of
+    :func:`minhash_lsh_join`. Both inputs must already carry
+    ``block_col`` (sign-LSH bucket / IVF cell) computed with the SAME
+    hyperplanes or centroids; only bucket collisions join, so cost is
+    O(batch + collisions), never O(batch x corpus). Returns
+    (batch_id, corpus_id, cos_sim) with cosine rounded to 4 dp —
+    the same op order as embedding_near_dup_pairs, bitwise-stable
+    cross-engine."""
+    prep = lambda df: df.select(  # noqa: E731
+        F.col(id_col),
+        F.col(block_col).alias("blk"),
+        as_double_array(vec_col).alias("v"),
+    ).withColumn("_n", norm(F.col("v")))
+    b = prep(batch).alias("b")
+    c = prep(corpus).alias("c")
+    cos = F.round(
+        dot(F.col("b.v"), F.col("c.v")) / (F.col("b._n") * F.col("c._n")), 4
+    )
+    return (
+        b.join(c, F.col("b.blk") == F.col("c.blk"))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            F.col(f"b.{id_col}").alias("batch_id"),
+            F.col(f"c.{id_col}").alias("corpus_id"),
+            "cos_sim",
+        )
+    )
+
+
 def minhash_lsh_join(
     batch: DataFrame,
     corpus: DataFrame,
@@ -499,4 +539,106 @@ def containment_pairs(
     )
     return joined.filter(
         F.col("n_shared") / F.col("n_rare").cast("double") >= threshold
+    )
+
+
+def duplicated_span_excise(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 6,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated-SPAN detection and excision ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al.,
+    arXiv:2107.06499 ExactSubstr) — remove every token covered by a
+    token span of length >= ``n`` that occurs at least ``min_count``
+    times corpus-wide, counting position-distinct occurrences (a
+    within-document repeat is a duplicate too, exactly as a suffix
+    array would see it).
+
+    The suffix-array-free reformulation that makes this a pure
+    DataFrame plan: a token lies inside SOME duplicated span of length
+    >= n iff it is covered by an n-token window whose n-gram occurs
+    >= min_count times. (=> : any window of the duplicated span around
+    the token recurs wherever the span recurs. <= : a recurring n-gram
+    IS a duplicated span of length n covering the token.) So exact
+    span-level dedup is: positional n-gram postings -> occurrence
+    count per gram hash -> join survivors back -> per-doc covered-
+    position excision. No suffix array, no global order — the corpus
+    sort Lee et al. build becomes Spark's gram-keyed shuffle.
+
+    Returns one row per input doc: (id, n_tok, n_removed, n_spans,
+    clean_text) where n_spans counts MAXIMAL merged duplicated spans
+    (windows closer than n tokens fuse into one span) and clean docs
+    pass through with n_removed = n_spans = 0.
+
+    Scale shape: the posting table is ~one row per token (id, pos,
+    hash60) and is PINNED — the occurrence count and the join back
+    both read it (unpinned: two corpus re-tokenizations). Two shuffles
+    total at corpus scale: the combiner-reduced count per gram hash
+    (partial_count map-side, only (h, cnt) pairs cross), and the
+    postings->survivors equi-join keyed on the hash (AQE skew-split
+    handles a boilerplate gram's hot key). The excision itself is the
+    text_span_excise array rebuild: per-doc start positions
+    collect_list (bounded by hits per doc), then a pure column
+    expression filters covered positions — no window, no Python."""
+    from ..functions.hashing import hash60_spark_sql
+
+    tok = docs.select(id_col, F.split(text_col, " ").alias("w"))
+    gram_h = hash60_spark_sql(f"concat_ws(' ', slice(w, i + 1, {n}))")
+    # slice-then-transform, not sequence(1, len-n+1): Spark's
+    # sequence(1, 0) is the DESCENDING [1, 0] (the text_span_excise
+    # lesson) — slice of length 0 is the matching empty for short docs
+    grams = pin(
+        tok.select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(slice(w, 1, greatest(size(w) - {n - 1}, 0)),"
+                    f" (x, i) -> struct(i + 1 AS pos, {gram_h} AS h))"
+                )
+            ).alias("pg"),
+        ).select(id_col, F.col("pg.pos").alias("pos"), F.col("pg.h").alias("h")),
+        label="span_exact_postings",
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= min_count)
+        .select("h")
+    )
+    hits = (
+        grams.join(dup, "h")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("st"))
+    )
+    kept = (
+        tok.join(hits, id_col, "left")
+        .withColumn(
+            "st", F.coalesce("st", F.expr("CAST(array() AS array<int>)"))
+        )
+        .withColumn(
+            "kw",
+            F.expr(
+                "transform(filter(sequence(1, size(w)), i ->"
+                f" size(filter(st, s -> i >= s AND i <= s + {n - 1})) = 0),"
+                " i -> element_at(w, i))"
+            ),
+        )
+    )
+    # maximal-span count over the SORTED starts: windows are all n long,
+    # so consecutive starts fuse iff the gap is <= n; guard size <= 1
+    # (Spark sequence(2, 1) is descending, not empty)
+    n_spans = F.expr(
+        "CASE WHEN size(st) <= 1 THEN size(st)"
+        " ELSE 1 + size(filter(sequence(2, size(st)),"
+        f" i -> element_at(st, i) - element_at(st, i - 1) > {n})) END"
+    )
+    return kept.select(
+        id_col,
+        F.size("w").cast("bigint").alias("n_tok"),
+        (F.size("w") - F.size("kw")).cast("bigint").alias("n_removed"),
+        n_spans.cast("bigint").alias("n_spans"),
+        F.array_join("kw", " ").alias("clean_text"),
     )

@@ -1958,6 +1958,73 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exact duplicated-span dedup (Lee et al. ExactSubstr, span excision) ----
+
+_SPANX_N = 6  # duplicated-span threshold in tokens (50 on real text;
+#               6 fits the ~55-token synthetic docs and matches _SPAN_W)
+
+_SPAN_EXACT_SQL = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, i AS pos,
+         CAST('0x' || substr(md5(array_to_string(w[i:i+{_SPANX_N - 1}], ' ')),
+              1, 15) AS BIGINT) AS h
+  FROM tok, unnest(generate_series(1, len(w) - {_SPANX_N - 1})) AS t(i)
+  WHERE len(w) >= {_SPANX_N}
+),
+dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+hits AS (
+  SELECT g.doc_id, list_sort(list(g.pos)) AS starts
+  FROM grams g JOIN dup USING (h)
+  GROUP BY g.doc_id
+),
+kept AS (
+  SELECT t.doc_id, len(t.w) AS n_tok, COALESCE(h.starts, []) AS st,
+         list_transform(
+           list_filter(generate_series(1, len(t.w)), i ->
+             len(list_filter(COALESCE(h.starts, []), s ->
+                 i >= s AND i <= s + {_SPANX_N - 1})) = 0),
+           i -> t.w[i]) AS kw
+  FROM tok t LEFT JOIN hits h USING (doc_id)
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(n_tok - len(kw) AS BIGINT) AS n_removed,
+       CAST(CASE WHEN len(st) <= 1 THEN len(st)
+            ELSE 1 + len(list_filter(generate_series(2, len(st)),
+                         i -> st[i] - st[i-1] > {_SPANX_N})) END
+            AS BIGINT) AS n_spans,
+       -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
+       COALESCE(array_to_string(kw, ' '), '') AS clean_text
+FROM kept
+"""
+
+
+@register("dedup_span_exact", oracle=_SPAN_EXACT_SQL)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicated-span dedup with excision (Lee et al.,
+    arXiv:2107.06499 ExactSubstr): remove every token covered by a
+    >= 6-token span occurring >= 2 times corpus-wide — the one dedup
+    family dedup_shared_spans (pair FLAGGING) stopped short of. Runs
+    on the raw documents table, which genuinely contains whole- and
+    near-whole-document repeats (sf0.01: 47/500 docs hit, ~9 % of
+    corpus tokens removed); a drop-the-doc policy at the same
+    threshold loses those docs' remaining tokens — the measured
+    excise-vs-drop payoff is in SCALING.md.
+
+    Semantics and the suffix-array-free reformulation live on
+    operators/dedup.py::duplicated_span_excise: token covered by a
+    duplicated >= n span  <=>  token covered by an n-window whose gram
+    recurs; postings -> combiner-reduced occurrence count -> hash-keyed
+    survivor join -> per-doc positional excision (text_span_excise's
+    array rebuild), two corpus-scale shuffles total, posting table
+    pinned once. Span hashes are hash60 (md5-derived), bitwise-equal
+    cross-engine; n_spans counts MAXIMAL merged spans."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.duplicated_span_excise(
+        docs, "doc_id", "text", n=_SPANX_N, min_count=2
+    )
+
+
 # --- incremental dedup (batch vs corpus index) ------------------------------
 
 
@@ -2064,6 +2131,126 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
             "best_match",
             "max_est",
+            F.col("n_matches").isNotNull().alias("is_dup"),
+        )
+    )
+
+
+# --- incremental embedding dedup (batch vs corpus LSH index) ----------------
+
+_EMB_INC_SQL = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+batch AS (
+  SELECT vec_id + 100000 AS vec_id, [v[1] + 0.01] || v[2:] AS v
+  FROM base WHERE vec_id < 150
+  UNION ALL
+  SELECT vec_id + 200000 AS vec_id, list_transform(v, x -> -x) AS v
+  FROM base WHERE vec_id >= 150 AND vec_id < 250
+),
+pl AS (SELECT CAST(vec_id AS INT) AS pid, v AS pv
+       FROM base WHERE vec_id BETWEEN 1 AND 8),
+cb AS (
+  SELECT c.vec_id, c.v,
+         CAST(sum(CASE WHEN list_dot_product(c.v, pl.pv) > 0
+                       THEN 1 << CAST(pl.pid - 1 AS INT) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM base c CROSS JOIN pl GROUP BY c.vec_id, c.v
+),
+bb AS (
+  SELECT b.vec_id, b.v,
+         CAST(sum(CASE WHEN list_dot_product(b.v, pl.pv) > 0
+                       THEN 1 << CAST(pl.pid - 1 AS INT) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM batch b CROSS JOIN pl GROUP BY b.vec_id, b.v
+),
+cand AS (
+  SELECT b.vec_id AS batch_id, c.vec_id AS corpus_id,
+         round({_EMB_COS.format(a='b.v', b='c.v')}, 4) AS cos_sim
+  FROM bb b JOIN cb c ON b.bucket = c.bucket
+  WHERE round({_EMB_COS.format(a='b.v', b='c.v')}, 4) >= 0.99
+),
+m AS (
+  SELECT batch_id, count(*) AS n_matches, min(corpus_id) AS best_match,
+         max(cos_sim) AS max_cos
+  FROM cand GROUP BY batch_id
+)
+SELECT b.vec_id AS batch_id,
+       coalesce(m.n_matches, 0) AS n_matches,
+       m.best_match, m.max_cos,
+       m.n_matches IS NOT NULL AS is_dup
+FROM batch b LEFT JOIN m ON b.vec_id = m.batch_id
+"""
+
+
+@register("dedup_embedding_incremental", oracle=_EMB_INC_SQL)
+def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EMBEDDING dedup: a new ingest batch of vectors
+    checked against the existing corpus's sign-LSH bucket index — the
+    admission-control pass a crawler's embedding pipeline runs daily,
+    completing the family (dedup_incremental is the MinHash analog;
+    dedup_embedding_lsh is this index's self-join backfill). The batch
+    mixes true near-dups (first-coord-perturbed copies of corpus
+    vectors, +100000) with genuinely novel vectors (negated copies,
+    +200000 — cosine -1 to their source, so they collide in the
+    complement bucket and the cosine verify rejects them: the blocking
+    does real work on BOTH verdicts). Per batch vector: match count,
+    best (min-id) corpus match, max cosine, and is_dup=false preserved
+    via the left join.
+
+    Scale shape: the corpus side is the PRECOMPUTED bucketed index
+    (pinned here; bucketed-by-bucket parquet in production — only the
+    batch is new work), bucket assignment is a map-side fold over the
+    ONE broadcast hyperplane-array row (with_lsh_bucket), and the
+    bucket equi-join touches only colliding buckets — O(batch +
+    collisions), never O(batch x corpus). Recall knob is the multiprobe
+    flip ring (sim_lsh_multiprobe), same as the self-join form."""
+    base = pin(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double_array("embedding").alias("v")
+        ),
+        label="emb_inc_base",
+    )
+    near = base.filter(F.col("vec_id") < 150).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("v", 1) + 0.01), F.slice("v", 2, 63)
+        ).alias("v"),
+    )
+    novel = base.filter(
+        (F.col("vec_id") >= 150) & (F.col("vec_id") < 250)
+    ).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.transform("v", lambda x: -x).alias("v"),
+    )
+    batch = near.unionByName(novel)
+    planes = base.filter(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").cast("int").alias("pid"), "v"
+    )
+    # the corpus index is pinned: in production it is the precomputed
+    # bucketed table this batch probes; here both the bucket join and
+    # nothing else read it, but unpinned it re-derives base + the
+    # 8-plane fold inside the join stage
+    corpus_bk = pin(
+        S.with_lsh_bucket(base, "vec_id", "v", planes, "pid", 8),
+        label="emb_inc_index",
+    )
+    batch_bk = S.with_lsh_bucket(batch, "vec_id", "v", planes, "pid", 8)
+    cand = D.embedding_near_dup_join(
+        batch_bk, corpus_bk, "vec_id", "v", "bucket", threshold=0.99
+    )
+    matches = cand.groupBy("batch_id").agg(
+        F.count("*").alias("n_matches"),
+        F.min("corpus_id").alias("best_match"),
+        F.max("cos_sim").alias("max_cos"),
+    )
+    return (
+        batch.select(F.col("vec_id").alias("batch_id"))
+        .join(matches, "batch_id", "left")
+        .select(
+            "batch_id",
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            "best_match",
+            "max_cos",
             F.col("n_matches").isNotNull().alias("is_dup"),
         )
     )
@@ -3638,6 +3825,82 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hits",
             (F.col("n_hits") > 0).alias("contaminated"),
         )
+    )
+
+
+@register("text_decontaminate_bloom", oracle=_DECON_SQL)
+def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination for an eval suite TOO BIG TO BROADCAST
+    (text_decontaminate broadcasts its distinct eval-gram set; a real
+    13-gram suite over many benchmarks can exceed the broadcast
+    threshold): a Bloom filter of the eval grams — kilobytes however
+    large the gram set — is broadcast instead, pruning corpus gram
+    occurrences map-side BEFORE the exact gram-keyed shuffle join.
+    Bloom filters have no false negatives, so prefilter + exact inner
+    join == exact inner join: the registered oracle is literally
+    text_decontaminate's SQL, and the gate proves the refactor changes
+    the PLAN, not the rows. False positives only cost shuffled bytes
+    (defaults m=2^16 bits, k=5: <1 % at 5k grams; size m from
+    approx_count_distinct at real suite sizes — operators/bloomjoin.py
+    docstring).
+
+    Scale shape: corpus side is one scan -> explode -> 1-row bloom
+    crossJoin (map-side bit tests, whole-stage codegen) -> the exact
+    join ships only probable matches; the eval side is pinned once and
+    read twice (bloom build + exact join, both eval-sized). Docs with
+    zero hits — including sub-N-token docs, which emit no grams — are
+    restored by the doc-keyed left join against the corpus scan, so
+    row-set semantics match the broadcast variant exactly. The pruned
+    side is lazily pinned as a reorder barrier (the bloomjoin module's
+    push-down caveat) — at 100 TB the exchange it protects carries the
+    corpus gram table."""
+    from ..operators.bloomjoin import build_bloom, might_contain
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "source", F.split("text", " ").alias("w"))
+    grams = tok.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(slice(w, 1, greatest(size(w) - {_DECON_N - 1}, 0)),"
+                " (x, i) -> concat(x, ' ', element_at(w, i + 2),"
+                " ' ', element_at(w, i + 3)))"
+            )
+        ).alias("g"),
+    )
+    ev = pin(
+        grams.filter(F.col("doc_id") % _DECON_EVAL_MOD == 0)
+        .select("g")
+        .distinct(),
+        label="bloom_eval_grams",
+    )
+    m_bits, k = 1 << 16, 5
+    bloom = build_bloom(ev, "g", m_bits, k)
+    tr = grams.filter(F.col("doc_id") % _DECON_EVAL_MOD != 0)
+    cand = pin(
+        tr.crossJoin(F.broadcast(bloom))
+        .filter(might_contain("bloom", "g", m_bits, k))
+        .drop("bloom"),
+        eager=False,
+        label="decon_bloom_pruned",
+    )
+    hits = (
+        cand.join(ev, "g")  # exact join: kills bloom false positives
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_hits"))
+    )
+    base = tok.filter(F.col("doc_id") % _DECON_EVAL_MOD != 0).select(
+        "doc_id", "source"
+    )
+    return (
+        base.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        )
+        .withColumn("contaminated", F.col("n_hits") > 0)
     )
 
 

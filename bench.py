@@ -119,8 +119,17 @@ R7_ADDITIONS = [
     "pack_bin_ffd",         # grouped Arrow FFD sequence packing
 ]
 
+# round-8 breadth: the exact-span excision family and the batch-vs-
+# corpus embedding admission join (both corpus-shuffle shapes)
+R8_ADDITIONS = [
+    "dedup_span_exact",     # positional gram postings -> dup-span excision
+    "dedup_embedding_incremental",  # batch vs corpus sign-LSH bucket join
+    "text_decontaminate_bloom",     # bloom-pruned exact eval-gram join
+]
+
 HEADLINE = (R2_HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R4B_ADDITIONS
-            + R4C_ADDITIONS + R4D_ADDITIONS + R5_ADDITIONS + R7_ADDITIONS)
+            + R4C_ADDITIONS + R4D_ADDITIONS + R5_ADDITIONS + R7_ADDITIONS
+            + R8_ADDITIONS)
 
 
 def main() -> None:

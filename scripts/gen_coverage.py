@@ -158,6 +158,9 @@ SECTIONS = [
         "text_decontaminate", "sample_rho_loss",
         "sample_cluster_balanced", "split_leakage_audit",
         "eval_bradley_terry", "text_span_excise", "pack_bin_ffd"]),
+    ("Exact-span / bloom / incremental dedup (round-8 additions)", [
+        "dedup_span_exact", "text_decontaminate_bloom",
+        "dedup_embedding_incremental"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

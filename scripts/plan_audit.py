@@ -60,6 +60,7 @@ NESTED_LOOP_ALLOWED = {
     "sim_ivf_topk",      # centroid assignment: fixed centroid count
     "sim_lsh_bucketed",  # hyperplane planes: fixed n_planes rows
     "dedup_embedding_lsh",  # same fixed-plane crossJoin builds the blocking key
+    "dedup_embedding_incremental",  # same 1-row plane-array fold, batch side
     "emb_label_centroid",
     "ml_kmeans",         # k centroids
     "sample_cluster_balanced",  # same 1-row broadcast centroid-array argmin
@@ -168,6 +169,9 @@ NESTED_LOOP_STAGE_ALLOWED = {
     ("emb_power_iteration", "power_iter_v"),
     # the ONE-row bloom bit-map broadcast against the probe side
     ("join_bloom_prefilter", "bloom_pruned"),
+    # same 1-row bloom bit-map, pruning corpus grams ahead of the
+    # exact eval-gram join (decontamination at unbroadcastable suites)
+    ("text_decontaminate_bloom", "decon_bloom_pruned"),
     # ranked frame x the 1-row corpus count (complement pairing)
     ("pack_length_pairs", "pack_pairs_pos"),
     # variants x the tiny transition matrix + 1-row base fold
@@ -181,6 +185,8 @@ NESTED_LOOP_STAGE_ALLOWED = {
     # fixed n_planes hyperplane rows build the bucket bits
     ("sim_lsh_bucketed", "lsh_buckets"),
     ("dedup_embedding_lsh", "lsh_bucketed"),
+    # same 1-row plane-array fold building the pinned corpus-side index
+    ("dedup_embedding_incremental", "emb_inc_index"),
     # 1-row corpus-total fold inside the pinned per-doc score stage
     # (text_unigram_logprob's allowlisted shape, now behind a pin)
     ("text_perplexity_bucket", "ppl_scores"),

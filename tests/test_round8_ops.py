@@ -1,0 +1,240 @@
+"""Semantic invariants for the round-8 additions — properties the
+oracle hash-match alone cannot state (the oracle proves Spark ==
+DuckDB; these prove both engines compute the RIGHT thing).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbnb_listings_reviews_data_engineering_spark.checkpoint import release_pins
+from airbnb_listings_reviews_data_engineering_spark.operators.dedup import (
+    duplicated_span_excise,
+)
+from airbnb_listings_reviews_data_engineering_spark.plans import all_queries
+
+
+@pytest.fixture(scope="module")
+def q():
+    return all_queries()
+
+
+def rows(q, spark, sf_dir, key):
+    out = q[key].fn(spark, sf_dir).collect()
+    release_pins(spark)
+    return out
+
+
+def _excise(spark, docs, n=6):
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_span_excise(df, "doc_id", "text", n=n).collect()
+    }
+    release_pins(spark)
+    return out
+
+
+# --- dedup_span_exact: planted-span semantics --------------------------------
+
+
+def test_span_exact_partial_span_cross_doc(spark):
+    """Two docs sharing a 8-token mid-passage lose exactly the shared
+    passage (every token covered by a recurring 6-window), keep their
+    unique prefix/suffix, and report ONE maximal span each."""
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    docs = [
+        (1, f"a1 a2 a3 {shared} a4 a5 a6"),
+        (2, f"b1 b2 {shared} b3 b4 b5 b6"),
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+    ]
+    out = _excise(spark, docs)
+    assert out[1]["clean_text"] == "a1 a2 a3 a4 a5 a6"
+    assert out[2]["clean_text"] == "b1 b2 b3 b4 b5 b6"
+    assert out[1]["n_removed"] == 8 and out[2]["n_removed"] == 8
+    assert out[1]["n_spans"] == 1 and out[2]["n_spans"] == 1
+    # the clean doc passes through untouched
+    assert out[3]["n_removed"] == 0 and out[3]["n_spans"] == 0
+    assert out[3]["clean_text"] == docs[2][1]
+
+
+def test_span_exact_within_doc_repeat(spark):
+    """A doc repeating its own 6-token passage is self-duplicated: BOTH
+    occurrences are excised (position-distinct occurrence counting —
+    what a suffix array sees), and the two windows report two spans."""
+    p = "r1 r2 r3 r4 r5 r6"
+    docs = [(1, f"x1 x2 {p} y1 y2 y3 {p} z1 z2")]
+    out = _excise(spark, docs)
+    assert out[1]["clean_text"] == "x1 x2 y1 y2 y3 z1 z2"
+    assert out[1]["n_removed"] == 12
+    assert out[1]["n_spans"] == 2
+
+
+def test_span_exact_adjacent_windows_merge(spark):
+    """A duplicated 9-token passage is covered by four overlapping
+    6-windows; they merge into ONE maximal span, not four."""
+    shared = "m1 m2 m3 m4 m5 m6 m7 m8 m9"
+    docs = [
+        (1, f"a1 a2 {shared} a3 a4"),
+        (2, f"b1 b2 b3 {shared} b4"),
+    ]
+    out = _excise(spark, docs)
+    for d in (1, 2):
+        assert out[d]["n_removed"] == 9, d
+        assert out[d]["n_spans"] == 1, d
+
+
+def test_span_exact_below_threshold_untouched(spark):
+    """A shared run of only 5 tokens (< n = 6) is NOT a duplicated span
+    — no 6-window recurs — so both docs pass through whole."""
+    shared = "s1 s2 s3 s4 s5"
+    docs = [
+        (1, f"a1 a2 {shared} a3 a4"),
+        (2, f"b1 b2 {shared} b3 b4"),
+    ]
+    out = _excise(spark, docs)
+    assert out[1]["n_removed"] == 0 and out[2]["n_removed"] == 0
+    assert out[1]["clean_text"] == docs[0][1]
+
+
+def test_span_exact_registered_key_counts(q, spark, sf_dir):
+    """The registered key emits one row per document, never removes
+    more tokens than the doc has, and a doc loses tokens iff it
+    reports at least one span."""
+    docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    out = rows(q, spark, sf_dir, "dedup_span_exact")
+    assert len(out) == docs_n
+    hit = 0
+    for r in out:
+        assert 0 <= r["n_removed"] <= r["n_tok"]
+        assert (r["n_removed"] > 0) == (r["n_spans"] > 0)
+        # a doc's maximal spans each cover >= n tokens
+        if r["n_spans"]:
+            hit += 1
+            assert r["n_removed"] >= 6 * 1  # at least one full window
+            assert r["n_removed"] >= r["n_spans"] * 6 - 0  # spans are >= n long
+    assert hit > 0  # the fixture genuinely contains duplicated spans
+
+
+def test_span_exact_output_has_no_duplicated_spans(q, spark, sf_dir):
+    """Idempotence up to seam effects: re-running the duplicated-gram
+    gate on the CLEANED corpus finds (almost) nothing — excision can
+    create a few new windows where surviving tokens become adjacent
+    (the text_span_excise seam caveat); the pinned guarantee is a
+    >95% kill of duplicated-gram occurrences."""
+    from airbnb_listings_reviews_data_engineering_spark.plans.pipeline_ext import (
+        _SPANX_N,
+    )
+
+    before_df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    after_df = (
+        q["dedup_span_exact"]
+        .fn(spark, sf_dir)
+        .select("doc_id", F.col("clean_text").alias("text"))
+    )
+
+    def dup_occurrences(df) -> int:
+        tok = df.select("doc_id", F.split("text", " ").alias("w"))
+        grams = tok.select(
+            F.explode(
+                F.expr(
+                    f"transform(slice(w, 1, greatest(size(w) - {_SPANX_N - 1},"
+                    f" 0)), (x, i) -> concat_ws(' ', slice(w, i + 1,"
+                    f" {_SPANX_N})))"
+                )
+            ).alias("g")
+        )
+        return (
+            grams.groupBy("g")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") >= 2)
+            .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("s"))
+            .collect()[0]["s"]
+        )
+
+    before = dup_occurrences(before_df)
+    after = dup_occurrences(after_df)
+    release_pins(spark)
+    assert before > 0
+    assert after <= before * 0.05, (before, after)
+
+
+# --- text_decontaminate_bloom: prefilter exactness ---------------------------
+
+
+def test_bloom_decontaminate_matches_broadcast_variant(q, spark, sf_dir):
+    """Bloom filters have no false negatives, so prefilter + exact join
+    must reproduce the broadcast variant's rows EXACTLY — same docs,
+    same hit counts, same verdicts."""
+    exact = {
+        r["doc_id"]: (r["source"], r["n_hits"], r["contaminated"])
+        for r in rows(q, spark, sf_dir, "text_decontaminate")
+    }
+    bloom = {
+        r["doc_id"]: (r["source"], r["n_hits"], r["contaminated"])
+        for r in rows(q, spark, sf_dir, "text_decontaminate_bloom")
+    }
+    assert exact == bloom
+
+
+def test_bloom_prefilter_actually_prunes(spark, sf_dir):
+    """The bloom pass must pass every true eval gram (no false
+    negatives) while rejecting most non-eval grams — otherwise the
+    prefilter ships the whole corpus to the exact join and buys
+    nothing."""
+    from airbnb_listings_reviews_data_engineering_spark.operators.bloomjoin import (
+        build_bloom,
+        might_contain,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grams = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("g")
+    )
+    ev = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    m_bits, k = 1 << 16, 5
+    bloom = build_bloom(ev, "g", m_bits, k)
+    probed = grams.crossJoin(F.broadcast(bloom)).withColumn(
+        "hit", might_contain("bloom", "g", m_bits, k)
+    )
+    ev_set = {r["g"] for r in ev.collect()}
+    res = probed.select("g", "hit").collect()
+    release_pins(spark)
+    true_members = [r for r in res if r["g"] in ev_set]
+    non_members = [r for r in res if r["g"] not in ev_set]
+    assert true_members and all(r["hit"] for r in true_members)  # no FNs
+    if non_members:
+        fp = sum(1 for r in non_members if r["hit"]) / len(non_members)
+        assert fp < 0.05, fp
+
+
+# --- dedup_embedding_incremental: admission-control semantics ----------------
+
+
+def test_embedding_incremental_verdicts(q, spark, sf_dir):
+    """Perturbed batch vectors match their own source (best_match ==
+    vec_id - 100000 whenever bucketing recalls the pair); negated
+    vectors are never near-dups (cosine -1 to their source); and the
+    left join preserves every batch row with a consistent verdict."""
+    out = {r["batch_id"]: r for r in rows(
+        q, spark, sf_dir, "dedup_embedding_incremental"
+    )}
+    near = {b: r for b, r in out.items() if b < 200000}
+    novel = {b: r for b, r in out.items() if b >= 200000}
+    assert near and novel
+    for b, r in out.items():
+        assert r["is_dup"] == (r["n_matches"] > 0)
+        assert (r["best_match"] is None) == (not r["is_dup"])
+    # negated vectors: cosine to EVERYTHING is far from 0.99
+    assert all(not r["is_dup"] for r in novel.values())
+    # the +0.01 perturbation rarely flips a sign bucket: most near-dups
+    # are recalled, and every recalled one names its true source
+    dup_near = [r for r in near.values() if r["is_dup"]]
+    assert len(dup_near) >= 0.9 * len(near)
+    assert all(
+        r["best_match"] == r["batch_id"] - 100000 and r["max_cos"] >= 0.99
+        for r in dup_near
+    )
