@@ -101,6 +101,35 @@ def drain_pin_timings(spark: SparkSession) -> list[tuple[str, float]]:
     return _PIN_TIMES.pop(_session_key(spark), [])
 
 
+class timed_span:
+    """Context manager reporting an arbitrary stage's wall-clock through
+    the pin-timing channel (same drain, same bench pin_stages output).
+    Streaming fixtures use it to attribute cost the pin hook can't see —
+    landing-zone staging, the micro-batch run itself (VERDICT r7 #5:
+    stream_mv_merge's bench line was ~98 % un-attributed fixture setup).
+    No-op (beyond one perf_counter pair) unless record_pin_timings is
+    on, exactly like pin()."""
+
+    def __init__(self, spark: SparkSession, label: str):
+        self._spark = spark
+        self._label = label
+
+    def __enter__(self):
+        import time
+
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        import time
+
+        if _PIN_TIMING:
+            _PIN_TIMES.setdefault(_session_key(self._spark), []).append(
+                (self._label, time.perf_counter() - self._t0)
+            )
+        return False
+
+
 def checkpoint_mode(spark: SparkSession) -> str:
     mode = spark.conf.get(MODE_CONF, None) or os.environ.get(MODE_ENV, "local")
     mode = mode.lower()

@@ -2795,53 +2795,78 @@ def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         label="bt_matches",
     )
-    wins = (
-        nij.select(F.col("i").alias("s"), F.col("wi").alias("w"))
-        .unionByName(
-            nij.select(F.col("j").alias("s"), (F.col("n") - F.col("wi")).alias("w"))
-        )
-        .groupBy("s")
-        .agg(F.sum("w").alias("w"))
+    # Everything after the pinned match matrix is K-SIZED model state
+    # (K = number of sources), so the whole MM fixed point folds into
+    # COLUMN EXPRESSIONS over ONE collected row: one global aggregate
+    # of the K^2-row matrix, then each round is a transform/aggregate
+    # fold — zero per-round pins, zero per-round broadcast builds, zero
+    # per-round exchanges (the r7 shape paid a pin job + three K-row
+    # broadcast builds per round, ~85 % of the key's bench cost;
+    # VERDICT r7 #4). The corpus-sized work — the match-log shuffle —
+    # stays distributed in the bt_matches pin above; only the model
+    # iteration (K^3 flops per round, thousands at arena scale)
+    # collapses to the driver-free 1-row fold, exactly the
+    # ml_naive_bayes / text_bpe_vocab closed-form discipline. Arrays
+    # are sorted after collect_list so the per-s denominator sums run
+    # in a DETERMINISTIC (ascending opponent) order.
+    one = nij.agg(
+        F.sort_array(F.collect_list(F.struct("i", "j", "n", "wi"))).alias("m")
     )
-    dn = nij.select(F.col("i").alias("s"), F.col("j").alias("o"), "n").unionByName(
-        nij.select(F.col("j").alias("s"), F.col("i").alias("o"), "n")
-    )
-    p = dn.select("s").distinct().withColumn("p", F.lit(1.0))
-    for _it in range(_BT_ITERS):
-        pa = p.select(F.col("s").alias("_s"), F.col("p").alias("pa"))
-        pb = p.select(F.col("s").alias("_o"), F.col("p").alias("pb"))
-        q = (
-            dn.join(F.broadcast(pa), F.col("s") == F.col("_s"))
-            .join(F.broadcast(pb), F.col("o") == F.col("_o"))
-            .join(F.broadcast(wins), "s", "left")
-            .groupBy("s", "w")
-            .agg(
-                (
-                    F.coalesce(F.first("w"), F.lit(0.0))
-                    / F.sum(F.col("n") / (F.col("pa") + F.col("pb")))
-                ).alias("p_raw")
-            )
-            .select("s", "p_raw")
-        )
-        tot = q.agg(
-            F.count("*").cast("double").alias("k"),
-            F.sum("p_raw").alias("t"),
-        )
-        p = pin(
-            q.crossJoin(F.broadcast(tot)).select(
-                "s",
-                F.round(F.col("p_raw") * F.col("k") / F.col("t"), 9).alias("p"),
+    one = (
+        one.withColumn(
+            "dm",
+            F.expr(
+                "array_sort(flatten(transform(m, x -> array("
+                "struct(x.i AS s, x.j AS o, x.n AS n),"
+                "struct(x.j AS s, x.i AS o, x.n AS n)))))"
             ),
-            label="bt_round",
         )
-    games = dn.groupBy("s").agg(F.sum("n").alias("games"))
-    return (
-        p.join(F.broadcast(wins), "s", "left")
-        .join(F.broadcast(games), "s")
-        .select(
-            F.col("s").alias("source"),
-            F.round("p", 6).alias("strength"),
-            F.coalesce("w", F.lit(0.0)).cast("bigint").alias("wins"),
-            F.col("games").cast("bigint").alias("games"),
+        .withColumn(
+            "srcs",
+            F.expr("array_sort(array_distinct(transform(dm, x -> x.s)))"),
         )
+        .withColumn(
+            "warr",
+            F.expr(
+                "transform(srcs, s -> aggregate(m, 0.0D, (acc, x) -> acc"
+                " + IF(x.i = s, x.wi, 0.0D)"
+                " + IF(x.j = s, x.n - x.wi, 0.0D)))"
+            ),
+        )
+        .withColumn(
+            "garr",
+            F.expr(
+                "transform(srcs, s -> aggregate(dm, 0.0D,"
+                " (acc, x) -> acc + IF(x.s = s, x.n, 0.0D)))"
+            ),
+        )
+        .withColumn("p", F.expr("transform(srcs, s -> 1.0D)"))
     )
+    # per round: p_raw(s) = w_s / sum_o n_so / (p_s + p_o), then
+    # normalize to sum K and round to 9 dp (the oracle's per-round
+    # contract, bitwise cross-engine)
+    q_expr = (
+        "transform(srcs, (s, si) -> element_at(warr, si + 1)"
+        " / aggregate(filter(dm, x -> x.s = s), 0.0D, (acc, x) -> acc"
+        " + x.n / (element_at(p, si + 1)"
+        " + element_at(p, CAST(array_position(srcs, x.o) AS INT)))))"
+    )
+    norm_expr = (
+        "transform(q, x -> round(x * size(q)"
+        " / aggregate(q, 0.0D, (acc, y) -> acc + y), 9))"
+    )
+    for _it in range(_BT_ITERS):
+        one = one.withColumn("q", F.expr(q_expr)).withColumn(
+            "p", F.expr(norm_expr)
+        )
+    return one.select(
+        F.explode(
+            F.expr(
+                "transform(srcs, (s, si) -> struct("
+                "s AS source,"
+                " round(element_at(p, si + 1), 6) AS strength,"
+                " CAST(element_at(warr, si + 1) AS BIGINT) AS wins,"
+                " CAST(element_at(garr, si + 1) AS BIGINT) AS games))"
+            )
+        ).alias("r")
+    ).select("r.*")

@@ -3983,32 +3983,34 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # perceptual-hash image dedup (dHash + hamming pigeonhole blocking)
 # ---------------------------------------------------------------------------
 
-_PH_MAXID = 250   # originals: doc_id < 250; variants: +100000, 0-5 cells flipped
 _PH_CELLS = 63    # pseudo-pixel grid (64-cell row-major grid, last cell unused)
 _PH_BITS = 62     # adjacent-cell comparisons -> bits 0..61 (signed-safe)
 _PH_HAM = 3       # near-dup hamming radius
 _PH_CHUNKS = 4    # 16-bit pigeonhole chunks: ham <= 3 => >= 1 chunk equal
 
-# md5-derived pseudo-pixel (0..255) for cell c of the ORIGINAL image —
-# the deterministic stand-in for a decoded thumbnail (the container has
-# no codec; operators/multimodal.py:77 documents the honest boundary)
+# Every document carries an image pair: image 2*doc_id is the ORIGINAL
+# (md5-derived pseudo-pixels seeded by doc_id — the deterministic
+# stand-in for a decoded thumbnail; operators/multimodal.py:77 is the
+# honest no-codec boundary) and image 2*doc_id+1 is its VARIANT with
+# the first (doc_id % 6) cells flipped, so pair distances straddle the
+# radius. The fixture therefore scales 1:1 with the corpus — no image
+# cap, identical semantics at every SF (the round-7 250-image cap froze
+# the fixture and kept this key out of the weak-scaling sweep).
 _PH_PX_DUCK = (
-    "CAST('0x' || substr(md5(CAST(doc_id % 100000 AS VARCHAR) || ':' "
+    "CAST('0x' || substr(md5(CAST(doc_id // 2 AS VARCHAR) || ':' "
     "|| CAST(c AS VARCHAR)), 1, 2) AS BIGINT)"
 )
 
 
 def _phash_sql() -> str:
     flip = (
-        "CASE WHEN doc_id >= 100000 AND (c - 1) < (doc_id % 100000) % 6 "
+        "CASE WHEN doc_id % 2 = 1 AND (c - 1) < (doc_id // 2) % 6 "
         f"THEN ({_PH_PX_DUCK} + 128) % 256 ELSE {_PH_PX_DUCK} END"
     )
     chunk = "(h >> (16 * ck)) & 65535"
     return f"""
 WITH ids AS (
-  SELECT doc_id FROM documents WHERE doc_id < {_PH_MAXID}
-  UNION ALL
-  SELECT doc_id + 100000 FROM documents WHERE doc_id < {_PH_MAXID}
+  SELECT unnest([doc_id * 2, doc_id * 2 + 1]) AS doc_id FROM documents
 ),
 pxa AS (
   SELECT doc_id,
@@ -4048,32 +4050,35 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deterministic md5-derived stand-in for a decoded thumbnail
     (operators/multimodal.py:77 documents the honest no-codec
     boundary; a real deployment swaps ONE mapInPandas decode in and
-    every stage below is unchanged). The fixture plants a variant per
-    original with 0-5 flipped cells, so pair distances straddle the
-    radius and the blocking does real work.
+    every stage below is unchanged). Every doc plants an original
+    (2*doc_id) + variant (2*doc_id+1, doc_id %% 6 flipped cells) image
+    pair, so distances straddle the radius, the blocking does real
+    work, and the image count scales 1:1 with the corpus — this key
+    runs in the weak-scaling sweep like every other (the round-7 cap
+    at 250 images froze it out).
 
     Scale shape: the signature is a PURE map-side projection — the
     pixel array and the 62 comparisons are array expressions
-    (transform/aggregate over sequence), no explode, no window, no
-    shuffle; each signature then explodes to exactly 4 (chunk, value)
-    band keys and only band collisions shuffle (dedup_simhash's
-    pigeonhole guarantee: hamming <= 3 over 4 chunks forces >= 1 equal
-    chunk, so recall is 1.0 by construction — no S-curve). Signatures
-    ride the band join so verification needs no re-join. At 100 TB:
-    64-byte signatures per image, band keys uniform by construction."""
-    docs = load(spark, sf_dir, "documents").filter(
-        F.col("doc_id") < _PH_MAXID
-    ).select("doc_id")
-    ids = docs.unionByName(
-        docs.select((F.col("doc_id") + 100000).alias("doc_id"))
+    (transform/aggregate over sequence), no explode beyond the 2-per-
+    doc image ids, no window, no shuffle; each signature then explodes
+    to exactly 4 (chunk, value) band keys and only band collisions
+    shuffle (dedup_simhash's pigeonhole guarantee: hamming <= 3 over 4
+    chunks forces >= 1 equal chunk, so recall is 1.0 by construction —
+    no S-curve). Signatures ride the band join so verification needs
+    no re-join. At 100 TB: 64-byte signatures per image, band keys
+    uniform by construction."""
+    ids = load(spark, sf_dir, "documents").select(
+        F.explode(
+            F.array(F.col("doc_id") * 2, F.col("doc_id") * 2 + 1)
+        ).alias("doc_id")
     )
     px_expr = (
         "transform(sequence(1, {cells}), c -> CASE WHEN"
-        " doc_id >= 100000 AND (c - 1) < (doc_id % 100000) % 6"
-        " THEN (CAST(conv(substring(md5(concat(CAST(doc_id % 100000 AS"
+        " doc_id % 2 = 1 AND (c - 1) < (doc_id div 2) % 6"
+        " THEN (CAST(conv(substring(md5(concat(CAST(doc_id div 2 AS"
         " STRING), ':', CAST(c AS STRING))), 1, 2), 16, 10) AS BIGINT)"
         " + 128) % 256"
-        " ELSE CAST(conv(substring(md5(concat(CAST(doc_id % 100000 AS"
+        " ELSE CAST(conv(substring(md5(concat(CAST(doc_id div 2 AS"
         " STRING), ':', CAST(c AS STRING))), 1, 2), 16, 10) AS BIGINT)"
         " END)"
     ).format(cells=_PH_CELLS)
@@ -4083,7 +4088,7 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         " shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT)))"
     ).format(bits=_PH_BITS)
     # pinned: both sides of the band self-join read the signature table
-    # (unpinned, each side re-derives it — 4 documents scans in the
+    # (unpinned, each side re-derives it — 2 documents scans in the
     # final plan; max_rescan audit column)
     sig = pin(
         ids.withColumn("px", F.expr(px_expr)).select(

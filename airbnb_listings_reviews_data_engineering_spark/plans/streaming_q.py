@@ -23,7 +23,7 @@ from ..streaming.ingest import (
 from .registry import load, register
 
 
-def _landing_zone(spark: SparkSession, key: str) -> str:
+def _landing_zone(spark: SparkSession, key: str, stable: bool = False) -> str:
     """Scratch root for the SIMULATED file-stream landing zone the
     micro-batch queries stage. Routed through merge_queries._scratch_dir
     so a URI staging root (hdfs://, s3a://) is never os.makedirs'd into
@@ -35,7 +35,19 @@ def _landing_zone(spark: SparkSession, key: str) -> str:
     equivalence hermetically testable)."""
     from .merge_queries import _scratch_dir
 
-    root = _scratch_dir(spark, key)
+    if stable:
+        # no per-call uuid: a fixture that AMORTIZES its staged inputs
+        # across invocations (stream_mv_merge's marker) needs the same
+        # path every time; the caller owns cleanup of per-run state
+        import os
+
+        from ..sources.staging import staging_root
+
+        root = os.path.join(staging_root(spark), "scratch", f"{key}_stable")
+        if "://" not in root:
+            os.makedirs(root, exist_ok=True)
+    else:
+        root = _scratch_dir(spark, key)
     if "://" in root:
         raise NotImplementedError(
             "simulated stream landing zones are driver-local fixtures; "
@@ -440,25 +452,68 @@ def stream_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     crash between batches leaves the previous MV version readable and
     the checkpoint replays the missed batch (same exactly-once layer as
     stream_upsert_merge)."""
+    import json
     import os
 
-    from ..sources.atomic import publish_parquet, read_published
+    from ..checkpoint import timed_span
+    from ..sources.atomic import drop_published, publish_parquet, read_published
     from ..sources.staging import fs_delete
     from ..streaming.ingest import EVENTS_SCHEMA
 
-    raw = load(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
-    )
-    root = _landing_zone(spark, "mv")
+    root = _landing_zone(spark, "mv", stable=True)
     stream_dir = os.path.join(root, "in")
     target = os.path.join(root, "mv")
-    for i in range(3):
-        _stage_batch(
-            raw.filter(F.col("event_id") % 3 == i),
-            stream_dir,
-            f"batch_{i}.parquet",
-            i,
+    ckpt = os.path.join(root, "ckpt")
+    # Landing-zone staging is AMORTIZED across invocations (bench reps,
+    # warm-up): the staged batches are a pure function of sf_dir, so a
+    # marker records the source and re-staging is skipped when it
+    # matches — the operator replays the SAME three micro-batches from
+    # a fresh checkpoint every time (target + ckpt are deleted below),
+    # so the measured work is the incremental-merge path, not three
+    # fixture parquet writes per rep (VERDICT r7 #5). The marker pins
+    # the source row count from the parquet footers, so a regenerated
+    # testdata table invalidates the stage.
+    n_rows = -1
+    try:
+        import pyarrow.parquet as pq
+
+        from ..functions.percentile import _parquet_files
+
+        n_rows = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in _parquet_files(os.path.join(sf_dir, "events.parquet"))
         )
+    except Exception:  # noqa: BLE001 — marker falls back to sf_dir only
+        pass
+    marker = os.path.join(stream_dir, "_staged.json")
+    want = {"sf_dir": os.path.abspath(sf_dir), "n_rows": n_rows}
+    have = None
+    try:
+        with open(marker) as f:
+            have = json.load(f)
+    except (OSError, ValueError):
+        pass
+    if have != want:
+        raw = load(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+        with timed_span(spark, "mv_fixture_stage"):
+            fs_delete(stream_dir)
+            for i in range(3):
+                _stage_batch(
+                    raw.filter(F.col("event_id") % 3 == i),
+                    stream_dir,
+                    f"batch_{i}.parquet",
+                    i,
+                )
+            with open(marker, "w") as f:
+                json.dump(want, f)
+    # a fresh run every invocation: the previous MV (pointer symlink AND
+    # its versions dir — fs_delete alone leaves the versions behind and
+    # read_published would resurrect the stale MV as a merge base) and
+    # the checkpoint go; the staged inputs stay
+    drop_published(target)
+    fs_delete(ckpt)
 
     unit = F.round(F.col("value") * 10000).cast("bigint")
 
@@ -491,21 +546,24 @@ def stream_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
     )
-    ckpt = os.path.join(root, "ckpt")
-    q = (
-        stream.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with timed_span(spark, "mv_stream_run"):
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     final = read_published(spark, target).select(
         "event_type",
         F.col("n").alias("n_events"),
         F.round(F.col("s") / 10000.0, 4).alias("sum_value"),
     )
     final = pin(final, label="stream_mv_merge")
-    fs_delete(root, spark)
+    # keep the staged landing zone (+ marker) for the next invocation;
+    # the MV versions and the checkpoint are per-run state
+    drop_published(target)
+    fs_delete(ckpt, spark)
     return final
 
 

@@ -10,8 +10,9 @@ a naive row copy would plant k identical texts per doc and turn every
 near-dup key quadratic by construction (skew manufacturing, not weak
 scaling). Embeddings shift vec_id and nudge dim 0 by i*1e-4 per copy.
 
-mm_phash_dedup is excluded on purpose: its fixture caps at 250 images
-regardless of corpus size, so a corpus blow-up measures nothing.
+mm_phash_dedup joins the sweep as of round 8: its fixture plants one
+original+variant image pair PER DOCUMENT (no cap), so the image count
+scales 1:1 with the blown corpus.
 
 Linearity test: marginal ratio (t30 - t1) / (t10 - t1) against the
 data ratio 29/9 = 3.22 (the t1 subtraction removes the fixed session
@@ -48,6 +49,10 @@ KEYS = [
     "eval_bradley_terry",   # one-pass match matrix + K-row MM rounds
     "text_span_excise",     # positional gram explode + array rebuild
     "pack_bin_ffd",         # grouped Arrow FFD (sequential loop per group)
+    "mm_phash_dedup",       # map-side dHash signatures + pigeonhole bands
+    "dedup_span_exact",     # gram postings -> dup-count -> span excision
+    "dedup_embedding_incremental",  # batch vs corpus sign-LSH bucket join
+    "text_decontaminate_bloom",     # bloom-pruned exact eval-gram join
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part",

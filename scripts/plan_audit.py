@@ -157,8 +157,6 @@ NESTED_LOOP_STAGE_ALLOWED = {
     ("sim_ivf_join_learned", "kmeans_cents"),
     ("sim_pq_quantize", "kmeans_cents"),  # per-subspace codebooks
     ("sample_cluster_balanced", "kmeans_cents"),
-    # 1-row normalization total folded onto the K-row strength table
-    ("eval_bradley_terry", "bt_round"),
     # 1-row horizon date folded onto the per-customer rollup
     ("agg_rfm_segmentation", "rfm_rollup"),
     # map-side cell assignment: same ONE-row centroid-array crossJoin

@@ -74,13 +74,17 @@ RESCAN_CEILINGS = {
     "text_line_dedup": 1,       # was 3 (documents)
     # round-7 new keys, pinned at their shipped shapes
     "eval_bradley_terry": 1,
-    "mm_phash_dedup": 2,        # fixture union of originals + variants
+    "mm_phash_dedup": 1,        # one scan: 2-per-doc image-id explode (r8)
     "text_decontaminate": 1,
     "sample_rho_loss": 1,
     "text_span_excise": 2,      # eval-slice pass + corpus pass
     "pack_bin_ffd": 1,
     "split_leakage_audit": 2,   # variant-corpus union
     "sample_cluster_balanced": 2,  # training scan + encode scan
+    # round-8 new keys, pinned at their shipped shapes
+    "dedup_span_exact": 1,      # pinned postings; excise join re-reads docs
+    "text_decontaminate_bloom": 2,  # corpus gram pass + doc-list pass
+    "dedup_embedding_incremental": 1,  # pinned base feeds batch + index
 }
 
 RISK_KEYS = sorted(

@@ -124,18 +124,19 @@ def test_bradley_terry_strengths_normalized_and_ordered(q, spark, sf_dir):
 
 def test_phash_pairs_within_radius_and_planted_found(q, spark, sf_dir):
     """Every reported pair is within the hamming radius, and the
-    exact-duplicate plants (orig %% 6 == 0 -> zero flipped cells) are
-    all found at hamming 0."""
+    exact-duplicate plants (doc_id %% 6 == 0 -> zero flipped cells ->
+    the original/variant pair (2*id, 2*id+1) is identical) are all
+    found at hamming 0."""
     from airbnb_listings_reviews_data_engineering_spark.plans.pipeline_ext import (
         _PH_HAM,
-        _PH_MAXID,
     )
 
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     out = rows(q, spark, sf_dir, "mm_phash_dedup")
     assert all(0 <= r["hamming"] <= _PH_HAM for r in out)
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out}
-    for orig in range(0, _PH_MAXID, 6):
-        assert pairs.get((orig, orig + 100000)) == 0, orig
+    for orig in range(0, n_docs, 6):
+        assert pairs.get((orig * 2, orig * 2 + 1)) == 0, orig
 
 
 def test_cluster_balanced_cap_and_coverage(q, spark, sf_dir):
