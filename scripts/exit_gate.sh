@@ -1,0 +1,39 @@
+#!/usr/bin/env bash
+# Round-close exit gate (VERDICT r7 #8): ONE command that runs, in
+# order, everything a round must have green AFTER its last code commit:
+#
+#   1. full oracle mirror at driver fidelity (sf0.01, value hash +
+#      DuckDB type lint) -> scripts/last_mirror_run.log
+#   2. COVERAGE.md regeneration from that log (fails on unsectioned or
+#      stale keys) + the SURVEY.md generated key-index refresh
+#   3. the survey completeness check (every registered key named)
+#   4. the full pytest suite
+#
+# The log file's mtime is the proof the gate ran at HEAD: the judge
+# compares it against the last code commit. Run from /root/repo:
+#
+#   bash scripts/exit_gate.sh
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== exit gate: $(date -u +%Y-%m-%dT%H:%M:%SZ) @ $(git rev-parse --short HEAD)"
+
+echo "== 1/4 full oracle mirror (sf0.01)"
+python scripts/oracle_check.py 2>/dev/null | tee scripts/last_mirror_run.log | tail -2
+grep -q "^0 failures" <(tail -2 scripts/last_mirror_run.log) || {
+  echo "EXIT GATE RED: oracle mirror has failures"; exit 1; }
+
+echo "== 2/4 coverage + survey index regeneration"
+python scripts/gen_coverage.py scripts/last_mirror_run.log || {
+  echo "EXIT GATE RED: coverage generation failed"; exit 1; }
+
+echo "== 3/4 survey completeness check"
+python scripts/check_survey.py || {
+  echo "EXIT GATE RED: survey check failed"; exit 1; }
+
+echo "== 4/4 full pytest"
+python -m pytest tests/ -q --tb=line 2>&1 | tail -3
+rc=${PIPESTATUS[0]}
+[ "$rc" -eq 0 ] || { echo "EXIT GATE RED: pytest exit $rc"; exit 1; }
+
+echo "== exit gate GREEN: $(date -u +%Y-%m-%dT%H:%M:%SZ)"
