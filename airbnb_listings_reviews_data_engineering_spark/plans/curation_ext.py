@@ -2654,6 +2654,104 @@ def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# prototype-distance data pruning (keep hard examples, drop prototypical)
+# ---------------------------------------------------------------------------
+
+_PP_KEEP_NUM, _PP_KEEP_DEN = 7, 10  # keep the hardest 70 % per cluster
+
+
+def _proto_prune_sql() -> str:
+    from .pipeline_ext import _kmeans_blocks
+
+    d2 = (
+        "round(list_sum(list_transform(generate_series(1, {dims}), "
+        "d -> (e.v[d] - c.cv[d]) * (e.v[d] - c.cv[d]))), 6)"
+    ).format(dims=_CBAL_DIMS)
+    return (
+        "WITH "
+        + _kmeans_blocks(_CBAL_K, _CBAL_DIMS, _CBAL_ITERS)
+        + f""",
+af AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT e.vec_id, c.cid, {d2} AS d2,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cid)
+             AS rn
+    FROM e CROSS JOIN c{_CBAL_ITERS} c
+  ) WHERE rn = 1
+),
+r AS (
+  SELECT vec_id, cid, d2,
+         count(*) OVER (PARTITION BY cid) AS cell_n,
+         row_number() OVER (PARTITION BY cid ORDER BY d2 DESC, vec_id)
+           AS hard_rank
+  FROM af
+)
+SELECT vec_id, cid, d2, CAST(hard_rank AS BIGINT) AS hard_rank,
+       hard_rank <= greatest(1, (cell_n * {_PP_KEEP_NUM}) // {_PP_KEEP_DEN})
+         AS kept
+FROM r
+"""
+    )
+
+
+@register("sample_prototype_pruning", oracle=_proto_prune_sql())
+def sample_prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype-distance data pruning (Sorscher et al.,
+    arXiv:2206.14486 "Beyond neural scaling laws"): cluster the
+    embeddings, score every example by its distance to its cluster
+    centroid, and KEEP the hardest 70 % per cluster — the prototypical
+    (centroid-hugging, redundant) examples are the ones large-data
+    training can afford to drop, which is how the paper beats power-law
+    scaling. Complements sample_cluster_balanced (uniform per-cluster
+    cap) with a difficulty-ordered cap; emits every vector with its
+    rank and verdict so the report shows the margin, not just the
+    survivors.
+
+    Scale shape: training is the shared bounded-round Lloyd loop
+    (broadcast k-row argmin per round, pinned centroids); assignment is
+    the same map-side argmin WITH distance (operators/clustering
+    .assign_nearest with_dist — no per-vector window); the per-cluster
+    difficulty rank is a cid-partitioned window, bounded by cell
+    population exactly like SemDedup's pair scan — at 100 TB k scales
+    with the corpus so cells stay bounded. Distances round to 6 dp
+    before ranking (ties by vec_id), bitwise cross-engine."""
+    from ..operators.clustering import assign_nearest, kmeans_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.slice(as_double_array("embedding"), 1, _CBAL_DIMS).alias("v")
+    )
+    cents = kmeans_centroids(
+        emb, "vec_id", "embedding", k=_CBAL_K, dims=_CBAL_DIMS, iters=_CBAL_ITERS
+    )
+    assigned = assign_nearest(
+        v, "vec_id", "v", cents, dims=_CBAL_DIMS, with_dist=True
+    )
+    win_u = W.partitionBy("cid")
+    win_o = W.partitionBy("cid").orderBy(F.desc("d2"), F.asc("vec_id"))
+    keep_n = F.greatest(
+        F.lit(1).cast("bigint"),
+        (F.col("cell_n") * _PP_KEEP_NUM / _PP_KEEP_DEN).cast("bigint"),
+    )
+    return (
+        assigned.select(
+            "vec_id",
+            "cid",
+            "d2",
+            F.count("*").over(win_u).alias("cell_n"),
+            F.row_number().over(win_o).cast("bigint").alias("hard_rank"),
+        )
+        .select(
+            "vec_id",
+            "cid",
+            "d2",
+            "hard_rank",
+            (F.col("hard_rank") <= keep_n).alias("kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bradley-Terry strength fitting over pairwise judgments (arena-style eval)
 # ---------------------------------------------------------------------------
 

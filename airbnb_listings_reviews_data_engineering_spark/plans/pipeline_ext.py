@@ -1868,6 +1868,59 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- soft dedup: reweight duplicates instead of dropping them ----------------
+
+
+def _soft_weights_sql() -> str:
+    inner = _keep_best_sql()
+    # reuse keep-best's comp + corpus2 CTE chain up to `lab`, then
+    # replace the winner window with the cluster-size weight join
+    head = inner[: inner.index("SELECT doc_id, component, n_tok FROM (")]
+    return f"""{head}
+, sz AS (SELECT component, count(*) AS m FROM lab GROUP BY component)
+SELECT l.doc_id, CAST(s.m AS BIGINT) AS cluster_size,
+       round(1.0 / s.m, 6) AS weight
+FROM lab l JOIN sz s USING (component)
+"""
+
+
+@register("dedup_soft_weights", oracle=_soft_weights_sql())
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT deduplication (SoftDedup, arXiv:2403.00435 — reweight
+    instead of remove): every document stays in the corpus, but members
+    of a near-dup cluster carry sampling weight 1/|cluster|, so each
+    distinct content contributes ONE document's worth of expected
+    training mass while the loader keeps intra-cluster variety
+    (truncations, boilerplate variants) available. The hard policies
+    ship alongside: dedup_keep_best drops all-but-best,
+    pipeline_dedup_corpus drops all-but-min-id; this is the third
+    option a data mixer chooses per source.
+
+    Scale shape: MinHash-LSH pairs -> bounded-iteration connected
+    components (both shared with the hard policies), then ONE
+    component-keyed count and a component-keyed join of the labeled
+    corpus back to its cluster size — the labeled frame is pinned so
+    the size aggregate and the weight join read one materialization.
+    Weight rounds to 6 dp (exact reciprocals of small ints — bitwise
+    cross-engine)."""
+    corpus = _variant_corpus(spark, sf_dir, max_id=500)
+    pairs = D.minhash_lsh_pairs(corpus, "doc_id", "text", _NUM_HASHES, _BANDS, 0.5, 3)
+    comp = D.connected_components(pairs)
+    lab = pin(
+        corpus.join(comp, corpus.doc_id == comp.node, "left").select(
+            corpus.doc_id,
+            F.coalesce("component", corpus.doc_id).alias("component"),
+        ),
+        label="soft_labeled",
+    )
+    sz = lab.groupBy("component").agg(F.count("*").alias("m"))
+    return lab.join(sz, "component").select(
+        "doc_id",
+        F.col("m").cast("bigint").alias("cluster_size"),
+        F.round(F.lit(1.0) / F.col("m"), 6).alias("weight"),
+    )
+
+
 # --- substring-level dedup --------------------------------------------------
 
 _SPAN_W = 6          # tokens per span window
@@ -3901,6 +3954,271 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
         )
         .withColumn("contaminated", F.col("n_hits") > 0)
+    )
+
+
+# one-plan curation funnel: per-stage doc/token accounting
+_FUN_STOP = "('the', 'a', 'of', 'and', 'to')"
+_FUN_MIN, _FUN_MAX = 20, 95
+
+_CURATION_FUNNEL_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+),
+tr AS (SELECT * FROM docs WHERE doc_id % {_DECON_EVAL_MOD} <> 0),
+grams AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS g
+  FROM docs, unnest(generate_series(1, len(w) - {_DECON_N - 1})) AS t(i)
+  WHERE len(w) >= {_DECON_N}
+),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % {_DECON_EVAL_MOD} = 0),
+cont AS (
+  SELECT DISTINCT t.doc_id FROM grams t JOIN ev USING (g)
+  WHERE t.doc_id % {_DECON_EVAL_MOD} <> 0
+),
+canon AS (SELECT md5(text) AS h, min(doc_id) AS keeper FROM tr GROUP BY md5(text)),
+flags AS (
+  SELECT d.doc_id, len(d.w) AS n_tok,
+         len(list_filter(d.w, x -> x IN {_FUN_STOP}))
+           / CAST(len(d.w) AS DOUBLE) >= 0.05 AS lang_ok,
+         len(d.w) BETWEEN {_FUN_MIN} AND {_FUN_MAX} AS qual_ok,
+         d.doc_id = c.keeper AS canonical,
+         d.doc_id NOT IN (SELECT doc_id FROM cont) AS clean
+  FROM tr d JOIN canon c ON md5(d.text) = c.h
+)
+SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM (
+  SELECT '1_raw' AS stage, count(*) AS n_docs, sum(n_tok) AS n_tokens
+  FROM flags
+  UNION ALL
+  SELECT '2_lang', count(*), sum(n_tok) FROM flags WHERE lang_ok
+  UNION ALL
+  SELECT '3_quality', count(*), sum(n_tok) FROM flags
+  WHERE lang_ok AND qual_ok
+  UNION ALL
+  SELECT '4_dedup', count(*), sum(n_tok) FROM flags
+  WHERE lang_ok AND qual_ok AND canonical
+  UNION ALL
+  SELECT '5_decontaminated', count(*), sum(n_tok) FROM flags
+  WHERE lang_ok AND qual_ok AND canonical AND clean
+)
+"""
+
+
+@register("pipeline_curation_funnel", oracle=_CURATION_FUNNEL_SQL)
+def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation FUNNEL observability: how many documents and tokens
+    survive each pipeline stage (raw -> language gate -> quality gate
+    -> exact dedup -> decontamination), as ONE plan — the per-stage
+    accounting every production corpus build publishes next to its
+    artifact (what C4/RefinedWeb/FineWeb report as their filtering
+    tables), and the number a data mixer needs BEFORE committing to a
+    token budget. Stages are cumulative conjunctions, so the rows are
+    monotone non-increasing — pinned by a test.
+
+    Scale shape: the per-doc flag frame is built in one corpus pass
+    plus two doc-keyed joins (canonical = min-id per content hash —
+    the exact-dedup groupBy; contaminated = the broadcast eval-gram
+    probe, text_decontaminate's shape); the funnel itself is then ONE
+    conditional aggregate emitting all five stages from one row —
+    funnel_stages' one-shuffle discipline applied to the curation
+    pipeline, never five filtered re-scans."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # pinned: the gram explode, the content-hash groupBy, and the flag
+    # projection all read the tokenized corpus — unpinned, three
+    # documents scans in the final plan (max_rescan audit column)
+    base = pin(
+        docs.select("doc_id", "text", F.split("text", " ").alias("w")),
+        label="funnel_base",
+    )
+    tr = base.filter(F.col("doc_id") % _DECON_EVAL_MOD != 0)
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(slice(w, 1, greatest(size(w) - {_DECON_N - 1}, 0)),"
+                " (x, i) -> concat(x, ' ', element_at(w, i + 2),"
+                " ' ', element_at(w, i + 3)))"
+            )
+        ).alias("g"),
+    )
+    ev = pin(
+        grams.filter(F.col("doc_id") % _DECON_EVAL_MOD == 0)
+        .select("g")
+        .distinct(),
+        label="funnel_eval_grams",
+    )
+    cont = (
+        grams.filter(F.col("doc_id") % _DECON_EVAL_MOD != 0)
+        .join(F.broadcast(ev), "g")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    canon = tr.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keeper")
+    )
+    flags = (
+        tr.join(canon, F.md5(tr.text) == canon.h)
+        .join(cont, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("w").alias("n_tok"),
+            (
+                F.size(F.expr(f"filter(w, x -> x IN {_FUN_STOP})"))
+                / F.size("w").cast("double")
+                >= 0.05
+            ).alias("lang_ok"),
+            F.size("w").between(_FUN_MIN, _FUN_MAX).alias("qual_ok"),
+            (F.col("doc_id") == F.col("keeper")).alias("canonical"),
+            F.col("hit").isNull().alias("clean"),
+        )
+    )
+    z = F.lit(0).cast("bigint")
+    stages = [
+        ("1_raw", F.lit(True)),
+        ("2_lang", F.col("lang_ok")),
+        ("3_quality", F.col("lang_ok") & F.col("qual_ok")),
+        ("4_dedup", F.col("lang_ok") & F.col("qual_ok") & F.col("canonical")),
+        (
+            "5_decontaminated",
+            F.col("lang_ok")
+            & F.col("qual_ok")
+            & F.col("canonical")
+            & F.col("clean"),
+        ),
+    ]
+    aggs = []
+    for name, cond in stages:
+        aggs.append(
+            F.coalesce(F.sum(F.when(cond, 1)), z).alias(f"d_{name}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(F.when(cond, F.col("n_tok"))), z).alias(
+                f"t_{name}"
+            )
+        )
+    one = flags.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("stage"),
+                F.col(f"d_{name}").cast("bigint").alias("n_docs"),
+                F.col(f"t_{name}").cast("bigint").alias("n_tokens"),
+            )
+            for name, _ in stages
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+# semantic (embedding-level) decontamination: paraphrase contamination
+_SEM_EVAL_MOD = 59  # vec_id % 59 == 0 plays the embedded eval suite
+
+_SEM_DECON_SQL = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ev AS (SELECT vec_id, v FROM base WHERE vec_id % {_SEM_EVAL_MOD} = 0),
+corpus AS (
+  SELECT vec_id, v FROM base WHERE vec_id % {_SEM_EVAL_MOD} <> 0
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, [v[1] + 0.01] || v[2:] AS v FROM ev
+),
+pl AS (SELECT CAST(vec_id AS INT) AS pid, v AS pv
+       FROM base WHERE vec_id BETWEEN 1 AND 8),
+eb AS (
+  SELECT e.vec_id, e.v,
+         CAST(sum(CASE WHEN list_dot_product(e.v, pl.pv) > 0
+                       THEN 1 << CAST(pl.pid - 1 AS INT) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM ev e CROSS JOIN pl GROUP BY e.vec_id, e.v
+),
+cb AS (
+  SELECT c.vec_id, c.v,
+         CAST(sum(CASE WHEN list_dot_product(c.v, pl.pv) > 0
+                       THEN 1 << CAST(pl.pid - 1 AS INT) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM corpus c CROSS JOIN pl GROUP BY c.vec_id, c.v
+),
+cand AS (
+  SELECT c.vec_id AS batch_id, e.vec_id AS corpus_id,
+         round({_EMB_COS.format(a='c.v', b='e.v')}, 4) AS cos_sim
+  FROM cb c JOIN eb e ON c.bucket = e.bucket
+  WHERE round({_EMB_COS.format(a='c.v', b='e.v')}, 4) >= 0.99
+),
+m AS (
+  SELECT batch_id, count(*) AS n_eval_hits, min(corpus_id) AS nearest_eval,
+         max(cos_sim) AS max_cos
+  FROM cand GROUP BY batch_id
+)
+SELECT c.vec_id, coalesce(m.n_eval_hits, 0) AS n_eval_hits,
+       m.nearest_eval, m.max_cos,
+       m.n_eval_hits IS NOT NULL AS contaminated
+FROM corpus c LEFT JOIN m ON c.vec_id = m.batch_id
+"""
+
+
+@register("text_decontaminate_semantic", oracle=_SEM_DECON_SQL)
+def text_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination: flag training items whose EMBEDDING
+    sits within cosine 0.99 of any eval-suite embedding — the
+    paraphrase-contamination check n-gram overlap is blind to
+    (reworded benchmark questions share no 13-gram; their embeddings
+    collide — the contamination class documented for modern suites,
+    e.g. Yang et al. arXiv:2311.04850 "rephrased samples"). The
+    fixture plants paraphrases: perturbed copies of the eval vectors
+    (+100000) hide in the corpus, and true negatives (unrelated
+    vectors) share buckets only occasionally, so both verdicts are
+    exercised.
+
+    Scale shape: identical to dedup_embedding_incremental with the
+    roles swapped — the EVAL index is the small pinned side (bucketed
+    once) and the corpus streams through as the probe batch: map-side
+    1-row plane-array bucket fold, bucket equi-join (only collisions
+    verify), corpus-keyed left join restores the clean rows. At a real
+    deployment the eval index persists across daily runs; only the
+    bucket join is per-run work."""
+    base = pin(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double_array("embedding").alias("v")
+        ),
+        label="semdecon_base",
+    )
+    ev = base.filter(F.col("vec_id") % _SEM_EVAL_MOD == 0)
+    corpus = base.filter(F.col("vec_id") % _SEM_EVAL_MOD != 0).unionByName(
+        ev.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.concat(
+                F.array(F.element_at("v", 1) + 0.01), F.slice("v", 2, 63)
+            ).alias("v"),
+        )
+    )
+    planes = base.filter(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").cast("int").alias("pid"), "v"
+    )
+    ev_bk = pin(
+        S.with_lsh_bucket(ev, "vec_id", "v", planes, "pid", 8),
+        label="semdecon_eval_index",
+    )
+    corpus_bk = S.with_lsh_bucket(corpus, "vec_id", "v", planes, "pid", 8)
+    cand = D.embedding_near_dup_join(
+        corpus_bk, ev_bk, "vec_id", "v", "bucket", threshold=0.99
+    )
+    m = cand.groupBy("batch_id").agg(
+        F.count("*").alias("n_eval_hits"),
+        F.min("corpus_id").alias("nearest_eval"),
+        F.max("cos_sim").alias("max_cos"),
+    )
+    return (
+        corpus.select("vec_id")
+        .join(m, corpus.vec_id == m.batch_id, "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_eval_hits", F.lit(0)).alias("n_eval_hits"),
+            "nearest_eval",
+            "max_cos",
+            F.col("n_eval_hits").isNotNull().alias("contaminated"),
+        )
     )
 
 

@@ -125,6 +125,8 @@ R8_ADDITIONS = [
     "dedup_span_exact",     # positional gram postings -> dup-span excision
     "dedup_embedding_incremental",  # batch vs corpus sign-LSH bucket join
     "text_decontaminate_bloom",     # bloom-pruned exact eval-gram join
+    "pipeline_curation_funnel",     # one-pass 5-stage doc/token accounting
+    "sample_prototype_pruning",     # kmeans + per-cell difficulty-rank cap
 ]
 
 HEADLINE = (R2_HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R4B_ADDITIONS

