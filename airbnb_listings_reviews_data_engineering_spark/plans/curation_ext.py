@@ -2654,6 +2654,87 @@ def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# inter-judge agreement (Cohen's kappa over paired verdicts)
+# ---------------------------------------------------------------------------
+
+_KAPPA_SQL = """
+WITH v AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN ('the', 'a', 'of', 'and', 'to')))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.05 AS ja,
+         n_chars >= 250 AS jb
+  FROM documents
+),
+c AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN ja AND jb THEN 1 ELSE 0 END) AS n11,
+         sum(CASE WHEN NOT ja AND NOT jb THEN 1 ELSE 0 END) AS n00,
+         sum(CASE WHEN ja AND NOT jb THEN 1 ELSE 0 END) AS n10,
+         sum(CASE WHEN NOT ja AND jb THEN 1 ELSE 0 END) AS n01
+  FROM v
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round((n11 + n00) / CAST(n AS DOUBLE), 6) AS po,
+       round(((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10))
+             / CAST(n * n AS DOUBLE), 6) AS pe,
+       round(((n11 + n00) / CAST(n AS DOUBLE)
+              - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10))
+                / CAST(n * n AS DOUBLE))
+             / (1 - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10))
+                    / CAST(n * n AS DOUBLE)), 6) AS kappa
+FROM c
+"""
+
+
+@register("eval_judge_kappa", oracle=_KAPPA_SQL)
+def eval_judge_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-judge agreement: Cohen's kappa over two judges' paired
+    binary verdicts on the same documents — the reliability gate an
+    LLM-as-judge eval pipeline runs BEFORE trusting a judge's labels
+    (kappa corrects raw agreement for chance; Landis-Koch bands decide
+    whether the cheaper judge can replace the expensive one). The two
+    deterministic judges here (stopword-ratio fluency vs length gate)
+    stand in for judge-output columns; they correlate without
+    coinciding, so po, pe and kappa are all non-degenerate.
+
+    Scale shape: ONE corpus scan -> map-side verdicts -> one global
+    conditional aggregate (4 cell counts); kappa is arithmetic over
+    the single output row. The same plan aggregates a billion-row
+    judge log — the contingency table is the only state."""
+    docs = load(spark, sf_dir, "documents")
+    ja = (
+        F.size(
+            F.expr(
+                "filter(split(text, ' '),"
+                " w -> w IN ('the', 'a', 'of', 'and', 'to'))"
+            )
+        )
+        / F.size(F.split("text", " ")).cast("double")
+        >= 0.05
+    )
+    jb = F.col("n_chars") >= 250
+    c = docs.select(ja.alias("ja"), jb.alias("jb")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("ja") & F.col("jb"), 1).otherwise(0)).alias("n11"),
+        F.sum(F.when(~F.col("ja") & ~F.col("jb"), 1).otherwise(0)).alias("n00"),
+        F.sum(F.when(F.col("ja") & ~F.col("jb"), 1).otherwise(0)).alias("n10"),
+        F.sum(F.when(~F.col("ja") & F.col("jb"), 1).otherwise(0)).alias("n01"),
+    )
+    po = (F.col("n11") + F.col("n00")) / F.col("n").cast("double")
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n00") + F.col("n01")) * (F.col("n00") + F.col("n10"))
+    ) / (F.col("n") * F.col("n")).cast("double")
+    return c.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (F.lit(1) - pe), 6).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # prototype-distance data pruning (keep hard examples, drop prototypical)
 # ---------------------------------------------------------------------------
 

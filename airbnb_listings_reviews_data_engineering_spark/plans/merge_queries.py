@@ -26,7 +26,7 @@ from ..operators.merge import (
 from .registry import load, register
 
 
-def _scratch_dir(spark, key: str) -> str:
+def _scratch_dir(spark, key: str, stable: bool = False) -> str:
     """Per-run scratch under the configurable staging root: on a cluster
     every executor must see the path (local mkdtemp would not be), and
     the root is dist-FS-configurable (sources/staging.py). Callers
@@ -34,13 +34,17 @@ def _scratch_dir(spark, key: str) -> str:
     Mirrors staging_root's guard: only local roots are mkdir'd eagerly —
     os.makedirs on an hdfs://s3a:// join would create a bogus local
     'hdfs:' directory (ADVICE r3); URI-style scratch dirs are created by
-    the Spark writers that fill them."""
+    the Spark writers that fill them. ``stable=True`` drops the per-call
+    uuid so a fixture that AMORTIZES staged inputs across invocations
+    (stream_mv_merge's marker) lands on the same path every time; the
+    caller then owns cleanup of per-run state inside it."""
     import os
     import uuid
 
     from ..sources.staging import staging_root
 
-    d = os.path.join(staging_root(spark), "scratch", f"{key}_{uuid.uuid4().hex[:12]}")
+    leaf = f"{key}_stable" if stable else f"{key}_{uuid.uuid4().hex[:12]}"
+    d = os.path.join(staging_root(spark), "scratch", leaf)
     if "://" not in d:
         os.makedirs(d, exist_ok=True)
     return d

@@ -35,19 +35,7 @@ def _landing_zone(spark: SparkSession, key: str, stable: bool = False) -> str:
     equivalence hermetically testable)."""
     from .merge_queries import _scratch_dir
 
-    if stable:
-        # no per-call uuid: a fixture that AMORTIZES its staged inputs
-        # across invocations (stream_mv_merge's marker) needs the same
-        # path every time; the caller owns cleanup of per-run state
-        import os
-
-        from ..sources.staging import staging_root
-
-        root = os.path.join(staging_root(spark), "scratch", f"{key}_stable")
-        if "://" not in root:
-            os.makedirs(root, exist_ok=True)
-    else:
-        root = _scratch_dir(spark, key)
+    root = _scratch_dir(spark, key, stable=stable)
     if "://" in root:
         raise NotImplementedError(
             "simulated stream landing zones are driver-local fixtures; "
@@ -711,4 +699,103 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return run_available_now(
         out, query_name="stream_dedup_minhash", output_mode="append"
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming embedding near-dup admission against a static standing index
+# ---------------------------------------------------------------------------
+
+_SDE_MOD = 13        # vec_id % 13 == 0 seeds the incoming batch (perturbed)
+_SDE_OFFSET = 300000  # incoming variant ids
+
+_STREAM_EMB_SQL = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+inc AS (
+  SELECT vec_id + {_SDE_OFFSET} AS vec_id, [v[1] + 0.01] || v[2:] AS v
+  FROM base WHERE vec_id % {_SDE_MOD} = 0
+),
+pl AS (SELECT CAST(vec_id AS INT) AS pid, v AS pv
+       FROM base WHERE vec_id BETWEEN 1 AND 8),
+cb AS (
+  SELECT c.vec_id, c.v,
+         CAST(sum(CASE WHEN list_dot_product(c.v, pl.pv) > 0
+                       THEN 1 << CAST(pl.pid - 1 AS INT) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM base c CROSS JOIN pl GROUP BY c.vec_id, c.v
+),
+ib AS (
+  SELECT i.vec_id, i.v,
+         CAST(sum(CASE WHEN list_dot_product(i.v, pl.pv) > 0
+                       THEN 1 << CAST(pl.pid - 1 AS INT) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM inc i CROSS JOIN pl GROUP BY i.vec_id, i.v
+)
+SELECT i.vec_id AS in_vec, c.vec_id AS corpus_vec,
+       round(list_dot_product(i.v, c.v) /
+             (sqrt(list_dot_product(i.v, i.v)) *
+              sqrt(list_dot_product(c.v, c.v))), 4) AS cos_sim
+FROM ib i JOIN cb c ON i.bucket = c.bucket
+WHERE round(list_dot_product(i.v, c.v) /
+            (sqrt(list_dot_product(i.v, i.v)) *
+             sqrt(list_dot_product(c.v, c.v))), 4) >= 0.99
+"""
+
+
+@register("stream_dedup_embedding", oracle=_STREAM_EMB_SQL)
+def stream_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EMBEDDING near-dup admission: each micro-batch of
+    incoming vectors is bucket-joined against the standing corpus's
+    sign-LSH index and cosine-verified before ingestion — the live
+    form of dedup_embedding_incremental (nightly batch), completing
+    the admission-control family (exact ids: stream_dedup; fuzzy text:
+    stream_dedup_minhash; semantic vectors: this). The incoming
+    fixture perturbs every 13th corpus vector (+300000), so every
+    incoming vector has a true standing near-dup.
+
+    Scale shape: the stream side computes its bucket as a PURE column
+    fold over the ONE broadcast hyperplane-array row (stream-static
+    broadcast crossJoin — no stream state), the standing index is
+    computed once and PINNED (bucketed parquet in production), and the
+    per-batch work is a stream-static equi-join on the bucket key plus
+    JVM-side cosine — no aggregation state, append mode. Emitted:
+    (in_vec, corpus_vec, cos_sim >= 0.99) — the reject list."""
+    from ..functions.arrays import as_double_array
+    from ..operators import similarity as S
+    from ..operators.dedup import embedding_near_dup_join
+
+    base = pin(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double_array("embedding").alias("v")
+        ),
+        label="sde_base",
+    )
+    incoming = base.filter(F.col("vec_id") % _SDE_MOD == 0).select(
+        (F.col("vec_id") + _SDE_OFFSET).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("v", 1) + 0.01), F.slice("v", 2, 63)
+        ).alias("v"),
+    )
+    planes = base.filter(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").cast("int").alias("pid"), "v"
+    )
+    corpus_bk = pin(
+        S.with_lsh_bucket(base, "vec_id", "v", planes, "pid", 8),
+        label="sde_index",
+    )
+    stream_dir = _landing_zone(spark, "stream_dedup_embedding")
+    _stage_batch(incoming, stream_dir, "batch1.parquet", 1)
+    stream = spark.readStream.schema("vec_id bigint, v array<double>").parquet(
+        stream_dir
+    )
+    stream_bk = S.with_lsh_bucket(stream, "vec_id", "v", planes, "pid", 8)
+    out = embedding_near_dup_join(
+        stream_bk, corpus_bk, "vec_id", "v", "bucket", threshold=0.99
+    ).select(
+        F.col("batch_id").alias("in_vec"),
+        F.col("corpus_id").alias("corpus_vec"),
+        "cos_sim",
+    )
+    return run_available_now(
+        out, query_name="stream_dedup_embedding", output_mode="append"
     )

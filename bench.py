@@ -127,6 +127,7 @@ R8_ADDITIONS = [
     "text_decontaminate_bloom",     # bloom-pruned exact eval-gram join
     "pipeline_curation_funnel",     # one-pass 5-stage doc/token accounting
     "sample_prototype_pruning",     # kmeans + per-cell difficulty-rank cap
+    "stream_dedup_embedding",       # stream-static bucket join admission
 ]
 
 HEADLINE = (R2_HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R4B_ADDITIONS

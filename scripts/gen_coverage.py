@@ -162,7 +162,8 @@ SECTIONS = [
         "dedup_span_exact", "text_decontaminate_bloom",
         "dedup_embedding_incremental", "dedup_soft_weights",
         "text_decontaminate_semantic", "pipeline_curation_funnel",
-        "sample_prototype_pruning"]),
+        "sample_prototype_pruning", "eval_judge_kappa",
+        "stream_dedup_embedding"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

@@ -162,6 +162,8 @@ NESTED_LOOP_STAGE_ALLOWED = {
     ("sample_prototype_pruning", "kmeans_cents"),
     # 1-row plane-array fold building the pinned eval-side index
     ("text_decontaminate_semantic", "semdecon_eval_index"),
+    # same fold building the standing corpus index the stream probes
+    ("stream_dedup_embedding", "sde_index"),
     # 1-row horizon date folded onto the per-customer rollup
     ("agg_rfm_segmentation", "rfm_rollup"),
     # map-side cell assignment: same ONE-row centroid-array crossJoin

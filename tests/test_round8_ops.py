@@ -333,3 +333,61 @@ def test_prototype_pruning_keeps_hardest(q, spark, sf_dir):
             # rank-order check (exact): kept ranks are the prefix
             assert max(r["hard_rank"] for r in kept) == len(kept), cid
             assert min(r["hard_rank"] for r in dropped) == len(kept) + 1, cid
+
+
+# --- eval_judge_kappa: agreement arithmetic -----------------------------------
+
+
+def test_judge_kappa_matches_recomputation(q, spark, sf_dir):
+    """kappa recomputed in plain Python from the raw judge verdicts
+    equals the engine's answer, and sits in [-1, 1]."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    stop = {"the", "a", "of", "and", "to"}
+    n = n11 = n00 = n10 = n01 = 0
+    for r in docs:
+        w = r["text"].split(" ")
+        ja = sum(1 for x in w if x in stop) / len(w) >= 0.05
+        jb = r["n_chars"] >= 250
+        n += 1
+        n11 += ja and jb
+        n00 += (not ja) and (not jb)
+        n10 += ja and not jb
+        n01 += (not ja) and jb
+    po = (n11 + n00) / n
+    pe = ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)) / (n * n)
+    kappa = (po - pe) / (1 - pe)
+    out = rows(q, spark, sf_dir, "eval_judge_kappa")[0]
+    assert out["n"] == n
+    assert abs(out["po"] - po) < 1e-6
+    assert abs(out["pe"] - pe) < 1e-6
+    assert abs(out["kappa"] - kappa) < 1e-6
+    assert -1.0 <= out["kappa"] <= 1.0
+
+
+# --- stream_dedup_embedding: live admission recall ----------------------------
+
+
+def test_stream_embedding_admission_catches_plants(q, spark, sf_dir):
+    """Every incoming perturbed vector (vec_id %% 13 plants) that
+    shares a bucket with its source is rejected naming that source;
+    overall recall >= 0.9 (bucket straddle only), and every emitted
+    pair clears the cosine bar."""
+    out = rows(q, spark, sf_dir, "stream_dedup_embedding")
+    assert out  # the fixture guarantees standing near-dups
+    assert all(r["cos_sim"] >= 0.99 for r in out)
+    emb_ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id")
+        .collect()
+    }
+    planted = {i + 300000 for i in emb_ids if i % 13 == 0}
+    hit_in = {r["in_vec"] for r in out}
+    assert hit_in <= planted  # only staged vectors can be rejected
+    assert len(hit_in) >= 0.9 * len(planted)
+    by_in = {}
+    for r in out:
+        by_in.setdefault(r["in_vec"], set()).add(r["corpus_vec"])
+    # the true source is among each plant's matches
+    for iv, matches in by_in.items():
+        assert iv - 300000 in matches, iv
