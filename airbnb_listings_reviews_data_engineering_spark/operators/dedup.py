@@ -548,6 +548,7 @@ def duplicated_span_excise(
     text_col: str = "text",
     n: int = 6,
     min_count: int = 2,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Exact duplicated-SPAN detection and excision ("Deduplicating
     Training Data Makes Language Models Better", Lee et al.,
@@ -572,6 +573,15 @@ def duplicated_span_excise(
     clean_text) where n_spans counts MAXIMAL merged duplicated spans
     (windows closer than n tokens fuse into one span) and clean docs
     pass through with n_removed = n_spans = 0.
+
+    ``keep_first=True`` is the faithful Lee et al. policy: ONE copy of
+    each duplicated span survives — for every duplicated n-gram the
+    canonical (lowest (doc, pos)) occurrence is exempt from excision,
+    so the earliest document keeps the whole span (its windows are all
+    canonical) and every later copy, including a within-doc repeat's
+    second occurrence, is spliced out. ``keep_first=False`` removes
+    EVERY occurrence (the aggressive variant that guarantees the
+    cleaned corpus contains no duplicated span at all).
 
     Scale shape: the posting table is ~one row per token (id, pos,
     hash60) and is PINNED — the occurrence count and the join back
@@ -602,16 +612,23 @@ def duplicated_span_excise(
         ).select(id_col, F.col("pg.pos").alias("pos"), F.col("pg.h").alias("h")),
         label="span_exact_postings",
     )
+    # composite occurrence key (id * 2^20 + pos): min() of it names the
+    # canonical occurrence identically in Spark and DuckDB without
+    # struct-ordering semantics (pos < 2^20 always: it is a token index)
+    mkey = (F.col(id_col) * (1 << 20) + F.col("pos")).alias("mk")
     dup = (
         grams.groupBy("h")
-        .agg(F.count("*").alias("occ"))
+        .agg(F.count("*").alias("occ"), F.min(mkey).alias("kk"))
         .filter(F.col("occ") >= min_count)
-        .select("h")
+        .select("h", "kk")
     )
-    hits = (
-        grams.join(dup, "h")
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_list("pos")).alias("st"))
+    covered = grams.join(dup, "h")
+    if keep_first:
+        covered = covered.filter(
+            F.col(id_col) * (1 << 20) + F.col("pos") != F.col("kk")
+        )
+    hits = covered.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("st")
     )
     kept = (
         tok.join(hits, id_col, "left")

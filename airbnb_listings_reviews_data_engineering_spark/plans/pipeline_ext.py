@@ -2016,7 +2016,11 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPANX_N = 6  # duplicated-span threshold in tokens (50 on real text;
 #               6 fits the ~55-token synthetic docs and matches _SPAN_W)
 
-_SPAN_EXACT_SQL = f"""
+def _span_excise_sql(keep_first: bool) -> str:
+    hit_filter = (
+        f"\n  WHERE g.doc_id * {1 << 20} + g.pos <> dup.kk" if keep_first else ""
+    )
+    return f"""
 WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 grams AS (
   SELECT doc_id, i AS pos,
@@ -2025,10 +2029,13 @@ grams AS (
   FROM tok, unnest(generate_series(1, len(w) - {_SPANX_N - 1})) AS t(i)
   WHERE len(w) >= {_SPANX_N}
 ),
-dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+dup AS (
+  SELECT h, min(doc_id * {1 << 20} + pos) AS kk
+  FROM grams GROUP BY h HAVING count(*) >= 2
+),
 hits AS (
   SELECT g.doc_id, list_sort(list(g.pos)) AS starts
-  FROM grams g JOIN dup USING (h)
+  FROM grams g JOIN dup USING (h){hit_filter}
   GROUP BY g.doc_id
 ),
 kept AS (
@@ -2050,6 +2057,9 @@ SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
        COALESCE(array_to_string(kw, ' '), '') AS clean_text
 FROM kept
 """
+
+
+_SPAN_EXACT_SQL = _span_excise_sql(keep_first=False)
 
 
 @register("dedup_span_exact", oracle=_SPAN_EXACT_SQL)
@@ -2075,6 +2085,27 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return D.duplicated_span_excise(
         docs, "doc_id", "text", n=_SPANX_N, min_count=2
+    )
+
+
+@register("dedup_span_keep_first", oracle=_span_excise_sql(keep_first=True))
+def dedup_span_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al.'s ACTUAL excision policy (arXiv:2107.06499: remove
+    all but ONE occurrence of each duplicated span): for every
+    duplicated n-gram the canonical — lowest (doc, pos) — occurrence
+    is exempt, so the earliest copy of each duplicated span survives
+    intact (all its windows are canonical) and every later copy,
+    including the second occurrence of a within-doc repeat, is spliced
+    out. dedup_span_exact is the aggressive sibling (remove EVERY
+    occurrence — guarantees the cleaned corpus contains no duplicated
+    span at all, at the cost of losing the content entirely); this one
+    preserves exactly one training copy of the duplicated text. Same
+    plan shape: the canonical occurrence rides the dup-gram aggregate
+    as a min() over a composite (doc * 2^20 + pos) key — no extra
+    shuffle, one filter more than the aggressive form."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.duplicated_span_excise(
+        docs, "doc_id", "text", n=_SPANX_N, min_count=2, keep_first=True
     )
 
 

@@ -391,3 +391,50 @@ def test_stream_embedding_admission_catches_plants(q, spark, sf_dir):
     # the true source is among each plant's matches
     for iv, matches in by_in.items():
         assert iv - 300000 in matches, iv
+
+
+# --- dedup_span_keep_first: Lee et al. one-copy policy ------------------------
+
+
+def test_span_keep_first_preserves_one_copy(spark):
+    """The earliest doc keeps the shared passage whole; the later copy
+    is excised; a within-doc repeat keeps its FIRST occurrence."""
+    from airbnb_listings_reviews_data_engineering_spark.operators.dedup import (
+        duplicated_span_excise,
+    )
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    p = "r1 r2 r3 r4 r5 r6"
+    docs = [
+        (1, f"a1 a2 a3 {shared} a4 a5 a6"),
+        (2, f"b1 b2 {shared} b3 b4 b5 b6"),
+        (3, f"x1 x2 {p} y1 y2 y3 {p} z1 z2"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_span_excise(
+            df, "doc_id", "text", n=6, keep_first=True
+        ).collect()
+    }
+    release_pins(spark)
+    assert out[1]["clean_text"] == docs[0][1]  # first copy survives whole
+    assert out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "b1 b2 b3 b4 b5 b6"
+    assert out[2]["n_removed"] == 8
+    # within-doc: first occurrence kept, second excised
+    assert out[3]["clean_text"] == f"x1 x2 {p} y1 y2 y3 z1 z2"
+    assert out[3]["n_removed"] == 6
+
+
+def test_span_keep_first_registered_dominates_exact(q, spark, sf_dir):
+    """keep-first removes a subset of what the aggressive policy
+    removes, per doc — and at least one doc (the canonical copy)
+    strictly keeps more."""
+    ex = {r["doc_id"]: r for r in rows(q, spark, sf_dir, "dedup_span_exact")}
+    kf = {r["doc_id"]: r for r in rows(
+        q, spark, sf_dir, "dedup_span_keep_first"
+    )}
+    assert set(ex) == set(kf)
+    assert all(kf[d]["n_removed"] <= ex[d]["n_removed"] for d in ex)
+    assert any(kf[d]["n_removed"] < ex[d]["n_removed"] for d in ex)
