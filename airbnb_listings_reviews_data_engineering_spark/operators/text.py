@@ -209,3 +209,57 @@ def chunk_tokens(
             F.lit(chunk), F.size("tok") - F.col("start") + 1
         ).cast("int").alias("chunk_tok"),
     )
+
+
+def minimizer_selected(
+    df: DataFrame,
+    part_col: str,
+    pos_col: str,
+    h_col: str,
+    w: int,
+) -> DataFrame:
+    """Filter a per-document (position, hash) gram stream to its EXACT
+    (w, k)-minimizer set: position p survives iff its hash is the
+    minimum of SOME full w-gram window containing it — equivalently,
+    its consecutive non-smaller predecessors plus consecutive
+    non-smaller successors span a window (B + F >= w - 1; a missing
+    neighbor at the document boundary blocks, so the certified window
+    always holds w real grams). Expected density 2/(w+1).
+
+    This is the selection rule that actually CARRIES the winnowing
+    guarantee (Schleimer et al., SIGMOD'03): any shared run of >= w
+    grams shares a selected fingerprint, because the run's leftmost
+    minimum has only non-smaller neighbors inside the run and its two
+    in-run neighbor runs sum to >= w - 1 wherever the run boundaries
+    fall. The cheaper trailing-window-only rule ("h == min of the
+    window ENDING at p") silently loses that guarantee when a smaller
+    document-specific hash sits just before a shared region — it
+    shadows the region minimum in one document only (measured: 5 of
+    256 >= 9-token duplicated-span pairs missed at sf0.1).
+
+    Plan shape: 2(w-1) lag/lead columns over ONE doc-partitioned
+    bounded window — the same single exchange the min-over-frame
+    formulation costs, pure comparisons after it."""
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy(part_col).orderBy(pos_col)
+    nbr = df.select(
+        part_col,
+        pos_col,
+        h_col,
+        *[F.lag(h_col, k).over(win).alias(f"b{k}") for k in range(1, w)],
+        *[F.lead(h_col, k).over(win).alias(f"f{k}") for k in range(1, w)],
+    )
+
+    def run_len(prefix: str):
+        expr = F.lit(w - 1)
+        for k in range(w - 1, 0, -1):
+            nb = F.col(f"{prefix}{k}")
+            expr = F.when(nb.isNull() | (nb < F.col(h_col)), k - 1).otherwise(
+                expr
+            )
+        return expr
+
+    return nbr.filter(run_len("b") + run_len("f") >= w - 1).select(
+        part_col, pos_col, h_col
+    )

@@ -2427,6 +2427,8 @@ _WIN_BASE = 31
 
 
 def _winnow_sql() -> str:
+    from .pipeline_ext import _minimizer_lag_cols_sql, _minimizer_select_sql
+
     h = (
         f"list_sum(list_transform(generate_series(i, i + {_WIN_K - 1}), "
         f"j -> CAST(ascii(substr(text, j, 1)) * "
@@ -2442,15 +2444,13 @@ WITH grams AS MATERIALIZED (
              i -> struct_pack(i := i, h := {h}))) AS u
     FROM documents WHERE length(text) >= {_WIN_K}
   )
-), windowed AS (
-  SELECT doc_id, pos, h,
-         min(h) OVER (PARTITION BY doc_id ORDER BY pos
-           ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW) AS wmin,
-         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+), nbr AS (
+  SELECT doc_id, pos, h, {_minimizer_lag_cols_sql(_WIN_W)}
   FROM grams
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
 ), selected AS (
-  SELECT doc_id, h FROM windowed
-  WHERE rn >= {_WIN_W} AND h = wmin
+  SELECT doc_id, h FROM nbr
+  WHERE {_minimizer_select_sql(_WIN_W)}
 )
 SELECT g.doc_id,
        CAST(count(*) AS BIGINT) AS n_kgrams,
@@ -2469,11 +2469,16 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint) that document-similarity indexes are built on, with
     expected density 2/(w+1) instead of keeping every gram. The hash
     is the Rabin-Karp polynomial both engines already share
-    (operators/text.py); minima come from a doc-partitioned bounded
-    window — one exchange keyed on the document, frames of w rows.
+    (operators/text.py); membership uses the EXACT minimizer rule
+    (operators/text.minimizer_selected — min of SOME window containing
+    the position, via 2(w-1) lags/leads over one doc-partitioned
+    bounded window). Round 8 replaced the earlier trailing-window-only
+    rule, which silently FORFEITED the guarantee at shared-region
+    starts (a smaller doc-specific hash just before the region shadows
+    its minimum — caught by the dedup_span_winnowed recall probe).
     Output: per-doc gram and distinct-fingerprint counts (the index
     size planner's numbers). The fingerprint -> posting-list join that
-    follows is dedup_shared_spans' registered shape."""
+    follows is dedup_span_winnowed's registered shape."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     grams = docs.filter(F.length("text") >= _WIN_K).select(
         "doc_id",
@@ -2487,18 +2492,9 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos0", "h"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
-    w = W.partitionBy("doc_id").orderBy("pos")
-    wmin = w.rowsBetween(-(_WIN_W - 1), W.currentRow)
-    windowed = grams.select(
-        "doc_id",
-        "pos",
-        "h",
-        F.min("h").over(wmin).alias("wmin"),
-        F.row_number().over(w).alias("rn"),
-    )
-    selected = windowed.filter(
-        (F.col("rn") >= _WIN_W) & (F.col("h") == F.col("wmin"))
-    )
+    from ..operators.text import minimizer_selected
+
+    selected = minimizer_selected(grams, "doc_id", "pos", "h", _WIN_W)
     n_sel = selected.groupBy("doc_id").agg(
         F.countDistinct("h").alias("n_fingerprints")
     )

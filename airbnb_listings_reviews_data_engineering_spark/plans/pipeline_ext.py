@@ -1868,6 +1868,150 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exact/winnowed span dedup: shared threshold ----------------------------
+
+_SPANX_N = 6  # duplicated-span threshold in tokens (50 on real text;
+#               6 fits the ~55-token synthetic docs and matches _SPAN_W)
+
+# --- winnowed span-dedup detection (minimizer-sampled postings) --------------
+
+_WSPAN_W = 4        # winnowing window (gram positions per window)
+_WSPAN_DF_CAP = 50  # drop fingerprints shared by more than this many docs
+
+
+
+def _minimizer_lag_cols_sql(w: int) -> str:
+    """lag/lead neighbor columns b1..b{w-1}, f1..f{w-1} over WINDOW w."""
+    cols = [f"lag(h, {k}) OVER w AS b{k}" for k in range(1, w)]
+    cols += [f"lead(h, {k}) OVER w AS f{k}" for k in range(1, w)]
+    return ",\n         ".join(cols)
+
+
+def _minimizer_case_sql(prefix: str, w: int) -> str:
+    """Consecutive-non-smaller-neighbor run length on one side, capped
+    at w-1; a missing neighbor (doc boundary) blocks — so the window
+    the count certifies always holds w REAL grams."""
+    branches = [
+        f"WHEN {prefix}{k} IS NULL OR {prefix}{k} < h THEN {k - 1}"
+        for k in range(1, w)
+    ]
+    return "(CASE " + " ".join(branches) + f" ELSE {w - 1} END)"
+
+
+def _minimizer_select_sql(w: int) -> str:
+    """EXACT (w, n)-minimizer membership: position p is selected iff it
+    is the minimum of SOME full w-gram window containing it, i.e. its
+    consecutive non-smaller predecessors plus consecutive non-smaller
+    successors cover a window: B + F >= w - 1. This carries the
+    winnowing guarantee (any shared run of >= w grams shares a selected
+    fingerprint: the run's leftmost minimum has only non-smaller
+    neighbors inside the run, and the two in-run runs sum to >= w - 1).
+    The cheaper trailing-window-only rule ("h = min of the window
+    ENDING at p") does NOT: a smaller doc-specific hash just before a
+    shared run shadows the run minimum in one document — measured as 5
+    missed >= 9-token pairs at sf0.1 before this fix."""
+    return (
+        _minimizer_case_sql("b", w)
+        + " + "
+        + _minimizer_case_sql("f", w)
+        + f" >= {w - 1}"
+    )
+
+_WSPAN_SQL = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, i AS pos,
+         CAST('0x' || substr(md5(array_to_string(w[i:i+{_SPANX_N - 1}], ' ')),
+              1, 15) AS BIGINT) AS h
+  FROM tok, unnest(generate_series(1, len(w) - {_SPANX_N - 1})) AS t(i)
+  WHERE len(w) >= {_SPANX_N}
+),
+nbr AS (
+  SELECT doc_id, pos, h, {_minimizer_lag_cols_sql(_WSPAN_W)}
+  FROM grams
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sel AS (
+  SELECT DISTINCT doc_id, h FROM nbr
+  WHERE {_minimizer_select_sql(_WSPAN_W)}
+),
+keep AS (
+  SELECT h FROM sel GROUP BY h
+  HAVING count(*) >= 2 AND count(*) <= {_WSPAN_DF_CAP}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared_fp
+FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+WHERE a.h IN (SELECT h FROM keep)
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+@register("dedup_span_winnowed", oracle=_WSPAN_SQL)
+def dedup_span_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-SAMPLED span-duplication detection — the scale lever
+    over dedup_span_exact's dense postings: instead of indexing every
+    6-token gram, keep each document's per-window MINIMUM gram hash
+    (Schleimer et al. SIGMOD'03, w = 4), shrinking the posting table to
+    an expected 2/(w+1) = 40 %% of dense (measured 38.6 %% at sf0.1,
+    SCALING.md) while keeping the winnowing GUARANTEE: any shared span
+    of >= n + w - 1 = 9 tokens shares a selected fingerprint, so no
+    long duplicated passage can hide. Emits candidate doc pairs with
+    shared-fingerprint counts — the detection front end whose hits a
+    pipeline routes to dedup_span_exact / dedup_span_keep_first for
+    exact-boundary excision (detect cheap, excise exact).
+
+    Scale shape: gram hashing is the shared positional-posting
+    projection; minima come from a doc-partitioned BOUNDED window
+    (frames of w rows — one exchange keyed on the document, the same
+    shape text_winnowing_fingerprints ships); the pair join runs on
+    the sampled, document-frequency-capped posting lists (the
+    boilerplate guard dedup_shared_spans uses), so candidate
+    generation is linear in true collisions. Fingerprints are hash60 —
+    bitwise cross-engine."""
+    from ..functions.hashing import hash60_spark_sql
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    gram_h = hash60_spark_sql(f"concat_ws(' ', slice(w, i + 1, {_SPANX_N}))")
+    grams = docs.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(slice(w, 1, greatest(size(w) - {_SPANX_N - 1}, 0)),"
+                f" (x, i) -> struct(i + 1 AS pos, {gram_h} AS h))"
+            )
+        ).alias("pg"),
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.h").alias("h"))
+    sel = pin(
+        TX.minimizer_selected(grams, "doc_id", "pos", "h", _WSPAN_W)
+        .select("doc_id", "h")
+        .distinct(),
+        label="winnow_postings",
+    )
+    keep = (
+        sel.groupBy("h")
+        .agg(F.count("*").alias("pdf"))
+        .filter((F.col("pdf") >= 2) & (F.col("pdf") <= _WSPAN_DF_CAP))
+        .select("h")
+    )
+    common = sel.join(keep, "h")
+    a = common.alias("a")
+    b = common.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared_fp"))
+    )
+
+
 # --- soft dedup: reweight duplicates instead of dropping them ----------------
 
 
@@ -2012,9 +2156,6 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- exact duplicated-span dedup (Lee et al. ExactSubstr, span excision) ----
-
-_SPANX_N = 6  # duplicated-span threshold in tokens (50 on real text;
-#               6 fits the ~55-token synthetic docs and matches _SPAN_W)
 
 def _span_excise_sql(keep_first: bool) -> str:
     hit_filter = (

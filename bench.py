@@ -128,6 +128,7 @@ R8_ADDITIONS = [
     "pipeline_curation_funnel",     # one-pass 5-stage doc/token accounting
     "sample_prototype_pruning",     # kmeans + per-cell difficulty-rank cap
     "stream_dedup_embedding",       # stream-static bucket join admission
+    "dedup_span_winnowed",          # minimizer-sampled posting pair join
 ]
 
 HEADLINE = (R2_HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R4B_ADDITIONS

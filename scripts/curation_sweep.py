@@ -52,6 +52,7 @@ KEYS = [
     "mm_phash_dedup",       # map-side dHash signatures + pigeonhole bands
     "dedup_span_exact",     # gram postings -> dup-count -> span excision
     "dedup_span_keep_first",  # same postings + canonical-occurrence filter
+    "dedup_span_winnowed",  # minimizer-sampled postings, 39% of dense
     "dedup_embedding_incremental",  # batch vs corpus sign-LSH bucket join
     "text_decontaminate_bloom",     # bloom-pruned exact eval-gram join
 ]

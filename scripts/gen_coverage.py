@@ -159,7 +159,7 @@ SECTIONS = [
         "sample_cluster_balanced", "split_leakage_audit",
         "eval_bradley_terry", "text_span_excise", "pack_bin_ffd"]),
     ("Exact-span / bloom / incremental dedup (round-8 additions)", [
-        "dedup_span_exact", "dedup_span_keep_first",
+        "dedup_span_exact", "dedup_span_keep_first", "dedup_span_winnowed",
         "text_decontaminate_bloom",
         "dedup_embedding_incremental", "dedup_soft_weights",
         "text_decontaminate_semantic", "pipeline_curation_funnel",

@@ -84,6 +84,7 @@ RESCAN_CEILINGS = {
     # round-8 new keys, pinned at their shipped shapes
     "dedup_span_exact": 1,      # pinned postings; excise join re-reads docs
     "dedup_span_keep_first": 1, # same pinned postings + canonical filter
+    "dedup_span_winnowed": 1,   # pinned minimizer postings, both join sides
     "text_decontaminate_bloom": 2,  # corpus gram pass + doc-list pass
     "dedup_embedding_incremental": 1,  # pinned base feeds batch + index
     "dedup_soft_weights": 2,    # variant-corpus union (labeled frame pinned)

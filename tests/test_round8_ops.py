@@ -438,3 +438,80 @@ def test_span_keep_first_registered_dominates_exact(q, spark, sf_dir):
     assert set(ex) == set(kf)
     assert all(kf[d]["n_removed"] <= ex[d]["n_removed"] for d in ex)
     assert any(kf[d]["n_removed"] < ex[d]["n_removed"] for d in ex)
+
+
+# --- dedup_span_winnowed: minimizer guarantee ---------------------------------
+
+
+def test_winnowed_guarantee_on_planted_spans(spark):
+    """The (w, n)-minimizer guarantee: ANY shared span of
+    >= n + w - 1 = 9 tokens yields a shared selected fingerprint —
+    including when a smaller doc-specific hash sits right before the
+    shared region (the case the trailing-window-only rule missed).
+    Brute-force check over adversarial planted docs."""
+    from airbnb_listings_reviews_data_engineering_spark.functions.hashing import (
+        hash60,
+    )
+    from airbnb_listings_reviews_data_engineering_spark.operators.text import (
+        minimizer_selected,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(9))  # exactly 9 tokens
+    docs = [
+        # prefixes chosen adversarially: many distinct tokens so SOME
+        # pairing puts a tiny hash right before the shared run
+        *[(i, f"p{i}a p{i}b p{i}c {shared} q{i}a q{i}b q{i}c")
+          for i in range(1, 21)],
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    grams = df.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(w, 1, greatest(size(w) - 5, 0)),"
+                " (x, i) -> struct(i + 1 AS pos,"
+                " concat_ws(' ', slice(w, i + 1, 6)) AS g))"
+            )
+        ).alias("pg"),
+    ).select("doc_id", F.col("pg.pos").alias("pos"), hash60(F.col("pg.g")).alias("h"))
+    sel = minimizer_selected(grams, "doc_id", "pos", "h", 4)
+    by_doc = {}
+    for r in sel.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["h"])
+    release_pins(spark)
+    # EVERY pair of docs shares the 9-token span -> must share >= 1
+    # selected fingerprint
+    ids = sorted(by_doc)
+    assert len(ids) == 20
+    for i in ids:
+        for j in ids:
+            if i < j:
+                assert by_doc[i] & by_doc[j], (i, j)
+
+
+def test_winnowed_detects_all_long_span_pairs(q, spark, sf_dir):
+    """On the real corpus: every doc pair sharing an exact >= 9-token
+    span is emitted by the winnowed detector (up to the DF-cap
+    boilerplate guard, which this fixture never triggers)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    exact = con.execute("""
+    WITH tok AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+    g AS (SELECT doc_id, array_to_string(w[i:i+8],' ') AS s9
+          FROM tok, unnest(generate_series(1,len(w)-8)) t(i) WHERE len(w)>=9),
+    d AS (SELECT s9 FROM g GROUP BY s9 HAVING count(*)>=2)
+    SELECT DISTINCT a.doc_id, b.doc_id FROM g a JOIN g b
+    ON a.s9=b.s9 AND a.doc_id<b.doc_id
+    WHERE a.s9 IN (SELECT s9 FROM d)""").fetchall()
+    got = {(r["doc_a"], r["doc_b"]) for r in rows(
+        q, spark, sf_dir, "dedup_span_winnowed"
+    )}
+    missed = [p for p in exact if tuple(p) not in got]
+    assert missed == [], missed
