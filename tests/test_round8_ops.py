@@ -515,3 +515,75 @@ def test_winnowed_detects_all_long_span_pairs(q, spark, sf_dir):
     )}
     missed = [p for p in exact if tuple(p) not in got]
     assert missed == [], missed
+
+
+# --- property: the suffix-array-free reformulation theorem --------------------
+
+
+def test_span_excise_matches_bruteforce_on_random_corpora(spark):
+    """dedup_span_exact's correctness rests on a theorem (token lies in
+    a duplicated >= n span iff an n-window covering it recurs); pin the
+    WHOLE operator against an independent brute-force implementation
+    over small random corpora with heavy forced overlap, for both
+    policies."""
+    import random
+
+    from airbnb_listings_reviews_data_engineering_spark.operators.dedup import (
+        duplicated_span_excise,
+    )
+
+    rng = random.Random(8)
+    n = 4  # smaller n -> denser collisions on a tiny vocab
+    for trial in range(3):
+        vocab = [f"w{k}" for k in range(6)]
+        docs = [
+            (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 18))))
+            for d in range(12)
+        ]
+
+        def brute(keep_first: bool):
+            grams: dict[tuple, list] = {}
+            toks = {d: t.split(" ") for d, t in docs}
+            for d, w in toks.items():
+                for i in range(len(w) - n + 1):
+                    grams.setdefault(tuple(w[i:i + n]), []).append((d, i + 1))
+            removed = {d: set() for d in toks}
+            for occ in grams.values():
+                if len(occ) < 2:
+                    continue
+                exempt = min(occ) if keep_first else None
+                for d, pos in occ:
+                    if (d, pos) == exempt:
+                        continue
+                    removed[d].update(range(pos, pos + n))
+            out = {}
+            for d, w in toks.items():
+                kw = [x for i, x in enumerate(w, 1) if i not in removed[d]]
+                st = sorted(removed[d] and {
+                    p for g, occ in grams.items()
+                    for (dd, p) in occ
+                    if dd == d and len(occ) >= 2
+                    and (not keep_first or (dd, p) != min(occ))
+                } or set())
+                spans = 0
+                prev = None
+                for p in st:
+                    if prev is None or p - prev > n:
+                        spans += 1
+                    prev = p
+                out[d] = (len(w), len(w) - len(kw), spans, " ".join(kw))
+            return out
+
+        for keep_first in (False, True):
+            df = spark.createDataFrame(docs, ["doc_id", "text"])
+            got = {
+                r["doc_id"]: (
+                    r["n_tok"], r["n_removed"], r["n_spans"], r["clean_text"]
+                )
+                for r in duplicated_span_excise(
+                    df, "doc_id", "text", n=n, keep_first=keep_first
+                ).collect()
+            }
+            release_pins(spark)
+            want = brute(keep_first)
+            assert got == want, (trial, keep_first)
