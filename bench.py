@@ -129,6 +129,7 @@ R8_ADDITIONS = [
     "sample_prototype_pruning",     # kmeans + per-cell difficulty-rank cap
     "stream_dedup_embedding",       # stream-static bucket join admission
     "dedup_span_winnowed",          # minimizer-sampled posting pair join
+    "ml_logreg_gd",                 # K unrolled exact-int64-gradient GD rounds
 ]
 
 HEADLINE = (R2_HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R4B_ADDITIONS

@@ -587,3 +587,38 @@ def test_span_excise_matches_bruteforce_on_random_corpora(spark):
             release_pins(spark)
             want = brute(keep_first)
             assert got == want, (trial, keep_first)
+
+
+# --- ml_logreg_gd: in-engine GD training invariants ---------------------------
+
+
+def test_logreg_gd_learns_above_baseline(q, spark, sf_dir):
+    """6 GD rounds must actually LEARN: trained accuracy beats the
+    majority-class baseline by a wide margin (the constructed target is
+    noisy-separable — perfect accuracy is impossible, chance is not
+    acceptable), and the learned weights carry the planted signs
+    (positive on both features, negative intercept — the target fires
+    when the feature score clears a threshold)."""
+    (r,) = rows(q, spark, sf_dir, "ml_logreg_gd")
+    majority = max(r["base_rate"], 1.0 - r["base_rate"])
+    assert r["train_acc"] >= majority + 0.15, (r["train_acc"], majority)
+    assert r["w_lines"] > 0 and r["w_qty"] > 0 and r["w_intercept"] < 0, r
+    assert r["n_obs"] > 1000
+
+
+def test_logreg_gd_partition_order_independent(q, spark, sf_dir):
+    """The fixed-point int64 gradient accumulation is the determinism
+    claim: the trained weights must be BITWISE identical under a
+    different shuffle-partition count (a float gradient sum would
+    drift with combine order)."""
+    fn = q["ml_logreg_gd"].fn
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    (a,) = fn(spark, sf_dir).collect()
+    release_pins(spark)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        (b,) = fn(spark, sf_dir).collect()
+        release_pins(spark)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b, (a, b)
