@@ -114,7 +114,8 @@ SECTIONS = [
         "ml_kmeans", "text_bpe_pair_counts", "text_bpe_train",
         "text_bpe_vocab", "text_bpe_encode_docs", "graph_pagerank",
         "emb_power_iteration", "emb_pca_project", "ml_linreg_normal",
-        "ml_logreg_apply", "ml_logreg_gd", "graph_triangle_count"]),
+        "ml_logreg_apply", "ml_logreg_gd", "ml_logreg_holdout",
+        "graph_triangle_count"]),
     ("Data quality / reconciliation / feature engineering", [
         "dq_expectations", "dq_referential", "diff_snapshots",
         "cohort_retention", "ts_resample_ffill", "join_fuzzy_blocked",

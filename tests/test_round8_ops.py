@@ -622,3 +622,15 @@ def test_logreg_gd_partition_order_independent(q, spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b, (a, b)
+
+
+def test_logreg_holdout_generalizes(q, spark, sf_dir):
+    """Held-out accuracy must beat the TEST-split majority baseline —
+    accuracy on rows the gradient never saw is the generalization
+    claim; the 80/20 hash split must also be exact (n_train + n_test
+    = every order with lineitems)."""
+    (r,) = rows(q, spark, sf_dir, "ml_logreg_holdout")
+    majority = max(r["base_rate_test"], 1.0 - r["base_rate_test"])
+    assert r["test_acc"] >= majority + 0.12, (r["test_acc"], majority)
+    (full,) = rows(q, spark, sf_dir, "ml_logreg_gd")
+    assert r["n_train"] + r["n_test"] == full["n_obs"]
