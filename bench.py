@@ -227,30 +227,44 @@ def main() -> None:
     # inflate headline_total
     r2_set = [k for k in R2_HEADLINE if k in timings]
     top5 = sorted(timings, key=lambda k: timings[k], reverse=True)[:5]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "subtotal_r2_comparable": round(
-                    sum(timings[k] for k in r2_set), 3
-                ),
-                # fixed reference plan, min of 3 — divide per-query
-                # numbers by the cross-round ratio of this line to
-                # normalize out host load (see SCALING.md)
-                "calibration_sec": round(calib, 3),
-                # (pin label, seconds) per pinned stage of the 5 most
-                # expensive keys, from each key's winning rep — eager
-                # pins block, so these are real per-stage costs
-                "pin_stages": {
-                    k: pin_lines[k] for k in top5 if pin_lines.get(k)
-                },
-            }
-        )
+    summary = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "subtotal_r2_comparable": round(
+            sum(timings[k] for k in r2_set), 3
+        ),
+        # fixed reference plan, min of 3 — divide per-query
+        # numbers by the cross-round ratio of this line to
+        # normalize out host load (see SCALING.md)
+        "calibration_sec": round(calib, 3),
+    }
+    # (pin label, seconds) per pinned stage of the 5 most
+    # expensive keys, from each key's winning rep — eager
+    # pins block, so these are real per-stage costs
+    verbose = dict(
+        summary,
+        pin_stages={k: pin_lines[k] for k in top5 if pin_lines.get(k)},
     )
+    print(json.dumps(verbose))
+    # The driver records only a 2000-char stdout TAIL; the verbose line
+    # above exceeds it once pin_stages + 60 keys are in (every BENCH_r<=8
+    # has "parsed": null for exactly this reason). So the LAST line is a
+    # complete compact summary — same fields minus pin_stages, tightest
+    # separators — guaranteed to fit in the tail whole. If per-key growth
+    # ever pushes even the compact form past the tail, the queries map is
+    # split off to a penultimate line and the final line keeps the totals
+    # (lossy on early keys only if BOTH lines overflow the tail together).
+    compact = json.dumps(summary, separators=(",", ":"))
+    if len(compact) <= 1900:
+        print(compact)
+    else:
+        head = dict(summary)
+        del head["queries"]
+        print(json.dumps({"queries": timings}, separators=(",", ":")))
+        print(json.dumps(head, separators=(",", ":")))
 
 
 if __name__ == "__main__":

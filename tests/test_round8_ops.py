@@ -606,22 +606,35 @@ def test_logreg_gd_learns_above_baseline(q, spark, sf_dir):
     assert r["n_obs"] > 1000
 
 
-def test_logreg_gd_partition_order_independent(q, spark, sf_dir):
+def test_logreg_gd_partition_order_independent(spark, sf_dir):
     """The fixed-point int64 gradient accumulation is the determinism
     claim: the trained weights must be BITWISE identical under a
     different shuffle-partition count (a float gradient sum would
-    drift with combine order)."""
-    fn = q["ml_logreg_gd"].fn
+    drift with combine order). Compares the UNROUNDED weight frame
+    (logreg_train_weights) — the query output rounds to 1e-6, which
+    would mask sub-1e-6 combine-order drift — via struct.pack'd
+    bit patterns, so -0.0 vs 0.0 or NaN payload drift also fails."""
+    import struct
+
+    from airbnb_listings_reviews_data_engineering_spark.plans.iterative_ext import (
+        _logreg_feats,
+        logreg_train_weights,
+    )
+
+    def bits(sf):
+        (r,) = logreg_train_weights(_logreg_feats(spark, sf)).collect()
+        release_pins(spark)
+        return struct.pack("<3d", r["w0"], r["w1"], r["w2"])
+
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    (a,) = fn(spark, sf_dir).collect()
-    release_pins(spark)
+    a = bits(sf_dir)
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "13")
-        (b,) = fn(spark, sf_dir).collect()
-        release_pins(spark)
+        b = bits(sf_dir)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    assert a == b, (a, b)
+        release_pins(spark)
+    assert a == b, (a.hex(), b.hex())
 
 
 def test_logreg_holdout_generalizes(q, spark, sf_dir):
