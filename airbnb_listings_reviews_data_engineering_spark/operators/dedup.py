@@ -659,3 +659,101 @@ def duplicated_span_excise(
         n_spans.cast("bigint").alias("n_spans"),
         F.array_join("kw", " ").alias("clean_text"),
     )
+
+
+def positional_gram_index(
+    docs: DataFrame, text_col: str = "text", n: int = 6
+) -> DataFrame:
+    """The STANDING side of span-level admission control: the distinct
+    n-gram hash set of a corpus — one ``h`` (hash60) row per distinct
+    n-token window text. Occurrence counts are irrelevant here (unlike
+    duplicated_span_excise's >= min_count gate): a span that exists
+    ANYWHERE in the admitted corpus is a duplicate the moment it
+    arrives again, so membership is the whole index. ~one row per
+    distinct corpus n-gram; callers pin() it (bucketed parquet on a
+    cluster) and reuse it across micro-batches."""
+    from ..functions.hashing import hash60_spark_sql
+
+    gram_h = hash60_spark_sql(f"concat_ws(' ', slice(w, i + 1, {n}))")
+    return (
+        docs.select(F.split(text_col, " ").alias("w"))
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(slice(w, 1, greatest(size(w) - {n - 1}, 0)),"
+                    f" (x, i) -> {gram_h})"
+                )
+            ).alias("h")
+        )
+        .distinct()
+    )
+
+
+def span_excise_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 6,
+) -> DataFrame:
+    """Span-level ADMISSION dedup: excise from each incoming document
+    every token covered by an n-token window already present in the
+    standing corpus index (positional_gram_index), then admit what
+    remains — the streaming/incremental form of duplicated_span_excise
+    (same covered-position reformulation of Lee et al. ExactSubstr,
+    arXiv:2107.06499; there the span must recur corpus-wide, here one
+    standing occurrence suffices because the corpus copy stays).
+
+    ``batch`` may be a STREAMING DataFrame: every step before the
+    per-doc aggregate is stateless (tokenize, positional-gram
+    explode_outer, stream-static left equi-join on the gram hash), the
+    aggregate groups by the incoming doc (state bounded by the
+    micro-batch's docs — drain in complete mode; a continuous
+    deployment folds per-batch via foreachBatch instead). explode_outer
+    + the left join keep no-gram (short) and no-hit (novel) documents
+    flowing through with n_removed = 0 — an inner join would silently
+    drop exactly the docs admission exists to admit.
+
+    Returns (id, n_tok, n_removed, n_spans, clean_text) — the same
+    shape as duplicated_span_excise; n_spans counts MAXIMAL merged
+    excised spans."""
+    from ..functions.hashing import hash60_spark_sql
+
+    gram_h = hash60_spark_sql(f"concat_ws(' ', slice(w, i + 1, {n}))")
+    tok = batch.select(id_col, text_col, F.split(text_col, " ").alias("w"))
+    g = tok.select(
+        id_col,
+        text_col,
+        F.explode_outer(
+            F.expr(
+                f"transform(slice(w, 1, greatest(size(w) - {n - 1}, 0)),"
+                f" (x, i) -> struct(i + 1 AS pos, {gram_h} AS h))"
+            )
+        ).alias("pg"),
+    ).select(id_col, text_col, F.col("pg.pos").alias("pos"), F.col("pg.h").alias("h"))
+    m = g.join(index.select("h", F.lit(1).alias("hit")), "h", "left")
+    agg = m.groupBy(id_col, text_col).agg(
+        F.sort_array(
+            F.collect_list(F.when(F.col("hit") == 1, F.col("pos")))
+        ).alias("st")
+    )
+    kept = agg.withColumn("w", F.split(text_col, " ")).withColumn(
+        "kw",
+        F.expr(
+            "transform(filter(sequence(1, size(w)), i ->"
+            f" size(filter(st, s -> i >= s AND i <= s + {n - 1})) = 0),"
+            " i -> element_at(w, i))"
+        ),
+    )
+    n_spans = F.expr(
+        "CASE WHEN size(st) <= 1 THEN size(st)"
+        " ELSE 1 + size(filter(sequence(2, size(st)),"
+        f" i -> element_at(st, i) - element_at(st, i - 1) > {n})) END"
+    )
+    return kept.select(
+        id_col,
+        F.size("w").cast("bigint").alias("n_tok"),
+        (F.size("w") - F.size("kw")).cast("bigint").alias("n_removed"),
+        n_spans.cast("bigint").alias("n_spans"),
+        F.array_join("kw", " ").alias("clean_text"),
+    )

@@ -799,3 +799,132 @@ def stream_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         out, query_name="stream_dedup_embedding", output_mode="append"
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming span-level admission dedup against the standing gram index
+# ---------------------------------------------------------------------------
+
+_SDS_MOD = 19        # doc_id % 19 == 0 seeds the incoming batch
+_SDS_OFFSET = 300000  # incoming ids
+_SDS_N = 6           # span window length (same as dedup_span_exact)
+_SDS_COPY = 12       # tokens copied from the standing doc
+
+
+def _sds_fresh_duck(m: int) -> str:
+    return (
+        f"array_to_string(list_transform(generate_series(1, {m}),"
+        " k -> 'nv' || doc_id || 'x' || k), ' ')"
+    )
+
+
+def _stream_span_sql() -> str:
+    from ..functions.hashing import hash60_duckdb_sql
+
+    gram = hash60_duckdb_sql(f"array_to_string(w[i:i+{_SDS_N - 1}], ' ')")
+    return f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+inc AS (
+  SELECT doc_id + {_SDS_OFFSET} AS doc_id,
+         CASE WHEN doc_id % {_SDS_MOD * 3} = 0 THEN {_sds_fresh_duck(3)}
+              WHEN doc_id % {_SDS_MOD * 2} = 0 THEN {_sds_fresh_duck(7)}
+              ELSE {_sds_fresh_duck(5)} || ' ' ||
+                   array_to_string(w[1:{_SDS_COPY}], ' ')
+         END AS text
+  FROM tok WHERE doc_id % {_SDS_MOD} = 0
+),
+idx AS (
+  SELECT DISTINCT {gram} AS h
+  FROM tok, unnest(generate_series(1, len(w) - {_SDS_N - 1})) AS t(i)
+  WHERE len(w) >= {_SDS_N}
+),
+itok AS (SELECT doc_id, string_split(text, ' ') AS w FROM inc),
+igr AS (
+  SELECT doc_id, i AS pos, {gram} AS h
+  FROM itok, unnest(generate_series(1, len(w) - {_SDS_N - 1})) AS t(i)
+  WHERE len(w) >= {_SDS_N}
+),
+hits AS (
+  SELECT g.doc_id, list_sort(list(g.pos)) AS starts
+  FROM igr g JOIN idx USING (h) GROUP BY g.doc_id
+),
+kept AS (
+  SELECT t.doc_id, len(t.w) AS n_tok, COALESCE(h.starts, []) AS st,
+         list_transform(
+           list_filter(generate_series(1, len(t.w)), i ->
+             len(list_filter(COALESCE(h.starts, []), s ->
+                 i >= s AND i <= s + {_SDS_N - 1})) = 0),
+           i -> t.w[i]) AS kw
+  FROM itok t LEFT JOIN hits h USING (doc_id)
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(n_tok - len(kw) AS BIGINT) AS n_removed,
+       CAST(CASE WHEN len(st) <= 1 THEN len(st)
+            ELSE 1 + len(list_filter(generate_series(2, len(st)),
+                         i -> st[i] - st[i-1] > {_SDS_N})) END
+            AS BIGINT) AS n_spans,
+       COALESCE(array_to_string(kw, ' '), '') AS clean_text
+FROM kept
+"""
+
+
+@register("stream_dedup_span", oracle=_stream_span_sql())
+def stream_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SPAN-level admission dedup — the last missing member
+    of the admission-control family (exact ids: stream_dedup; fuzzy
+    text: stream_dedup_minhash; semantic vectors:
+    stream_dedup_embedding; duplicated SPANS: this). Each micro-batch
+    of incoming documents has its positional 6-gram windows probed
+    against the STANDING corpus's gram index
+    (operators/dedup.positional_gram_index) and is admitted with every
+    already-seen span excised (operators/dedup.
+    span_excise_against_index) — the live form of dedup_span_exact's
+    batch excision, with membership (one standing occurrence) instead
+    of the corpus-wide >= 2 count, because the standing copy stays.
+    The incoming fixture derives from every 19th doc: multiples of 57
+    arrive as 3 fresh tokens (too short for any gram — the
+    explode_outer pass-through), multiples of 38 as 7 fresh tokens
+    (grams exist, none match — the left-join pass-through), the rest
+    as 5 fresh tokens + the first 12 tokens of the standing doc (one
+    true duplicated span: exactly those 12 tokens excise, the fresh
+    prefix survives, n_spans = 1).
+
+    Scale shape: the stream side is stateless until the per-doc
+    aggregate — tokenize, positional-gram explode, stream-static LEFT
+    equi-join on the uniform gram-hash key against the pinned index
+    (bucketed parquet in production; no stream state for the join);
+    the only stateful op groups by the incoming doc id, state bounded
+    by the micro-batch's own documents (drained in complete mode here;
+    a continuous deployment folds each batch via foreachBatch and
+    appends accepted grams back to the index). Emitted: (doc_id,
+    n_tok, n_removed, n_spans, clean_text) — the admission record."""
+    from ..operators.dedup import (
+        positional_gram_index,
+        span_excise_against_index,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    fresh = (
+        lambda m: f"array_join(transform(sequence(1, {m}), k ->"
+        " concat('nv', cast(doc_id as string), 'x', cast(k as string))), ' ')"
+    )
+    incoming = docs.filter(F.col("doc_id") % _SDS_MOD == 0).selectExpr(
+        f"doc_id + {_SDS_OFFSET} AS doc_id",
+        f"CASE WHEN doc_id % {_SDS_MOD * 3} = 0 THEN {fresh(3)}"
+        f" WHEN doc_id % {_SDS_MOD * 2} = 0 THEN {fresh(7)}"
+        f" ELSE concat({fresh(5)}, ' ',"
+        f" array_join(slice(split(text, ' '), 1, {_SDS_COPY}), ' ')) END"
+        " AS text",
+    )
+    index = pin(
+        positional_gram_index(docs, "text", n=_SDS_N), label="sds_gram_index"
+    )
+    stream_dir = _landing_zone(spark, "stream_dedup_span")
+    _stage_batch(incoming, stream_dir, "batch1.parquet", 1)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(
+        stream_dir
+    )
+    out = span_excise_against_index(stream, index, "doc_id", "text", n=_SDS_N)
+    return run_available_now(
+        out, query_name="stream_dedup_span", output_mode="complete"
+    )
