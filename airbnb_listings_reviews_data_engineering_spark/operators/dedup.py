@@ -284,17 +284,27 @@ def ngram_jaccard_pairs(
     )
 
 
-def connected_components(
+# round count of the last connected-components run (either variant) —
+# read by the weak-scaling sweep to show the O(log) vs O(diameter) gap
+LAST_CC_ROUNDS = 0
+
+
+def connected_components_labelprop(
     pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iter: int = 15
 ) -> DataFrame:
-    """Connected components over near-dup pairs — the cluster-assignment
-    step that turns pairwise matches into dedup groups (keep one doc per
-    component). Iterative min-label propagation on DataFrames:
+    """Connected components by iterative min-label propagation — kept
+    as the reference implementation and the round-count baseline for
+    the SCALING.md comparison (connected_components below, the default,
+    is the alternating-star form that converges in O(log) rounds):
 
       label(v) <- min(label(v), min over neighbors u of label(u))
 
     until a fixpoint (bounded by ``max_iter``; rounds needed = graph
-    diameter). Each iteration is one join + one aggregation; labels are
+    DIAMETER — a chained near-dup corpus, the common shape when
+    sliding-window chunking makes doc i overlap doc i+1, has diameter
+    ~n_docs and makes the round count, not the data size, the
+    wall-clock driver). Each iteration is one join + one aggregation;
+    labels are
     pin()'ed EAGERLY per round — lazy cache is NOT enough: the per-round
     plan references the previous round's plan, so without true lineage
     truncation the logical plan grows exponentially with the diameter
@@ -305,6 +315,8 @@ def connected_components(
     label frames regardless of diameter.
     Returns (node, component) with component = min doc id in the group.
     """
+    global LAST_CC_ROUNDS
+    LAST_CC_ROUNDS = 0
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = pin(
         edges.union(
@@ -345,9 +357,110 @@ def connected_components(
         )
         release(labels)  # round N-1 fully consumed by the join above
         labels = new_labels
+        LAST_CC_ROUNDS += 1
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("lbl").alias("component"))
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iter: int = 15
+) -> DataFrame:
+    """Connected components over near-dup pairs — the cluster-assignment
+    step that turns pairwise matches into dedup groups (keep one doc
+    per component). Alternating large-star / small-star contraction
+    ("Connected Components in MapReduce and Beyond", Kiveris et al.,
+    SoCC 2014 — re-expressed as DataFrame joins/aggregations), which
+    converges in O(log^2 n) rounds REGARDLESS of graph diameter — the
+    upgrade over min-label propagation (connected_components_labelprop,
+    diameter rounds), whose worst case is exactly the common near-dup
+    shape: a chained corpus where doc i overlaps doc i+1 (sliding-
+    window chunk output) has diameter ~n_docs. SCALING.md has the
+    measured round-count and wall-clock gap on a chain fixture.
+
+    Per round, on the canonical edge set E = {(hi, lo): hi > lo}:
+
+      large-star: for every node u, attach each LARGER neighbor v to
+        m(u) = min(N(u) + {u})  —  new E = {(v, m(u)): v in N(u), v > u}
+      small-star: group E by its hi endpoint u, m = min of u's smaller
+        neighbors — new E = {(v, m): v in N_small(u) + {u}, v != m}
+
+    Both preserve connectivity (Kiveris Thm 1-2); at the joint fixpoint
+    E is a disjoint union of stars centered at each component's minimum
+    node, so the final labels are one symmetric min-neighbor aggregate.
+    Each round = two groupBy-min aggregations + one join, every shuffle
+    keyed on node ids; the edge frame is pin()'ed per round and the
+    predecessor released (same bounded-storage / linear-plan-growth
+    discipline as the label-prop form — lineage truncation per round is
+    what keeps the planner from OOMing). Convergence check: pinned edge
+    counts equal AND new \\ old empty (exceptAll probe on two pinned
+    frames). Nodes appearing only in self-pairs keep their own label
+    (the node universe is taken from ``pairs`` before dropping loops).
+    Returns (node, component) with component = min doc id in the group.
+    """
+    global LAST_CC_ROUNDS
+    LAST_CC_ROUNDS = 0
+    raw = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    nodes = pin(
+        raw.selectExpr("u AS node").union(raw.selectExpr("v AS node")).distinct(),
+        label="cc_nodes",
+    )
+    edges = pin(
+        raw.filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
+        )
+        .distinct(),
+        label="cc_star_edges",
+    )
+    n_edges = edges.count()
+    for _ in range(max_iter):
+        # large-star: symmetric neighborhoods, min over N(u) + {u}
+        sym = edges.select(
+            F.col("hi").alias("a"), F.col("lo").alias("b")
+        ).union(edges.select(F.col("lo").alias("a"), F.col("hi").alias("b")))
+        mins = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("mnb"))
+            .select("a", F.least("a", "mnb").alias("m"))
+        )
+        ls = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        # small-star: every canon edge belongs to exactly one hi-group
+        mins_s = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        ss = (
+            ls.join(mins_s, "hi")
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .union(mins_s.select(F.col("hi"), F.col("m").alias("lo")))
+            .distinct()
+        )
+        new_edges = pin(ss, label="cc_star_edges")
+        n_new = new_edges.count()
+        converged = n_new == n_edges and (
+            new_edges.exceptAll(edges).limit(1).count() == 0
+        )
+        release(edges)
+        edges, n_edges = new_edges, n_new
+        LAST_CC_ROUNDS += 1
+        if converged:
+            break
+    # at the star fixpoint: leaf -> its center, center -> itself
+    sym = edges.select(F.col("hi").alias("a"), F.col("lo").alias("b")).union(
+        edges.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    )
+    nbr = sym.groupBy("a").agg(F.min("b").alias("mb"))
+    # nodes and the final edge pin stay pinned until the caller's
+    # release_pins — the returned frame still reads both
+    return nodes.join(nbr, nodes.node == nbr.a, "left").select(
+        "node",
+        F.least(F.col("node"), F.coalesce("mb", "node")).alias("component"),
+    )
 
 
 def embedding_near_dup_pairs(
