@@ -4529,39 +4529,15 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= {_PH_HAM}
 """
 
 
-@register("mm_phash_dedup", oracle=_phash_sql())
-def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash image dedup: dHash each image (adjacent-pixel
-    brightness comparisons over a fixed thumbnail grid -> one 62-bit
-    signature), then find all pairs within hamming distance 3 via
-    pigeonhole chunk blocking — the standard image near-dup pass of a
-    multimodal training pipeline (resized re-encodes and watermarked
-    copies hash within a few bits of the original). The pixel grid is
-    the deterministic md5-derived stand-in for a decoded thumbnail
-    (operators/multimodal.py:77 documents the honest no-codec
-    boundary; a real deployment swaps ONE mapInPandas decode in and
-    every stage below is unchanged). Every doc plants an original
-    (2*doc_id) + variant (2*doc_id+1, doc_id %% 6 flipped cells) image
-    pair, so distances straddle the radius, the blocking does real
-    work, and the image count scales 1:1 with the corpus — this key
-    runs in the weak-scaling sweep like every other (the round-7 cap
-    at 250 images froze it out).
-
-    Scale shape: the signature is a PURE map-side projection — the
-    pixel array and the 62 comparisons are array expressions
-    (transform/aggregate over sequence), no explode beyond the 2-per-
-    doc image ids, no window, no shuffle; each signature then explodes
-    to exactly 4 (chunk, value) band keys and only band collisions
-    shuffle (dedup_simhash's pigeonhole guarantee: hamming <= 3 over 4
-    chunks forces >= 1 equal chunk, so recall is 1.0 by construction —
-    no S-curve). Signatures ride the band join so verification needs
-    no re-join. At 100 TB: 64-byte signatures per image, band keys
-    uniform by construction."""
-    ids = load(spark, sf_dir, "documents").select(
-        F.explode(
-            F.array(F.col("doc_id") * 2, F.col("doc_id") * 2 + 1)
-        ).alias("doc_id")
-    )
+def _phash_pair_frame(ids: DataFrame) -> DataFrame:
+    """dHash signature + pigeonhole chunk blocking over an image-id
+    frame (one column ``doc_id``; id = 2*seed + variant_flag, pixels
+    md5-derived from the seed, variant flips the first seed%6 cells —
+    the deterministic no-codec stand-in documented at
+    operators/multimodal.py:77). Returns (doc_a, doc_b, hamming) with
+    hamming <= _PH_HAM; recall 1.0 by the pigeonhole guarantee. Shared
+    by mm_phash_dedup (image-only) and mm_pair_dedup (cross-modal
+    intersection)."""
     px_expr = (
         "transform(sequence(1, {cells}), c -> CASE WHEN"
         " doc_id % 2 = 1 AND (c - 1) < (doc_id div 2) % 6"
@@ -4621,6 +4597,185 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(ham <= _PH_HAM).select(
         "doc_a", "doc_b", ham.cast("int").alias("hamming")
     )
+
+
+@register("mm_phash_dedup", oracle=_phash_sql())
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup: dHash each image (adjacent-pixel
+    brightness comparisons over a fixed thumbnail grid -> one 62-bit
+    signature), then find all pairs within hamming distance 3 via
+    pigeonhole chunk blocking — the standard image near-dup pass of a
+    multimodal training pipeline (resized re-encodes and watermarked
+    copies hash within a few bits of the original). The pixel grid is
+    the deterministic md5-derived stand-in for a decoded thumbnail
+    (operators/multimodal.py:77 documents the honest no-codec
+    boundary; a real deployment swaps ONE mapInPandas decode in and
+    every stage below is unchanged). Every doc plants an original
+    (2*doc_id) + variant (2*doc_id+1, doc_id %% 6 flipped cells) image
+    pair, so distances straddle the radius, the blocking does real
+    work, and the image count scales 1:1 with the corpus — this key
+    runs in the weak-scaling sweep like every other (the round-7 cap
+    at 250 images froze it out).
+
+    Scale shape: the signature is a PURE map-side projection — the
+    pixel array and the 62 comparisons are array expressions
+    (transform/aggregate over sequence), no explode beyond the 2-per-
+    doc image ids, no window, no shuffle; each signature then explodes
+    to exactly 4 (chunk, value) band keys and only band collisions
+    shuffle (dedup_simhash's pigeonhole guarantee: hamming <= 3 over 4
+    chunks forces >= 1 equal chunk, so recall is 1.0 by construction —
+    no S-curve). Signatures ride the band join so verification needs
+    no re-join. At 100 TB: 64-byte signatures per image, band keys
+    uniform by construction."""
+    ids = load(spark, sf_dir, "documents").select(
+        F.explode(
+            F.array(F.col("doc_id") * 2, F.col("doc_id") * 2 + 1)
+        ).alias("doc_id")
+    )
+    return _phash_pair_frame(ids)
+
+
+def _mm_pair_sql() -> str:
+    """Oracle for mm_pair_dedup: the phash CTEs (renamed i* to avoid
+    colliding with the MinHash sig CTEs) intersected with the caption
+    MinHash band join, both over the (image, caption) pair corpus."""
+    flip = (
+        "CASE WHEN doc_id % 2 = 1 AND (c - 1) < (doc_id // 2) % 6 "
+        f"THEN ({_PH_PX_DUCK} + 128) % 256 ELSE {_PH_PX_DUCK} END"
+    )
+    chunk = "(h >> (16 * ck)) & 65535"
+    band_cond = " OR ".join(
+        "(" + " AND ".join(f"a.h{b*2+r} = b.h{b*2+r}" for r in range(2)) + ")"
+        for b in range(_BANDS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END)" for j in range(_NUM_HASHES)
+    )
+    return f"""
+WITH pairs_c AS (
+  SELECT doc_id * 2 AS pair_id, text AS caption FROM documents
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS pair_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN array_to_string(list_reverse(string_split(text, ' ')), ' ')
+              ELSE regexp_replace(text, '^[a-z]+ ', '') END AS caption
+  FROM documents
+),
+corpus AS (SELECT pair_id AS doc_id, caption AS text FROM pairs_c),
+{_minhash_sig_sql().strip()},
+cap AS (
+  SELECT a.doc_id AS pair_a, b.doc_id AS pair_b,
+         round(({agree}) / {float(_NUM_HASHES)}, 4) AS est_jaccard
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_cond})
+  WHERE round(({agree}) / {float(_NUM_HASHES)}, 4) >= 0.5
+),
+ipxa AS (
+  SELECT pair_id AS doc_id,
+         list_transform(generate_series(1, {_PH_CELLS}), c -> {flip}) AS px
+  FROM pairs_c
+),
+isig AS (
+  SELECT doc_id,
+         list_sum(list_transform(generate_series(1, {_PH_BITS}), i ->
+           CASE WHEN px[i] > px[i + 1]
+                THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)) AS h
+  FROM ipxa
+),
+ibands AS (
+  SELECT doc_id, h, ck, {chunk} AS cv
+  FROM isig, unnest(generate_series(0, {_PH_CHUNKS - 1})) AS t(ck)
+),
+img AS (
+  SELECT DISTINCT a.doc_id AS pair_a, b.doc_id AS pair_b,
+         CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+  FROM ibands a JOIN ibands b
+    ON a.ck = b.ck AND a.cv = b.cv AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.h, b.h)) <= {_PH_HAM}
+)
+SELECT pair_a, pair_b, hamming, est_jaccard
+FROM img JOIN cap USING (pair_a, pair_b)
+"""
+
+
+@register("mm_pair_dedup", oracle=_mm_pair_sql())
+def mm_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal (image, caption) pair dedup — the LAION-style shape
+    (Schuhmann et al., arXiv:2210.08402 dedup by URL+text; Webster et
+    al., arXiv:2303.12733 show image-only dedup over-merges distinct
+    captioned uses): two pairs are near-dups iff their IMAGE signatures
+    collide within hamming <= {ham} (dHash + pigeonhole chunk blocking,
+    shared with mm_phash_dedup via _phash_pair_frame) AND their CAPTION
+    MinHash bands collide at est_jaccard >= 0.5 (shared with
+    dedup_minhash_lsh via operators/dedup.py::minhash_lsh_pairs) — the
+    intersection of two BLOCKING equi-joins, never a cross join, so the
+    composite inherits each family's linear candidate generation.
+
+    Fixture: every document contributes the pair (2*doc_id original,
+    2*doc_id+1 variant); the variant flips the first doc_id%6 image
+    cells (image hamming straddles the radius) and mutates the caption
+    — word-REVERSED when doc_id%3=0 (shingle set disjoint, est_jaccard
+    ~0: a caption veto on pairs whose images still match) else the
+    first word dropped (est_jaccard high: caption match) — so each
+    modality vetoes a DIFFERENT subset of planted pairs and the
+    intersection does real work; image-only and caption-only matches
+    both exist and are correctly excluded (counts pinned in
+    tests/test_round9_ops.py).
+
+    Scale shape: pair corpus pinned once (both signature builds read
+    it — unpinned, 2 documents scans); each modality is a map-side
+    signature + uniform band equi-join; the final intersection is an
+    equi-join on (pair_a, pair_b) between two already-filtered
+    candidate frames, each a vanishing fraction of the corpus. At
+    100 TB the caption signature is 64 B/pair, the image signature
+    8 B/pair, and no stage touches pixels after the map side."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = pin(
+        docs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        (F.col("doc_id") * 2).alias("pair_id"),
+                        F.col("text").alias("caption"),
+                    ),
+                    F.struct(
+                        (F.col("doc_id") * 2 + 1).alias("pair_id"),
+                        F.when(
+                            F.col("doc_id") % 3 == 0,
+                            F.array_join(
+                                F.reverse(F.split("text", " ")), " "
+                            ),
+                        )
+                        .otherwise(
+                            F.regexp_replace("text", r"^[a-z]+ ", "")
+                        )
+                        .alias("caption"),
+                    ),
+                )
+            ).alias("p")
+        ).select("p.pair_id", "p.caption"),
+        label="mm_pair_corpus",
+    )
+    img = _phash_pair_frame(
+        corpus.select(F.col("pair_id").alias("doc_id"))
+    ).select(
+        F.col("doc_a").alias("pair_a"),
+        F.col("doc_b").alias("pair_b"),
+        "hamming",
+    )
+    cap = D.minhash_lsh_pairs(
+        corpus, "pair_id", "caption",
+        num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5,
+    ).select(
+        F.col("doc_a").alias("pair_a"),
+        F.col("doc_b").alias("pair_b"),
+        "est_jaccard",
+    )
+    return img.join(cap, ["pair_a", "pair_b"]).select(
+        "pair_a", "pair_b", "hamming", "est_jaccard"
+    )
+
+
+mm_pair_dedup.__doc__ = mm_pair_dedup.__doc__.format(ham=_PH_HAM)
 
 
 # ---------------------------------------------------------------------------

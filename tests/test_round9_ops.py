@@ -8,9 +8,24 @@ from __future__ import annotations
 import random
 
 import pytest
+from pyspark.sql import functions as F
 
 from airbnb_listings_reviews_data_engineering_spark.checkpoint import release_pins
 from airbnb_listings_reviews_data_engineering_spark.operators import dedup as D
+from airbnb_listings_reviews_data_engineering_spark.plans import all_queries
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def q():
+    return all_queries()
+
+
+def rows(q, spark, sf_dir, key):
+    out = q[key].fn(spark, sf_dir).collect()
+    release_pins(spark)
+    return out
 
 
 def _components(spark, edges, fn, **kw):
@@ -81,3 +96,73 @@ def test_cc_star_islands_and_selfloops(spark):
     edges = [(5, 3), (3, 8), (21, 20), (30, 30)]
     star, _ = _components(spark, edges, D.connected_components)
     assert star == {3: 3, 5: 3, 8: 3, 20: 20, 21: 20, 30: 30}
+
+
+# --- mm_pair_dedup: the intersection must do real work -----------------------
+
+
+def test_mm_pair_dedup_each_modality_vetoes(spark, q):
+    both = {
+        (r.pair_a, r.pair_b) for r in rows(q, spark, SF_SMALL, "mm_pair_dedup")
+    }
+    img = {
+        (r.doc_a, r.doc_b) for r in rows(q, spark, SF_SMALL, "mm_phash_dedup")
+    }
+    # rebuild the caption side alone (same corpus construction as the key)
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col("doc_id") * 2).alias("pair_id"),
+                    F.col("text").alias("caption"),
+                ),
+                F.struct(
+                    (F.col("doc_id") * 2 + 1).alias("pair_id"),
+                    F.when(
+                        F.col("doc_id") % 3 == 0,
+                        F.array_join(F.reverse(F.split("text", " ")), " "),
+                    )
+                    .otherwise(F.regexp_replace("text", r"^[a-z]+ ", ""))
+                    .alias("caption"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.pair_id", "p.caption")
+    cap = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_pairs(
+            corpus, "pair_id", "caption", num_hashes=8, bands=4, threshold=0.5
+        ).collect()
+    }
+    release_pins(spark)
+    # the composite is exactly the intersection of the two blocking joins
+    assert both == (img & cap)
+    # and BOTH modalities veto a nonempty subset: image-only matches
+    # (word-reversed captions on identical images) and caption-only
+    # matches (heavy cell flips on near-identical captions) exist
+    assert img - cap, "caption leg never vetoed an image match"
+    assert cap - img, "image leg never vetoed a caption match"
+
+
+def test_mm_pair_dedup_planted_semantics(spark, q):
+    out = {
+        (r.pair_a, r.pair_b): r
+        for r in rows(q, spark, SF_SMALL, "mm_pair_dedup")
+    }
+    # pin the two veto directions on explicit planted examples
+    # (note d%6==0 implies d%3==0, so every identical-image pair has a
+    # reversed caption in this fixture — there is no both-trivially-
+    # matching d%6==0 survivor to check):
+    # d % 6 == 0 (image hamming 0, in img) but d % 3 == 0 (caption
+    # reversed) -> must NOT be in the composite
+    for d in (6, 12, 18, 24):
+        assert (2 * d, 2 * d + 1) not in out
+    # d % 6 == 1 (one flipped cell -> hamming <= 2) and d % 3 != 0
+    # -> caption is a drop-first-word near-dup: must be IN the composite
+    for d in (1, 7, 13, 19):
+        assert (2 * d, 2 * d + 1) in out
+        assert out[(2 * d, 2 * d + 1)].hamming <= 3
+        assert out[(2 * d, 2 * d + 1)].est_jaccard >= 0.5
