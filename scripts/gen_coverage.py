@@ -166,8 +166,8 @@ SECTIONS = [
         "text_decontaminate_semantic", "pipeline_curation_funnel",
         "sample_prototype_pruning", "eval_judge_kappa",
         "stream_dedup_embedding"]),
-    ("Admission / cross-modal dedup (round-9 additions)", [
-        "stream_dedup_span", "mm_pair_dedup"]),
+    ("Admission / cross-modal dedup / distillation (round-9 additions)", [
+        "stream_dedup_span", "mm_pair_dedup", "ml_quality_distill"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

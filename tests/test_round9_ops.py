@@ -166,3 +166,23 @@ def test_mm_pair_dedup_planted_semantics(spark, q):
         assert (2 * d, 2 * d + 1) in out
         assert out[(2 * d, 2 * d + 1)].hamming <= 3
         assert out[(2 * d, 2 * d + 1)].est_jaccard >= 0.5
+
+
+# --- ml_quality_distill: the distilled filter must actually learn ------------
+
+
+def test_quality_distill_learns_above_majority(spark, q):
+    r = rows(q, spark, "/root/testdata/sf0.01", "ml_quality_distill")[0]
+    majority = max(r.rules_pass_rate_test, 1.0 - r.rules_pass_rate_test)
+    # held-out agreement with the rule battery far above the majority
+    # baseline — the distilled filter learned the rules, not the prior
+    assert r.test_agree >= majority + 0.2
+    assert r.n_train > r.n_test > 0
+    # the disagreement profile is the whole point of the key: both
+    # counts reported, and they reconcile with the agreement rate
+    assert r.n_false_pass + r.n_false_drop == round(
+        (1.0 - r.test_agree) * r.n_test
+    )
+    # the learned boundary must lean on BOTH cheap features (the label
+    # is an AND of thresholds on them)
+    assert r.w_ntok > 0 and r.w_stop > 0
