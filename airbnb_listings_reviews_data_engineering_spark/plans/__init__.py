@@ -26,6 +26,7 @@ def all_queries() -> dict[str, "QuerySpec"]:
         relational,
         sampling_ext,
         scale_ext,
+        sketch_ext,
         streaming_q,
         window_ext,
     )

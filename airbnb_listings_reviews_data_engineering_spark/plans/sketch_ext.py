@@ -1,0 +1,326 @@
+"""Deterministic mergeable sketches — bitwise-oracle-able KMV / theta /
+count-min, the composable 100 TB aggregation levers.
+
+``approx_ext`` covers Spark's NATIVE sketches (GK percentile, HLL++,
+DataSketches HLL union), whose internals differ engine-to-engine, so
+those keys gate on the ERROR CONTRACT (``TRUE AS ok``). The sketches
+here are built from the engine-shared ``hash60`` (md5-derived, see
+functions/hashing.py) with exact integer/IEEE arithmetic only, so the
+SKETCH ITSELF matches DuckDB bitwise — the strongest gate the driver
+can run, with the approximation error measured against exact verifiers
+in the same output row.
+
+Why this family matters at 100 TB (Flajolet et al. PCSA/HLL lineage;
+Beyer et al. KMV, SIGMOD 2007; Dasgupta et al. theta sketches,
+arXiv:1510.01997; Cormode & Muthukrishnan count-min, J.Alg 2005): all
+three are one map-side pass with map-side-combinable bounded state —
+register minima (K rows/group), a hash-threshold sample (NDV/rate
+rows), or a d x w counter grid — so any rollup, set operation, or
+point frequency over a re-aggregation is answered by MERGING kilobyte
+sketches instead of re-scanning raw data. The exact counts emitted
+alongside are the gate's verifiers (themselves shuffle-safe two-phase
+distincts), not part of the scale path.
+
+The reference has no sketch surface (its analysis layer is six
+SQL/Mongo queries, Airbnb_Analysis.py:24-229); SURVEY §2 extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    XOR_SEEDS,
+    hash60_duckdb_sql,
+    hash60_spark_sql,
+)
+from .registry import load, register
+
+# 60-bit hash space size as an exact double (2^60) — shared literal
+_H = "1152921504606846976.0"
+
+# ---------------------------------------------------------------------------
+# KMV / register-minima NDV: K bounded registers per group, no sort
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+# Harmonic-mean (HLL-style) estimate over the K register minima: m_j
+# sits at ~H/(n_j+1), so K^2*H / sum_j(m_j) - K estimates n. (The naive
+# per-register sum of H/m_j is NOT usable: E[1/min] diverges — a single
+# lucky tiny minimum dominates; measured rel_err 3.4-25x before this
+# form.) Empty registers contribute m_j = H. The sum is computed over
+# m_j div 256 (exact integer shift, partition-order-independent, and
+# 64 x 2^52 cannot overflow int64 — sum(m) itself can reach 2^66 at
+# small n) and rescaled once in DOUBLE: the int->double cast and the
+# one division are IEEE-deterministic, so the estimate is bitwise equal
+# across engines. {div} is the engine's integer-divide spelling.
+_KMV_EST = (
+    f"CAST(round({_KMV_K}.0 * {_KMV_K}.0 * {_H}"
+    f" / (CAST(sum(m {{div}} 256) AS DOUBLE) * 256.0"
+    f" + ({_KMV_K} - count(*)) * {_H}) - {_KMV_K}.0) AS BIGINT)"
+)
+
+_KMV_SQL = f"""
+WITH h AS (
+  SELECT o_orderpriority AS prio,
+         {hash60_duckdb_sql("CAST(o_custkey AS VARCHAR)")} AS h
+  FROM orders
+),
+regs AS (
+  SELECT prio, h % {_KMV_K} AS reg, min(h) AS m
+  FROM h GROUP BY prio, h % {_KMV_K}
+),
+est AS (
+  SELECT prio, {_KMV_EST.format(div="//")} AS ndv_est
+  FROM regs GROUP BY prio
+),
+ex AS (
+  SELECT o_orderpriority AS prio,
+         count(DISTINCT o_custkey) AS n_exact
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT prio, n_exact, ndv_est,
+       round(abs(ndv_est - n_exact) / CAST(n_exact AS DOUBLE), 4) AS rel_err
+FROM est JOIN ex USING (prio)
+"""
+
+
+@register("sketch_kmv_ndv", oracle=_KMV_SQL)
+def sketch_kmv_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDV per group from K=64 register minima (PCSA/KMV shape, Beyer
+    et al. SIGMOD 2007) — bounded state with NO sort and NO value
+    buffering: register j of a group holds min(hash60(v)) over the
+    substream h %% K = j, so the whole sketch is one groupBy(group,
+    reg) min — map-side combinable, K rows per group forever — and the
+    harmonic-mean estimate K^2*H/sum(m_j) - K (the HLL idea at full
+    register resolution) is order-independent integer sums plus one
+    IEEE division, so it matches the DuckDB oracle bitwise (unlike
+    approx_count_distinct,
+    whose HLL++ registers are engine-internal — agg_approx_count_
+    distinct gates on the error contract instead; this key's sketch IS
+    the gated value). Sketches merge by pairwise register min, so
+    ingest-partition sketches answer any rollup without rescanning —
+    the exact countDistinct emitted alongside is the gate's verifier,
+    not the scale path. Measured max rel_err at K=64: 0.38 / 0.23 /
+    0.042 per group at sf0.001/0.01/0.1 (n/K of ~4 / ~20 / ~200 — the
+    small-register bias regime washes out as registers fill; error
+    ~1.3/sqrt(K), K is the knob). SCALING.md round-9."""
+    o = load(spark, sf_dir, "orders")
+    h = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.expr(hash60_spark_sql("CAST(o_custkey AS STRING)")).alias("h"),
+    )
+    regs = (
+        h.withColumn("reg", F.col("h") % _KMV_K)
+        .groupBy("prio", "reg")
+        .agg(F.min("h").alias("m"))
+    )
+    est = regs.groupBy("prio").agg(
+        F.expr(_KMV_EST.format(div="div") + " AS ndv_est")
+    )
+    ex = o.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    return est.join(ex, "prio").select(
+        "prio",
+        "n_exact",
+        "ndv_est",
+        F.expr(
+            "round(abs(ndv_est - n_exact) / CAST(n_exact AS DOUBLE), 4)"
+            " AS rel_err"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# theta-sketch set operations: hash-threshold samples compose under
+# union/intersection because membership is decided by h alone
+# ---------------------------------------------------------------------------
+
+_THETA_RATE = 16  # keep h < H/16: a deterministic 1-in-16 key sample
+_THETA_CUT = 1152921504606846976 // _THETA_RATE  # 2^60/16, exact integer
+_THETA_A = "1-URGENT"
+_THETA_B = "2-HIGH"
+
+_THETA_SQL = f"""
+WITH mem AS (
+  SELECT o_custkey AS k,
+         max(CASE WHEN o_orderpriority = '{_THETA_A}' THEN 1 ELSE 0 END) AS a,
+         max(CASE WHEN o_orderpriority = '{_THETA_B}' THEN 1 ELSE 0 END) AS b
+  FROM orders
+  WHERE o_orderpriority IN ('{_THETA_A}', '{_THETA_B}')
+  GROUP BY o_custkey
+),
+hm AS (
+  SELECT a, b,
+         CASE WHEN {hash60_duckdb_sql("CAST(k AS VARCHAR)")}
+                   < {_THETA_CUT} THEN 1 ELSE 0 END AS s
+  FROM mem
+)
+SELECT CAST(sum(a) AS BIGINT) AS n_exact_a,
+       CAST(sum(s * a) * {_THETA_RATE} AS BIGINT) AS est_a,
+       CAST(sum(b) AS BIGINT) AS n_exact_b,
+       CAST(sum(s * b) * {_THETA_RATE} AS BIGINT) AS est_b,
+       CAST(count(*) AS BIGINT) AS n_exact_union,
+       CAST(sum(s) * {_THETA_RATE} AS BIGINT) AS est_union,
+       CAST(sum(a * b) AS BIGINT) AS n_exact_inter,
+       CAST(sum(s * a * b) * {_THETA_RATE} AS BIGINT) AS est_inter
+FROM hm
+"""
+
+
+@register("sketch_theta_setops", oracle=_THETA_SQL)
+def sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set operations (Dasgupta et al., arXiv:1510.01997,
+    fixed-theta form): a key belongs to the sample iff hash60(key) <
+    H/16 — a DETERMINISTIC 1-in-16 sample decided by the hash alone,
+    so the same key is sampled in every set, every partition, every
+    engine, and sampling COMMUTES with union/intersection: est(A op B)
+    = 16 x |sample_A op sample_B|. That is what approx_count_distinct
+    can never give (its estimate is final; no intersection), and why
+    theta sketches are the cross-dataset overlap tool at 100 TB —
+    per-dataset samples are NDV/16 keys, and any pairwise overlap
+    (train x eval contamination, cohort x cohort) is answered from
+    stored samples with exact integer arithmetic (bitwise-gated here).
+    Fixed theta keeps determinism and cross-engine parity; production
+    theta adapts the threshold to cap the sample at k — same algebra,
+    rate becomes a per-sketch field. The exact memberships emitted
+    alongside are the gate's verifier (one two-phase distinct). The
+    whole plan is ONE groupBy(custkey) + one global aggregate."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin(_THETA_A, _THETA_B)
+    )
+    mem = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.max(
+            F.when(F.col("o_orderpriority") == _THETA_A, 1).otherwise(0)
+        ).alias("a"),
+        F.max(
+            F.when(F.col("o_orderpriority") == _THETA_B, 1).otherwise(0)
+        ).alias("b"),
+    )
+    hm = mem.select(
+        "a",
+        "b",
+        F.expr(
+            f"CASE WHEN {hash60_spark_sql('CAST(k AS STRING)')}"
+            f" < {_THETA_CUT} THEN 1 ELSE 0 END"
+        ).alias("s"),
+    )
+    return hm.agg(
+        F.expr("CAST(sum(a) AS BIGINT) AS n_exact_a"),
+        F.expr(f"CAST(sum(s * a) * {_THETA_RATE} AS BIGINT) AS est_a"),
+        F.expr("CAST(sum(b) AS BIGINT) AS n_exact_b"),
+        F.expr(f"CAST(sum(s * b) * {_THETA_RATE} AS BIGINT) AS est_b"),
+        F.expr("CAST(count(*) AS BIGINT) AS n_exact_union"),
+        F.expr(f"CAST(sum(s) * {_THETA_RATE} AS BIGINT) AS est_union"),
+        F.expr("CAST(sum(a * b) AS BIGINT) AS n_exact_inter"),
+        F.expr(
+            f"CAST(sum(s * a * b) * {_THETA_RATE} AS BIGINT) AS est_inter"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# count-min point frequencies: d x w counter grid, probe = min over rows
+# ---------------------------------------------------------------------------
+
+_CM_D = 3
+_CM_W = 4096
+_CM_PROBE_MOD = 97  # fixed probe set: custkeys divisible by 97
+
+
+def _cm_cols_duck(expr: str) -> list[str]:
+    return [
+        f"xor({hash60_duckdb_sql(expr)}, {XOR_SEEDS[i]}) % {_CM_W}"
+        for i in range(_CM_D)
+    ]
+
+
+def _cm_cols_spark(expr: str) -> list[str]:
+    return [
+        f"({hash60_spark_sql(expr)} ^ {XOR_SEEDS[i]}L) % {_CM_W}"
+        for i in range(_CM_D)
+    ]
+
+
+def _cm_sql() -> str:
+    duck_cols = _cm_cols_duck("CAST(o_custkey AS VARCHAR)")
+    probe_cols = _cm_cols_duck("CAST(k AS VARCHAR)")
+    cells = " UNION ALL ".join(
+        f"SELECT {i} AS r, {c} AS c FROM orders" for i, c in enumerate(duck_cols)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT k, n_exact, {i} AS r, {c} AS c FROM ex"
+        for i, c in enumerate(probe_cols)
+    )
+    return f"""
+WITH sk AS (
+  SELECT r, c, count(*) AS cnt FROM ({cells}) GROUP BY r, c
+),
+ex AS (
+  SELECT o_custkey AS k, count(*) AS n_exact FROM orders
+  WHERE o_custkey % {_CM_PROBE_MOD} = 0 GROUP BY o_custkey
+),
+pr AS ({probes})
+SELECT k AS custkey, CAST(min(n_exact) AS BIGINT) AS n_exact,
+       CAST(min(cnt) AS BIGINT) AS n_est
+FROM pr JOIN sk USING (r, c)
+GROUP BY k
+"""
+
+
+@register("sketch_countmin_heavy", oracle=_cm_sql())
+def sketch_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point frequencies (Cormode & Muthukrishnan, J.Alg
+    2005): a d=3 x w=4096 counter grid — row i counts the stream at
+    column (hash60(key) XOR seed_i) %% w (the MinHash family's XOR
+    seeds reused as the d pairwise-independent hashes) — and a key's
+    frequency estimate is min over the d counters, ALWAYS >= the true
+    count (pinned in tests) and over by at most ~e*N/w with prob
+    1 - e^-d. The grid is the entire state: 12,288 counters regardless
+    of stream size or key cardinality, built by ONE map-side-combined
+    groupBy over the d-exploded stream and merged across
+    partitions/days by cell-wise ADDITION — the frequency analogue of
+    the HLL rollup (agg_hll_sketch_rollup), and like the rest of this
+    module the counters are exact integers, so the oracle gate is
+    bitwise on the sketch itself. Probes (every custkey divisible by
+    97) broadcast-join the tiny grid; the exact per-key counts emitted
+    alongside are the verifier, not the scale path."""
+    o = load(spark, sf_dir, "orders")
+    cols = _cm_cols_spark("CAST(o_custkey AS STRING)")
+    cells = o.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("r"), F.expr(c).alias("c")
+                )
+                for i, c in enumerate(cols)
+            ])
+        ).alias("rc")
+    ).select("rc.r", "rc.c")
+    sk = cells.groupBy("r", "c").agg(F.count("*").alias("cnt"))
+    ex = (
+        o.filter(F.col("o_custkey") % _CM_PROBE_MOD == 0)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("n_exact"))
+    )
+    probe_cols = _cm_cols_spark("CAST(k AS STRING)")
+    pr = ex.select(
+        "k",
+        "n_exact",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("r"), F.expr(c).alias("c"))
+                for i, c in enumerate(probe_cols)
+            ])
+        ).alias("rc"),
+    ).select("k", "n_exact", "rc.r", "rc.c")
+    return (
+        pr.join(F.broadcast(sk), ["r", "c"])
+        .groupBy(F.col("k").alias("custkey"))
+        .agg(
+            F.expr("CAST(min(n_exact) AS BIGINT) AS n_exact"),
+            F.expr("CAST(min(cnt) AS BIGINT) AS n_est"),
+        )
+    )

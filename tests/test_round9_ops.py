@@ -186,3 +186,46 @@ def test_quality_distill_learns_above_majority(spark, q):
     # the learned boundary must lean on BOTH cheap features (the label
     # is an AND of thresholds on them)
     assert r.w_ntok > 0 and r.w_stop > 0
+
+
+# --- deterministic sketches: contracts the hash-match cannot state -----------
+
+
+def test_kmv_ndv_error_bound(spark, q):
+    out = rows(q, spark, "/root/testdata/sf0.01", "sketch_kmv_ndv")
+    assert len(out) == 5
+    for r in out:
+        assert r.ndv_est > 0
+        # measured small-register regime at sf0.01 tops out at 0.23;
+        # 0.3 leaves headroom without letting a broken estimator pass
+        assert r.rel_err <= 0.3, (r.prio, r.rel_err)
+
+
+def test_theta_setops_algebra(spark, q):
+    r = rows(q, spark, "/root/testdata/sf0.01", "sketch_theta_setops")[0]
+    # inclusion-exclusion holds EXACTLY on both sides: the sample is a
+    # fixed subset of the key universe, so set algebra commutes with it
+    assert r.est_union == r.est_a + r.est_b - r.est_inter
+    assert r.n_exact_union == r.n_exact_a + r.n_exact_b - r.n_exact_inter
+    # estimates are multiples of the rate and within sampling error
+    for est, exact in (
+        (r.est_a, r.n_exact_a),
+        (r.est_b, r.n_exact_b),
+        (r.est_union, r.n_exact_union),
+        (r.est_inter, r.n_exact_inter),
+    ):
+        assert est % 16 == 0
+        assert abs(est - exact) / exact <= 0.35
+
+
+def test_countmin_one_sided_and_bounded(spark, q):
+    out = rows(q, spark, "/root/testdata/sf0.01", "sketch_countmin_heavy")
+    assert len(out) > 0
+    # the count-min guarantee: NEVER an underestimate
+    assert all(r.n_est >= r.n_exact for r in out)
+    # and the overestimate is bounded in distribution: >= 75% of probes
+    # within e*N/w (Markov per row ^ d rows leaves ~5% tail per probe)
+    n_stream = 15000
+    bound = 2.718281828 * n_stream / 4096
+    within = sum(1 for r in out if r.n_est - r.n_exact <= bound)
+    assert within / len(out) >= 0.75
