@@ -4755,23 +4755,76 @@ def mm_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("p.pair_id", "p.caption"),
         label="mm_pair_corpus",
     )
-    img = _phash_pair_frame(
-        corpus.select(F.col("pair_id").alias("doc_id"))
-    ).select(
-        F.col("doc_a").alias("pair_a"),
-        F.col("doc_b").alias("pair_b"),
-        "hamming",
+    img = pin(
+        _phash_pair_frame(
+            corpus.select(F.col("pair_id").alias("doc_id"))
+        ).select(
+            F.col("doc_a").alias("pair_a"),
+            F.col("doc_b").alias("pair_b"),
+            "hamming",
+        ),
+        label="mm_pair_img_cand",
     )
-    cap = D.minhash_lsh_pairs(
-        corpus, "pair_id", "caption",
-        num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5,
-    ).select(
-        F.col("doc_a").alias("pair_a"),
-        F.col("doc_b").alias("pair_b"),
-        "est_jaccard",
+    # caption leg WITHOUT its own band self-join: the image leg already
+    # proposed the candidate pairs, so captions only need signatures —
+    # computed on the semi-join-reduced doc set (pairs surviving the
+    # image bands; at 100 TB with sparse image candidates this is the
+    # big win: shingling runs on the candidate subset, not the corpus)
+    # — and the MinHash-band semantics are preserved EXACTLY by
+    # checking band agreement on the signature pair directly (collide
+    # iff some band's rows all agree), so the result is identical to
+    # intersecting with minhash_lsh_pairs, minus one corpus-scale
+    # explode + self-join + distinct (pinned by the round-9 test that
+    # rebuilds the caption leg independently and asserts equality).
+    needed = (
+        img.select(F.col("pair_a").alias("pair_id"))
+        .union(img.select(F.col("pair_b").alias("pair_id")))
+        .distinct()
     )
-    return img.join(cap, ["pair_a", "pair_b"]).select(
-        "pair_a", "pair_b", "hamming", "est_jaccard"
+    sig = pin(
+        D.minhash_signature(
+            # broadcast the id set so the semi-join stays map-side — a
+            # shuffled semi-join would move the full caption TEXT, the
+            # heaviest column in the plan (locally this pin's cost is
+            # the shingle+md5 signature computation itself, ~1.4 s at
+            # sf0.1; the broadcast matters when candidates are sparse)
+            corpus.join(F.broadcast(needed), "pair_id", "leftsemi"),
+            "pair_id", "caption", _NUM_HASHES,
+        ),
+        label="mm_pair_cap_sig",
+    )
+    rows_per_band = _NUM_HASHES // _BANDS
+    band_collide = " OR ".join(
+        "("
+        + " AND ".join(
+            f"a.h{b * rows_per_band + r} = b.h{b * rows_per_band + r}"
+            for r in range(rows_per_band)
+        )
+        + ")"
+        for b in range(_BANDS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END)"
+        for j in range(_NUM_HASHES)
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        img.join(a, F.col("pair_a") == F.col("a.pair_id"))
+        .join(b, F.col("pair_b") == F.col("b.pair_id"))
+        .filter(F.expr(band_collide))
+        .select(
+            "pair_a",
+            "pair_b",
+            "hamming",
+            F.expr(
+                # CAST: a bare 8.0 literal parses as DECIMAL in Spark
+                # SQL text (DOUBLE in DuckDB) — the quotient must be a
+                # double for the bitwise gate
+                f"round(({agree}) / CAST({_NUM_HASHES} AS DOUBLE), 4)"
+            ).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
     )
 
 

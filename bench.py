@@ -132,9 +132,20 @@ R8_ADDITIONS = [
     "ml_logreg_gd",                 # K unrolled exact-int64-gradient GD rounds
 ]
 
+# round-9 breadth: the cross-modal composite, the admission form of
+# span dedup, the distillation chain, the log-rounds CC consumer, and
+# one representative of the bitwise sketch family
+R9_ADDITIONS = [
+    "mm_pair_dedup",        # dHash bands INTERSECT caption minhash bands
+    "stream_dedup_span",    # batch grams probed vs standing posting index
+    "ml_quality_distill",   # gopher labels -> 6 GD rounds -> holdout audit
+    "dedup_components",     # alternating-star CC (log-rounds contraction)
+    "sketch_countmin_heavy",  # d-exploded stream -> 12k-cell grid + probes
+]
+
 HEADLINE = (R2_HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R4B_ADDITIONS
             + R4C_ADDITIONS + R4D_ADDITIONS + R5_ADDITIONS + R7_ADDITIONS
-            + R8_ADDITIONS)
+            + R8_ADDITIONS + R9_ADDITIONS)
 
 
 def main() -> None:
