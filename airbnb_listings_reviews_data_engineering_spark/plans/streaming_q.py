@@ -928,3 +928,80 @@ def stream_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         out, query_name="stream_dedup_span", output_mode="complete"
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming NDV sketch: register minima maintained as bounded stream state
+# ---------------------------------------------------------------------------
+
+_SKN_BATCHES = 3
+
+
+def _stream_kmv_sql() -> str:
+    from .sketch_ext import _KMV_SQL
+
+    return _KMV_SQL
+
+
+@register("stream_sketch_ndv", oracle=_stream_kmv_sql())
+def stream_sketch_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NDV via the KMV register-minima sketch: the orders
+    stream arrives in 3 micro-batches and the streaming aggregation
+    maintains min(hash60(custkey)) per (group, register) — the ENTIRE
+    stream state is group_count x 64 rows FOREVER, the property that
+    makes sketch-based distinct counting the only viable continuous
+    NDV at 100 TB (exact streaming countDistinct state grows with the
+    key universe; dropDuplicates+count needs a watermark and forgets).
+    Register minima merge associatively across micro-batches by the
+    same pairwise min that merges them across partitions, so the
+    drained sketch is BATCH-EQUIVALENT: the oracle is literally
+    sketch_kmv_ndv's SQL, proving the micro-batch path changes the
+    execution, not the value (the same batch-equivalence pattern as
+    the other stream_* admission keys). The harmonic-mean estimate and
+    the exact-NDV verifier fold over the drained K-row register table
+    as batch expressions (two stateful aggregations cannot chain in
+    one streaming query)."""
+    from ..functions.hashing import hash60_spark_sql
+    from .sketch_ext import _KMV_EST, _KMV_K
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("ok"),
+    )
+    stream_dir = _landing_zone(spark, "stream_sketch_ndv")
+    for i in range(_SKN_BATCHES):
+        _stage_batch(
+            o.filter(F.col("ok") % _SKN_BATCHES == i).drop("ok"),
+            stream_dir,
+            f"batch{i + 1}.parquet",
+            i + 1,
+        )
+    stream = spark.readStream.schema(
+        "prio string, custkey bigint"
+    ).parquet(stream_dir)
+    regs = (
+        stream.select(
+            "prio",
+            F.expr(hash60_spark_sql("CAST(custkey AS STRING)")).alias("h"),
+        )
+        .withColumn("reg", F.col("h") % _KMV_K)
+        .groupBy("prio", "reg")
+        .agg(F.min("h").alias("m"))
+    )
+    final_regs = run_available_now(
+        regs, query_name="stream_sketch_ndv", output_mode="complete"
+    )
+    est = final_regs.groupBy("prio").agg(
+        F.expr(_KMV_EST.format(div="div") + " AS ndv_est")
+    )
+    ex = o.groupBy("prio").agg(F.countDistinct("custkey").alias("n_exact"))
+    return est.join(ex, "prio").select(
+        "prio",
+        "n_exact",
+        "ndv_est",
+        F.expr(
+            "round(abs(ndv_est - n_exact) / CAST(n_exact AS DOUBLE), 4)"
+            " AS rel_err"
+        ),
+    )

@@ -229,3 +229,17 @@ def test_countmin_one_sided_and_bounded(spark, q):
     bound = 2.718281828 * n_stream / 4096
     within = sum(1 for r in out if r.n_est - r.n_exact <= bound)
     assert within / len(out) >= 0.75
+
+
+def test_stream_sketch_ndv_equals_batch(spark, q):
+    # the streaming micro-batch path must produce the IDENTICAL sketch:
+    # register minima merge associatively, so 3 batches == one batch
+    stream = {
+        r.prio: (r.n_exact, r.ndv_est, r.rel_err)
+        for r in rows(q, spark, "/root/testdata/sf0.01", "stream_sketch_ndv")
+    }
+    batch = {
+        r.prio: (r.n_exact, r.ndv_est, r.rel_err)
+        for r in rows(q, spark, "/root/testdata/sf0.01", "sketch_kmv_ndv")
+    }
+    assert stream == batch
