@@ -243,3 +243,21 @@ def test_stream_sketch_ndv_equals_batch(spark, q):
         for r in rows(q, spark, "/root/testdata/sf0.01", "sketch_kmv_ndv")
     }
     assert stream == batch
+
+
+def test_profile_sketch_card_small_range_exact(spark, q):
+    out = {
+        r.col: r for r in rows(
+            q, spark, "/root/testdata/sf0.01", "profile_sketch_card"
+        )
+    }
+    assert set(out) == {
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "o_orderdate",
+    }
+    # linear-counting regime: tiny cardinalities come back EXACT
+    assert out["o_orderstatus"].ndv_est == out["o_orderstatus"].n_exact == 3
+    assert out["o_orderpriority"].ndv_est == out["o_orderpriority"].n_exact == 5
+    # harmonic regime: large cardinalities within the ~1.3/sqrt(K) band
+    for col in ("o_orderkey", "o_custkey", "o_orderdate"):
+        assert out[col].rel_err <= 0.3, (col, out[col].rel_err)
