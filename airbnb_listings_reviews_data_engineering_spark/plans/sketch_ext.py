@@ -443,3 +443,109 @@ def profile_sketch_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS rel_err"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# quantiles from a hash-threshold row sample: rank-checked, bitwise est
+# ---------------------------------------------------------------------------
+
+_QS_RATE = 64
+_QS_CUT = 1152921504606846976 // _QS_RATE
+
+
+def _qs_sql() -> str:
+    h = hash60_duckdb_sql(
+        "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)"
+    )
+    return f"""
+WITH s AS (
+  SELECT l_returnflag AS f, l_extendedprice AS v,
+         l_orderkey AS ok, l_linenumber AS ln
+  FROM lineitem WHERE {h} < {_QS_CUT}
+),
+r AS (
+  SELECT f, v,
+         row_number() OVER (PARTITION BY f ORDER BY v, ok, ln) AS rn,
+         count(*) OVER (PARTITION BY f) AS ns
+  FROM s
+),
+est AS (SELECT f, v AS est_median, ns FROM r WHERE rn = (ns + 1) // 2),
+chk AS (
+  SELECT t.l_returnflag AS f, count(*) AS n,
+         sum(CASE WHEN t.l_extendedprice <= e.est_median
+                  THEN 1 ELSE 0 END) AS le
+  FROM lineitem t JOIN est e ON t.l_returnflag = e.f
+  GROUP BY t.l_returnflag
+)
+SELECT chk.f AS l_returnflag, CAST(n AS BIGINT) AS n,
+       CAST(ns AS BIGINT) AS n_sample, est_median,
+       round(abs(CAST(le AS DOUBLE) / n - 0.5), 4) AS rank_err
+FROM chk JOIN est ON chk.f = est.f
+"""
+
+
+@register("sketch_quantile_sample", oracle=_qs_sql())
+def sketch_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a DETERMINISTIC 1-in-64 row sample (the fourth of
+    the sketch big four: NDV, set ops, frequencies — and quantiles):
+    membership is hash60(rowkey) < H/64, so the sample is reproducible
+    across engines/partitions/reruns and the estimate is an ACTUAL
+    stored value (the sample's lower median under a total order with
+    rowkey tiebreak) — bitwise-gated, where Spark's approx_percentile
+    (GK) and DuckDB's t-digest could never agree (agg_percentile_approx
+    gates on the rank contract for exactly that reason). The emitted
+    rank_err is the estimate's TRUE rank error measured against the
+    full table (one shuffle-safe conditional count per group, the
+    gate's verifier): median-of-sample rank error concentrates at
+    ~1/(2*sqrt(ns)) — measured <= 0.03 at sf0.01 (ns ~300/group).
+    Scale shape: the filter is map-side (sample never shuffles more
+    than N/64 rows), the selection window partitions BY GROUP over
+    sample rows only, and the exact path (agg_percentile's buffered
+    ObjectHashAggregate) is never touched. At 100 TB: rate tunes
+    sample size; per-group state is the sample, not the column."""
+    h = hash60_spark_sql(
+        "concat(CAST(l_orderkey AS STRING), '-',"
+        " CAST(l_linenumber AS STRING))"
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = li.filter(F.expr(f"{h} < {_QS_CUT}")).select(
+        F.col("l_returnflag").alias("f"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("f").orderBy("v", "ok", "ln")
+    wc = W.partitionBy("f")
+    r = s.select(
+        "f",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("ns"),
+    )
+    est = r.filter(F.expr("rn = (ns + 1) div 2")).select(
+        "f", F.col("v").alias("est_median"), "ns"
+    )
+    chk = (
+        li.join(
+            F.broadcast(est), li.l_returnflag == est.f
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(
+                "sum(CASE WHEN l_extendedprice <= est_median"
+                " THEN 1 ELSE 0 END) AS le"
+            ),
+        )
+    )
+    return chk.join(est, chk.l_returnflag == est.f).select(
+        "l_returnflag",
+        F.expr("CAST(n AS BIGINT) AS n"),
+        F.expr("CAST(ns AS BIGINT) AS n_sample"),
+        "est_median",
+        F.expr(
+            "round(abs(CAST(le AS DOUBLE) / n - 0.5), 4) AS rank_err"
+        ),
+    )

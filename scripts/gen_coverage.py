@@ -169,7 +169,8 @@ SECTIONS = [
     ("Admission / cross-modal dedup / distillation (round-9 additions)", [
         "stream_dedup_span", "mm_pair_dedup", "ml_quality_distill",
         "sketch_kmv_ndv", "sketch_theta_setops", "sketch_countmin_heavy",
-        "stream_sketch_ndv", "profile_sketch_card"]),
+        "stream_sketch_ndv", "profile_sketch_card",
+        "sketch_quantile_sample"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

@@ -261,3 +261,16 @@ def test_profile_sketch_card_small_range_exact(spark, q):
     # harmonic regime: large cardinalities within the ~1.3/sqrt(K) band
     for col in ("o_orderkey", "o_custkey", "o_orderdate"):
         assert out[col].rel_err <= 0.3, (col, out[col].rel_err)
+
+
+def test_quantile_sample_rank_guarantee(spark, q):
+    out = rows(q, spark, "/root/testdata/sf0.01", "sketch_quantile_sample")
+    assert len(out) == 3  # one row per l_returnflag
+    for r in out:
+        # sample is ~n/64, nonempty, and much smaller than the table
+        assert 0 < r.n_sample < r.n / 16
+        # the TRUE rank error of the sample median, measured on the
+        # full table, concentrates at ~1/(2*sqrt(ns))
+        assert r.rank_err <= 3.0 / (2.0 * r.n_sample ** 0.5), (
+            r.l_returnflag, r.rank_err, r.n_sample,
+        )
