@@ -55,7 +55,19 @@ KEYS = [
     "dedup_span_winnowed",  # minimizer-sampled postings, 39% of dense
     "dedup_embedding_incremental",  # batch vs corpus sign-LSH bucket join
     "text_decontaminate_bloom",     # bloom-pruned exact eval-gram join
+    # round-9 corpus-reading additions (sketch keys read the UNBLOWN
+    # symlinked orders and dedup_components reads a doc_id<500 slice —
+    # flat by construction, so they are not swept)
+    "mm_pair_dedup",        # dHash bands + verified-caption signatures
+    "stream_dedup_span",    # stream grams vs standing posting index
+    "ml_quality_distill",   # gopher labels -> 6 GD rounds -> holdout
 ]
+
+# restrict to a named subset: SPARK_GRAFT_SWEEP_KEYS=a,b,c
+_only = os.environ.get("SPARK_GRAFT_SWEEP_KEYS", "")
+if _only:
+    _wanted = {k for k in _only.split(",") if k}
+    KEYS = [k for k in KEYS if k in _wanted]
 
 DIMS = ["region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events"]
