@@ -870,3 +870,67 @@ def span_excise_against_index(
         n_spans.cast("bigint").alias("n_spans"),
         F.array_join("kw", " ").alias("clean_text"),
     )
+
+
+def connected_components_incremental(
+    standing: DataFrame,
+    new_pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Merge a NEW batch of near-dup edges into a standing component
+    assignment at O(batch) cost — the clustering step of daily dedup
+    admission (signatures and candidate pairs already have incremental
+    forms: dedup_embedding_incremental, stream_dedup_*; this closes the
+    chain). ``standing`` is a fixpoint (node, component) frame whose
+    labels are component MINIMA (exactly what connected_components
+    emits).
+
+    Contraction argument: components of (G_old + E_new) equal the
+    components of the graph where every standing component is one
+    vertex — so label the new edges' endpoints with their standing
+    component (unseen nodes label themselves), contract to distinct
+    (comp_a, comp_b) edges, and run the alternating-star CC on THAT
+    graph, whose size is bounded by the touched components + new
+    nodes, never the corpus. Because a standing label is the min of
+    its members, the sub-CC's min over {labels, new ids} is the GLOBAL
+    min, so remapped labels are identical to a full recompute (the
+    registered key's oracle is literally the full-recompute closure).
+
+    Cost anatomy: two hash joins of the batch against standing (node-
+    keyed), one batch-sized distinct, the sub-CC (O(log) rounds on the
+    contracted graph), one standing-sized remap join, one anti-join
+    for new nodes. The corpus-scale frames are touched only by keyed
+    joins — no corpus-wide iteration, which is the entire point at
+    100 TB: daily growth costs O(new batch), not O(corpus)."""
+    e = new_pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    lu = standing.select(
+        F.col("node").alias("u"), F.col("component").alias("cu")
+    )
+    lv = standing.select(
+        F.col("node").alias("v"), F.col("component").alias("cv")
+    )
+    comp_edges = (
+        e.join(lu, "u", "left")
+        .join(lv, "v", "left")
+        .select(
+            F.coalesce("cu", "u").alias("doc_a"),
+            F.coalesce("cv", "v").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sub = pin(
+        connected_components(comp_edges, max_iter=max_iter),
+        label="cc_inc_sub",
+    )
+    remap = sub.select(
+        F.col("node").alias("component"), F.col("component").alias("cmp2")
+    )
+    kept = standing.join(remap, "component", "left").select(
+        "node", F.coalesce("cmp2", "component").alias("component")
+    )
+    fresh = sub.join(
+        standing.select("node"), "node", "left_anti"
+    ).select("node", "component")
+    return kept.unionByName(fresh)

@@ -142,13 +142,49 @@ SELECT node, min(lbl) AS component FROM reach GROUP BY node
 @register("dedup_components", oracle=_components_sql())
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over MinHash near-dup pairs: pairwise matches
-    -> dedup groups (keep min-id doc per component). Spark side is
-    iterative min-label propagation (operators/dedup.py); the oracle is a
-    recursive transitive-closure CTE — two very different formulations
-    agreeing exactly is the correctness statement for the iteration."""
+    -> dedup groups (keep min-id doc per component). Spark side is the
+    alternating large-star/small-star contraction (operators/dedup.py,
+    O(log n) rounds — round-9 upgrade from min-label propagation); the
+    oracle is a recursive transitive-closure CTE — two very different
+    formulations agreeing exactly is the correctness statement for the
+    iteration."""
     corpus = _variant_corpus(spark, sf_dir, max_id=500)
     pairs = D.minhash_lsh_pairs(corpus, "doc_id", "text", _NUM_HASHES, _BANDS, 0.5, 3)
     return D.connected_components(pairs)
+
+
+@register("dedup_components_incremental", oracle=_components_sql())
+def dedup_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental component maintenance — the clustering step of daily
+    dedup admission: the near-dup pair set is split by arrival time
+    (standing = originals + even-doc variants; the new batch = odd-doc
+    variants, each landing a pair against its standing original), the
+    standing side carries a PRECOMPUTED fixpoint assignment, and the
+    batch merges in via operators/dedup.connected_components_incremental
+    — two node-keyed joins + a sub-CC on the CONTRACTED graph (touched
+    components + new nodes, never the corpus). The oracle is the full-
+    recompute recursive closure over ALL pairs (dedup_components' SQL
+    verbatim), so the gate IS the incremental == full-recompute
+    equivalence. At 100 TB this is the difference between O(batch) and
+    re-clustering the corpus every ingest cycle."""
+    corpus = _variant_corpus(spark, sf_dir, max_id=500)
+    pairs = pin(
+        D.minhash_lsh_pairs(corpus, "doc_id", "text", _NUM_HASHES, _BANDS, 0.5, 3),
+        label="dci_pairs",
+    )
+    is_old = (
+        "(({c}) < 100000 OR ({c}) % 2 = 0)"
+    )
+    both_old = (
+        f"{is_old.format(c='doc_a')} AND {is_old.format(c='doc_b')}"
+    )
+    standing = pin(
+        D.connected_components(pairs.filter(F.expr(both_old))),
+        label="dci_standing",
+    )
+    return D.connected_components_incremental(
+        standing, pairs.filter(~F.expr(both_old))
+    )
 
 
 def _dedup_corpus_sql() -> str:

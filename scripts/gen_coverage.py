@@ -170,7 +170,7 @@ SECTIONS = [
         "stream_dedup_span", "mm_pair_dedup", "ml_quality_distill",
         "sketch_kmv_ndv", "sketch_theta_setops", "sketch_countmin_heavy",
         "stream_sketch_ndv", "profile_sketch_card",
-        "sketch_quantile_sample"]),
+        "sketch_quantile_sample", "dedup_components_incremental"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

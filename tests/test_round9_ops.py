@@ -274,3 +274,50 @@ def test_quantile_sample_rank_guarantee(spark, q):
         assert r.rank_err <= 3.0 / (2.0 * r.n_sample ** 0.5), (
             r.l_returnflag, r.rank_err, r.n_sample,
         )
+
+
+# --- incremental CC: merging a batch must equal the full recompute -----------
+
+
+def test_cc_incremental_merges_and_preserves(spark):
+    # standing: {1,2,3} (label 1), {10,11} (label 10), {20,21} (label 20)
+    old_edges = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    old = spark.createDataFrame(old_edges, "doc_a long, doc_b long")
+    standing = D.connected_components(old)
+    # batch: bridge 3-10 (merges two standing components), a brand-new
+    # chain 30-31-32, and a new node attaching to a standing one (21-40)
+    new_edges = [(3, 10), (30, 31), (31, 32), (40, 21)]
+    new = spark.createDataFrame(new_edges, "doc_a long, doc_b long")
+    inc = {
+        r.node: r.component
+        for r in D.connected_components_incremental(standing, new).collect()
+    }
+    full = {
+        r.node: r.component
+        for r in D.connected_components(
+            spark.createDataFrame(
+                old_edges + new_edges, "doc_a long, doc_b long"
+            )
+        ).collect()
+    }
+    release_pins(spark)
+    assert inc == full
+    # merged: 1..3 + 10,11 -> 1; untouched: 20,21 keep 20 BUT 40 joins;
+    # fresh chain labeled by its min
+    assert inc[11] == 1 and inc[3] == 1
+    assert inc[40] == 20 and inc[21] == 20
+    assert inc[30] == inc[31] == inc[32] == 30
+
+
+def test_cc_incremental_untouched_components_unchanged(spark):
+    old = spark.createDataFrame(
+        [(5, 6), (7, 8)], "doc_a long, doc_b long"
+    )
+    standing = D.connected_components(old)
+    new = spark.createDataFrame([(100, 101)], "doc_a long, doc_b long")
+    inc = {
+        r.node: r.component
+        for r in D.connected_components_incremental(standing, new).collect()
+    }
+    release_pins(spark)
+    assert inc == {5: 5, 6: 5, 7: 7, 8: 7, 100: 100, 101: 100}
