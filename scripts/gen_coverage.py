@@ -170,7 +170,8 @@ SECTIONS = [
         "stream_dedup_span", "mm_pair_dedup", "ml_quality_distill",
         "sketch_kmv_ndv", "sketch_theta_setops", "sketch_countmin_heavy",
         "stream_sketch_ndv", "profile_sketch_card",
-        "sketch_quantile_sample", "dedup_components_incremental"]),
+        "sketch_quantile_sample", "dedup_components_incremental",
+        "sketch_theta_bottomk"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

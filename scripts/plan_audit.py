@@ -102,6 +102,7 @@ NESTED_LOOP_ALLOWED = {
     "ml_logreg_gd",      # K crossJoins against the lazy-chain 1-row weight frame
     "ml_logreg_holdout",  # same lazy-chain weight frame + 1-row train count
     "ml_quality_distill",  # same lazy-chain weight frame + 1-row train count
+    "sketch_theta_bottomk",  # 1-row theta/exact-count folds over k-row samples
     "profile_drift_psi",  # crossJoin against the 1-row snapshot totals
     "sample_mixture_epochs",  # crossJoin against the 1-row corpus totals
     "dedup_semdedup_multiprobe",  # k-row centroid + 1-row stats crossJoins

@@ -321,3 +321,18 @@ def test_cc_incremental_untouched_components_unchanged(spark):
     }
     release_pins(spark)
     assert inc == {5: 5, 6: 5, 7: 7, 8: 7, 100: 100, 101: 100}
+
+
+def test_theta_bottomk_estimates(spark, q):
+    r = rows(q, spark, "/root/testdata/sf0.1", "sketch_theta_bottomk")[0]
+    # k=128 bottom-k: every estimate within ~3/sqrt(k-2) of exact
+    for est, exact in (
+        (r.est_a, r.n_exact_a),
+        (r.est_b, r.n_exact_b),
+        (r.est_union, r.n_exact_union),
+        (r.est_inter, r.n_exact_inter),
+    ):
+        assert abs(est - exact) / exact <= 0.3, (est, exact)
+    # theta algebra sanity: union <= a + b, inter <= min(a, b)
+    assert r.est_union <= r.est_a + r.est_b
+    assert r.est_inter <= min(r.est_a, r.est_b)
