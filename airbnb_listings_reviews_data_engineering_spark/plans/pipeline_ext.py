@@ -4522,9 +4522,18 @@ _PH_CHUNKS = 4    # 16-bit pigeonhole chunks: ham <= 3 => >= 1 chunk equal
 # radius. The fixture therefore scales 1:1 with the corpus — no image
 # cap, identical semantics at every SF (the round-7 250-image cap froze
 # the fixture and kept this key out of the weak-scaling sweep).
+# 16 pseudo-pixels per md5 digest (byte (c-1)%16 of digest (c-1)//16):
+# 4 md5 calls per image instead of 63 — the fake decode is fixture
+# accounting, not the operator, so it should not dominate the bench
+# (measured: the one-md5-per-cell form spent ~0.9 s/rep at sf0.1 in
+# the signature pin alone)
 _PH_PX_DUCK = (
-    "CAST('0x' || substr(md5(CAST(doc_id // 2 AS VARCHAR) || ':' "
-    "|| CAST(c AS VARCHAR)), 1, 2) AS BIGINT)"
+    "CAST('0x' || substr(dg[(c - 1) // 16 + 1],"
+    " ((c - 1) % 16) * 2 + 1, 2) AS BIGINT)"
+)
+_PH_DG_DUCK = (
+    "list_transform(generate_series(0, 3), g ->"
+    " md5(CAST(doc_id // 2 AS VARCHAR) || ':' || CAST(g AS VARCHAR)))"
 )
 
 
@@ -4538,10 +4547,11 @@ def _phash_sql() -> str:
 WITH ids AS (
   SELECT unnest([doc_id * 2, doc_id * 2 + 1]) AS doc_id FROM documents
 ),
+dgs AS (SELECT doc_id, {_PH_DG_DUCK} AS dg FROM ids),
 pxa AS (
   SELECT doc_id,
          list_transform(generate_series(1, {_PH_CELLS}), c -> {flip}) AS px
-  FROM ids
+  FROM dgs
 ),
 sig AS (
   SELECT doc_id,
@@ -4574,16 +4584,25 @@ def _phash_pair_frame(ids: DataFrame) -> DataFrame:
     hamming <= _PH_HAM; recall 1.0 by the pigeonhole guarantee. Shared
     by mm_phash_dedup (image-only) and mm_pair_dedup (cross-modal
     intersection)."""
+    # 4 md5 digests per image computed ONCE (dg), 16 pixels per digest
+    # — mirrors _PH_DG_DUCK/_PH_PX_DUCK; the per-cell md5 form cost
+    # 63 md5 calls per image and dominated the key's bench time
+    dg_expr = (
+        "transform(sequence(0, 3), g -> md5(concat("
+        "CAST(doc_id div 2 AS STRING), ':', CAST(g AS STRING))))"
+    )
+    px_one = (
+        "CAST(conv(substring(element_at(dg,"
+        " CAST((c - 1) div 16 + 1 AS INT)),"
+        " CAST(((c - 1) % 16) * 2 + 1 AS INT), 2), 16, 10) AS BIGINT)"
+    )
     px_expr = (
         "transform(sequence(1, {cells}), c -> CASE WHEN"
         " doc_id % 2 = 1 AND (c - 1) < (doc_id div 2) % 6"
-        " THEN (CAST(conv(substring(md5(concat(CAST(doc_id div 2 AS"
-        " STRING), ':', CAST(c AS STRING))), 1, 2), 16, 10) AS BIGINT)"
-        " + 128) % 256"
-        " ELSE CAST(conv(substring(md5(concat(CAST(doc_id div 2 AS"
-        " STRING), ':', CAST(c AS STRING))), 1, 2), 16, 10) AS BIGINT)"
+        " THEN ({px} + 128) % 256"
+        " ELSE {px}"
         " END)"
-    ).format(cells=_PH_CELLS)
+    ).format(cells=_PH_CELLS, px=px_one)
     sig_expr = (
         "aggregate(sequence(1, {bits}), CAST(0 AS BIGINT), (acc, i) ->"
         " acc + IF(element_at(px, i) > element_at(px, i + 1),"
@@ -4593,9 +4612,9 @@ def _phash_pair_frame(ids: DataFrame) -> DataFrame:
     # (unpinned, each side re-derives it — 2 documents scans in the
     # final plan; max_rescan audit column)
     sig = pin(
-        ids.withColumn("px", F.expr(px_expr)).select(
-            "doc_id", F.expr(sig_expr).alias("h")
-        ),
+        ids.withColumn("dg", F.expr(dg_expr))
+        .withColumn("px", F.expr(px_expr))
+        .select("doc_id", F.expr(sig_expr).alias("h")),
         label="phash_sig",
     )
     bands = sig.select(
@@ -4705,10 +4724,14 @@ cap AS (
   FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_cond})
   WHERE round(({agree}) / {float(_NUM_HASHES)}, 4) >= 0.5
 ),
+idgs AS (
+  SELECT doc_id, {_PH_DG_DUCK} AS dg
+  FROM (SELECT pair_id AS doc_id FROM pairs_c)
+),
 ipxa AS (
-  SELECT pair_id AS doc_id,
+  SELECT doc_id,
          list_transform(generate_series(1, {_PH_CELLS}), c -> {flip}) AS px
-  FROM pairs_c
+  FROM idgs
 ),
 isig AS (
   SELECT doc_id,
