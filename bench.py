@@ -206,6 +206,25 @@ def main() -> None:
         calib_df.write.format("noop").mode("overwrite").save()
         calib = min(calib, time.perf_counter() - t0)
 
+    # second probe, COMPUTE-bound (round-9): a uniform 1.19x inflation
+    # on every unchanged key coexisted with a 1.04x scan-probe ratio —
+    # background CPU load that an IO/scan-shaped plan barely feels. An
+    # md5-per-row agg isolates the CPU axis; normalize compute-heavy
+    # keys (hashing, signatures, GD rounds) by THIS ratio instead.
+    calib_cpu_df = (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .selectExpr(
+            "md5(concat(CAST(l_orderkey AS STRING), ':',"
+            " CAST(l_linenumber AS STRING))) AS h"
+        )
+        .selectExpr("count(DISTINCT substring(h, 1, 8)) AS n")
+    )
+    calib_cpu = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        calib_cpu_df.write.format("noop").mode("overwrite").save()
+        calib_cpu = min(calib_cpu, time.perf_counter() - t0)
+
     # min-of-N per query (default 2): the shared box has ~15 % run-to-run
     # noise; the minimum is the least-interfered measurement of the same
     # deterministic plan, which is what cross-round comparison wants
@@ -251,6 +270,7 @@ def main() -> None:
         # numbers by the cross-round ratio of this line to
         # normalize out host load (see SCALING.md)
         "calibration_sec": round(calib, 3),
+        "calibration_cpu_sec": round(calib_cpu, 3),
     }
     # (pin label, seconds) per pinned stage of the 5 most
     # expensive keys, from each key's winning rep — eager
