@@ -5005,3 +5005,220 @@ def text_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("w") - F.size("kw")).cast("bigint").alias("n_removed"),
         F.array_join("kw", " ").alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end crawler admission funnel: exact -> near-dup -> quality, one plan
+# ---------------------------------------------------------------------------
+
+# incoming batch construction, shared semantics (Spark selectExpr and
+# DuckDB UNION ALL mirror these formulas):
+#   %13 -> exact copy           (caught by stage 1, content hash)
+#   %7  -> drop-first-word near-dup (passes exact, caught by MinHash)
+#   %11 -> junk ('zz' x 60)     (novel -> passes dedup, fails Gopher)
+#   %17 -> synthesized GOOD doc (5 stopwords + 55 distinct words: passes
+#          every Gopher rule -> admitted)
+_ADM_JUNK = "{aj}(({tf}({seq}(1, 60), x -> 'zz')), ' ')"
+_ADM_GOOD = (
+    "{cc}('the a of and to ', {aj}({tf}({seq}(1, 55), k ->"
+    " {cc}('w', CAST(doc_id AS {vc}), 'q', CAST(k AS {vc}), 'x')), ' '))"
+)
+
+
+def _adm_sql() -> str:
+    duck = dict(aj="array_to_string", tf="list_transform", vc="VARCHAR",
+                cc="concat", seq="generate_series")
+    junk = _ADM_JUNK.format(**duck)
+    good = _ADM_GOOD.format(**duck)
+    band_cond = " OR ".join(
+        "(" + " AND ".join(f"a.h{b*2+r} = b.h{b*2+r}" for r in range(2)) + ")"
+        for b in range(_BANDS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END)"
+        for j in range(_NUM_HASHES)
+    )
+    return f"""
+WITH inc AS (
+  SELECT doc_id + 300000 AS in_id, text FROM documents WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS in_id, regexp_replace(text, '^[a-z]+ ', '')
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 400000 AS in_id, {junk} FROM documents
+  WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 500000 AS in_id, {good} FROM documents
+  WHERE doc_id % 17 = 0
+),
+sh AS (SELECT DISTINCT md5(lower(text)) AS hh FROM documents),
+s1 AS (
+  SELECT in_id, text,
+         CASE WHEN hh IS NOT NULL THEN 1 ELSE 0 END AS exact_dup
+  FROM inc LEFT JOIN sh ON md5(lower(inc.text)) = sh.hh
+),
+surv AS (SELECT in_id, text FROM s1 WHERE exact_dup = 0),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT in_id AS doc_id, text FROM surv
+),
+{_minhash_sig_sql().strip()},
+nd AS (
+  SELECT DISTINCT a.doc_id AS in_id
+  FROM sig a JOIN sig b
+    ON a.doc_id >= 200000 AND b.doc_id < 200000 AND ({band_cond})
+  WHERE round(({agree}) / {float(_NUM_HASHES)}, 4) >= 0.5
+),
+qm AS (
+  SELECT in_id, string_split(text, ' ') AS tok, length(text) AS len
+  FROM surv
+),
+q AS (
+  SELECT in_id,
+         ((len(tok) BETWEEN 50 AND 100000)
+          AND (round((len - (len(tok) - 1)) / CAST(len(tok) AS DOUBLE), 4)
+               BETWEEN 3 AND 10)
+          AND len(list_filter(tok, w ->
+                w IN ('the', 'a', 'of', 'and', 'to'))) >= 2
+          AND round(len(list_filter(tok, w -> regexp_matches(w, '^[a-z]')))
+                    / CAST(len(tok) AS DOUBLE), 4) >= 0.8
+          AND round(len(list_distinct(tok)) / CAST(len(tok) AS DOUBLE), 4)
+              >= 0.2) AS pass
+  FROM qm
+),
+flags AS (
+  SELECT s1.in_id, s1.exact_dup,
+         CASE WHEN nd.in_id IS NOT NULL THEN 1 ELSE 0 END AS near_dup,
+         CASE WHEN COALESCE(q.pass, FALSE) THEN 1 ELSE 0 END AS q_pass
+  FROM s1 LEFT JOIN nd ON s1.in_id = nd.in_id
+          LEFT JOIN q ON s1.in_id = q.in_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_incoming,
+       CAST(sum(exact_dup) AS BIGINT) AS n_exact_dup,
+       CAST(sum((1 - exact_dup) * near_dup) AS BIGINT) AS n_near_dup,
+       CAST(sum((1 - exact_dup) * (1 - near_dup) * (1 - q_pass))
+            AS BIGINT) AS n_quality_rejected,
+       CAST(sum((1 - exact_dup) * (1 - near_dup) * q_pass)
+            AS BIGINT) AS n_admitted
+FROM flags
+"""
+
+
+@register("pipeline_admission_funnel", oracle=_adm_sql())
+def pipeline_admission_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawler-ingest admission pipeline END-TO-END in one plan:
+    an incoming batch flows through exact dedup (content hash vs the
+    standing corpus), near-dup veto (MinHash band join vs the standing
+    index — operators/dedup.minhash_lsh_join, the O(batch+collisions)
+    incremental form), and the Gopher quality battery, emitting the
+    funnel accounting a production ingest run reports (how many
+    rejected at which gate, how many admitted). Each stage runs ONLY
+    on the previous stage's survivors — the cheap hash gate first, the
+    banded join second, the rule battery last — mirroring the cost
+    ordering a 100 TB ingest needs (every stage is a map-side
+    projection or a blocked equi-join; the standing side is touched by
+    keyed joins only). The planted batch has all four fates: exact
+    copies (%13), drop-first-word near-dups (%7), novel junk that
+    passes dedup but fails quality (%11), and synthesized good docs
+    that pass everything (%17); the oracle replays the same funnel as
+    chained CTEs, so the gate pins per-stage counts, not just the
+    final admit set."""
+    spark_fmt = dict(aj="array_join", tf="transform", vc="STRING",
+                     cc="concat", seq="sequence")
+    junk = _ADM_JUNK.format(**spark_fmt)
+    good = _ADM_GOOD.format(**spark_fmt)
+    docs = pin(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        label="adm_docs",
+    )
+    inc = pin(
+        docs.filter("doc_id % 13 = 0")
+        .selectExpr("doc_id + 300000 AS in_id", "text")
+        .unionByName(
+            docs.filter("doc_id % 7 = 0").selectExpr(
+                "doc_id + 200000 AS in_id",
+                "regexp_replace(text, '^[a-z]+ ', '') AS text",
+            )
+        )
+        .unionByName(
+            docs.filter("doc_id % 11 = 0").selectExpr(
+                "doc_id + 400000 AS in_id", f"{junk} AS text"
+            )
+        )
+        .unionByName(
+            docs.filter("doc_id % 17 = 0").selectExpr(
+                "doc_id + 500000 AS in_id", f"{good} AS text"
+            )
+        ),
+        label="adm_incoming",
+    )
+    sh = docs.select(F.expr("md5(lower(text))").alias("hh")).distinct()
+    s1 = pin(
+        inc.join(sh, F.expr("md5(lower(text))") == sh.hh, "left").select(
+            "in_id",
+            "text",
+            F.expr(
+                "CASE WHEN hh IS NOT NULL THEN 1 ELSE 0 END"
+            ).alias("exact_dup"),
+        ),
+        label="adm_stage1",
+    )
+    surv = s1.filter("exact_dup = 0").select(
+        F.col("in_id").alias("doc_id"), "text"
+    )
+    nd = (
+        D.minhash_lsh_join(
+            surv, docs, "doc_id", "text",
+            num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5,
+        )
+        .select(F.col("batch_id").alias("in_id"))
+        .distinct()
+        .withColumn("nd_hit", F.lit(1))
+    )
+    q = (
+        s1.filter("exact_dup = 0")
+        .selectExpr(
+            "in_id",
+            "split(text, ' ') AS tok",
+            "length(text) AS len",
+        )
+        .selectExpr(
+            "in_id",
+            "((size(tok) BETWEEN 50 AND 100000)"
+            " AND (round((len - (size(tok) - 1))"
+            " / CAST(size(tok) AS DOUBLE), 4) BETWEEN 3 AND 10)"
+            " AND size(filter(tok, w ->"
+            " w IN ('the', 'a', 'of', 'and', 'to'))) >= 2"
+            " AND round(size(filter(tok, w -> w rlike '^[a-z]'))"
+            " / CAST(size(tok) AS DOUBLE), 4) >= 0.8"
+            " AND round(size(array_distinct(tok))"
+            " / CAST(size(tok) AS DOUBLE), 4) >= 0.2) AS pass",
+        )
+    )
+    flags = (
+        s1.join(nd, "in_id", "left")
+        .join(q, "in_id", "left")
+        .select(
+            "exact_dup",
+            F.coalesce("nd_hit", F.lit(0)).alias("near_dup"),
+            F.expr(
+                "CASE WHEN COALESCE(pass, FALSE) THEN 1 ELSE 0 END"
+            ).alias("q_pass"),
+        )
+    )
+    return flags.agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_incoming"),
+        F.expr("CAST(sum(exact_dup) AS BIGINT) AS n_exact_dup"),
+        F.expr(
+            "CAST(sum((1 - exact_dup) * near_dup) AS BIGINT) AS n_near_dup"
+        ),
+        F.expr(
+            "CAST(sum((1 - exact_dup) * (1 - near_dup) * (1 - q_pass))"
+            " AS BIGINT) AS n_quality_rejected"
+        ),
+        F.expr(
+            "CAST(sum((1 - exact_dup) * (1 - near_dup) * q_pass)"
+            " AS BIGINT) AS n_admitted"
+        ),
+    )

@@ -336,3 +336,21 @@ def test_theta_bottomk_estimates(spark, q):
     # theta algebra sanity: union <= a + b, inter <= min(a, b)
     assert r.est_union <= r.est_a + r.est_b
     assert r.est_inter <= min(r.est_a, r.est_b)
+
+
+def test_admission_funnel_every_fate_planted(spark, q):
+    r = rows(
+        q, spark, "/root/testdata/sf0.01", "pipeline_admission_funnel"
+    )[0]
+    # the planted batch separates PERFECTLY at sf0.01: every exact copy
+    # caught by the hash gate, every drop-first-word variant by the
+    # MinHash veto, every junk doc by the rule battery, every
+    # synthesized good doc admitted — the counts are exactly the
+    # planted class populations (doc_id multiples of 13/7/11/17 < 500)
+    assert r.n_exact_dup == sum(1 for d in range(500) if d % 13 == 0)
+    assert r.n_near_dup == sum(1 for d in range(500) if d % 7 == 0)
+    assert r.n_quality_rejected == sum(1 for d in range(500) if d % 11 == 0)
+    assert r.n_admitted == sum(1 for d in range(500) if d % 17 == 0)
+    assert r.n_incoming == (
+        r.n_exact_dup + r.n_near_dup + r.n_quality_rejected + r.n_admitted
+    )
