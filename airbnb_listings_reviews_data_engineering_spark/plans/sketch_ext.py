@@ -724,3 +724,88 @@ def sketch_theta_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS est_inter",
         )
     )
+
+
+def _cm_rollup_sql() -> str:
+    duck_cols = _cm_cols_duck("CAST(o_custkey AS VARCHAR)")
+    cells = " UNION ALL ".join(
+        f"SELECT date_trunc('month', o_orderdate) AS mon, {i} AS r,"
+        f" {c} AS c FROM orders"
+        for i, c in enumerate(duck_cols)
+    )
+    probe_cols = _cm_cols_duck("CAST(k AS VARCHAR)")
+    probes = " UNION ALL ".join(
+        f"SELECT k, n_exact, {i} AS r, {c} AS c FROM ex"
+        for i, c in enumerate(probe_cols)
+    )
+    return f"""
+WITH monthly AS (
+  SELECT mon, r, c, count(*) AS cnt FROM ({cells}) GROUP BY mon, r, c
+),
+merged AS (SELECT r, c, CAST(sum(cnt) AS BIGINT) AS cnt
+           FROM monthly GROUP BY r, c),
+ex AS (
+  SELECT o_custkey AS k, count(*) AS n_exact FROM orders
+  WHERE o_custkey % {_CM_PROBE_MOD} = 0 GROUP BY o_custkey
+),
+pr AS ({probes})
+SELECT k AS custkey, CAST(min(n_exact) AS BIGINT) AS n_exact,
+       CAST(min(cnt) AS BIGINT) AS n_est
+FROM pr JOIN merged USING (r, c)
+GROUP BY k
+"""
+
+
+@register("sketch_countmin_rollup", oracle=_cm_rollup_sql())
+def sketch_countmin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable count-min rollup — the frequency analogue of
+    agg_hll_sketch_rollup: one d x w counter grid is built PER MONTH at
+    ingest granularity (the artifact a pipeline materializes daily,
+    12,288 integers each), and any coarser slice is answered by
+    CELL-WISE ADDITION of the stored grids instead of rescanning raw
+    orders. Count-min is linear in the stream, so the merged grid is
+    IDENTICAL to the direct single-pass build — the oracle computes the
+    same monthly-then-merge chain and the probe estimates match
+    sketch_countmin_heavy's bitwise (same one-sided >= exact guarantee;
+    a test pins merged == direct row-for-row). Shuffle shape: one
+    map-side-combined groupBy into (months x d x w) cells, one tiny
+    re-aggregation to (d x w), broadcast probe join."""
+    o = load(spark, sf_dir, "orders")
+    cols = _cm_cols_spark("CAST(o_custkey AS STRING)")
+    cells = o.select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("r"), F.expr(c).alias("c"))
+                for i, c in enumerate(cols)
+            ])
+        ).alias("rc"),
+    ).select("mon", "rc.r", "rc.c")
+    monthly = cells.groupBy("mon", "r", "c").agg(F.count("*").alias("cnt"))
+    merged = monthly.groupBy("r", "c").agg(
+        F.expr("CAST(sum(cnt) AS BIGINT) AS cnt")
+    )
+    ex = (
+        o.filter(F.col("o_custkey") % _CM_PROBE_MOD == 0)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("n_exact"))
+    )
+    probe_cols = _cm_cols_spark("CAST(k AS STRING)")
+    pr = ex.select(
+        "k",
+        "n_exact",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("r"), F.expr(c).alias("c"))
+                for i, c in enumerate(probe_cols)
+            ])
+        ).alias("rc"),
+    ).select("k", "n_exact", "rc.r", "rc.c")
+    return (
+        pr.join(F.broadcast(merged), ["r", "c"])
+        .groupBy(F.col("k").alias("custkey"))
+        .agg(
+            F.expr("CAST(min(n_exact) AS BIGINT) AS n_exact"),
+            F.expr("CAST(min(cnt) AS BIGINT) AS n_est"),
+        )
+    )

@@ -171,7 +171,8 @@ SECTIONS = [
         "sketch_kmv_ndv", "sketch_theta_setops", "sketch_countmin_heavy",
         "stream_sketch_ndv", "profile_sketch_card",
         "sketch_quantile_sample", "dedup_components_incremental",
-        "sketch_theta_bottomk", "pipeline_admission_funnel"]),
+        "sketch_theta_bottomk", "pipeline_admission_funnel",
+        "sketch_countmin_rollup"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

@@ -354,3 +354,61 @@ def test_admission_funnel_every_fate_planted(spark, q):
     assert r.n_incoming == (
         r.n_exact_dup + r.n_near_dup + r.n_quality_rejected + r.n_admitted
     )
+
+
+def test_countmin_rollup_merge_equals_direct(spark, q):
+    # count-min is LINEAR: monthly grids merged by cell-wise addition
+    # must answer probes identically to the direct single-pass build
+    merged = {
+        r.custkey: (r.n_exact, r.n_est)
+        for r in rows(
+            q, spark, "/root/testdata/sf0.01", "sketch_countmin_rollup"
+        )
+    }
+    direct = {
+        r.custkey: (r.n_exact, r.n_est)
+        for r in rows(
+            q, spark, "/root/testdata/sf0.01", "sketch_countmin_heavy"
+        )
+    }
+    assert merged == direct
+
+
+# --- randomized equivalence: the CC swap and the incremental merge -----------
+
+
+def test_cc_star_equals_labelprop_randomized(spark):
+    for seed in (3, 11, 29):
+        rng = random.Random(seed)
+        nodes = list(range(1000, 1080))
+        edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(50)]
+        star, _ = _components(spark, edges, D.connected_components)
+        prop, _ = _components(
+            spark, edges, D.connected_components_labelprop, max_iter=90
+        )
+        assert star == prop, f"seed {seed}"
+
+
+def test_cc_incremental_equals_full_randomized(spark):
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        nodes = list(range(2000, 2060))
+        edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(40)]
+        cut = len(edges) * 2 // 3
+        old = spark.createDataFrame(edges[:cut], "doc_a long, doc_b long")
+        new = spark.createDataFrame(edges[cut:], "doc_a long, doc_b long")
+        standing = D.connected_components(old)
+        inc = {
+            r.node: r.component
+            for r in D.connected_components_incremental(
+                standing, new
+            ).collect()
+        }
+        full = {
+            r.node: r.component
+            for r in D.connected_components(
+                spark.createDataFrame(edges, "doc_a long, doc_b long")
+            ).collect()
+        }
+        release_pins(spark)
+        assert inc == full, f"seed {seed}"
