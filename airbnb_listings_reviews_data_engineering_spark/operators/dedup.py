@@ -450,6 +450,17 @@ def connected_components(
         LAST_CC_ROUNDS += 1
         if converged:
             break
+    else:
+        # the min-neighbor extraction below is valid only AT the star
+        # fixpoint; returning labels from a non-converged edge set
+        # silently mislabels components (downstream dedup then drops
+        # the wrong docs), so fail loudly instead (ADVICE r9).
+        # O(log^2 n) contraction makes max_iter=15 good to ~2^60 nodes;
+        # hitting this means the input, not the budget, is wrong.
+        raise RuntimeError(
+            f"connected_components did not reach the star fixpoint in "
+            f"{max_iter} rounds ({n_edges} edges remain); raise max_iter"
+        )
     # at the star fixpoint: leaf -> its center, center -> itself
     sym = edges.select(F.col("hi").alias("a"), F.col("lo").alias("b")).union(
         edges.select(F.col("lo").alias("a"), F.col("hi").alias("b"))

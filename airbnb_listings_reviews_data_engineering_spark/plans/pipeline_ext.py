@@ -5073,6 +5073,7 @@ nd AS (
 qm AS (
   SELECT in_id, string_split(text, ' ') AS tok, length(text) AS len
   FROM surv
+  WHERE NOT EXISTS (SELECT 1 FROM nd WHERE nd.in_id = surv.in_id)
 ),
 q AS (
   SELECT in_id,
@@ -5167,17 +5168,25 @@ def pipeline_admission_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = s1.filter("exact_dup = 0").select(
         F.col("in_id").alias("doc_id"), "text"
     )
-    nd = (
+    # pinned: the band-join hit list feeds BOTH the final accounting
+    # and the stage-3 anti-join below — without the pin the MinHash
+    # join would execute twice
+    nd = pin(
         D.minhash_lsh_join(
             surv, docs, "doc_id", "text",
             num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5,
         )
         .select(F.col("batch_id").alias("in_id"))
         .distinct()
-        .withColumn("nd_hit", F.lit(1))
+        .withColumn("nd_hit", F.lit(1)),
+        label="adm_neardup",
     )
+    # stage 3 runs ONLY on stage 2's survivors (ADVICE r9: the battery
+    # previously ran on all exact-dup survivors with near-dups masked
+    # at the aggregate — correct counts, wrong cost ordering)
     q = (
         s1.filter("exact_dup = 0")
+        .join(nd.select("in_id"), "in_id", "left_anti")
         .selectExpr(
             "in_id",
             "split(text, ' ') AS tok",

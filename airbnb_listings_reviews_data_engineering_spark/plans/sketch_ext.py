@@ -32,7 +32,6 @@ from pyspark.sql import functions as F
 
 from ..checkpoint import pin
 from ..functions.hashing import (
-    XOR_SEEDS,
     hash60_duckdb_sql,
     hash60_spark_sql,
 )
@@ -247,21 +246,29 @@ def sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CM_D = 3
-_CM_W = 4096
+# Row i reduces the shared 60-bit key hash modulo its OWN prime width.
+# The round-9 form — (hash60 XOR seed_i) % 4096 — had FULLY CORRELATED
+# rows (ADVICE r9): 4096 = 2^12 and XOR by a constant is bitwise, so
+# two keys equal in the low 12 bits collided in EVERY row and the
+# effective depth was 1. Distinct prime moduli fix this with the same
+# single md5 per key: row r collides two keys iff h1 = h2 (mod p_r),
+# and by CRT all-d-rows collision requires h1 = h2 (mod p0*p1*p2 ~
+# 6.9e10) — probability ~1.4e-11 for distinct 60-bit hashes, so the
+# d rows are independent in the sense the 1 - e^-d bound needs.
+_CM_PRIMES = (4093, 4099, 4091)
+_CM_W = min(_CM_PRIMES)  # width for the e*N/w error statement
 _CM_PROBE_MOD = 97  # fixed probe set: custkeys divisible by 97
 
 
 def _cm_cols_duck(expr: str) -> list[str]:
     return [
-        f"xor({hash60_duckdb_sql(expr)}, {XOR_SEEDS[i]}) % {_CM_W}"
-        for i in range(_CM_D)
+        f"{hash60_duckdb_sql(expr)} % {_CM_PRIMES[i]}" for i in range(_CM_D)
     ]
 
 
 def _cm_cols_spark(expr: str) -> list[str]:
     return [
-        f"({hash60_spark_sql(expr)} ^ {XOR_SEEDS[i]}L) % {_CM_W}"
-        for i in range(_CM_D)
+        f"{hash60_spark_sql(expr)} % {_CM_PRIMES[i]}" for i in range(_CM_D)
     ]
 
 
@@ -294,12 +301,13 @@ GROUP BY k
 @register("sketch_countmin_heavy", oracle=_cm_sql())
 def sketch_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min point frequencies (Cormode & Muthukrishnan, J.Alg
-    2005): a d=3 x w=4096 counter grid — row i counts the stream at
-    column (hash60(key) XOR seed_i) %% w (the MinHash family's XOR
-    seeds reused as the d pairwise-independent hashes) — and a key's
-    frequency estimate is min over the d counters, ALWAYS >= the true
-    count (pinned in tests) and over by at most ~e*N/w with prob
-    1 - e^-d. The grid is the entire state: 12,288 counters regardless
+    2005): a d=3 x w~4096 counter grid — row i counts the stream at
+    column hash60(key) %% p_i with DISTINCT PRIME widths per row (see
+    _CM_PRIMES: XOR-seeded power-of-two columns were fully correlated,
+    ADVICE r9; prime moduli give CRT-independent rows from one md5 per
+    key) — and a key's frequency estimate is min over the d counters,
+    ALWAYS >= the true count (pinned in tests) and over by at most
+    ~e*N/w with prob 1 - e^-d. The grid is ~12,283 counters regardless
     of stream size or key cardinality, built by ONE map-side-combined
     groupBy over the d-exploded stream and merged across
     partitions/days by cell-wise ADDITION — the frequency analogue of
@@ -557,6 +565,13 @@ def sketch_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _BK_K = 128
+# 60-bit hash space size as an exact BIGINT — the unsaturated sketch's
+# threshold (theta = 1.0 in the unit-interval formulation): a sketch
+# holding fewer than k distinct hashes IS its whole set, so its
+# estimate is the exact sample count and its theta imposes no cut
+# (ADVICE r9: the (k-1)*H/max(h) formula grossly overestimates an
+# unsaturated set; standard theta behavior returns exact counts).
+_H_INT = 1152921504606846976
 
 
 def _bk_sql() -> str:
@@ -582,21 +597,31 @@ rb AS (
 sa AS (SELECT h FROM ra WHERE rn <= {_BK_K}),
 sb AS (SELECT h FROM rb WHERE rn <= {_BK_K}),
 th AS (
-  SELECT least((SELECT max(h) FROM sa), (SELECT max(h) FROM sb)) AS theta
+  SELECT least(
+    CASE WHEN (SELECT count(*) FROM sa) < {_BK_K} THEN {_H_INT}
+         ELSE (SELECT max(h) FROM sa) END,
+    CASE WHEN (SELECT count(*) FROM sb) < {_BK_K} THEN {_H_INT}
+         ELSE (SELECT max(h) FROM sb) END) AS theta
 ),
 est AS (
   SELECT
-    CAST(round(({_BK_K} - 1) * ({_H} / (SELECT max(h) FROM sa)))
-         AS BIGINT) AS est_a,
-    CAST(round(({_BK_K} - 1) * ({_H} / (SELECT max(h) FROM sb)))
-         AS BIGINT) AS est_b,
+    CASE WHEN (SELECT count(*) FROM sa) < {_BK_K}
+         THEN (SELECT count(*) FROM sa)
+         ELSE CAST(round(({_BK_K} - 1) * ({_H} / (SELECT max(h) FROM sa)))
+              AS BIGINT) END AS est_a,
+    CASE WHEN (SELECT count(*) FROM sb) < {_BK_K}
+         THEN (SELECT count(*) FROM sb)
+         ELSE CAST(round(({_BK_K} - 1) * ({_H} / (SELECT max(h) FROM sb)))
+              AS BIGINT) END AS est_b,
     CAST(round((SELECT count(*) FROM (
             SELECT h FROM sa UNION SELECT h FROM sb
           ) u, th WHERE u.h < th.theta)
-          * ({_H} / (SELECT theta FROM th))) AS BIGINT) AS est_union,
+          * ({_H} / CAST((SELECT theta FROM th) AS DOUBLE)))
+         AS BIGINT) AS est_union,
     CAST(round((SELECT count(*) FROM sa JOIN sb USING (h) CROSS JOIN th
             WHERE sa.h < th.theta)
-          * ({_H} / (SELECT theta FROM th))) AS BIGINT) AS est_inter
+          * ({_H} / CAST((SELECT theta FROM th) AS DOUBLE)))
+         AS BIGINT) AS est_inter
 ),
 ex AS (
   SELECT CAST(sum(a) AS BIGINT) AS n_exact_a,
@@ -673,10 +698,20 @@ def sketch_theta_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = samples.filter("s = 'a'").select("h")
     sb = samples.filter("s = 'b'").select("h")
-    tha = sa.agg(F.max("h").alias("ha"))
-    thb = sb.agg(F.max("h").alias("hb"))
+    tha = sa.agg(F.max("h").alias("ha"), F.count("*").alias("na"))
+    thb = sb.agg(F.max("h").alias("hb"), F.count("*").alias("nb"))
+    # unsaturated guard (ADVICE r9): a sketch with fewer than k hashes
+    # is exact — its theta is the full hash space H, and its NDV
+    # estimate below is the sample count itself, in both engines
     th = tha.crossJoin(thb).select(
-        "ha", "hb", F.least("ha", "hb").alias("theta")
+        "ha",
+        "hb",
+        "na",
+        "nb",
+        F.least(
+            F.expr(f"CASE WHEN na < {_BK_K} THEN {_H_INT}L ELSE ha END"),
+            F.expr(f"CASE WHEN nb < {_BK_K} THEN {_H_INT}L ELSE hb END"),
+        ).alias("theta"),
     )
     uni = (
         sa.select("h").union(sb.select("h")).distinct()
@@ -685,6 +720,8 @@ def sketch_theta_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("min(theta) AS theta"),
             F.expr("min(ha) AS ha"),
             F.expr("min(hb) AS hb"),
+            F.expr("min(na) AS na"),
+            F.expr("min(nb) AS nb"),
             F.expr(
                 "CAST(sum(CASE WHEN h < theta THEN 1 ELSE 0 END)"
                 " AS BIGINT) AS n_union_s"
@@ -713,15 +750,19 @@ def sketch_theta_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ex))
         .selectExpr(
             "n_exact_a",
-            f"CAST(round(({_BK_K} - 1) * ({_H} / ha)) AS BIGINT) AS est_a",
+            f"CASE WHEN na < {_BK_K} THEN na"
+            f" ELSE CAST(round(({_BK_K} - 1) * ({_H} / ha)) AS BIGINT)"
+            " END AS est_a",
             "n_exact_b",
-            f"CAST(round(({_BK_K} - 1) * ({_H} / hb)) AS BIGINT) AS est_b",
+            f"CASE WHEN nb < {_BK_K} THEN nb"
+            f" ELSE CAST(round(({_BK_K} - 1) * ({_H} / hb)) AS BIGINT)"
+            " END AS est_b",
             "n_exact_union",
-            f"CAST(round(n_union_s * ({_H} / theta)) AS BIGINT)"
-            " AS est_union",
+            f"CAST(round(n_union_s * ({_H} / CAST(theta AS DOUBLE)))"
+            " AS BIGINT) AS est_union",
             "n_exact_inter",
-            f"CAST(round(n_inter_s * ({_H} / theta)) AS BIGINT)"
-            " AS est_inter",
+            f"CAST(round(n_inter_s * ({_H} / CAST(theta AS DOUBLE)))"
+            " AS BIGINT) AS est_inter",
         )
     )
 
@@ -761,7 +802,7 @@ def sketch_countmin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable count-min rollup — the frequency analogue of
     agg_hll_sketch_rollup: one d x w counter grid is built PER MONTH at
     ingest granularity (the artifact a pipeline materializes daily,
-    12,288 integers each), and any coarser slice is answered by
+    ~12,283 integers each), and any coarser slice is answered by
     CELL-WISE ADDITION of the stored grids instead of rescanning raw
     orders. Count-min is linear in the stream, so the merged grid is
     IDENTICAL to the direct single-pass build — the oracle computes the

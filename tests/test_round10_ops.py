@@ -1,0 +1,119 @@
+"""Semantic invariants for the round-10 additions and ADVICE-r9 fixes —
+properties the oracle hash-match alone cannot state (the oracle proves
+Spark == DuckDB; these prove both engines compute the RIGHT thing).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from airbnb_listings_reviews_data_engineering_spark.checkpoint import release_pins
+from airbnb_listings_reviews_data_engineering_spark.operators import dedup as D
+from airbnb_listings_reviews_data_engineering_spark.plans import all_queries
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def q():
+    return all_queries()
+
+
+def rows(q, spark, sf_dir, key):
+    out = q[key].fn(spark, sf_dir).collect()
+    release_pins(spark)
+    return out
+
+
+def _hash60(s: str) -> int:
+    """Python mirror of functions/hashing.hash60 (md5 hex first 15
+    nibbles as an integer) — used to reason about the count-min cell
+    formulas without an engine."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# --- ADVICE r9: count-min rows must be decorrelated --------------------------
+
+
+def test_countmin_prime_rows_decorrelate_collisions():
+    """The round-9 grid used (hash60 XOR seed_i) % 4096: XOR by a
+    constant is bitwise and 4096 = 2^12, so ANY pair colliding in one
+    row collided in all rows — effective depth 1. The prime-width rows
+    must break this: for pairs of keys that collide in row 0, at least
+    one other row separates them (CRT: all-rows collision requires
+    h1 = h2 mod p0*p1*p2 ~ 6.9e10)."""
+    from airbnb_listings_reviews_data_engineering_spark.plans.sketch_ext import (
+        _CM_D,
+        _CM_PRIMES,
+    )
+
+    assert len(set(_CM_PRIMES)) == _CM_D  # distinct widths per row
+    # find row-0 colliding pairs among a small key universe, then
+    # check the other rows separate every one of them
+    by_cell: dict[int, list[int]] = {}
+    for k in range(20000):
+        h = _hash60(str(k))
+        by_cell.setdefault(h % _CM_PRIMES[0], []).append(h)
+    pairs = [
+        (hs[i], hs[j])
+        for hs in by_cell.values()
+        if len(hs) > 1
+        for i in range(len(hs))
+        for j in range(i + 1, len(hs))
+    ]
+    assert len(pairs) > 10000  # the adversary population is real
+    fully_correlated = [
+        (h1, h2)
+        for h1, h2 in pairs
+        if all(h1 % p == h2 % p for p in _CM_PRIMES[1:])
+    ]
+    # with XOR'd power-of-two widths EVERY pair was fully correlated;
+    # with distinct primes the expected count is ~len(pairs)/p1/p2 ~ 0
+    assert fully_correlated == []
+
+
+def test_countmin_still_one_sided(spark, q):
+    # the estimator contract survives the hash change: min over d
+    # counters is always >= the exact count
+    for r in rows(q, spark, "/root/testdata/sf0.01", "sketch_countmin_heavy"):
+        assert r.n_est >= r.n_exact
+
+
+# --- ADVICE r9: theta bottom-k small-set guard --------------------------------
+
+
+def test_theta_bottomk_unsaturated_returns_exact(spark, q):
+    """At sf0.001 the 2-HIGH priority has 126 distinct custkeys < k=128:
+    the sketch holds the WHOLE set, so the estimate must be the exact
+    count (the round-9 (k-1)*H/max(h) form overestimated ~30x here —
+    max(h) of a tiny sample sits far below H*k/n)."""
+    from airbnb_listings_reviews_data_engineering_spark.plans.sketch_ext import _BK_K
+
+    r = rows(q, spark, SF_SMALL, "sketch_theta_bottomk")[0]
+    # the guard is PER SKETCH: an unsaturated set's own NDV is exact
+    assert r.n_exact_b < _BK_K <= r.n_exact_a  # fixture shape at sf0.001
+    assert r.est_b == r.n_exact_b
+    # set-op estimates stay approximate whenever either side is
+    # saturated (theta = A's k-th hash cuts the union/intersection
+    # samples), but must remain in the ~1/sqrt(k-2) error band instead
+    # of the ~30x blowup the unguarded formula produced
+    for est, exact in (
+        (r.est_a, r.n_exact_a),
+        (r.est_union, r.n_exact_union),
+        (r.est_inter, r.n_exact_inter),
+    ):
+        assert abs(est - exact) / exact <= 0.3, (est, exact)
+
+
+# --- ADVICE r9: CC must fail loudly when the budget is hit --------------------
+
+
+def test_cc_raises_when_not_converged(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="star fixpoint"):
+        D.connected_components(pairs, max_iter=0)
+    release_pins(spark)

@@ -576,15 +576,20 @@ def test_span_excise_matches_bruteforce_on_random_corpora(spark):
 
         for keep_first in (False, True):
             df = spark.createDataFrame(docs, ["doc_id", "text"])
-            got = {
-                r["doc_id"]: (
-                    r["n_tok"], r["n_removed"], r["n_spans"], r["clean_text"]
-                )
-                for r in duplicated_span_excise(
-                    df, "doc_id", "text", n=n, keep_first=keep_first
-                ).collect()
-            }
-            release_pins(spark)
+            try:
+                got = {
+                    r["doc_id"]: (
+                        r["n_tok"], r["n_removed"], r["n_spans"],
+                        r["clean_text"]
+                    )
+                    for r in duplicated_span_excise(
+                        df, "doc_id", "text", n=n, keep_first=keep_first
+                    ).collect()
+                }
+            finally:
+                # a failing collect must not leak this trial's pins
+                # into later tests (ADVICE r8)
+                release_pins(spark)
             want = brute(keep_first)
             assert got == want, (trial, keep_first)
 
