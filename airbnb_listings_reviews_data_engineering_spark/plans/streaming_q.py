@@ -1005,3 +1005,85 @@ def stream_sketch_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS rel_err"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming quantiles: the dyadic CM grid maintained as bounded stream state
+# ---------------------------------------------------------------------------
+
+_SKQ_BATCHES = 3
+
+
+def _stream_dq_sql() -> str:
+    from .sketch_ext import _dq_sql
+
+    return _dq_sql()
+
+
+@register("stream_sketch_quantile", oracle=_stream_dq_sql())
+def stream_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantiles via the dyadic count-min grid
+    (sketch_quantile_dyadic's sibling, completing the streaming sketch
+    pair with stream_sketch_ndv): the lineitem price stream arrives in
+    3 micro-batches and ONE streaming aggregation maintains the
+    per-(level, row, cell) counters — the ENTIRE stream state is the
+    <= 16 x 12,283-cell grid FOREVER, the property that makes sketch
+    quantiles the only viable continuous percentile at 100 TB (exact
+    streaming percentile state grows with the value universe; Spark's
+    approx_percentile is not a streaming aggregate at all). Count-min
+    is linear, so micro-batch counter addition IS the merge operator —
+    the drained grid is BATCH-EQUIVALENT and the oracle is literally
+    sketch_quantile_dyadic's SQL, proving the micro-batch path changes
+    the execution, not the value. The per-row cell explosion runs
+    map-side on the stream (16 node hashes per row — the batch build's
+    leaf pre-aggregation is unavailable mid-stream because chaining a
+    leaf aggregate before the cell aggregate would need two stateful
+    operators); the descent and the true-rank verifier fold over the
+    drained grid as batch expressions."""
+    from .sketch_ext import (
+        _CM_PRIMES,
+        _DQ_CENTS,
+        _DQ_LEAF_MAX,
+        _DQ_LEAF_W,
+        _DQ_LEVELS,
+        _dq_descend,
+        _dq_node_hash_spark,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    stream_dir = _landing_zone(spark, "stream_sketch_quantile")
+    for i in range(_SKQ_BATCHES):
+        _stage_batch(
+            li.filter(F.col("l_orderkey") % _SKQ_BATCHES == i).select(
+                "l_extendedprice"
+            ),
+            stream_dir,
+            f"batch{i + 1}.parquet",
+            i + 1,
+        )
+    stream = spark.readStream.schema("l_extendedprice double").parquet(
+        stream_dir
+    )
+    h = _dq_node_hash_spark("CAST(ln.lvl AS STRING)", "ln.node")
+    cell_structs = ", ".join(
+        f"struct({i} AS r, h % {p} AS c)" for i, p in enumerate(_CM_PRIMES)
+    )
+    cells = (
+        stream.selectExpr(
+            f"least({_DQ_CENTS} div {_DQ_LEAF_W}, {_DQ_LEAF_MAX}) AS leaf"
+        )
+        .selectExpr(
+            f"explode(transform(sequence(0, {_DQ_LEVELS - 1}),"
+            " l -> struct(l AS lvl, shiftright(leaf, l) AS node))) AS ln"
+        )
+        .selectExpr("ln.lvl AS lvl", f"{h} AS h")
+        .selectExpr("lvl", f"explode(array({cell_structs})) AS rc")
+        .select("lvl", "rc.r", "rc.c")
+        .groupBy("lvl", "r", "c")
+        .agg(F.count("*").alias("cnt"))
+    )
+    drained = run_available_now(
+        cells, query_name="stream_sketch_quantile", output_mode="complete"
+    )
+    grid = drained.selectExpr("lvl", "r", "c", "CAST(cnt AS BIGINT) AS cnt")
+    return _dq_descend(li, grid)

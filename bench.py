@@ -143,9 +143,17 @@ R9_ADDITIONS = [
     "sketch_countmin_heavy",  # d-exploded stream -> 12k-cell grid + probes
 ]
 
+# round-10 breadth: the mergeable quantile sketch (its rollup twin and
+# streaming sibling are gate+test covered; the direct build is the
+# representative cost — the stream form pays 16 md5/row because leaf
+# pre-aggregation cannot chain before a streaming aggregate)
+R10_ADDITIONS = [
+    "sketch_quantile_dyadic",  # dyadic CM grid + 16-level fold descent
+]
+
 HEADLINE = (R2_HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R4B_ADDITIONS
             + R4C_ADDITIONS + R4D_ADDITIONS + R5_ADDITIONS + R7_ADDITIONS
-            + R8_ADDITIONS + R9_ADDITIONS)
+            + R8_ADDITIONS + R9_ADDITIONS + R10_ADDITIONS)
 
 
 def main() -> None:

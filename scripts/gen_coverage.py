@@ -173,6 +173,9 @@ SECTIONS = [
         "sketch_quantile_sample", "dedup_components_incremental",
         "sketch_theta_bottomk", "pipeline_admission_funnel",
         "sketch_countmin_rollup"]),
+    ("Mergeable quantiles / IVF-PQ / streaming admission (round-10)", [
+        "sketch_quantile_dyadic", "sketch_quantile_rollup",
+        "stream_sketch_quantile"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

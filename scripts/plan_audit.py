@@ -126,6 +126,9 @@ NESTED_LOOP_ALLOWED = {
     "text_perplexity_bucket",  # text_unigram_logprob's 1-row corpus-total fold
     "sample_doremi_weights",  # 1-row corpus-total + 1-row weight-total folds
     "sample_rho_loss",   # 1-row (nh, np, V) totals folded into the vocab-row lambda table
+    "sketch_quantile_dyadic",  # 1-row grid map + 4-row quantile result folds
+    "sketch_quantile_rollup",  # same 1-row merged-grid map + 4-row result folds
+    "stream_sketch_quantile",  # same descent over the drained stream grid
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's

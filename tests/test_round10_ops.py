@@ -117,3 +117,49 @@ def test_cc_raises_when_not_converged(spark):
     with pytest.raises(RuntimeError, match="star fixpoint"):
         D.connected_components(pairs, max_iter=0)
     release_pins(spark)
+
+
+# --- dyadic count-min quantiles: the mergeable quantile sketch ----------------
+
+
+def test_quantile_rollup_equals_direct(spark, q):
+    """Count-min is LINEAR: per-month grids merged by cell-wise
+    addition must drive the descent to IDENTICAL leaves — merged ==
+    direct row-for-row, the merge-exactness KLL/GK cannot offer."""
+    direct = sorted(
+        map(tuple, rows(q, spark, "/root/testdata/sf0.01",
+                        "sketch_quantile_dyadic"))
+    )
+    rollup = sorted(
+        map(tuple, rows(q, spark, "/root/testdata/sf0.01",
+                        "sketch_quantile_rollup"))
+    )
+    assert direct == rollup
+
+
+def test_quantile_stream_equals_batch(spark, q):
+    """The micro-batch grid (counter addition per batch) must equal the
+    one-pass grid: same descent, same leaves, same verifier row."""
+    direct = sorted(
+        map(tuple, rows(q, spark, "/root/testdata/sf0.01",
+                        "sketch_quantile_dyadic"))
+    )
+    stream = sorted(
+        map(tuple, rows(q, spark, "/root/testdata/sf0.01",
+                        "stream_sketch_quantile"))
+    )
+    assert direct == stream
+
+
+def test_quantile_rank_error_bound_sf01(spark, q):
+    """Rank error of the descent at sf0.1: the sum of <= 16 one-sided
+    CM overestimates stays well inside 2 percentage points of rank for
+    every target quantile (measured <= 0.004; pinned with headroom)."""
+    out = rows(q, spark, "/root/testdata/sf0.1", "sketch_quantile_dyadic")
+    assert {r.qpct for r in out} == {25, 50, 75, 90}
+    for r in out:
+        assert r.n == 600000
+        assert r.rank_err <= 0.02, (r.qpct, r.rank_err)
+        # the returned value is a REAL price neighborhood: its true
+        # rank (rank_frac) sits on the requested quantile
+        assert abs(abs(r.rank_frac - r.qpct / 100.0) - r.rank_err) < 1e-9
