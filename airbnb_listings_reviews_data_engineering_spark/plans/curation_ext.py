@@ -1373,60 +1373,19 @@ def mm_reader_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # product quantization: per-subspace codebooks + encoding
 # ---------------------------------------------------------------------------
 
-_PQ_SUBSPACES = 4
-_PQ_SUBDIM = 16
-_PQ_K = 4
-_PQ_ITERS = 2
-
-
-def _pq_blocks(sub: int) -> str:
-    """One subspace's unrolled Lloyd chain (e{sub}, c{sub}_0, ... ),
-    mirroring pipeline_ext._kmeans_blocks but over the dimension slice
-    [sub*16+1, sub*16+16] so the four codebooks train independently."""
-    off = sub * _PQ_SUBDIM
-    t = f"s{sub}"
-    d2 = (
-        "round(list_sum(list_transform(generate_series(1, {dims}), "
-        "d -> (e.v[d] - c.cv[d]) * (e.v[d] - c.cv[d]))), 6)"
-    ).format(dims=_PQ_SUBDIM)
-    blocks = [
-        f"""
-e{t} AS (
-  SELECT vec_id,
-         list_transform(generate_series({off + 1}, {off + _PQ_SUBDIM}),
-                        d -> CAST(embedding[d] AS DOUBLE)) AS v
-  FROM embeddings
-),
-c{t}0 AS (SELECT CAST(vec_id - 1 AS INT) AS cid, v AS cv
-          FROM e{t} WHERE vec_id BETWEEN 1 AND {_PQ_K})
-"""
-    ]
-    for it in range(1, _PQ_ITERS + 1):
-        prev = f"c{t}{it - 1}"
-        blocks.append(
-            f"""
-a{t}{it} AS (
-  SELECT vec_id, v, cid FROM (
-    SELECT e.vec_id, e.v, c.cid,
-           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cid) AS rn
-    FROM e{t} e CROSS JOIN {prev} c
-  ) WHERE rn = 1
-),
-c{t}{it} AS (
-  SELECT cid, list(m ORDER BY pos) AS cv FROM (
-    SELECT cid, u.pos AS pos, round(avg(u.val), 6) AS m FROM (
-      SELECT cid,
-             unnest(list_transform(generate_series(1, {_PQ_SUBDIM}),
-                    d -> struct_pack(pos := d, val := v[d]))) AS u
-      FROM a{t}{it}
-    ) GROUP BY cid, u.pos
-  ) GROUP BY cid
-)"""
-        )
-    return ",".join(b.strip() for b in blocks)
+# PQ constants + the per-subspace Lloyd SQL chain live in
+# pipeline_ext (beside _kmeans_blocks) since round 10 — imported here
+# the same lazy way the other shared SQL builders are.
 
 
 def _pq_sql() -> str:
+    from .pipeline_ext import (
+        _PQ_ITERS,
+        _PQ_SUBDIM,
+        _PQ_SUBSPACES,
+        _pq_blocks,
+    )
+
     d2 = (
         "round(list_sum(list_transform(generate_series(1, {dims}), "
         "d -> (e.v[d] - c.cv[d]) * (e.v[d] - c.cv[d]))), 6)"
@@ -1463,6 +1422,7 @@ def sim_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrain). Distortions are fixed-pointed BEFORE summation so the
     report is order-free and bitwise reproducible."""
     from ..operators.clustering import _sq_dist, kmeans_centroids
+    from .pipeline_ext import _PQ_ITERS, _PQ_K, _PQ_SUBDIM, _PQ_SUBSPACES
 
     emb = load(spark, sf_dir, "embeddings")
     # encode side reads the corpus ONCE, carrying all four subspace

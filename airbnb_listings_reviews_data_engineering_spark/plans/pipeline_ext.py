@@ -5231,3 +5231,409 @@ def pipeline_admission_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) AS n_admitted"
         ),
     )
+
+
+_PQ_SUBSPACES = 4
+_PQ_SUBDIM = 16
+_PQ_K = 4
+_PQ_ITERS = 2
+
+
+def _pq_blocks(
+    sub: int,
+    subdim: int | None = None,
+    k: int | None = None,
+    iters: int | None = None,
+) -> str:
+    """One subspace's unrolled Lloyd chain (e{sub}, c{sub}_0, ... ),
+    mirroring _kmeans_blocks above but over the dimension slice
+    [sub*subdim+1, (sub+1)*subdim] so the codebooks train
+    independently. Defaults are sim_pq_quantize's 4x16x4 layout;
+    sim_ivfpq_topk passes its own 8x8x16."""
+    subdim = _PQ_SUBDIM if subdim is None else subdim
+    k = _PQ_K if k is None else k
+    iters = _PQ_ITERS if iters is None else iters
+    off = sub * subdim
+    t = f"s{sub}"
+    d2 = (
+        "round(list_sum(list_transform(generate_series(1, {dims}), "
+        "d -> (e.v[d] - c.cv[d]) * (e.v[d] - c.cv[d]))), 6)"
+    ).format(dims=subdim)
+    blocks = [
+        f"""
+e{t} AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(generate_series({off + 1}, {off + subdim}),
+                        d -> CAST(embedding[d] AS DOUBLE)) AS v
+  FROM embeddings
+),
+c{t}0 AS (SELECT CAST(vec_id - 1 AS INT) AS cid, v AS cv
+          FROM e{t} WHERE vec_id BETWEEN 1 AND {k})
+"""
+    ]
+    for it in range(1, iters + 1):
+        prev = f"c{t}{it - 1}"
+        blocks.append(
+            f"""
+a{t}{it} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cid) AS rn
+    FROM e{t} e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+c{t}{it} AS MATERIALIZED (
+  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+    SELECT cid, u.pos AS pos, round(avg(u.val), 6) AS m FROM (
+      SELECT cid,
+             unnest(list_transform(generate_series(1, {subdim}),
+                    d -> struct_pack(pos := d, val := v[d]))) AS u
+      FROM a{t}{it}
+    ) GROUP BY cid, u.pos
+  ) GROUP BY cid
+)"""
+        )
+    return ",".join(b.strip() for b in blocks)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composite ANN: coded candidates, exact re-rank (VERDICT r9 #4)
+# ---------------------------------------------------------------------------
+
+_IVFPQ_NPROBE = 2
+_IVFPQ_TOPC = 100
+_IVFPQ_K = 10
+# IVF-PQ's own PQ layout: 8 subspaces x 8 dims x 16 codes = 32 bits
+# per vector (sim_pq_quantize's 4x16x4 = 8 bits is a codebook-quality
+# DEMO; 8 bits of reconstruction on isotropic 64-d vectors makes ADC
+# ordering near-noise — measured recall-in-cells 0.45 at c=100 before
+# this split)
+_IVFPQ_SUBSPACES = 8
+_IVFPQ_SUBDIM = 8
+_IVFPQ_CODES = 16
+_IVFPQ_ITERS = 2
+
+
+def _ivfpq_sql() -> str:
+    d2 = (
+        "round(list_sum(list_transform(generate_series(1, {dims}), "
+        "d -> (e.v[d] - c.cv[d]) * (e.v[d] - c.cv[d]))), 6)"
+    ).format(dims=_IVFPQ_SUBDIM)
+    chains = ",".join(
+        _pq_blocks(
+            s, subdim=_IVFPQ_SUBDIM, k=_IVFPQ_CODES, iters=_IVFPQ_ITERS
+        )
+        for s in range(_IVFPQ_SUBSPACES)
+    )
+    encs = ",".join(
+        f"""
+enc{s} AS (
+  SELECT vec_id, cid AS code{s} FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2}, c.cid) AS rn
+    FROM es{s} e CROSS JOIN cs{s}{_IVFPQ_ITERS} c
+  ) WHERE rn = 1
+)"""
+        for s in range(_IVFPQ_SUBSPACES)
+    )
+    code_joins = " ".join(
+        f"JOIN enc{s} USING (vec_id)" for s in range(1, _IVFPQ_SUBSPACES)
+    )
+    luts = ",".join(
+        f"""
+lut{s} AS (
+  SELECT e.q_id, c.cid AS code, {d2} AS d2
+  FROM (SELECT vec_id AS q_id, v FROM es{s}
+        WHERE vec_id % 100 = 0 AND vec_id < 2005) e
+  CROSS JOIN cs{s}{_IVFPQ_ITERS} c
+)"""
+        for s in range(_IVFPQ_SUBSPACES)
+    )
+    lut_joins = " ".join(
+        f"JOIN lut{s} l{s} ON l{s}.q_id = qc.q_id"
+        f" AND l{s}.code = k.code{s}"
+        for s in range(_IVFPQ_SUBSPACES)
+    )
+    adc = " + ".join(f"l{s}.d2" for s in range(_IVFPQ_SUBSPACES))
+    return f"""
+WITH {chains},{encs},
+codes AS (
+  SELECT vec_id, {", ".join(f"code{s}" for s in range(_IVFPQ_SUBSPACES))}
+  FROM enc0 {code_joins}
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM e
+      WHERE vec_id BETWEEN 1 AND 8),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e
+      WHERE vec_id % 100 = 0 AND vec_id < 2005),
+scored AS (
+  SELECT e.vec_id, c.cell,
+         round({_EMB_COS.format(a='e.v', b='c.cv')}, 6) AS cos_c
+  FROM e CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos_c DESC, cell) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+qcells AS (
+  SELECT q_id, cell FROM (
+    SELECT q.q_id, c.cell,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY round({_EMB_COS.format(a='q.qv', b='c.cv')}, 6) DESC,
+                      c.cell
+           ) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= {_IVFPQ_NPROBE}
+),{luts},
+cands AS (
+  SELECT qc.q_id, a.vec_id, ({adc}) AS adc
+  FROM assigned a
+  JOIN qcells qc USING (cell)
+  JOIN codes k ON k.vec_id = a.vec_id
+  {lut_joins}
+),
+topc AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY adc, vec_id) AS rn
+    FROM cands
+  ) WHERE rn <= {_IVFPQ_TOPC}
+),
+rer AS (
+  SELECT t.q_id, t.vec_id,
+         round({_EMB_COS.format(a='e.v', b='q.qv')}, 6) AS cos_sim
+  FROM topc t JOIN e ON e.vec_id = t.vec_id JOIN q ON q.q_id = t.q_id
+)
+SELECT q_id, vec_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, vec_id) AS INT) AS rnk
+FROM rer
+QUALIFY rnk <= {_IVFPQ_K}
+"""
+
+
+@register("sim_ivfpq_topk", oracle=_ivfpq_sql())
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (Jegou et al., TPAMI 2011 — the memory
+    story that makes 100 TB ANN fit): candidates flow through the
+    shuffle as (vec_id, cell, 4 code ids) — ~8 BYTES of payload per
+    vector instead of the 512-byte raw embedding — scored against each
+    query's broadcast ADC lookup table (4 subspaces x 4 codes of
+    rounded squared distances, built once per query from the PQ
+    codebooks sim_pq_quantize trains), and only the top-c=30 ADC
+    survivors are re-ranked with exact cosine on fetched raw vectors
+    (c x Q rows touched, never the corpus). Composition: ivf_assign's
+    map-side cell argmax (the sim_ivf_join layer) gates candidates to
+    nprobe=2 cells; PQ coding compresses what flows; exact re-rank
+    repairs ADC's quantization-ordering loss inside the candidate set.
+    Every stage is map-side or a keyed/broadcast join — no corpus
+    shuffle, no window over the corpus (per-query top-c windows see
+    only each query's probed-cell candidates). recall@10 vs exact kNN
+    is measured in SCALING.md beside the IVF/LSH floors; the gate pins
+    Spark == DuckDB bitwise through codebook training, coding, ADC,
+    and re-rank."""
+    from pyspark.sql import Window as W
+
+    from ..operators.clustering import _sq_dist
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    cents = emb.filter(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("cv")
+    )
+    # All 4 subspace codebooks train in ONE grouped Lloyd loop: the
+    # (sub, vec_id, sv) union trains per (sub, cid) exactly the means
+    # the 4 independent kmeans_centroids runs would (grouping by sub
+    # separates the aggregates; assignment filters the broadcast
+    # centroid array to the row's own subspace) — bitwise-identical
+    # codebooks for a quarter of the Lloyd jobs (4 sequential
+    # trainings cost ~5 s of pure job scheduling at sf0.1).
+    subs = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice(
+                        "v", s * _IVFPQ_SUBDIM + 1, _IVFPQ_SUBDIM
+                    ).alias("sv"),
+                )
+                for s in range(_IVFPQ_SUBSPACES)
+            ])
+        ).alias("e"),
+    ).select("vec_id", "e.sub", "e.sv")
+    # pinned: every Lloyd round re-reads this 8x-exploded frame; the
+    # pin trades one materialization for per-round parquet rescans
+    subs = pin(subs, label="ivfpq_subs")
+    cb = subs.filter(F.col("vec_id").between(1, _IVFPQ_CODES)).select(
+        "sub",
+        (F.col("vec_id") - 1).cast("int").alias("cid"),
+        F.col("sv").alias("cv"),
+    )
+    for _ in range(_IVFPQ_ITERS):
+        call_it = F.broadcast(
+            cb.agg(
+                F.collect_list(F.struct("sub", "cid", "cv")).alias("_call")
+            )
+        )
+        own = subs.crossJoin(call_it).select(
+            "sub",
+            "sv",
+            F.array_min(
+                F.transform(
+                    F.filter(
+                        F.col("_call"),
+                        lambda c: c["sub"] == F.col("sub"),
+                    ),
+                    lambda c: F.struct(
+                        F.round(
+                            _sq_dist(F.col("sv"), c["cv"], _IVFPQ_SUBDIM), 6
+                        ).alias("d2"),
+                        c["cid"].alias("cid"),
+                    ),
+                )
+            )["cid"].alias("cid"),
+        )
+        # pinned per round (lineage truncation; an unpinned round-1
+        # subtree re-executes inside round 2's pin — measured 10.5 s
+        # vs 6.5 s with per-round pins)
+        cb = pin(
+            own.groupBy("sub", "cid").agg(
+                F.array(*[
+                    F.round(F.avg(F.element_at("sv", d + 1)), 6)
+                    for d in range(_IVFPQ_SUBDIM)
+                ]).alias("cv")
+            ),
+            label="ivfpq_cb",
+        )
+    # ONE broadcast row carrying the 8 per-subspace codebook arrays,
+    # split at AGGREGATION time (collect_list skips the other-subspace
+    # nulls) so no per-corpus-row array filter runs downstream
+    call = F.broadcast(
+        cb.agg(*[
+            F.collect_list(
+                F.when(
+                    F.col("sub") == sub_i, F.struct("cid", "cv")
+                )
+            ).alias(f"_c{sub_i}")
+            for sub_i in range(_IVFPQ_SUBSPACES)
+        ])
+    )
+
+    def _codepick(sub_idx: int, vcol: str):
+        def f(c):
+            return F.struct(
+                F.round(
+                    _sq_dist(F.col(vcol), c["cv"], _IVFPQ_SUBDIM), 6
+                ).alias("d2"),
+                c["cid"].alias("cid"),
+            )
+
+        return f
+
+    def _sub_cb(sub_idx: int):
+        return F.col(f"_c{sub_idx}")
+
+    # corpus side: ONE scan carries the cell id (map-side argmax over
+    # the broadcast centroid array) and the 4 subspace codes; the raw
+    # vector is dropped before any join
+    enc = emb.select(
+        "vec_id",
+        "v",
+        *[
+            F.slice("v", s * _IVFPQ_SUBDIM + 1, _IVFPQ_SUBDIM).alias(f"v{s}")
+            for s in range(_IVFPQ_SUBSPACES)
+        ],
+    ).crossJoin(S._centroid_array(cents)).crossJoin(call)
+    codes = enc.select(
+        "vec_id",
+        F.array_max(S._cell_scores(F.col("v")))["cell"].alias("cell"),
+        *[
+            F.array_min(
+                F.transform(_sub_cb(s), _codepick(s, f"v{s}"))
+            )["cid"].alias(f"code{s}")
+            for s in range(_IVFPQ_SUBSPACES)
+        ],
+    )
+    # query side: probe cells + the per-query ADC lookup maps, one
+    # broadcast frame of nprobe rows per query
+    q = emb.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2005)
+    ).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    qx = q.select(
+        "q_id",
+        "qv",
+        *[
+            F.slice("qv", s * _IVFPQ_SUBDIM + 1, _IVFPQ_SUBDIM).alias(f"q{s}")
+            for s in range(_IVFPQ_SUBSPACES)
+        ],
+    ).crossJoin(S._centroid_array(cents)).crossJoin(call)
+    def _lutmap(sub_idx: int):
+        # factory, not a default-arg lambda: F.transform feeds a
+        # 2-parameter lambda (element, INDEX) — the index column would
+        # shadow the captured subspace id (sim_pq_quantize's _score)
+        def f(c):
+            return F.struct(
+                c["cid"].alias("k"),
+                F.round(
+                    _sq_dist(F.col(f"q{sub_idx}"), c["cv"], _IVFPQ_SUBDIM), 6
+                ).alias("d"),
+            )
+
+        return f
+
+    qprobe = qx.select(
+        "q_id",
+        *[
+            F.map_from_entries(
+                F.transform(_sub_cb(s), _lutmap(s))
+            ).alias(f"m{s}")
+            for s in range(_IVFPQ_SUBSPACES)
+        ],
+        F.explode(
+            F.slice(
+                F.reverse(F.array_sort(S._cell_scores(F.col("qv")))),
+                1,
+                _IVFPQ_NPROBE,
+            )
+        ).alias("pc"),
+    ).select(
+        "q_id",
+        *[f"m{s}" for s in range(_IVFPQ_SUBSPACES)],
+        F.col("pc")["cell"].alias("cell"),
+    )
+    adc = " + ".join(
+        f"element_at(m{s}, code{s})" for s in range(_IVFPQ_SUBSPACES)
+    )
+    cands = codes.join(F.broadcast(qprobe), "cell").selectExpr(
+        "q_id", "vec_id", f"({adc}) AS adc"
+    )
+    wc = W.partitionBy("q_id").orderBy("adc", "vec_id")
+    surv = (
+        cands.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= _IVFPQ_TOPC)
+        .select("q_id", "vec_id")
+    )
+    rer = (
+        emb.join(F.broadcast(surv), "vec_id")
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+    )
+    wr = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        rer.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= _IVFPQ_K)
+        .select("q_id", "vec_id", "cos_sim", "rnk")
+    )

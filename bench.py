@@ -149,6 +149,7 @@ R9_ADDITIONS = [
 # pre-aggregation cannot chain before a streaming aggregate)
 R10_ADDITIONS = [
     "sketch_quantile_dyadic",  # dyadic CM grid + 16-level fold descent
+    "sim_ivfpq_topk",          # IVF cells -> PQ-coded ADC -> exact re-rank
 ]
 
 HEADLINE = (R2_HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R4B_ADDITIONS

@@ -126,6 +126,7 @@ NESTED_LOOP_ALLOWED = {
     "text_perplexity_bucket",  # text_unigram_logprob's 1-row corpus-total fold
     "sample_doremi_weights",  # 1-row corpus-total + 1-row weight-total folds
     "sample_rho_loss",   # 1-row (nh, np, V) totals folded into the vocab-row lambda table
+    "sim_ivfpq_topk",   # 1-row centroid/codebook arrays + tiny probe/query folds
     "sketch_quantile_dyadic",  # 1-row grid map + 4-row quantile result folds
     "sketch_quantile_rollup",  # same 1-row merged-grid map + 4-row result folds
     "stream_sketch_quantile",  # same descent over the drained stream grid
@@ -165,6 +166,9 @@ NESTED_LOOP_STAGE_ALLOWED = {
     ("ml_kmeans", "kmeans_cents"),
     ("sim_ivf_join_learned", "kmeans_cents"),
     ("sim_pq_quantize", "kmeans_cents"),  # per-subspace codebooks
+    # grouped per-subspace Lloyd: the 8x-exploded subspace frame
+    # crossJoins the ONE-row broadcast codebook array per round
+    ("sim_ivfpq_topk", "ivfpq_cb"),
     ("sample_cluster_balanced", "kmeans_cents"),
     ("sample_prototype_pruning", "kmeans_cents"),
     # 1-row plane-array fold building the pinned eval-side index

@@ -163,3 +163,80 @@ def test_quantile_rank_error_bound_sf01(spark, q):
         # the returned value is a REAL price neighborhood: its true
         # rank (rank_frac) sits on the requested quantile
         assert abs(abs(r.rank_frac - r.qpct / 100.0) - r.rank_err) < 1e-9
+
+
+# --- IVF-PQ composite: recall floors and the compression contract -------------
+
+
+def _exact_topk(spark, sf_dir, k=10):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from airbnb_listings_reviews_data_engineering_spark.functions.arrays import (
+        as_double_array,
+        cosine,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    qs_ = emb.filter(
+        (emb.vec_id % 100 == 0) & (emb.vec_id < 2005)
+    ).select(emb.vec_id.alias("q_id"), emb.v.alias("qv"))
+    import pyspark.sql.functions as FF
+
+    sc = emb.crossJoin(FF.broadcast(qs_)).select(
+        "q_id", "vec_id", FF.round(cosine(emb.v, FF.col("qv")), 6).alias("c")
+    )
+    w = W.partitionBy("q_id").orderBy(FF.desc("c"), "vec_id")
+    return {
+        (r.q_id, r.vec_id)
+        for r in sc.withColumn("rn", FF.row_number().over(w))
+        .filter(f"rn <= {k}")
+        .collect()
+    }
+
+
+def test_ivfpq_recall_floors(spark, q):
+    """The IVF-PQ composite's recall contract at sf0.1 (isotropic
+    embeddings — the ANN worst case, see scripts/ann_recall.py):
+    (1) vs the SAME probe budget's plain IVF (sim_ivf_join, nprobe=2):
+    the 32-bit ADC + top-100 re-rank recovers >= 75% of what scanning
+    the probed cells exactly recovers (measured 0.85 — the PQ
+    compression's only loss is true neighbors ranked past c by ADC);
+    (2) vs exact kNN: recall is bounded by the nprobe=2 cell budget
+    (~0.51 measured for plain IVF here) and must stay >= 0.35."""
+    sf = "/root/testdata/sf0.1"
+    ivfpq = {(r.q_id, r.vec_id) for r in rows(q, spark, sf, "sim_ivfpq_topk")}
+    ivf = {(r.q_id, r.vec_id) for r in rows(q, spark, sf, "sim_ivf_join")}
+    exact = _exact_topk(spark, sf)
+    release_pins(spark)
+    assert len(ivfpq & ivf) / len(ivf) >= 0.75
+    assert len(ivfpq & exact) / len(exact) >= 0.35
+
+
+def test_ivfpq_reranked_scores_are_exact(spark, q):
+    """Re-ranked rows carry EXACT cosine (not ADC approximations):
+    every returned (q_id, vec_id) score must equal the brute-force
+    cosine — the contract that makes the composite's output
+    indistinguishable from exact search restricted to its candidates."""
+    from airbnb_listings_reviews_data_engineering_spark.functions.arrays import (
+        as_double_array,
+        cosine,
+    )
+    import pyspark.sql.functions as FF
+
+    sf = "/root/testdata/sf0.01"
+    out = rows(q, spark, sf, "sim_ivfpq_topk")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    vecs = {r.vec_id: r.v for r in emb.collect()}
+    import math
+
+    for r in out:
+        a, b = vecs[r.vec_id], vecs[r.q_id]
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        assert abs(r.cos_sim - round(dot / (na * nb), 6)) <= 2e-6, r
