@@ -1087,3 +1087,272 @@ def stream_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grid = drained.selectExpr("lvl", "r", "c", "CAST(cnt AS BIGINT) AS cnt")
     return _dq_descend(li, grid)
+
+
+# ---------------------------------------------------------------------------
+# streaming admission E2E: the standing index GROWS with each batch
+# ---------------------------------------------------------------------------
+
+# batch-1 classes                          batch-2 classes
+_SAE_CORP1 = 23   # corpus near-dups       _SAE_CORP2 = below: vs ORIGINAL index
+_SAE_NOV1 = 29    # novel -> admitted      (their variants return in batch 2)
+_SAE_CORP2 = 31   # corpus near-dups, caught by the ORIGINAL index entries
+_SAE_NOV2 = 37    # fresh novel -> admitted
+_SAE_OFF = {"corp1": 600000, "nov1": 610000, "nov1v": 620000,
+            "corp2": 630000, "nov2": 640000}
+
+# deterministic novel text: 16 unique tokens derived from doc_id (>= 3
+# tokens => shingles exist; tokens unique per doc => no collisions with
+# the corpus or each other). The batch-2 variant drops the first token
+# (tokens 2..16 => Jaccard 14/15 vs the batch-1 original — high enough
+# that the 8-hash estimate clears the 0.5 admission bar for every doc;
+# at 8 tokens J=5/6 left 2 of 18 variants under the bar). Placeholders:
+# {aj}=array_join/array_to_string, {tf}=transform/list_transform,
+# {seq}=sequence/generate_series, {vc}=STRING/VARCHAR.
+_SAE_NOVEL = (
+    "{aj}({tf}({seq}({lo}, 16), k ->"
+    " concat('{pfx}', CAST(doc_id AS {vc}), 'x', CAST(k AS {vc}))), ' ')"
+)
+_SAE_SPARK_FMT = dict(aj="array_join", tf="transform", seq="sequence",
+                      vc="STRING")
+_SAE_DUCK_FMT = dict(aj="array_to_string", tf="list_transform",
+                     seq="generate_series", vc="VARCHAR")
+
+
+def _sae_sql() -> str:
+    from ..functions.hashing import XOR_SEEDS, hash60_duckdb_sql
+
+    def sig_cte(src: str, name: str, idc: str) -> str:
+        hcols = ",\n         ".join(
+            f"list_min(list_transform(bh, h -> xor(h, {XOR_SEEDS[j]})))"
+            f" AS h{j}"
+            for j in range(8)
+        )
+        return f"""
+tok_{name} AS (SELECT {idc}, string_split(text, ' ') AS tok FROM {src}),
+sh_{name} AS (
+  SELECT {idc},
+         list_transform(generate_series(1, len(tok) - 2),
+                        i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])
+           AS shingles
+  FROM tok_{name} WHERE len(tok) >= 3
+),
+bh_{name} AS (SELECT {idc},
+                     list_transform(shingles, s -> {hash60_duckdb_sql('s')})
+                       AS bh
+              FROM sh_{name}),
+sig_{name} AS (
+  SELECT {idc}, {hcols}
+  FROM bh_{name}
+)"""
+
+    band_cond = " OR ".join(
+        "(" + " AND ".join(f"a.h{b*2+r} = b.h{b*2+r}" for r in range(2)) + ")"
+        for b in range(4)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END)" for j in range(8)
+    )
+    hs = ", ".join(f"h{j}" for j in range(8))
+    nov1 = _SAE_NOVEL.format(lo=1, pfx="nv", **_SAE_DUCK_FMT)
+    nov1v = _SAE_NOVEL.format(lo=2, pfx="nv", **_SAE_DUCK_FMT)
+    nov2 = _SAE_NOVEL.format(lo=1, pfx="fz", **_SAE_DUCK_FMT)
+    return f"""
+WITH b1 AS (
+  SELECT doc_id + {_SAE_OFF["corp1"]} AS in_id,
+         regexp_replace(text, '^[a-z]+ ', '') AS text
+  FROM documents WHERE doc_id % {_SAE_CORP1} = 0
+  UNION ALL
+  SELECT doc_id + {_SAE_OFF["nov1"]} AS in_id, {nov1} AS text
+  FROM documents WHERE doc_id % {_SAE_NOV1} = 0
+),
+b2 AS (
+  SELECT doc_id + {_SAE_OFF["nov1v"]} AS in_id, {nov1v} AS text
+  FROM documents WHERE doc_id % {_SAE_NOV1} = 0
+  UNION ALL
+  SELECT doc_id + {_SAE_OFF["corp2"]} AS in_id,
+         regexp_replace(text, '^[a-z]+ ', '') AS text
+  FROM documents WHERE doc_id % {_SAE_CORP2} = 0
+  UNION ALL
+  SELECT doc_id + {_SAE_OFF["nov2"]} AS in_id, {nov2} AS text
+  FROM documents WHERE doc_id % {_SAE_NOV2} = 0
+),
+{sig_cte("documents", "corp", "doc_id").strip()},
+{sig_cte("b1", "b1", "in_id").strip()},
+{sig_cte("b2", "b2", "in_id").strip()},
+hits1 AS (
+  SELECT DISTINCT a.in_id
+  FROM sig_b1 a JOIN sig_corp b ON ({band_cond})
+  WHERE round(({agree}) / 8.0, 4) >= 0.5
+),
+idx2 AS (
+  SELECT doc_id, {hs} FROM sig_corp
+  UNION ALL
+  SELECT in_id AS doc_id, {hs} FROM sig_b1
+  WHERE in_id NOT IN (SELECT in_id FROM hits1)
+),
+hits2 AS (
+  SELECT DISTINCT a.in_id
+  FROM sig_b2 a JOIN idx2 b ON ({band_cond})
+  WHERE round(({agree}) / 8.0, 4) >= 0.5
+)
+SELECT in_id, 1 AS batch,
+       CASE WHEN hits1.in_id IS NULL THEN 1 ELSE 0 END AS admitted
+FROM b1 LEFT JOIN hits1 USING (in_id)
+UNION ALL
+SELECT in_id, 2 AS batch,
+       CASE WHEN hits2.in_id IS NULL THEN 1 ELSE 0 END AS admitted
+FROM b2 LEFT JOIN hits2 USING (in_id)
+"""
+
+
+@register("stream_admission_e2e", oracle=_sae_sql())
+def stream_admission_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming admission with INDEX APPEND-BACK — the loop the
+    stream_dedup_* docstrings describe, demonstrated end to end
+    (VERDICT r9 #5): every micro-batch is MinHash-band-probed against
+    the PUBLISHED standing signature index, and each batch's ADMITTED
+    signatures are merged back into the index before the next batch
+    arrives (foreachBatch -> atomic publish), so the standing side
+    GROWS with admissions instead of staying pinned at corpus-build
+    time. The fixture proves the growth is live: batch 1 admits novel
+    docs; batch 2 contains drop-first-token variants OF THOSE
+    ADMISSIONS — they are caught ONLY because batch 1's signatures
+    were appended (a static index, as in stream_dedup_minhash, would
+    admit them). Batch 2 also carries corpus near-dups (caught by the
+    ORIGINAL index entries — growth does not evict the standing side)
+    and fresh novel docs (admitted). The oracle replays both batches
+    sequentially as chained CTEs.
+
+    Scale shape: the index stores SIGNATURES (8 longs per admitted
+    doc), never text; each batch's work is one map-side signature
+    pass plus a band equi-join against the index (bucketed-by-band
+    parquet in production; MERGE INTO appends admitted signatures);
+    publishes go through sources/atomic.publish_parquet so a crash
+    between batches leaves a readable previous index version. Emitted:
+    (in_id, batch, admitted) — the per-batch admission ledger."""
+    import os
+
+    from ..operators.dedup import minhash_signature
+    from ..sources.atomic import publish_parquet, read_published
+    from ..sources.staging import fs_delete
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    nov1 = _SAE_NOVEL.format(lo=1, pfx="nv", **_SAE_SPARK_FMT)
+    nov1v = _SAE_NOVEL.format(lo=2, pfx="nv", **_SAE_SPARK_FMT)
+    nov2 = _SAE_NOVEL.format(lo=1, pfx="fz", **_SAE_SPARK_FMT)
+    b1 = docs.filter(F.col("doc_id") % _SAE_CORP1 == 0).selectExpr(
+        f"doc_id + {_SAE_OFF['corp1']} AS in_id",
+        "regexp_replace(text, '^[a-z]+ ', '') AS text",
+        "CAST(1 AS INT) AS batch",
+    ).unionByName(
+        docs.filter(F.col("doc_id") % _SAE_NOV1 == 0).selectExpr(
+            f"doc_id + {_SAE_OFF['nov1']} AS in_id",
+            f"{nov1} AS text",
+            "CAST(1 AS INT) AS batch",
+        )
+    )
+    b2 = (
+        docs.filter(F.col("doc_id") % _SAE_NOV1 == 0)
+        .selectExpr(
+            f"doc_id + {_SAE_OFF['nov1v']} AS in_id",
+            f"{nov1v} AS text",
+            "CAST(2 AS INT) AS batch",
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % _SAE_CORP2 == 0).selectExpr(
+                f"doc_id + {_SAE_OFF['corp2']} AS in_id",
+                "regexp_replace(text, '^[a-z]+ ', '') AS text",
+                "CAST(2 AS INT) AS batch",
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % _SAE_NOV2 == 0).selectExpr(
+                f"doc_id + {_SAE_OFF['nov2']} AS in_id",
+                f"{nov2} AS text",
+                "CAST(2 AS INT) AS batch",
+            )
+        )
+    )
+    root = _landing_zone(spark, "stream_admission_e2e")
+    stream_dir = os.path.join(root, "in")
+    idx_target = os.path.join(root, "index")
+    dec_target = os.path.join(root, "decisions")
+    _stage_batch(b1, stream_dir, "batch1.parquet", 1)
+    _stage_batch(b2, stream_dir, "batch2.parquet", 2)
+    # the standing index starts as the corpus's signature table
+    publish_parquet(
+        minhash_signature(docs, "doc_id", "text"), idx_target
+    )
+
+    hcols = [f"h{j}" for j in range(8)]
+
+    def band_keys(sig: DataFrame, idc: str) -> DataFrame:
+        bands = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.col(f"h{b * 2}").alias("k0"),
+                F.col(f"h{b * 2 + 1}").alias("k1"),
+            )
+            for b in range(4)
+        ]
+        return sig.select(
+            F.col(idc), *hcols, F.explode(F.array(*bands)).alias("bk")
+        )
+
+    def apply_batch(batch_df, _bid):
+        idx = read_published(spark, idx_target)
+        sig = minhash_signature(batch_df, "in_id", "text")
+        a = band_keys(sig, "in_id").alias("a")
+        b = band_keys(idx, "doc_id").alias("b")
+        agree = sum(
+            F.when(F.col(f"a.h{j}") == F.col(f"b.h{j}"), 1).otherwise(0)
+            for j in range(8)
+        )
+        hits = (
+            a.join(b, F.col("a.bk") == F.col("b.bk"))
+            .select(
+                F.col("a.in_id").alias("in_id"),
+                F.round(agree / F.lit(8.0), 4).alias("est"),
+            )
+            .filter(F.col("est") >= 0.5)
+            .select("in_id")
+            .distinct()
+        )
+        decisions = batch_df.join(hits, "in_id", "left_anti").select(
+            "in_id", "batch", F.lit(1).alias("admitted")
+        ).unionByName(
+            batch_df.join(hits, "in_id", "left_semi").select(
+                "in_id", "batch", F.lit(0).alias("admitted")
+            )
+        )
+        prev = read_published(spark, dec_target)
+        if prev is not None:
+            decisions = decisions.unionByName(prev)
+        publish_parquet(decisions, dec_target)
+        # MERGE the admitted signatures into the standing index —
+        # the append-back that makes batch 2 see batch 1's admissions
+        admitted_sigs = sig.join(
+            hits, sig.in_id == hits.in_id, "left_anti"
+        ).select(F.col("in_id").alias("doc_id"), *hcols)
+        publish_parquet(idx.unionByName(admitted_sigs), idx_target)
+
+    stream = (
+        spark.readStream.schema("in_id bigint, text string, batch int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    ckpt = os.path.join(root, "ckpt")
+    sq = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    final = pin(
+        read_published(spark, dec_target).select("in_id", "batch", "admitted"),
+        label="stream_admission_e2e",
+    )
+    fs_delete(root, spark)
+    return final

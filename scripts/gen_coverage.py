@@ -175,7 +175,8 @@ SECTIONS = [
         "sketch_countmin_rollup"]),
     ("Mergeable quantiles / IVF-PQ / streaming admission (round-10)", [
         "sketch_quantile_dyadic", "sketch_quantile_rollup",
-        "stream_sketch_quantile", "sim_ivfpq_topk"]),
+        "stream_sketch_quantile", "sim_ivfpq_topk",
+        "stream_admission_e2e"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

@@ -240,3 +240,41 @@ def test_ivfpq_reranked_scores_are_exact(spark, q):
         na = math.sqrt(sum(x * x for x in a))
         nb = math.sqrt(sum(x * x for x in b))
         assert abs(r.cos_sim - round(dot / (na * nb), 6)) <= 2e-6, r
+
+
+# --- streaming admission with index append-back --------------------------------
+
+
+def test_admission_e2e_index_grows(spark, q):
+    """The proof the standing index GROWS: batch 2's drop-first-token
+    variants of batch 1's ADMITTED novel docs share zero content with
+    the original corpus (tokens are nv{doc_id}x{k}) — a static index
+    would admit every one of them; they are all rejected because
+    batch 1's signatures were merged back. Corpus near-dups in batch 2
+    are still caught by the ORIGINAL index entries (growth does not
+    evict the standing side), and fresh novel docs still pass."""
+    from airbnb_listings_reviews_data_engineering_spark.plans.streaming_q import (
+        _SAE_OFF,
+    )
+
+    out = rows(q, spark, "/root/testdata/sf0.01", "stream_admission_e2e")
+
+    def cls(in_id):
+        for name in ("nov2", "corp2", "nov1v", "nov1", "corp1"):
+            if in_id >= _SAE_OFF[name]:
+                return name
+        raise AssertionError(in_id)
+
+    by = {}
+    for r in out:
+        by.setdefault(cls(r.in_id), []).append(r.admitted)
+    assert by and set(by) == {"corp1", "nov1", "nov1v", "corp2", "nov2"}
+    assert all(a == 0 for a in by["corp1"])   # standing corpus catches
+    assert all(a == 1 for a in by["nov1"])    # novel admitted
+    assert all(a == 0 for a in by["nov1v"])   # CAUGHT ONLY VIA APPEND-BACK
+    assert all(a == 0 for a in by["corp2"])   # original entries persist
+    assert all(a == 1 for a in by["nov2"])    # fresh novel admitted
+    # batch tags line up with the classes
+    batches = {cls(r.in_id): r.batch for r in out}
+    assert batches["corp1"] == 1 and batches["nov1"] == 1
+    assert batches["nov1v"] == 2 and batches["nov2"] == 2
