@@ -176,7 +176,8 @@ SECTIONS = [
     ("Mergeable quantiles / IVF-PQ / streaming admission (round-10)", [
         "sketch_quantile_dyadic", "sketch_quantile_rollup",
         "stream_sketch_quantile", "sim_ivfpq_topk",
-        "stream_admission_e2e"]),
+        "stream_admission_e2e", "sketch_join_cardinality",
+        "sketch_range_count"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

@@ -127,6 +127,8 @@ NESTED_LOOP_ALLOWED = {
     "sample_doremi_weights",  # 1-row corpus-total + 1-row weight-total folds
     "sample_rho_loss",   # 1-row (nh, np, V) totals folded into the vocab-row lambda table
     "sim_ivfpq_topk",   # 1-row centroid/codebook arrays + tiny probe/query folds
+    "sketch_join_cardinality",  # crossJoin of paired 1-row est/exact aggs
+    "sketch_range_count",  # 1-row grid map + fixed probe/range literal folds
     "sketch_quantile_dyadic",  # 1-row grid map + 4-row quantile result folds
     "sketch_quantile_rollup",  # same 1-row merged-grid map + 4-row result folds
     "stream_sketch_quantile",  # same descent over the drained stream grid

@@ -278,3 +278,41 @@ def test_admission_e2e_index_grows(spark, q):
     batches = {cls(r.in_id): r.batch for r in out}
     assert batches["corp1"] == 1 and batches["nov1"] == 1
     assert batches["nov1v"] == 2 and batches["nov2"] == 2
+
+
+# --- CM inner product + dyadic range counts -----------------------------------
+
+
+def test_dyadic_cover_is_exact_partition():
+    """Property: the greedy dyadic cover of [lo, hi] is a disjoint,
+    complete partition into canonical nodes (node at lvl covers
+    [node<<lvl, (node+1)<<lvl))."""
+    import random
+
+    from airbnb_listings_reviews_data_engineering_spark.plans.sketch_ext import (
+        _dyadic_cover,
+    )
+
+    rng = random.Random(42)
+    for _ in range(200):
+        lo = rng.randrange(0, 1 << 16)
+        hi = min((1 << 16) - 1, lo + rng.randrange(0, 1 << 14))
+        nodes = _dyadic_cover(lo, hi)
+        covered = []
+        for lvl, node in nodes:
+            covered.extend(range(node << lvl, (node + 1) << lvl))
+        assert covered == list(range(lo, hi + 1)), (lo, hi)
+        assert len(nodes) <= 2 * 17
+
+
+def test_range_count_one_sided(spark, q):
+    for r in rows(q, spark, "/root/testdata/sf0.01", "sketch_range_count"):
+        assert r.n_est >= r.n_exact, r
+
+
+def test_join_cardinality_one_sided_and_bounded(spark, q):
+    (r,) = rows(q, spark, "/root/testdata/sf0.01", "sketch_join_cardinality")
+    assert r.n_est >= r.n_exact
+    # wide rows keep the additive e*|A|*|B|/w term a small multiple of
+    # the true size on this fixture (measured 1.22x at sf0.1)
+    assert r.n_est <= 3 * max(r.n_exact, 1), r
