@@ -926,6 +926,31 @@ def _dq_grid(li: DataFrame, extra_keys: list[str] | None = None) -> DataFrame:
     )
 
 
+def _dq_fold_expr() -> str:
+    """The whole 16-level descent as ONE SQL expression: an
+    ``aggregate`` fold over the descending level sequence, reading CM
+    cells from the broadcast map column ``gm`` and the rank target
+    from ``target`` — shared by the global, rollup, streaming, and
+    per-group quantile keys."""
+    h = _dq_node_hash_spark("CAST(l AS STRING)", "acc.node * 2")
+    cell_lookups = ", ".join(
+        f"coalesce(element_at(gm, (l * 3 + {i}) * 8192"
+        f" + {h} % {p}), CAST(0 AS BIGINT))"
+        for i, p in enumerate(_CM_PRIMES)
+    )
+    step = (
+        f"(acc, l) -> CASE WHEN acc.cum + least({cell_lookups}) >= target"
+        " THEN struct(acc.node * 2 AS node, acc.cum AS cum)"
+        f" ELSE struct(acc.node * 2 + 1 AS node,"
+        f" acc.cum + least({cell_lookups}) AS cum) END"
+    )
+    return (
+        f"aggregate(sequence({_DQ_LEVELS - 1}, 0, -1),"
+        " struct(CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS cum),"
+        f" {step}).node * {_DQ_LEAF_W} + {_DQ_LEAF_W - 1} AS est_cents"
+    )
+
+
 def _dq_descend(li: DataFrame, grid: DataFrame) -> DataFrame:
     """Greedy root-to-leaf quantile descent over the grid: at each
     level the left child's CM point estimate (min over the d row
@@ -956,24 +981,8 @@ def _dq_descend(li: DataFrame, grid: DataFrame) -> DataFrame:
         )
         + ")) AS qt",
     ).select("n", "qt.qpct", "qt.target")
-    h = _dq_node_hash_spark("CAST(l AS STRING)", "acc.node * 2")
-    cell_lookups = ", ".join(
-        f"coalesce(element_at(gm, (l * 3 + {i}) * 8192"
-        f" + {h} % {p}), CAST(0 AS BIGINT))"
-        for i, p in enumerate(_CM_PRIMES)
-    )
-    step = (
-        f"(acc, l) -> CASE WHEN acc.cum + least({cell_lookups}) >= target"
-        " THEN struct(acc.node * 2 AS node, acc.cum AS cum)"
-        f" ELSE struct(acc.node * 2 + 1 AS node,"
-        f" acc.cum + least({cell_lookups}) AS cum) END"
-    )
     res = targets.crossJoin(F.broadcast(gm)).selectExpr(
-        "qpct",
-        "n",
-        f"aggregate(sequence({_DQ_LEVELS - 1}, 0, -1),"
-        " struct(CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS cum),"
-        f" {step}).node * {_DQ_LEAF_W} + {_DQ_LEAF_W - 1} AS est_cents",
+        "qpct", "n", _dq_fold_expr()
     )
     chk = (
         li.crossJoin(F.broadcast(res))
@@ -1450,4 +1459,155 @@ def sketch_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coalesce(n_exact, CAST(0 AS BIGINT)) AS n_exact",
             "n_est",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-group quantile grids: the keyed sketch TABLE
+# ---------------------------------------------------------------------------
+
+def _dq_group_sql() -> str:
+    h_build = _dq_node_hash_duck("CAST(lvl AS VARCHAR)", "node")
+    cells = " UNION ALL ".join(
+        f"SELECT grp, lvl, {i} AS r, {h_build} % {p} AS c, cnt FROM nodes"
+        for i, p in enumerate(_CM_PRIMES)
+    )
+    qs_vals = ", ".join(f"({q})" for q in _DQ_QS)
+    levels = []
+    for lvl in range(_DQ_LEVELS - 1, -1, -1):
+        hq = _dq_node_hash_duck(f"'{lvl}'", "ln")
+        cprojs = ", ".join(
+            f"{hq} % {p} AS c{i}" for i, p in enumerate(_CM_PRIMES)
+        )
+        legs = " OR ".join(
+            f"(g.r = {i} AND g.c = p.c{i})" for i in range(_CM_D)
+        )
+        levels.append(f"""
+p{lvl} AS (
+  SELECT grp, qpct, target, n, cum, node * 2 AS ln, {cprojs}
+  FROM s{lvl + 1}
+),
+e{lvl} AS (
+  SELECT p.grp, p.qpct, p.target, p.n, p.cum, p.ln,
+         CASE WHEN count(g.cnt) < {_CM_D} THEN CAST(0 AS BIGINT)
+              ELSE min(g.cnt) END AS est
+  FROM p{lvl} p LEFT JOIN grid g
+    ON g.grp = p.grp AND g.lvl = {lvl} AND ({legs})
+  GROUP BY p.grp, p.qpct, p.target, p.n, p.cum, p.ln
+),
+s{lvl} AS (
+  SELECT grp, qpct, target, n,
+         CASE WHEN cum + est >= target THEN ln ELSE ln + 1 END AS node,
+         CASE WHEN cum + est >= target THEN cum ELSE cum + est END AS cum
+  FROM e{lvl}
+)""")
+    return f"""
+WITH cents AS (
+  SELECT l_returnflag AS grp,
+         least({_DQ_CENTS} // {_DQ_LEAF_W}, {_DQ_LEAF_MAX}) AS leaf,
+         {_DQ_CENTS} AS c_exact
+  FROM lineitem
+),
+leafs AS (SELECT grp, leaf, count(*) AS cnt FROM cents GROUP BY grp, leaf),
+nodes AS (
+  SELECT grp, u.lvl AS lvl, u.node AS node, sum(cnt) AS cnt FROM (
+    SELECT grp, cnt,
+           unnest(list_transform(generate_series(0, {_DQ_LEVELS - 1}),
+                  l -> struct_pack(lvl := l, node := leaf >> l))) AS s
+    FROM leafs
+  ) t, LATERAL (SELECT s.lvl AS lvl, s.node AS node) u
+  GROUP BY grp, u.lvl, u.node
+),
+grid AS MATERIALIZED (
+  SELECT grp, lvl, r, c, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM ({cells}) GROUP BY grp, lvl, r, c
+),
+tot AS (SELECT grp, count(*) AS n FROM cents GROUP BY grp),
+s{_DQ_LEVELS} AS (
+  SELECT grp, qpct, (n * qpct + 99) // 100 AS target, n,
+         CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS cum
+  FROM tot, (VALUES {qs_vals}) qs(qpct)
+),{",".join(levels)},
+res AS (
+  SELECT grp, qpct, n,
+         node * {_DQ_LEAF_W} + {_DQ_LEAF_W - 1} AS est_cents
+  FROM s0
+),
+chk AS (
+  SELECT r.grp, r.qpct, min(r.n) AS n, min(r.est_cents) AS est_cents,
+         sum(CASE WHEN c.c_exact <= r.est_cents THEN 1 ELSE 0 END) AS le
+  FROM cents c JOIN res r ON c.grp = r.grp
+  GROUP BY r.grp, r.qpct
+)
+SELECT grp AS l_returnflag, qpct, CAST(n AS BIGINT) AS n,
+       CAST(est_cents AS DOUBLE) / 100.0 AS est_value,
+       round(CAST(le AS DOUBLE) / CAST(n AS DOUBLE), 4) AS rank_frac,
+       round(abs(CAST(le AS DOUBLE) / CAST(n AS DOUBLE)
+             - CAST(qpct AS DOUBLE) / 100.0), 4) AS rank_err
+FROM chk
+"""
+
+
+@register("sketch_quantile_by_group", oracle=_dq_group_sql())
+def sketch_quantile_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile sketches — the keyed sketch TABLE a real
+    deployment stores (per-segment latency/price percentiles): one
+    bounded dyadic CM grid PER GROUP (l_returnflag — state is
+    groups x 16 x ~12,283 cells, built by the same single
+    map-side-combinable aggregation with the group key prepended), and
+    every group's 4 quantile descents run in ONE fold projection over
+    a 12-row state frame joined to its group's broadcast grid map. The
+    same merge algebra applies per group (cell-wise addition within a
+    key), so per-partition keyed grids roll up without rescans. True
+    per-group ranks emitted as the verifier."""
+    li = load(spark, sf_dir, "lineitem")
+    lig = li.select(
+        F.col("l_returnflag").alias("grp"), "l_extendedprice"
+    )
+    grid = _dq_grid(lig, extra_keys=["grp"])
+    gms = grid.groupBy("grp").agg(
+        F.expr(
+            "map_from_entries(collect_list(struct("
+            "(lvl * 3 + r) * 8192 + c AS k, cnt AS v))) AS gm"
+        )
+    )
+    targets = (
+        lig.groupBy("grp")
+        .agg(F.count("*").alias("n"))
+        .selectExpr(
+            "grp",
+            "n",
+            "explode(array("
+            + ", ".join(
+                f"struct({q} AS qpct, (n * {q} + 99) div 100 AS target)"
+                for q in _DQ_QS
+            )
+            + ")) AS qt",
+        )
+        .select("grp", "n", "qt.qpct", "qt.target")
+    )
+    res = targets.join(F.broadcast(gms), "grp").selectExpr(
+        "grp", "qpct", "n", _dq_fold_expr()
+    )
+    chk = (
+        lig.selectExpr("grp", f"{_DQ_CENTS} AS c_exact")
+        .join(F.broadcast(res), "grp")
+        .groupBy("grp", "qpct")
+        .agg(
+            F.expr("min(n) AS n"),
+            F.expr("min(est_cents) AS est_cents"),
+            F.expr(
+                "sum(CASE WHEN c_exact <= est_cents THEN 1 ELSE 0 END)"
+                " AS le"
+            ),
+        )
+    )
+    return chk.selectExpr(
+        "grp AS l_returnflag",
+        "qpct",
+        "CAST(n AS BIGINT) AS n",
+        "CAST(est_cents AS DOUBLE) / 100.0 AS est_value",
+        "round(CAST(le AS DOUBLE) / CAST(n AS DOUBLE), 4) AS rank_frac",
+        "round(abs(CAST(le AS DOUBLE) / CAST(n AS DOUBLE)"
+        " - CAST(qpct AS DOUBLE) / 100.0), 4) AS rank_err",
     )

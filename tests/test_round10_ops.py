@@ -316,3 +316,12 @@ def test_join_cardinality_one_sided_and_bounded(spark, q):
     # wide rows keep the additive e*|A|*|B|/w term a small multiple of
     # the true size on this fixture (measured 1.22x at sf0.1)
     assert r.n_est <= 3 * max(r.n_exact, 1), r
+
+
+def test_quantile_by_group_rank_errors(spark, q):
+    out = rows(q, spark, "/root/testdata/sf0.1", "sketch_quantile_by_group")
+    # 3 return flags x 4 targets, every group's descent within the band
+    assert len(out) == 12
+    assert {r.l_returnflag for r in out} == {"A", "N", "R"}
+    for r in out:
+        assert r.rank_err <= 0.02, (r.l_returnflag, r.qpct, r.rank_err)
