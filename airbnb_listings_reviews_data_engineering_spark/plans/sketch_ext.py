@@ -1611,3 +1611,120 @@ def sketch_quantile_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(abs(CAST(le AS DOUBLE) / CAST(n AS DOUBLE)"
         " - CAST(qpct AS DOUBLE) / 100.0), 4) AS rank_err",
     )
+
+
+# ---------------------------------------------------------------------------
+# time-windowed count-min: per-day grids, trailing-window answers by merge
+# ---------------------------------------------------------------------------
+
+_WCM_DAYS = 7       # trailing window: the 7 calendar days ending at max
+_WCM_PROBE_MOD = 3  # probe every 3rd user
+
+
+def _wcm_sql() -> str:
+    cols = _cm_cols_duck("CAST(user_id AS VARCHAR)")
+    cells = " UNION ALL ".join(
+        f"SELECT d, {i} AS r, {c} AS c FROM ev" for i, c in enumerate(cols)
+    )
+    probe_cols = _cm_cols_duck("CAST(k AS VARCHAR)")
+    probes = " UNION ALL ".join(
+        f"SELECT k, n_exact, {i} AS r, {c} AS c FROM ex"
+        for i, c in enumerate(probe_cols)
+    )
+    return f"""
+WITH ev AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, user_id FROM events
+),
+daily AS MATERIALIZED (
+  SELECT d, r, c, count(*) AS cnt FROM ({cells}) GROUP BY d, r, c
+),
+w AS (SELECT max(d) AS wd FROM ev),
+merged AS (
+  SELECT r, c, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM daily, w WHERE d >= wd - {_WCM_DAYS - 1} AND d <= wd
+  GROUP BY r, c
+),
+ex AS (
+  SELECT user_id AS k, count(*) AS n_exact
+  FROM ev, w
+  WHERE user_id % {_WCM_PROBE_MOD} = 0
+    AND d >= wd - {_WCM_DAYS - 1} AND d <= wd
+  GROUP BY user_id
+),
+pr AS ({probes})
+SELECT k AS user_id, CAST(min(n_exact) AS BIGINT) AS n_exact,
+       CAST(min(cnt) AS BIGINT) AS n_est
+FROM pr JOIN merged USING (r, c)
+GROUP BY k
+"""
+
+
+@register("sketch_countmin_windowed", oracle=_wcm_sql())
+def sketch_countmin_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WINDOWED count-min — the "heavy hitters over the last N
+    days" primitive: the ingest materializes one ~12,283-cell grid per
+    DAY (bounded, like sketch_countmin_rollup's monthly form), and any
+    trailing window is answered by cell-wise ADDITION of the window's
+    grids — the window slides by adding the new day and dropping the
+    oldest, never rescanning events (the sliding-window analogue of
+    the CM rollup; per-day grids are also what a streaming deployment
+    checkpoints per watermark interval). Window here: the 7 calendar
+    days ending at the data's max day (deterministic); probes are
+    every 3rd user; the exact windowed counts emitted alongside are
+    the gate's verifier, and the estimate keeps CM's one-sided >=
+    guarantee (pinned in tests)."""
+    e = load(spark, sf_dir, "events").select(
+        F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("d"), "user_id"
+    )
+    cols = _cm_cols_spark("CAST(user_id AS STRING)")
+    daily = (
+        e.select(
+            "d",
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(i).alias("r"), F.expr(c).alias("c"))
+                    for i, c in enumerate(cols)
+                ])
+            ).alias("rc"),
+        )
+        .select("d", "rc.r", "rc.c")
+        .groupBy("d", "r", "c")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = e.agg(F.max("d").alias("wd"))
+    merged = (
+        daily.crossJoin(F.broadcast(w))
+        .filter(F.expr(f"d >= date_sub(wd, {_WCM_DAYS - 1}) AND d <= wd"))
+        .groupBy("r", "c")
+        .agg(F.expr("CAST(sum(cnt) AS BIGINT) AS cnt"))
+    )
+    ex = (
+        e.crossJoin(F.broadcast(w))
+        .filter(
+            F.expr(
+                f"user_id % {_WCM_PROBE_MOD} = 0"
+                f" AND d >= date_sub(wd, {_WCM_DAYS - 1}) AND d <= wd"
+            )
+        )
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count("*").alias("n_exact"))
+    )
+    probe_cols = _cm_cols_spark("CAST(k AS STRING)")
+    pr = ex.select(
+        "k",
+        "n_exact",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("r"), F.expr(c).alias("c"))
+                for i, c in enumerate(probe_cols)
+            ])
+        ).alias("rc"),
+    ).select("k", "n_exact", "rc.r", "rc.c")
+    return (
+        pr.join(F.broadcast(merged), ["r", "c"])
+        .groupBy(F.col("k").alias("user_id"))
+        .agg(
+            F.expr("CAST(min(n_exact) AS BIGINT) AS n_exact"),
+            F.expr("CAST(min(cnt) AS BIGINT) AS n_est"),
+        )
+    )

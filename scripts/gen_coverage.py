@@ -177,7 +177,8 @@ SECTIONS = [
         "sketch_quantile_dyadic", "sketch_quantile_rollup",
         "stream_sketch_quantile", "sim_ivfpq_topk",
         "stream_admission_e2e", "sketch_join_cardinality",
-        "sketch_range_count", "sketch_quantile_by_group"]),
+        "sketch_range_count", "sketch_quantile_by_group",
+        "sketch_countmin_windowed"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

@@ -127,6 +127,7 @@ NESTED_LOOP_ALLOWED = {
     "sample_doremi_weights",  # 1-row corpus-total + 1-row weight-total folds
     "sample_rho_loss",   # 1-row (nh, np, V) totals folded into the vocab-row lambda table
     "sim_ivfpq_topk",   # 1-row centroid/codebook arrays + tiny probe/query folds
+    "sketch_countmin_windowed",  # 1-row max-day fold onto daily grids/probes
     "sketch_join_cardinality",  # crossJoin of paired 1-row est/exact aggs
     "sketch_range_count",  # 1-row grid map + fixed probe/range literal folds
     "sketch_quantile_by_group",  # groups-row grid maps + 12-row result folds

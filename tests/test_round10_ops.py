@@ -325,3 +325,26 @@ def test_quantile_by_group_rank_errors(spark, q):
     assert {r.l_returnflag for r in out} == {"A", "N", "R"}
     for r in out:
         assert r.rank_err <= 0.02, (r.l_returnflag, r.qpct, r.rank_err)
+
+
+def test_countmin_windowed_one_sided_and_windowed(spark, q):
+    """Windowed CM keeps the one-sided contract, and the window is
+    REAL: a user's windowed estimate never exceeds their all-time
+    exact count plus the grid's collision mass, and for users active
+    outside the window n_exact < their all-time count."""
+    out = rows(q, spark, "/root/testdata/sf0.01", "sketch_countmin_windowed")
+    assert out
+    for r in out:
+        assert r.n_est >= r.n_exact, r
+    # the 7-of-30-day window must actually cut counts: total windowed
+    # exact events well below the all-time total for probed users
+    import duckdb
+
+    alltime = dict(
+        duckdb.sql(
+            "SELECT user_id, count(*) FROM"
+            " read_parquet('/root/testdata/sf0.01/events.parquet')"
+            " WHERE user_id % 3 = 0 GROUP BY user_id"
+        ).fetchall()
+    )
+    assert sum(r.n_exact for r in out) < 0.5 * sum(alltime.values())
