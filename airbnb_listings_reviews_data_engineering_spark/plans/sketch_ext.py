@@ -1189,9 +1189,15 @@ def _jc_sql() -> str:
 WITH {grid("ga", _JC_YEAR_A)},
 {grid("gb", _JC_YEAR_B)},
 ip AS (
-  SELECT ga.r, CAST(sum(ga.cnt * gb.cnt) AS BIGINT) AS dot
-  FROM ga JOIN gb ON ga.r = gb.r AND ga.c = gb.c
-  GROUP BY ga.r
+  -- a row with NO overlapping cells has inner product 0 and must
+  -- floor the min; count(*) < d detects the absent rows
+  SELECT CASE WHEN count(*) < 3 THEN CAST(0 AS BIGINT)
+              ELSE min(dot) END AS n_est
+  FROM (
+    SELECT ga.r, CAST(sum(ga.cnt * gb.cnt) AS BIGINT) AS dot
+    FROM ga JOIN gb ON ga.r = gb.r AND ga.c = gb.c
+    GROUP BY ga.r
+  )
 ),
 ex AS (
   SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS n_exact
@@ -1201,8 +1207,8 @@ ex AS (
         WHERE EXTRACT(year FROM o_orderdate) = {_JC_YEAR_B} GROUP BY 1) b
   USING (k)
 )
-SELECT n_exact, CAST((SELECT min(dot) FROM ip) AS BIGINT) AS n_est,
-       round((CAST((SELECT min(dot) FROM ip) AS DOUBLE) - n_exact)
+SELECT n_exact, CAST((SELECT n_est FROM ip) AS BIGINT) AS n_est,
+       round((CAST((SELECT n_est FROM ip) AS DOUBLE) - n_exact)
              / CAST(n_exact AS DOUBLE), 4) AS rel_over
 FROM ex
 """
@@ -1248,7 +1254,14 @@ def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(grid(_JC_YEAR_B).alias("gb")), ["r", "c"])
         .groupBy("r")
         .agg(F.expr("CAST(sum(ga.cnt * gb.cnt) AS BIGINT) AS dot"))
-        .agg(F.expr("min(dot) AS n_est"))
+        # a row with NO overlapping cells has inner product 0 and must
+        # floor the min (count < d detects it)
+        .agg(
+            F.expr(
+                f"CASE WHEN count(*) < {_CM_D} THEN CAST(0 AS BIGINT)"
+                " ELSE min(dot) END AS n_est"
+            )
+        )
     )
     ex = (
         o.filter(F.expr(f"EXTRACT(year FROM o_orderdate) = {_JC_YEAR_A}"))
@@ -1287,9 +1300,12 @@ def _dyadic_cover(lo: int, hi: int) -> list[tuple[int, int]]:
     out: list[tuple[int, int]] = []
     while lo <= hi:
         lvl = 0
-        # grow the block while aligned and contained
+        # grow the block while aligned and contained; capped at the
+        # grid's top STORED level (_DQ_LEVELS - 1): the full-domain
+        # range would otherwise emit a level-16 root node the grid
+        # never materializes, and its lookup would silently read 0
         while (
-            lvl + 1 <= _DQ_LEVELS
+            lvl + 1 <= _DQ_LEVELS - 1
             and lo % (1 << (lvl + 1)) == 0
             and lo + (1 << (lvl + 1)) - 1 <= hi
         ):
