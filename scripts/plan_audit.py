@@ -131,6 +131,7 @@ NESTED_LOOP_ALLOWED = {
     "sketch_join_cardinality",  # crossJoin of paired 1-row est/exact aggs
     "sketch_range_count",  # 1-row grid map + fixed probe/range literal folds
     "sketch_quantile_by_group",  # groups-row grid maps + 12-row result folds
+    "sketch_quantile_windowed",  # 1-row max-day + grid-map + 3-row result folds
     "sketch_quantile_dyadic",  # 1-row grid map + 4-row quantile result folds
     "sketch_quantile_rollup",  # same 1-row merged-grid map + 4-row result folds
     "stream_sketch_quantile",  # same descent over the drained stream grid

@@ -348,3 +348,15 @@ def test_countmin_windowed_one_sided_and_windowed(spark, q):
         ).fetchall()
     )
     assert sum(r.n_exact for r in out) < 0.5 * sum(alltime.values())
+
+
+def test_quantile_windowed_p99(spark, q):
+    """Windowed percentiles from merged per-day grids: p50/p90/p99 of
+    the trailing 7-day event values land exactly on rank at sf0.1
+    (exact centi-unit leaves; CM collision mass is the only error),
+    and the window genuinely restricts n (7 of 30 days)."""
+    out = rows(q, spark, "/root/testdata/sf0.1", "sketch_quantile_windowed")
+    assert {r.qpct for r in out} == {50, 90, 99}
+    for r in out:
+        assert r.rank_err <= 0.005, (r.qpct, r.rank_err)
+        assert r.n < 60000  # 7-day window over ~100k 30-day events
