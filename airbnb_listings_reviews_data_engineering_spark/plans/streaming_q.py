@@ -1356,3 +1356,248 @@ def stream_admission_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fs_delete(root, spark)
     return final
+
+
+# ---------------------------------------------------------------------------
+# streaming EMBEDDING admission E2E: the sign-LSH index grows with each batch
+# ---------------------------------------------------------------------------
+
+# batch-1 classes
+_SAEE_CORP1 = 11   # corpus near-dups (perturbed) -> rejected by standing idx
+_SAEE_NOV1 = 13    # negated -> admitted (their variants return in batch 2)
+# batch-2 classes
+_SAEE_CORP2 = 17   # corpus near-dups -> caught by the ORIGINAL index entries
+_SAEE_NOV2 = 19    # reversed -> fresh novel, admitted
+_SAEE_OFF = {"corp1": 700000, "nov1": 710000, "nov1v": 720000,
+             "corp2": 730000, "nov2": 740000}
+_SAEE_THRESH = 0.99
+
+
+def _saee_sql() -> str:
+    bucket = (
+        "CAST(sum(CASE WHEN list_dot_product({v}, pl.pv) > 0"
+        "              THEN 1 << CAST(pl.pid - 1 AS INT) ELSE 0 END)"
+        "     AS BIGINT) AS bucket"
+    )
+    cos = (
+        "round(list_dot_product(i.v, c.v) /"
+        " (sqrt(list_dot_product(i.v, i.v)) *"
+        "  sqrt(list_dot_product(c.v, c.v))), 4)"
+    )
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pl AS (SELECT CAST(vec_id AS INT) AS pid, v AS pv
+       FROM base WHERE vec_id BETWEEN 1 AND 8),
+b1 AS (
+  SELECT vec_id + {_SAEE_OFF["corp1"]} AS in_id,
+         [v[1] + 0.01] || v[2:] AS v
+  FROM base WHERE vec_id % {_SAEE_CORP1} = 0
+  UNION ALL
+  SELECT vec_id + {_SAEE_OFF["nov1"]} AS in_id,
+         list_transform(v, x -> -x) AS v
+  FROM base WHERE vec_id % {_SAEE_NOV1} = 0
+),
+b2 AS (
+  SELECT vec_id + {_SAEE_OFF["nov1v"]} AS in_id,
+         [-(v[1]) + 0.001] || list_transform(v[2:], x -> -x) AS v
+  FROM base WHERE vec_id % {_SAEE_NOV1} = 0
+  UNION ALL
+  SELECT vec_id + {_SAEE_OFF["corp2"]} AS in_id,
+         [v[1] + 0.02] || v[2:] AS v
+  FROM base WHERE vec_id % {_SAEE_CORP2} = 0
+  UNION ALL
+  SELECT vec_id + {_SAEE_OFF["nov2"]} AS in_id,
+         list_reverse(v) AS v
+  FROM base WHERE vec_id % {_SAEE_NOV2} = 0
+),
+cb AS (
+  SELECT c.vec_id AS id, c.v, {bucket.format(v="c.v")}
+  FROM base c CROSS JOIN pl GROUP BY c.vec_id, c.v
+),
+ib1 AS (
+  SELECT i.in_id, i.v, {bucket.format(v="i.v")}
+  FROM b1 i CROSS JOIN pl GROUP BY i.in_id, i.v
+),
+ib2 AS (
+  SELECT i.in_id, i.v, {bucket.format(v="i.v")}
+  FROM b2 i CROSS JOIN pl GROUP BY i.in_id, i.v
+),
+hits1 AS (
+  SELECT DISTINCT i.in_id
+  FROM ib1 i JOIN cb c ON i.bucket = c.bucket
+  WHERE {cos} >= {_SAEE_THRESH}
+),
+idx2 AS (
+  SELECT id, v, bucket FROM cb
+  UNION ALL
+  SELECT in_id AS id, v, bucket FROM ib1
+  WHERE in_id NOT IN (SELECT in_id FROM hits1)
+),
+hits2 AS (
+  SELECT DISTINCT i.in_id
+  FROM ib2 i JOIN idx2 c ON i.bucket = c.bucket
+  WHERE {cos} >= {_SAEE_THRESH}
+)
+SELECT in_id, 1 AS batch,
+       CASE WHEN hits1.in_id IS NULL THEN 1 ELSE 0 END AS admitted
+FROM b1 LEFT JOIN hits1 USING (in_id)
+UNION ALL
+SELECT in_id, 2 AS batch,
+       CASE WHEN hits2.in_id IS NULL THEN 1 ELSE 0 END AS admitted
+FROM b2 LEFT JOIN hits2 USING (in_id)
+"""
+
+
+@register("stream_admission_embedding", oracle=_saee_sql())
+def stream_admission_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EMBEDDING admission with INDEX APPEND-BACK — the
+    semantic-vector sibling of stream_admission_e2e (which grows a
+    MinHash signature index): every micro-batch of incoming vectors is
+    sign-LSH-bucket-probed against the PUBLISHED standing index and
+    each batch's ADMITTED (id, vector, bucket) rows are merged back
+    before the next batch arrives, so near-dup admission tracks the
+    live corpus instead of corpus-build time. The fixture proves the
+    growth: batch 1 admits negated corpus vectors (cosine -1 to their
+    sources — novel by construction); batch 2 carries perturbed
+    variants OF THOSE ADMISSIONS (caught only because batch 1's
+    vectors were appended — a static index, as in
+    stream_dedup_embedding, would admit them), perturbed corpus
+    vectors (caught by the ORIGINAL entries — growth does not evict
+    the standing side), and reversed vectors (fresh novel, admitted).
+
+    Scale shape: the index stores one (id, vector, bucket) row per
+    admitted vector, bucketed by the LSH key in production so the
+    per-batch probe is a bucket equi-join + JVM-side cosine — never
+    O(batch x corpus); the batch's own bucket is a pure column fold
+    over the ONE broadcast hyperplane row (operators/similarity.
+    with_lsh_bucket). Publishes go through sources/atomic.
+    publish_parquet, so a crash between batches leaves a readable
+    previous index version. Emitted: (in_id, batch, admitted) — the
+    per-batch admission ledger."""
+    import os
+
+    from ..functions.arrays import as_double_array
+    from ..operators import similarity as S
+    from ..operators.dedup import embedding_near_dup_join
+    from ..sources.atomic import publish_parquet, read_published
+    from ..sources.staging import fs_delete
+
+    base = pin(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double_array("embedding").alias("v")
+        ),
+        label="saee_base",
+    )
+    planes = base.filter(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").cast("int").alias("pid"), "v"
+    )
+    perturb1 = F.concat(
+        F.array(F.element_at("v", 1) + 0.01), F.slice("v", 2, 63)
+    )
+    negate = F.transform("v", lambda x: -x)
+    nov1v = F.concat(
+        F.array(-F.element_at("v", 1) + 0.001),
+        F.transform(F.slice("v", 2, 63), lambda x: -x),
+    )
+    perturb2 = F.concat(
+        F.array(F.element_at("v", 1) + 0.02), F.slice("v", 2, 63)
+    )
+    b1 = base.filter(F.col("vec_id") % _SAEE_CORP1 == 0).select(
+        (F.col("vec_id") + _SAEE_OFF["corp1"]).alias("in_id"),
+        perturb1.alias("v"),
+        F.lit(1).cast("int").alias("batch"),
+    ).unionByName(
+        base.filter(F.col("vec_id") % _SAEE_NOV1 == 0).select(
+            (F.col("vec_id") + _SAEE_OFF["nov1"]).alias("in_id"),
+            negate.alias("v"),
+            F.lit(1).cast("int").alias("batch"),
+        )
+    )
+    b2 = (
+        base.filter(F.col("vec_id") % _SAEE_NOV1 == 0)
+        .select(
+            (F.col("vec_id") + _SAEE_OFF["nov1v"]).alias("in_id"),
+            nov1v.alias("v"),
+            F.lit(2).cast("int").alias("batch"),
+        )
+        .unionByName(
+            base.filter(F.col("vec_id") % _SAEE_CORP2 == 0).select(
+                (F.col("vec_id") + _SAEE_OFF["corp2"]).alias("in_id"),
+                perturb2.alias("v"),
+                F.lit(2).cast("int").alias("batch"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("vec_id") % _SAEE_NOV2 == 0).select(
+                (F.col("vec_id") + _SAEE_OFF["nov2"]).alias("in_id"),
+                F.reverse("v").alias("v"),
+                F.lit(2).cast("int").alias("batch"),
+            )
+        )
+    )
+    root = _landing_zone(spark, "stream_admission_embedding")
+    stream_dir = os.path.join(root, "in")
+    idx_target = os.path.join(root, "index")
+    dec_target = os.path.join(root, "decisions")
+    _stage_batch(b1, stream_dir, "batch1.parquet", 1)
+    _stage_batch(b2, stream_dir, "batch2.parquet", 2)
+    # the standing index starts as the corpus's (id, vector, bucket) table
+    publish_parquet(
+        S.with_lsh_bucket(base, "vec_id", "v", planes, "pid", 8).select(
+            "vec_id", "v", "bucket"
+        ),
+        idx_target,
+    )
+
+    def apply_batch(batch_df, _bid):
+        idx = read_published(spark, idx_target)
+        bk = S.with_lsh_bucket(batch_df, "in_id", "v", planes, "pid", 8)
+        hits = (
+            embedding_near_dup_join(
+                bk.withColumnRenamed("in_id", "vec_id"),
+                idx,
+                "vec_id",
+                "v",
+                "bucket",
+                threshold=_SAEE_THRESH,
+            )
+            .select(F.col("batch_id").alias("in_id"))
+            .distinct()
+        )
+        decisions = batch_df.join(hits, "in_id", "left_anti").select(
+            "in_id", "batch", F.lit(1).alias("admitted")
+        ).unionByName(
+            batch_df.join(hits, "in_id", "left_semi").select(
+                "in_id", "batch", F.lit(0).alias("admitted")
+            )
+        )
+        prev = read_published(spark, dec_target)
+        if prev is not None:
+            decisions = decisions.unionByName(prev)
+        publish_parquet(decisions, dec_target)
+        # MERGE the admitted vectors into the standing index — the
+        # append-back that makes batch 2 see batch 1's admissions
+        admitted = bk.join(hits, "in_id", "left_anti").select(
+            F.col("in_id").alias("vec_id"), "v", "bucket"
+        )
+        publish_parquet(idx.unionByName(admitted), idx_target)
+
+    stream = (
+        spark.readStream.schema("in_id bigint, v array<double>, batch int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    ckpt = os.path.join(root, "ckpt")
+    sq = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    final = pin(
+        read_published(spark, dec_target).select("in_id", "batch", "admitted"),
+        label="stream_admission_embedding",
+    )
+    fs_delete(root, spark)
+    return final

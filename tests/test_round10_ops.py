@@ -360,3 +360,50 @@ def test_quantile_windowed_p99(spark, q):
     for r in out:
         assert r.rank_err <= 0.005, (r.qpct, r.rank_err)
         assert r.n < 60000  # 7-day window over ~100k 30-day events
+
+
+# --- streaming EMBEDDING admission with index append-back ---------------------
+
+
+def test_admission_embedding_index_grows(spark, q):
+    """The embedding sibling of test_admission_e2e_index_grows: batch
+    2's perturbed copies of batch 1's ADMITTED negated vectors share
+    no near-dup with the original corpus (cosine to their source is
+    -1) — a static index would admit every one of them; they are
+    rejected because batch 1's vectors were appended. Perturbed corpus
+    vectors in batch 2 are still caught by the ORIGINAL index entries,
+    and reversed vectors pass as fresh novel content."""
+    from airbnb_listings_reviews_data_engineering_spark.plans.streaming_q import (
+        _SAEE_OFF,
+    )
+
+    out = rows(q, spark, "/root/testdata/sf0.01", "stream_admission_embedding")
+
+    def cls(in_id):
+        for name in ("nov2", "corp2", "nov1v", "nov1", "corp1"):
+            if in_id >= _SAEE_OFF[name]:
+                return name
+        raise AssertionError(in_id)
+
+    by = {}
+    for r in out:
+        by.setdefault(cls(r.in_id), []).append(r.admitted)
+    assert by and set(by) == {"corp1", "nov1", "nov1v", "corp2", "nov2"}
+    # sign-LSH is approximate: a +0.01 perturbation can flip a bucket
+    # bit when a plane dot-product sits near zero, so corpus near-dup
+    # catch is a measured floor, not 100% (the oracle replays the same
+    # math, so the GATE is still exact). Negation flips ALL bits
+    # (cosine -1 to everything the source was near), so novel classes
+    # are pure by construction.
+    catch1 = 1 - sum(by["corp1"]) / len(by["corp1"])
+    catch2 = 1 - sum(by["corp2"]) / len(by["corp2"])
+    assert catch1 >= 0.9, catch1              # standing corpus catches
+    assert all(a == 1 for a in by["nov1"])    # negated: novel, admitted
+    # CAUGHT ONLY VIA APPEND-BACK: same bucket as batch-1's admission
+    rej_variants = 1 - sum(by["nov1v"]) / len(by["nov1v"])
+    assert rej_variants >= 0.9, rej_variants
+    assert catch2 >= 0.9, catch2              # original entries persist
+    assert all(a == 1 for a in by["nov2"])    # reversed: fresh novel
+    batches = {cls(r.in_id): r.batch for r in out}
+    assert batches["corp1"] == 1 and batches["nov1"] == 1
+    assert batches["nov1v"] == 2 and batches["nov2"] == 2
