@@ -1103,6 +1103,86 @@ def text_kanon_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# differentially-private release: seeded-Laplace counts + clipped sums
+# ---------------------------------------------------------------------------
+
+_DP_TWO52 = 4503599627370496  # 2^52: (h % 2^52 + 0.5) / 2^52 is an EXACT dyadic
+_DP_EPS = 1.0
+_DP_CLIP = 64  # per-document token-contribution bound (the sum's sensitivity)
+
+
+def _dp_noise_sql(seed_expr: str, b: str, hash_fn) -> str:
+    """Laplace(b) noise via inverse-CDF over a SEEDED uniform: u =
+    (hash60(seed) % 2^52 + 0.5) / 2^52 - 0.5 in (-0.5, 0.5) \\ {0},
+    noise = -b * sign(u) * ln(1 - 2|u|). Every step before ln is exact
+    dyadic-rational arithmetic, so u is bitwise-identical cross-engine
+    and the ln inputs match to the bit (the text_bigram_logprob
+    precedent covers ln itself)."""
+    u = f"((({hash_fn(seed_expr)}) % {_DP_TWO52} + 0.5) / {_DP_TWO52} - 0.5)"
+    return f"(-({b}) * sign({u}) * ln(1 - 2 * abs({u})))"
+
+
+def _dp_sql() -> str:
+    from ..functions.hashing import hash60_duckdb_sql
+
+    n_cnt = _dp_noise_sql("source || ':cnt'", f"1.0 / {_DP_EPS}",
+                          hash60_duckdb_sql)
+    n_tok = _dp_noise_sql("source || ':tok'", f"{_DP_CLIP} / {_DP_EPS}",
+                          hash60_duckdb_sql)
+    return f"""
+WITH g AS (
+  SELECT source,
+         count(*)::BIGINT AS n,
+         CAST(sum(least(len(string_split(text, ' ')), {_DP_CLIP}))
+              AS BIGINT) AS ts
+  FROM documents GROUP BY source
+)
+SELECT source,
+       round(n + {n_cnt}, 4) AS n_docs_noisy,
+       round(ts + {n_tok}, 4) AS n_tokens_noisy
+FROM g
+"""
+
+
+@register("agg_dp_counts", oracle=_dp_sql())
+def agg_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private corpus telemetry (Dwork et al. 2006): the
+    per-source document counts and token totals a data vendor publishes
+    about a private corpus, released through the Laplace mechanism.
+    Counts have sensitivity 1; token sums are CONTRIBUTION-BOUNDED
+    first (each document's token count clipped at 64 — the clip, not
+    the data, sets the sum's sensitivity, the standard user-level-DP
+    move), then noised at scale sensitivity/epsilon. Noise is a SEEDED
+    inverse-CDF Laplace draw — u from hash60 of the group key over an
+    exact dyadic grid, noise = -b*sign(u)*ln(1-2|u|) — so the release
+    is deterministic for the gate while exercising the exact production
+    plan (a production release swaps the seed for a secret one; the
+    mechanism, clipping, and plan shape are identical). Plan: one
+    groupBy with map-side combine computes count and clipped sum in the
+    same pass; the noise is a scalar expression on the K-row aggregate
+    — DP costs nothing at 100 TB. Emitted: (source, n_docs_noisy,
+    n_tokens_noisy); production publishes ONLY these."""
+    from ..functions.hashing import hash60_spark_sql
+
+    n_cnt = _dp_noise_sql("concat(source, ':cnt')", f"1.0 / {_DP_EPS}",
+                          hash60_spark_sql)
+    n_tok = _dp_noise_sql("concat(source, ':tok')", f"{_DP_CLIP} / {_DP_EPS}",
+                          hash60_spark_sql)
+    docs = load(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.least(F.size(F.split("text", " ")), F.lit(_DP_CLIP))
+        ).alias("ts"),
+    )
+    return g.select(
+        "source",
+        F.expr(f"round(n + {n_cnt}, 4)").alias("n_docs_noisy"),
+        F.expr(f"round(ts + {n_tok}, 4)").alias("n_tokens_noisy"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # pass@k estimator (Codex-style eval statistic)
 # ---------------------------------------------------------------------------
 

@@ -178,7 +178,8 @@ SECTIONS = [
         "stream_sketch_quantile", "sim_ivfpq_topk",
         "stream_admission_e2e", "sketch_join_cardinality",
         "sketch_range_count", "sketch_quantile_by_group",
-        "sketch_countmin_windowed", "sketch_quantile_windowed"]),
+        "sketch_countmin_windowed", "sketch_quantile_windowed",
+        "stream_admission_embedding", "agg_dp_counts"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

@@ -407,3 +407,57 @@ def test_admission_embedding_index_grows(spark, q):
     batches = {cls(r.in_id): r.batch for r in out}
     assert batches["corp1"] == 1 and batches["nov1"] == 1
     assert batches["nov1v"] == 2 and batches["nov2"] == 2
+
+
+# --- differentially-private release -------------------------------------------
+
+
+def test_dp_counts_noise_bounded_and_clip_binds(spark, q):
+    """The Laplace mechanism is real but bounded: the seeded draw's u
+    lives on the 2^52 dyadic grid, so |noise| <= b * ln(2^51) ~ 35.4*b;
+    every released value differs from the exact one (noise never lands
+    on 0) yet stays within that worst case. Token sums are noised
+    around the CLIPPED total, not the raw one — contribution bounding
+    is what gives the sum a finite sensitivity."""
+    import duckdb
+
+    from airbnb_listings_reviews_data_engineering_spark.plans.curation_ext import (
+        _DP_CLIP,
+        _DP_EPS,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    out = {r.source: r for r in rows(q, spark, sf, "agg_dp_counts")}
+    exact = {
+        s: (n, clipped, raw)
+        for s, n, clipped, raw in duckdb.sql(
+            f"SELECT source, count(*),"
+            f" sum(least(len(string_split(text, ' ')), {_DP_CLIP})),"
+            f" sum(len(string_split(text, ' ')))"
+            f" FROM read_parquet('{sf}/documents.parquet') GROUP BY source"
+        ).fetchall()
+    }
+    assert set(out) == set(exact) and len(out) >= 2
+    import math
+
+    def laplace(seed: str, b: float) -> float:
+        u = (_hash60(seed) % 2**52 + 0.5) / 2**52 - 0.5
+        return -b * math.copysign(1.0, u) * math.log(1 - 2 * abs(u))
+
+    bound = math.log(2**51) + 1e-9
+    clip_binds_somewhere = False
+    for s, r in out.items():
+        n, clipped, raw = exact[s]
+        dn = r.n_docs_noisy - n
+        dt = r.n_tokens_noisy - clipped
+        assert dn != 0 and abs(dn) <= (1.0 / _DP_EPS) * bound, (s, dn)
+        assert dt != 0 and abs(dt) <= (_DP_CLIP / _DP_EPS) * bound, (s, dt)
+        # the release is EXACTLY clipped_sum + the seeded Laplace draw —
+        # i.e. noised around the CLIPPED total, whatever the raw one is
+        want = clipped + laplace(f"{s}:tok", _DP_CLIP / _DP_EPS)
+        assert abs(r.n_tokens_noisy - want) < 1e-3, (s, r.n_tokens_noisy, want)
+        want_n = n + laplace(f"{s}:cnt", 1.0 / _DP_EPS)
+        assert abs(r.n_docs_noisy - want_n) < 1e-3, (s, r.n_docs_noisy, want_n)
+        if raw > clipped:
+            clip_binds_somewhere = True
+    assert clip_binds_somewhere  # the fixture actually exercises clipping
