@@ -1927,3 +1927,204 @@ def sketch_quantile_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(abs(CAST(le AS DOUBLE) / CAST(n AS DOUBLE)"
         " - CAST(qpct AS DOUBLE) / 100.0), 4) AS rank_err",
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter rollup: the MERGEABLE membership sketch
+# ---------------------------------------------------------------------------
+
+# m = 2^17 bits stored as 32-bit words in BIGINT containers (DuckDB's
+# left shift raises on 1<<63, so the sign bit is never used); k = 4
+# hash positions per key from the shared hash60 with the hash index
+# folded into the input string.
+_BLOOM_M = 131072
+_BLOOM_K = 4
+_BLOOM_PROBE_MOD = 97
+_BLOOM_ABSENT_N = 256
+
+
+def _bloom_sql() -> str:
+    hx = hash60_duckdb_sql(
+        "CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)"
+    )
+    mask = "bit_or(1::BIGINT << CAST(p % 32 AS INT))"
+    hit = (
+        "min(CASE WHEN (COALESCE(m.mask, 0) >> CAST(p % 32 AS INT)) & 1 = 1"
+        " THEN 1 ELSE 0 END)"
+    )
+    return f"""
+WITH mk AS (
+  SELECT DISTINCT date_trunc('month', o_orderdate) AS mon, o_custkey AS k
+  FROM orders
+),
+pos AS (
+  SELECT mon, k, ({hx}) % {_BLOOM_M} AS p
+  FROM mk, unnest(generate_series(1, {_BLOOM_K})) AS t(j)
+),
+monthly AS (
+  SELECT mon, p // 32 AS w, {mask} AS mask FROM pos GROUP BY mon, p // 32
+),
+merged AS (SELECT w, bit_or(mask) AS mask FROM monthly GROUP BY w),
+direct AS (
+  SELECT p // 32 AS w, {mask} AS mask
+  FROM (SELECT DISTINCT k, p FROM pos) GROUP BY p // 32
+),
+diff AS (
+  SELECT count(*) AS n_diff FROM (
+    SELECT w, mask FROM merged EXCEPT SELECT w, mask FROM direct
+    UNION ALL
+    (SELECT w, mask FROM direct EXCEPT SELECT w, mask FROM merged)
+  )
+),
+stats AS (
+  SELECT count(*) AS n_words,
+         CAST(sum(bit_count(mask)) AS BIGINT) AS bits_set
+  FROM merged
+),
+ppos AS (
+  SELECT DISTINCT k, p FROM pos WHERE k % {_BLOOM_PROBE_MOD} = 0
+),
+phit AS (
+  SELECT k, {hit} AS hit
+  FROM ppos LEFT JOIN merged m ON m.w = p // 32 GROUP BY k
+),
+pstats AS (
+  SELECT count(*) AS n_present, CAST(sum(hit) AS BIGINT) AS n_present_hits
+  FROM phit
+),
+ab AS (
+  SELECT 'a:' || CAST(i AS VARCHAR) AS k
+  FROM generate_series(1, {_BLOOM_ABSENT_N}) AS t(i)
+),
+apos AS (
+  SELECT k, ({hx}) % {_BLOOM_M} AS p
+  FROM ab, unnest(generate_series(1, {_BLOOM_K})) AS t(j)
+),
+ahit AS (
+  SELECT k, {hit} AS hit
+  FROM apos LEFT JOIN merged m ON m.w = p // 32 GROUP BY k
+),
+astats AS (
+  SELECT count(*) AS n_absent, CAST(sum(hit) AS BIGINT) AS n_absent_hits
+  FROM ahit
+)
+SELECT s.n_words, s.bits_set,
+       p.n_present, p.n_present_hits,
+       a.n_absent, a.n_absent_hits,
+       round(CAST(a.n_absent_hits AS DOUBLE) / a.n_absent, 6) AS fpr_measured,
+       round(power(CAST(s.bits_set AS DOUBLE) / {_BLOOM_M}, {_BLOOM_K}), 6)
+         AS fpr_expected,
+       (d.n_diff = 0) AS merged_equals_direct
+FROM stats s, pstats p, astats a, diff d
+"""
+
+
+@register("sketch_bloom_rollup", oracle=_bloom_sql())
+def sketch_bloom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Bloom membership sketch (Bloom, CACM 1970) — the
+    MEMBERSHIP member of the sketch algebra (NDV: sketch_kmv_ndv;
+    set ops: sketch_theta_setops; frequency: sketch_countmin_rollup;
+    quantiles: sketch_quantile_rollup; this completes the family): one
+    m=2^17-bit filter of month-active custkeys is built PER MONTH as
+    (word, 32-bit mask) rows, and any coarser slice is answered by
+    WORD-WISE bit_or of the stored filters instead of rescanning
+    orders — bit_or is idempotent and associative, so the merged
+    filter is IDENTICAL to the direct whole-period build (emitted as
+    merged_equals_direct, and the oracle replays the same chain).
+    Probes certify the contract: every present key hits on all k=4
+    positions (a Bloom filter has NO false negatives — the property
+    that lets a 100 TB decontamination pass trust a 'not seen'
+    verdict, cf. text_decontaminate_bloom), and a disjoint synthetic
+    key set measures the false-positive rate beside its (bits_set/m)^k
+    prediction. Shuffle shape: one map-side-combined groupBy into
+    (month x word) masks, a tiny re-aggregation to word granularity,
+    and broadcast probe joins — the filter is ~16 KB however large the
+    key universe, the point of membership sketching at scale."""
+    o = load(spark, sf_dir, "orders")
+    mk = o.select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
+        F.col("o_custkey").alias("k"),
+    ).distinct()
+    hx = hash60_spark_sql("concat(CAST(j AS STRING), ':', CAST(k AS STRING))")
+    mask = "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))) AS mask"
+    hit = (
+        "min(CASE WHEN (shiftright(COALESCE(mask, 0), CAST(p % 32 AS INT)))"
+        " & 1 = 1 THEN 1 ELSE 0 END) AS hit"
+    )
+    # pinned: the monthly build, the direct build and the present-key
+    # probes all read the exploded position stream
+    pos = pin(
+        mk.select(
+            "mon",
+            "k",
+            F.explode(F.sequence(F.lit(1), F.lit(_BLOOM_K))).alias("j"),
+        ).selectExpr("mon", "k", f"({hx}) % {_BLOOM_M} AS p"),
+        label="bloom_pos",
+    )
+    monthly = pos.groupBy("mon", F.expr("p div 32").alias("w")).agg(
+        F.expr(mask)
+    )
+    merged = pin(
+        monthly.groupBy("w").agg(F.expr("bit_or(mask) AS mask")),
+        label="bloom_merged",
+    )
+    direct = (
+        pos.select("k", "p")
+        .distinct()
+        .groupBy(F.expr("p div 32").alias("w"))
+        .agg(F.expr(mask))
+    )
+    ndiff = (
+        merged.subtract(direct)
+        .unionByName(direct.subtract(merged))
+        .agg(F.expr("count(*) AS n_diff"))
+    )
+    stats = merged.agg(
+        F.expr("count(*) AS n_words"),
+        F.expr("CAST(sum(bit_count(mask)) AS BIGINT) AS bits_set"),
+    )
+
+    def probe_stats(probe_pos: DataFrame, n_col: str, hits_col: str):
+        ph = (
+            probe_pos.withColumn("pw", F.expr("p div 32"))
+            .join(merged.withColumnRenamed("w", "pw"), "pw", "left")
+            .groupBy("k")
+            .agg(F.expr(hit))
+        )
+        return ph.agg(
+            F.expr(f"count(*) AS {n_col}"),
+            F.expr(f"CAST(sum(hit) AS BIGINT) AS {hits_col}"),
+        )
+
+    pstats = probe_stats(
+        pos.filter(F.col("k") % _BLOOM_PROBE_MOD == 0)
+        .select("k", "p")
+        .distinct(),
+        "n_present",
+        "n_present_hits",
+    )
+    ab = spark.range(1, _BLOOM_ABSENT_N + 1).select(
+        F.concat(F.lit("a:"), F.col("id").cast("string")).alias("k")
+    )
+    apos = ab.select(
+        "k", F.explode(F.sequence(F.lit(1), F.lit(_BLOOM_K))).alias("j")
+    ).selectExpr("k", f"({hx}) % {_BLOOM_M} AS p")
+    astats = probe_stats(apos, "n_absent", "n_absent_hits")
+    return (
+        stats.crossJoin(F.broadcast(pstats))
+        .crossJoin(F.broadcast(astats))
+        .crossJoin(F.broadcast(ndiff))
+        .selectExpr(
+            "n_words",
+            "bits_set",
+            "n_present",
+            "n_present_hits",
+            "n_absent",
+            "n_absent_hits",
+            "round(CAST(n_absent_hits AS DOUBLE) / n_absent, 6)"
+            " AS fpr_measured",
+            f"round(power(CAST(bits_set AS DOUBLE) / {_BLOOM_M},"
+            f" {_BLOOM_K}), 6) AS fpr_expected",
+            "(n_diff = 0) AS merged_equals_direct",
+        )
+    )

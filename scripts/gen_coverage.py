@@ -179,7 +179,8 @@ SECTIONS = [
         "stream_admission_e2e", "sketch_join_cardinality",
         "sketch_range_count", "sketch_quantile_by_group",
         "sketch_countmin_windowed", "sketch_quantile_windowed",
-        "stream_admission_embedding", "agg_dp_counts"]),
+        "stream_admission_embedding", "agg_dp_counts",
+        "sketch_bloom_rollup"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

@@ -461,3 +461,33 @@ def test_dp_counts_noise_bounded_and_clip_binds(spark, q):
         if raw > clipped:
             clip_binds_somewhere = True
     assert clip_binds_somewhere  # the fixture actually exercises clipping
+
+
+# --- Bloom membership rollup ---------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_merge_exact(spark, q):
+    """The two contracts membership sketching rests on: (1) EVERY
+    present probe hits — a Bloom filter never says 'absent' about a
+    present key, so a decontamination 'not seen' verdict is safe; (2)
+    bit_or of the monthly filters IS the whole-period filter (the
+    sketch is mergeable with zero merge error). Plus calibration: the
+    measured FPR on disjoint synthetic keys stays within a small
+    multiple of the (bits_set/m)^k prediction."""
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        (r,) = rows(q, spark, sf, "sketch_bloom_rollup")
+        assert r.n_present_hits == r.n_present and r.n_present > 0, (sf, r)
+        assert r.merged_equals_direct, sf
+        assert r.n_absent == 256
+        # fill factor sanity: bits_set < k * n_keys and < m
+        assert 0 < r.bits_set < 131072
+        # measured FPR within noise of predicted (256 probes -> coarse;
+        # allow prediction + 3 sigma of the binomial)
+        import math
+
+        sigma = math.sqrt(max(r.fpr_expected, 1e-9) * 256) / 256
+        assert r.fpr_measured <= r.fpr_expected + 3 * sigma + 1 / 256, (
+            sf,
+            r.fpr_measured,
+            r.fpr_expected,
+        )
