@@ -2128,3 +2128,254 @@ def sketch_bloom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(n_diff = 0) AS merged_equals_direct",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# distribution drift from merged quantile-sketch grids (K-S at 256 boundaries)
+# ---------------------------------------------------------------------------
+
+_KS_LVL = 8          # probe level: 2^8 = 256 boundary nodes over the domain
+_KS_NODES = 1 << (_DQ_LEVELS - _KS_LVL)
+
+
+def _ks_sql() -> str:
+    h_build = _dq_node_hash_duck("CAST(lvl AS VARCHAR)", "node")
+    h_probe = _dq_node_hash_duck(f"CAST({_KS_LVL} AS VARCHAR)", "node")
+    build_cells = " UNION ALL ".join(
+        f"SELECT side, lvl, {i} AS r, {h_build} % {p} AS c, cnt FROM nodes"
+        for i, p in enumerate(_CM_PRIMES)
+    )
+    probe_cells = " UNION ALL ".join(
+        f"SELECT node, {i} AS r, ({h_probe}) % {p} AS c FROM n8"
+        for i, p in enumerate(_CM_PRIMES)
+    )
+    return f"""
+WITH cents AS (
+  SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS mon,
+         least({_DQ_CENTS} // {_DQ_LEAF_W}, {_DQ_LEAF_MAX}) AS leaf
+  FROM lineitem
+),
+mm AS (SELECT max(mon) AS mx FROM cents),
+leafs AS (
+  SELECT CASE WHEN mon = mx THEN 1 ELSE 0 END AS side, leaf,
+         count(*) AS cnt
+  FROM cents, mm GROUP BY 1, 2
+),
+nodes AS (
+  SELECT side, u.lvl AS lvl, u.node AS node, sum(cnt) AS cnt FROM (
+    SELECT side, cnt,
+           unnest(list_transform(generate_series(0, {_DQ_LEVELS - 1}),
+                  l -> struct_pack(lvl := l, node := leaf >> l))) AS s
+    FROM leafs
+  ) t, LATERAL (SELECT s.lvl AS lvl, s.node AS node) u
+  GROUP BY side, u.lvl, u.node
+),
+grid AS MATERIALIZED (
+  SELECT side, lvl, r, c, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM ({build_cells}) GROUP BY side, lvl, r, c
+),
+n8 AS (SELECT i AS node FROM generate_series(0, {_KS_NODES - 1}) AS t(i)),
+probe AS ({probe_cells}),
+est AS (
+  SELECT s.side, p.node, min(COALESCE(g.cnt, 0)) AS est
+  FROM probe p
+  CROSS JOIN (VALUES (0), (1)) s(side)
+  LEFT JOIN grid g
+    ON g.side = s.side AND g.lvl = {_KS_LVL} AND g.r = p.r AND g.c = p.c
+  GROUP BY s.side, p.node
+),
+cdf AS (
+  SELECT side, node,
+         sum(est) OVER (PARTITION BY side ORDER BY node) AS cum,
+         sum(est) OVER (PARTITION BY side) AS n
+  FROM est
+),
+gaps AS (
+  SELECT c.node,
+         abs(CAST(c.cum AS DOUBLE) / c.n
+             - CAST(b.cum AS DOUBLE) / b.n) AS gap,
+         c.n AS n_cur, b.n AS n_base
+  FROM cdf c JOIN cdf b ON c.node = b.node AND c.side = 1 AND b.side = 0
+),
+best AS (
+  SELECT * FROM (
+    SELECT node, gap, n_cur, n_base,
+           row_number() OVER (ORDER BY gap DESC, node) AS rn
+    FROM gaps
+  ) WHERE rn = 1
+),
+ex8 AS (
+  SELECT CASE WHEN mon = mx THEN 1 ELSE 0 END AS side,
+         leaf >> {_KS_LVL} AS node, count(*) AS cnt
+  FROM cents, mm GROUP BY 1, 2
+),
+exf AS (
+  SELECT s.side, p.node, CAST(COALESCE(e.cnt, 0) AS BIGINT) AS cnt
+  FROM n8 p CROSS JOIN (VALUES (0), (1)) s(side)
+  LEFT JOIN ex8 e ON e.side = s.side AND e.node = p.node
+),
+excdf AS (
+  SELECT side, node,
+         sum(cnt) OVER (PARTITION BY side ORDER BY node) AS cum,
+         sum(cnt) OVER (PARTITION BY side) AS n
+  FROM exf
+),
+exbest AS (
+  SELECT max(abs(CAST(c.cum AS DOUBLE) / c.n
+              - CAST(b.cum AS DOUBLE) / b.n)) AS ks_exact
+  FROM excdf c JOIN excdf b ON c.node = b.node AND c.side = 1 AND b.side = 0
+)
+SELECT CAST(best.n_cur AS BIGINT) AS n_cur_est,
+       CAST(best.n_base AS BIGINT) AS n_base_est,
+       round(best.gap, 6) AS ks_est,
+       CAST((best.node + 1) * {_DQ_LEAF_W * (1 << _KS_LVL)} - 1 AS BIGINT)
+         AS ks_at_cents,
+       round(exbest.ks_exact, 6) AS ks_exact,
+       round(abs(best.gap - exbest.ks_exact), 6) AS ks_err
+FROM best, exbest
+"""
+
+
+@register("profile_drift_ks", oracle=_ks_sql())
+def profile_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift from MERGED quantile-sketch grids: the
+    newest month's price distribution vs the whole prior history,
+    compared as a Kolmogorov-Smirnov statistic over the 256 level-8
+    dyadic boundaries — computed ENTIRELY from the bounded
+    (lvl, r, c) counter grids sketch_quantile_rollup materializes per
+    month, so the monitor never rescans history (the baseline CDF is
+    cell-wise addition of stored grids; at 100 TB that is the
+    difference between a drift check that costs a grid merge and one
+    that costs a full-corpus percentile scan). Each side's level-8
+    node counts are CM point reads (min over the d prime-width rows,
+    absent cell = 0), prefix-summed into a 256-step CDF by one window
+    over 512 rows. The same query carries the EXACT K-S at the same
+    boundaries as a verifier — ks_err is the CM collision mass, the
+    number a production monitor alerts on estimates alone. Integer
+    counts end to end; the argmax boundary (ks_at_cents) says WHERE
+    the distributions diverge. Drift family: profile_drift_psi bins a
+    column exactly, profile_drift_tv needs both slices raw; this is
+    the sketch-native member that works from stored artifacts."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.date_trunc("month", F.col("l_shipdate")).alias("mon"),
+        "l_extendedprice",
+    )
+    mgrid = pin(
+        _dq_grid(li, extra_keys=["mon"]), label="ks_monthly_grid"
+    )
+    mx = mgrid.agg(F.max("mon").alias("mx"))
+    sgrid = pin(
+        mgrid.crossJoin(F.broadcast(mx))
+        .selectExpr(
+            "CASE WHEN mon = mx THEN 1 ELSE 0 END AS side",
+            "lvl",
+            "r",
+            "c",
+            "cnt",
+        )
+        .groupBy("side", "lvl", "r", "c")
+        .agg(F.expr("CAST(sum(cnt) AS BIGINT) AS cnt")),
+        label="ks_side_grid",
+    )
+    h_probe = _dq_node_hash_spark(f"CAST({_KS_LVL} AS STRING)", "node")
+    cell_structs = ", ".join(
+        f"struct({i} AS r, ({h_probe}) % {p} AS c)"
+        for i, p in enumerate(_CM_PRIMES)
+    )
+    probe = (
+        spark.range(0, _KS_NODES)
+        .selectExpr("id AS node")
+        .selectExpr("node", f"explode(array({cell_structs})) AS rc")
+        .select("node", "rc.r", "rc.c")
+        .crossJoin(spark.range(0, 2).select(F.col("id").alias("side")))
+    )
+    est = (
+        probe.join(
+            F.broadcast(sgrid.filter(F.col("lvl") == _KS_LVL)),
+            ["side", "r", "c"],
+            "left",
+        )
+        .groupBy("side", "node")
+        .agg(F.expr("min(COALESCE(cnt, 0)) AS est"))
+    )
+    cdf = est.selectExpr(
+        "side",
+        "node",
+        "sum(est) OVER (PARTITION BY side ORDER BY node) AS cum",
+        "sum(est) OVER (PARTITION BY side) AS n",
+    )
+    c = cdf.filter("side = 1").selectExpr(
+        "node", "cum AS cum_c", "n AS n_cur"
+    )
+    b = cdf.filter("side = 0").selectExpr(
+        "node", "cum AS cum_b", "n AS n_base"
+    )
+    best = (
+        c.join(b, "node")
+        .selectExpr(
+            "node",
+            "abs(CAST(cum_c AS DOUBLE) / n_cur"
+            " - CAST(cum_b AS DOUBLE) / n_base) AS gap",
+            "n_cur",
+            "n_base",
+        )
+        .selectExpr(
+            "node",
+            "gap",
+            "n_cur",
+            "n_base",
+            "row_number() OVER (ORDER BY gap DESC, node) AS rn",
+        )
+        .filter("rn = 1")
+    )
+    # exact verifier at the same boundaries, straight off the table
+    ex8 = (
+        li.crossJoin(F.broadcast(mx))
+        .selectExpr(
+            "CASE WHEN mon = mx THEN 1 ELSE 0 END AS side",
+            f"least({_DQ_CENTS.replace('l_extendedprice', 'l_extendedprice')}"
+            f" div {_DQ_LEAF_W}, {_DQ_LEAF_MAX}) >> {_KS_LVL} AS node",
+        )
+        .groupBy("side", "node")
+        .agg(F.count("*").alias("cnt"))
+    )
+    exf = (
+        spark.range(0, _KS_NODES)
+        .selectExpr("id AS node")
+        .crossJoin(spark.range(0, 2).select(F.col("id").alias("side")))
+        .join(F.broadcast(ex8), ["side", "node"], "left")
+        .selectExpr("side", "node", "CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt")
+    )
+    excdf = exf.selectExpr(
+        "side",
+        "node",
+        "sum(cnt) OVER (PARTITION BY side ORDER BY node) AS cum",
+        "sum(cnt) OVER (PARTITION BY side) AS n",
+    )
+    exc = excdf.filter("side = 1").selectExpr(
+        "node", "cum AS cum_c", "n AS n_c"
+    )
+    exb = excdf.filter("side = 0").selectExpr(
+        "node", "cum AS cum_b", "n AS n_b"
+    )
+    exbest = (
+        exc.join(exb, "node")
+        .agg(
+            F.expr(
+                "max(abs(CAST(cum_c AS DOUBLE) / n_c"
+                " - CAST(cum_b AS DOUBLE) / n_b)) AS ks_exact"
+            )
+        )
+    )
+    return (
+        best.crossJoin(F.broadcast(exbest))
+        .selectExpr(
+            "CAST(n_cur AS BIGINT) AS n_cur_est",
+            "CAST(n_base AS BIGINT) AS n_base_est",
+            "round(gap, 6) AS ks_est",
+            f"CAST((node + 1) * {_DQ_LEAF_W * (1 << _KS_LVL)} - 1 AS BIGINT)"
+            " AS ks_at_cents",
+            "round(ks_exact, 6) AS ks_exact",
+            "round(abs(gap - ks_exact), 6) AS ks_err",
+        )
+    )

@@ -491,3 +491,25 @@ def test_bloom_no_false_negatives_and_merge_exact(spark, q):
             r.fpr_measured,
             r.fpr_expected,
         )
+
+
+# --- K-S drift from merged sketch grids ----------------------------------------
+
+
+def test_drift_ks_tracks_exact(spark, q):
+    """The sketch-grid K-S must sit within CM collision mass of the
+    exact K-S at the same 256 boundaries, at both gate SFs — the
+    number a production monitor alerts on IS the estimate; ks_err is
+    its measured honesty. Counts are one-sided (CM never
+    undercounts), so the side totals dominate the true row counts."""
+    import duckdb
+
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        (r,) = rows(q, spark, sf, "profile_drift_ks")
+        n_rows = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{sf}/lineitem.parquet')"
+        ).fetchone()[0]
+        assert r.n_cur_est + r.n_base_est >= n_rows
+        assert 0.0 <= r.ks_est <= 1.0 and 0.0 <= r.ks_exact <= 1.0
+        assert r.ks_err <= 0.02, (sf, r.ks_est, r.ks_exact)
+        assert r.ks_at_cents % 65536 == 65535  # a real level-8 boundary
