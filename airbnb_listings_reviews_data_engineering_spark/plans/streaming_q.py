@@ -1601,3 +1601,246 @@ def stream_admission_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fs_delete(root, spark)
     return final
+
+
+# ---------------------------------------------------------------------------
+# streaming SPAN admission E2E: the positional gram index grows per batch
+# ---------------------------------------------------------------------------
+
+# batch-1 classes
+_SAS_CORP1 = 21   # 4 fresh + 14 corpus-copied tokens -> rejected (14/18)
+_SAS_NOV1 = 23    # 16 fresh 'sa' tokens -> admitted (their prefix returns)
+# batch-2 classes
+_SAS_CORP2 = 29   # 4 fresh + 14 corpus-copied -> caught by ORIGINAL grams
+_SAS_NOV2 = 31    # 16 fresh 'sc' tokens -> admitted
+_SAS_OFF = {"corp1": 800000, "nov1": 810000, "ret": 820000,
+            "corp2": 830000, "nov2": 840000}
+_SAS_N = 6        # gram window (same as dedup_span_exact)
+_SAS_COPY = 14    # corpus tokens copied into the corpcopy classes
+_SAS_RET = 12     # admitted-novel tokens copied into the return class
+
+
+def _sas_fresh_duck(pfx: str, m: int) -> str:
+    return (
+        f"array_to_string(list_transform(generate_series(1, {m}),"
+        f" k -> '{pfx}' || doc_id || 'x' || k), ' ')"
+    )
+
+
+def _sas_fresh_spark(pfx: str, m: int) -> str:
+    return (
+        f"array_join(transform(sequence(1, {m}), k ->"
+        f" concat('{pfx}', cast(doc_id as string), 'x',"
+        " cast(k as string))), ' ')"
+    )
+
+
+def _sas_sql() -> str:
+    from ..functions.hashing import hash60_duckdb_sql
+
+    gram = hash60_duckdb_sql(
+        f"array_to_string(w[i:i+{_SAS_N - 1}], ' ')"
+    )
+
+    def batch_ctes(name: str, src: str, idx: str) -> str:
+        return f"""
+tok_{name} AS (SELECT in_id, string_split(text, ' ') AS w FROM {src}),
+gr_{name} AS (
+  SELECT in_id, i AS pos, {gram} AS h
+  FROM tok_{name},
+       unnest(generate_series(1, len(w) - {_SAS_N - 1})) AS t(i)
+  WHERE len(w) >= {_SAS_N}
+),
+hits_{name} AS (
+  SELECT g.in_id, list_sort(list(DISTINCT g.pos)) AS starts
+  FROM gr_{name} g JOIN {idx} USING (h) GROUP BY g.in_id
+),
+dec_{name} AS (
+  SELECT t.in_id, CAST(len(t.w) AS BIGINT) AS n_tok,
+         CAST(len(t.w) - len(list_filter(generate_series(1, len(t.w)),
+              i -> len(list_filter(COALESCE(h.starts, []), s ->
+                   i >= s AND i <= s + {_SAS_N - 1})) = 0)) AS BIGINT)
+           AS n_removed
+  FROM tok_{name} t LEFT JOIN hits_{name} h USING (in_id)
+)"""
+
+    c1 = _sas_fresh_duck("sf", 4)
+    n1 = _sas_fresh_duck("sa", 16)
+    r12 = _sas_fresh_duck("sa", _SAS_RET)
+    rtail = _sas_fresh_duck("sb", 4)
+    c2 = _sas_fresh_duck("sg", 4)
+    n2 = _sas_fresh_duck("sc", 16)
+    return f"""
+WITH ctok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+idx AS (
+  SELECT DISTINCT {gram} AS h
+  FROM ctok, unnest(generate_series(1, len(w) - {_SAS_N - 1})) AS t(i)
+  WHERE len(w) >= {_SAS_N}
+),
+b1 AS (
+  SELECT doc_id + {_SAS_OFF["corp1"]} AS in_id,
+         {c1} || ' ' || array_to_string(w[1:{_SAS_COPY}], ' ') AS text
+  FROM ctok WHERE doc_id % {_SAS_CORP1} = 0
+  UNION ALL
+  SELECT doc_id + {_SAS_OFF["nov1"]} AS in_id, {n1} AS text
+  FROM documents WHERE doc_id % {_SAS_NOV1} = 0
+),
+b2 AS (
+  SELECT doc_id + {_SAS_OFF["ret"]} AS in_id,
+         {r12} || ' ' || {rtail} AS text
+  FROM documents WHERE doc_id % {_SAS_NOV1} = 0
+  UNION ALL
+  SELECT doc_id + {_SAS_OFF["corp2"]} AS in_id,
+         {c2} || ' ' || array_to_string(w[1:{_SAS_COPY}], ' ') AS text
+  FROM ctok WHERE doc_id % {_SAS_CORP2} = 0
+  UNION ALL
+  SELECT doc_id + {_SAS_OFF["nov2"]} AS in_id, {n2} AS text
+  FROM documents WHERE doc_id % {_SAS_NOV2} = 0
+),
+{batch_ctes("b1", "b1", "idx").strip()},
+adm1 AS (SELECT in_id FROM dec_b1 WHERE 2 * n_removed < n_tok),
+idx2 AS (
+  SELECT h FROM idx
+  UNION
+  SELECT DISTINCT g.h FROM gr_b1 g JOIN adm1 USING (in_id)
+),
+{batch_ctes("b2", "b2", "idx2").strip()}
+SELECT in_id, 1 AS batch, n_tok, n_removed,
+       CASE WHEN 2 * n_removed < n_tok THEN 1 ELSE 0 END AS admitted
+FROM dec_b1
+UNION ALL
+SELECT in_id, 2 AS batch, n_tok, n_removed,
+       CASE WHEN 2 * n_removed < n_tok THEN 1 ELSE 0 END AS admitted
+FROM dec_b2
+"""
+
+
+@register("stream_admission_span", oracle=_sas_sql())
+def stream_admission_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SPAN admission with INDEX APPEND-BACK — the third and
+    last modality of the admission-growth family (fuzzy text:
+    stream_admission_e2e; semantic vectors: stream_admission_embedding;
+    duplicated spans: this): every micro-batch's positional 6-gram
+    windows probe the PUBLISHED standing gram index, a document is
+    admitted iff duplicated spans cover < 50% of its tokens, and each
+    batch's ADMITTED documents contribute their distinct gram hashes
+    back to the index before the next batch. The fixture proves the
+    growth: batch 1 admits 16-fresh-token docs; batch 2 carries their
+    12-token PREFIXES (plus fresh tails) — those prefixes share zero
+    content with the corpus, so they are rejected only because batch
+    1's grams were appended — alongside corpus-copy docs (caught by
+    the ORIGINAL entries) and fresh novel docs (admitted).
+
+    Scale shape: the index stores distinct gram HASHES (one long per
+    distinct admitted n-gram — membership, not counts, per
+    operators/dedup.positional_gram_index), per-batch work is one
+    stateless gram explode + a stream-static equi-join on the uniform
+    hash key + a per-doc aggregate bounded by the micro-batch;
+    append-back is a distinct-union MERGE (bucketed parquet in
+    production). Publishes go through sources/atomic.publish_parquet.
+    Emitted: (in_id, batch, n_tok, n_removed, admitted)."""
+    import os
+
+    from ..operators.dedup import (
+        positional_gram_index,
+        span_excise_against_index,
+    )
+    from ..sources.atomic import publish_parquet, read_published
+    from ..sources.staging import fs_delete
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    copy14 = f"array_join(slice(split(text, ' '), 1, {_SAS_COPY}), ' ')"
+    b1 = docs.filter(F.col("doc_id") % _SAS_CORP1 == 0).selectExpr(
+        f"doc_id + {_SAS_OFF['corp1']} AS in_id",
+        f"concat({_sas_fresh_spark('sf', 4)}, ' ', {copy14}) AS text",
+        "CAST(1 AS INT) AS batch",
+    ).unionByName(
+        docs.filter(F.col("doc_id") % _SAS_NOV1 == 0).selectExpr(
+            f"doc_id + {_SAS_OFF['nov1']} AS in_id",
+            f"{_sas_fresh_spark('sa', 16)} AS text",
+            "CAST(1 AS INT) AS batch",
+        )
+    )
+    b2 = (
+        docs.filter(F.col("doc_id") % _SAS_NOV1 == 0)
+        .selectExpr(
+            f"doc_id + {_SAS_OFF['ret']} AS in_id",
+            f"concat({_sas_fresh_spark('sa', _SAS_RET)}, ' ',"
+            f" {_sas_fresh_spark('sb', 4)}) AS text",
+            "CAST(2 AS INT) AS batch",
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % _SAS_CORP2 == 0).selectExpr(
+                f"doc_id + {_SAS_OFF['corp2']} AS in_id",
+                f"concat({_sas_fresh_spark('sg', 4)}, ' ', {copy14}) AS text",
+                "CAST(2 AS INT) AS batch",
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % _SAS_NOV2 == 0).selectExpr(
+                f"doc_id + {_SAS_OFF['nov2']} AS in_id",
+                f"{_sas_fresh_spark('sc', 16)} AS text",
+                "CAST(2 AS INT) AS batch",
+            )
+        )
+    )
+    root = _landing_zone(spark, "stream_admission_span")
+    stream_dir = os.path.join(root, "in")
+    idx_target = os.path.join(root, "index")
+    dec_target = os.path.join(root, "decisions")
+    _stage_batch(b1, stream_dir, "batch1.parquet", 1)
+    _stage_batch(b2, stream_dir, "batch2.parquet", 2)
+    publish_parquet(
+        positional_gram_index(docs, "text", n=_SAS_N), idx_target
+    )
+
+    def apply_batch(batch_df, _bid):
+        idx = read_published(spark, idx_target)
+        exc = span_excise_against_index(
+            batch_df.select("in_id", "text"), idx, "in_id", "text", n=_SAS_N
+        )
+        dec_this = exc.join(
+            batch_df.select("in_id", "batch"), "in_id"
+        ).selectExpr(
+            "in_id",
+            "batch",
+            "CAST(n_tok AS BIGINT) AS n_tok",
+            "CAST(n_removed AS BIGINT) AS n_removed",
+            "CASE WHEN 2 * n_removed < n_tok THEN 1 ELSE 0 END AS admitted",
+        )
+        dec = dec_this
+        prev = read_published(spark, dec_target)
+        if prev is not None:
+            dec = dec.unionByName(prev)
+        publish_parquet(dec, dec_target)
+        # MERGE admitted documents' grams into the standing index —
+        # the append-back batch 2's return-class rejections depend on
+        adm = dec_this.filter("admitted = 1").select("in_id")
+        adm_grams = positional_gram_index(
+            batch_df.join(adm, "in_id", "left_semi"), "text", n=_SAS_N
+        )
+        publish_parquet(
+            idx.unionByName(adm_grams).distinct(), idx_target
+        )
+
+    stream = (
+        spark.readStream.schema("in_id bigint, text string, batch int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    ckpt = os.path.join(root, "ckpt")
+    sq = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    final = pin(
+        read_published(spark, dec_target).select(
+            "in_id", "batch", "n_tok", "n_removed", "admitted"
+        ),
+        label="stream_admission_span",
+    )
+    fs_delete(root, spark)
+    return final

@@ -513,3 +513,45 @@ def test_drift_ks_tracks_exact(spark, q):
         assert 0.0 <= r.ks_est <= 1.0 and 0.0 <= r.ks_exact <= 1.0
         assert r.ks_err <= 0.02, (sf, r.ks_est, r.ks_exact)
         assert r.ks_at_cents % 65536 == 65535  # a real level-8 boundary
+
+
+# --- streaming SPAN admission with index append-back ---------------------------
+
+
+def test_admission_span_index_grows(spark, q):
+    """The span sibling of test_admission_e2e_index_grows: batch 2's
+    12-token prefixes of batch 1's ADMITTED fresh docs share zero
+    content with the corpus — a static gram index admits every one;
+    all are rejected (12/16 tokens excised) because batch 1's grams
+    were appended. Corpus-copy docs in both batches are rejected by
+    the ORIGINAL entries (14/18 tokens excised), fresh docs pass with
+    n_removed = 0. Perfect separation measured at sf0.01
+    (24/22/22/18/17)."""
+    from airbnb_listings_reviews_data_engineering_spark.plans.streaming_q import (
+        _SAS_OFF,
+    )
+
+    out = rows(q, spark, "/root/testdata/sf0.01", "stream_admission_span")
+
+    def cls(in_id):
+        for name in ("nov2", "corp2", "ret", "nov1", "corp1"):
+            if in_id >= _SAS_OFF[name]:
+                return name
+        raise AssertionError(in_id)
+
+    by = {}
+    for r in out:
+        by.setdefault(cls(r.in_id), []).append(r)
+    assert set(by) == {"corp1", "nov1", "ret", "corp2", "nov2"}
+    assert all(r.admitted == 0 for r in by["corp1"])
+    assert all(r.admitted == 1 and r.n_removed == 0 for r in by["nov1"])
+    # CAUGHT ONLY VIA APPEND-BACK: the 12-token prefix excises exactly
+    assert all(
+        r.admitted == 0 and r.n_removed == 12 and r.n_tok == 16
+        for r in by["ret"]
+    )
+    assert all(r.admitted == 0 for r in by["corp2"])
+    assert all(r.admitted == 1 and r.n_removed == 0 for r in by["nov2"])
+    batches = {cls(r.in_id): r.batch for r in out}
+    assert batches["corp1"] == 1 and batches["nov1"] == 1
+    assert batches["ret"] == 2 and batches["nov2"] == 2
