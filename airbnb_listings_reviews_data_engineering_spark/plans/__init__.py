@@ -28,6 +28,7 @@ def all_queries() -> dict[str, "QuerySpec"]:
         scale_ext,
         sketch_ext,
         streaming_q,
+        tokenizer_ext,
         window_ext,
     )
 

@@ -555,3 +555,109 @@ def test_admission_span_index_grows(spark, q):
     batches = {cls(r.in_id): r.batch for r in out}
     assert batches["corp1"] == 1 and batches["nov1"] == 1
     assert batches["ret"] == 2 and batches["nov2"] == 2
+
+
+# --- unigram-LM tokenizer training ---------------------------------------------
+
+
+def test_unigram_lm_em_matches_python_mirror(spark, q):
+    """Full independent mirror: a third implementation of the hard-EM
+    trainer in pure Python (dict-based Viterbi, no SQL) must reproduce
+    the engine's final vocabulary row-for-row at sf0.001 — the oracle
+    gate proves Spark == DuckDB; this proves all three compute the
+    RIGHT thing (seeding, quantization, longer-piece tie-break,
+    traceback, EM re-estimation). Also pins that EM learned multi-char
+    pieces (it is a subword trainer, not a char counter)."""
+    import math
+
+    import duckdb
+
+    from airbnb_listings_reviews_data_engineering_spark.plans.tokenizer_ext import (
+        _ULM_ITERS,
+        _ULM_MAXLEN,
+        _ULM_MAXP,
+        _ULM_NEG,
+        _ULM_NEG2,
+        _ULM_SEED_CAP,
+        _ULM_SEED_MIN,
+        _ULM_TOPK,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def qln(f, t):
+        x = math.log(f / t) * 1000000
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    toks = [
+        w
+        for (t,) in duckdb.sql(
+            f"SELECT text FROM read_parquet('{sf}/documents.parquet')"
+        ).fetchall()
+        for w in t.split(" ")
+        if 1 <= len(w) <= _ULM_MAXLEN
+    ]
+    words = {}
+    for w in toks:
+        words[w] = words.get(w, 0) + 1
+    subfreq = {}
+    for w, c in words.items():
+        for L in range(1, _ULM_MAXP + 1):
+            for i in range(len(w) - L + 1):
+                p = w[i : i + L]
+                subfreq[p] = subfreq.get(p, 0) + c
+    seed = {p: f for p, f in subfreq.items() if len(p) == 1}
+    multi = sorted(
+        ((p, f) for p, f in subfreq.items()
+         if len(p) >= 2 and f >= _ULM_SEED_MIN),
+        key=lambda x: (-x[1], x[0]),
+    )[:_ULM_SEED_CAP]
+    seed.update(dict(multi))
+    t0 = sum(seed.values())
+    vocab = {p: qln(f, t0) for p, f in seed.items()}
+
+    def viterbi(w, lp):
+        n = len(w)
+        b = [0] * (n + 1)
+        ls = [0] * (n + 1)
+        for i in range(1, n + 1):
+            c1 = b[i - 1] + lp.get(w[i - 1 : i], _ULM_NEG)
+            c2 = (
+                b[i - 2] + lp.get(w[i - 2 : i], _ULM_NEG)
+                if i >= 2
+                else _ULM_NEG2
+            )
+            c3 = (
+                b[i - 3] + lp.get(w[i - 3 : i], _ULM_NEG)
+                if i >= 3
+                else _ULM_NEG2
+            )
+            if c3 >= c2 and c3 >= c1:
+                b[i], ls[i] = c3, 3
+            elif c2 >= c1:
+                b[i], ls[i] = c2, 2
+            else:
+                b[i], ls[i] = c1, 1
+        pos, pieces = n, []
+        while pos > 0:
+            pieces.append(w[pos - ls[pos] : pos])
+            pos -= ls[pos]
+        return pieces
+
+    for _ in range(_ULM_ITERS):
+        cnt = {}
+        for w, c in words.items():
+            for p in viterbi(w, vocab):
+                cnt[p] = cnt.get(p, 0) + c
+        t = sum(cnt.values())
+        vocab = {p: qln(f, t) for p, f in cnt.items()}
+        counts = cnt
+    want = sorted(counts.items(), key=lambda x: (-x[1], x[0]))[:_ULM_TOPK]
+    got = rows(q, spark, sf, "text_unigram_lm_em")
+    got = sorted(got, key=lambda r: r.rnk)
+    assert len(got) == min(_ULM_TOPK, len(want))
+    for r, (p, f) in zip(got, want):
+        assert r.piece == p and r.n_uses == f, (r, p, f)
+        assert r.logp_q == vocab[p], (r, vocab[p])
+        assert r.plen == len(p)
+    assert any(r.plen >= 2 for r in got)  # learned subwords, not chars
