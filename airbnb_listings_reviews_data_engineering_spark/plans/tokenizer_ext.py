@@ -173,7 +173,10 @@ def _ulm_tb_fold(d: dict) -> str:
     )
 
 
-def _ulm_sql() -> str:
+def _ulm_cte_body() -> str:
+    """The shared WITH-body: corpus -> words -> seed -> vocab0 ->
+    (EM iteration CTE chains) -> vocab{ITERS}. Training keys and the
+    encode key both append their own tail."""
     d = _ULM_DUCK
     subs = " UNION ALL ".join(
         f"""
@@ -219,7 +222,7 @@ vocab{r} AS (
         )
         prev_vocab = f"vocab{r}"
     return f"""
-WITH toks AS (
+toks AS (
   SELECT unnest(string_split(text, ' ')) AS w FROM documents
 ),
 words AS (
@@ -237,7 +240,12 @@ seed AS (
 ),
 tot0 AS (SELECT CAST(sum(f) AS BIGINT) AS t FROM seed),
 vocab0 AS (SELECT p, f, {_qln("f", "t")} AS lp FROM seed, tot0),
-{",".join(it_ctes)}
+{",".join(it_ctes)}"""
+
+
+def _ulm_sql() -> str:
+    return f"""
+WITH {_ulm_cte_body().strip()}
 SELECT p AS piece, CAST(length(p) AS INT) AS plen, f AS n_uses, lp AS logp_q,
        CAST(rn AS INT) AS rnk
 FROM (
@@ -247,29 +255,10 @@ FROM (
 """
 
 
-@register("text_unigram_lm_em", oracle=_ulm_sql())
-def text_unigram_lm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram-LM tokenizer training by hard EM (Kudo, ACL 2018,
-    simplified to Viterbi E-steps) — the second production tokenizer
-    trainer beside text_bpe_train, completing the pair every LLM data
-    stack ships: seed vocabulary = all corpus characters plus the top
-    192 length-2..3 substrings by weighted frequency; each EM round
-    Viterbi-segments every DISTINCT word under the current quantized
-    piece logprobs (longer piece wins ties — deterministic), then
-    re-estimates logprobs from the chosen pieces' weighted counts.
-    Pieces the E-step stops choosing drop out of the vocabulary — the
-    EM pruning that distinguishes unigram-LM from BPE's greedy merges.
-
-    Scale shape: the corpus collapses to the distinct word table
-    (Heaps-bounded) before any EM work; the Viterbi DP is 12 unrolled
-    map-side projections reading piece logprobs from ONE broadcast map
-    row (no join, no shuffle inside the DP); each M-step is one
-    explode + map-side-combined groupBy. EM at 100 TB costs
-    iterations x one word-table pass + the initial tokenize. All
-    scores are ln-quantized BIGINTs (round(ln(p)*1e6)), so the
-    segmentation argmax is integer comparison — bitwise equal
-    cross-engine, same discipline as ml_logreg_gd. Emitted: the top-48
-    final vocabulary rows (piece, plen, n_uses, logp_q, rnk)."""
+def _ulm_train(spark: SparkSession, sf_dir: str):
+    """Shared Spark training chain: returns (words, vocab) — the
+    pinned distinct word table and the final EM vocabulary
+    (p, f, lp)."""
     d = _ULM_SPARK
     docs = load(spark, sf_dir, "documents").select("text")
     words = pin(
@@ -340,6 +329,33 @@ def text_unigram_lm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             label=f"ulm_vocab{r}",
         )
+    return words, vocab
+
+
+@register("text_unigram_lm_em", oracle=_ulm_sql())
+def text_unigram_lm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training by hard EM (Kudo, ACL 2018,
+    simplified to Viterbi E-steps) — the second production tokenizer
+    trainer beside text_bpe_train, completing the pair every LLM data
+    stack ships: seed vocabulary = all corpus characters plus the top
+    192 length-2..3 substrings by weighted frequency; each EM round
+    Viterbi-segments every DISTINCT word under the current quantized
+    piece logprobs (longer piece wins ties — deterministic), then
+    re-estimates logprobs from the chosen pieces' weighted counts.
+    Pieces the E-step stops choosing drop out of the vocabulary — the
+    EM pruning that distinguishes unigram-LM from BPE's greedy merges.
+
+    Scale shape: the corpus collapses to the distinct word table
+    (Heaps-bounded) before any EM work; the Viterbi DP is 12 unrolled
+    map-side projections reading piece logprobs from ONE broadcast map
+    row (no join, no shuffle inside the DP); each M-step is one
+    explode + map-side-combined groupBy. EM at 100 TB costs
+    iterations x one word-table pass + the initial tokenize. All
+    scores are ln-quantized BIGINTs (round(ln(p)*1e6)), so the
+    segmentation argmax is integer comparison — bitwise equal
+    cross-engine, same discipline as ml_logreg_gd. Emitted: the top-48
+    final vocabulary rows (piece, plen, n_uses, logp_q, rnk)."""
+    words, vocab = _ulm_train(spark, sf_dir)
     return vocab.selectExpr(
         "p", "f", "lp", "row_number() OVER (ORDER BY f DESC, p) AS rn"
     ).filter(f"rn <= {_ULM_TOPK}").selectExpr(
@@ -348,4 +364,90 @@ def text_unigram_lm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f AS n_uses",
         "lp AS logp_q",
         "CAST(rn AS INT) AS rnk",
+    )
+
+
+# ---------------------------------------------------------------------------
+# apply the trained unigram vocabulary: per-document segmentation stats
+# ---------------------------------------------------------------------------
+
+
+def _ulm_encode_sql() -> str:
+    d = _ULM_DUCK
+    r = _ULM_ITERS + 1  # one more E-step under the FINAL vocabulary
+    dp_chain = []
+    src = f"m{r}x"
+    for j, sel in enumerate(_dp_steps(d)):
+        dp_chain.append(f"d{r}_{j} AS (SELECT *, {sel} FROM {src})")
+        src = f"d{r}_{j}"
+    tb_chain = []
+    for j, sel in enumerate(_tb_steps(d)):
+        tb_chain.append(f"t{r}_{j} AS (SELECT *, {sel} FROM {src})")
+        src = f"t{r}_{j}"
+    return f"""
+WITH {_ulm_cte_body().strip()},
+map{r} AS (
+  SELECT map_from_entries(list(struct_pack(k := p, v := lp))) AS m
+  FROM vocab{_ULM_ITERS}
+),
+m{r}x AS (SELECT w, cnt, CAST(0 AS BIGINT) AS b0, m
+          FROM words CROSS JOIN map{r}),
+{",".join(dp_chain)},
+{",".join(tb_chain)},
+wp AS (SELECT w, CAST(len(pc1) AS BIGINT) AS np FROM {src}),
+dw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE length(w) BETWEEN 1 AND {_ULM_MAXLEN}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(sum(np) AS BIGINT) AS n_pieces,
+       round(sum(np) / CAST(count(*) AS DOUBLE), 4) AS fertility
+FROM dw JOIN wp USING (w) GROUP BY doc_id
+"""
+
+
+@register("text_unigram_encode_docs", oracle=_ulm_encode_sql())
+def text_unigram_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the trained unigram-LM vocabulary: Viterbi-segment every
+    document under the final EM logprobs and report per-document piece
+    counts and fertility (pieces per word) — the tokenizer-cost signal
+    a data pipeline uses to price documents in tokens and to spot
+    out-of-domain text (high fertility = the tokenizer fragments it;
+    the unigram twin of text_bpe_encode_docs + text_tokenizer_fertility
+    which measure the BPE side). The segmentation E-step runs ONCE per
+    DISTINCT word (Heaps-bounded, the same fold as training) and
+    documents join the per-word piece counts on the word key — the
+    corpus-sized pass is one tokenize + one broadcast join + one
+    groupBy, never a per-document DP. Words longer than the 12-char
+    training cap are excluded from both counts (the cap is the
+    trainer's contract, stated here once). Emitted: (doc_id, n_tok,
+    n_pieces, fertility)."""
+    d = _ULM_SPARK
+    words, vocab = _ulm_train(spark, sf_dir)
+    m = F.broadcast(
+        vocab.agg(
+            F.expr("map_from_entries(collect_list(struct(p, lp))) AS m")
+        )
+    )
+    wp = (
+        words.crossJoin(m)
+        .selectExpr("w", _ulm_dp_fold(d) + " AS ls")
+        .selectExpr("w", _ulm_tb_fold(d) + " AS pc1")
+        .selectExpr("w", "CAST(size(pc1) AS BIGINT) AS np")
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w").between(1, _ULM_MAXLEN))
+    return (
+        dw.join(F.broadcast(wp), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT) AS n_tok"),
+            F.expr("CAST(sum(np) AS BIGINT) AS n_pieces"),
+            F.expr(
+                "round(sum(np) / CAST(count(*) AS DOUBLE), 4) AS fertility"
+            ),
+        )
     )

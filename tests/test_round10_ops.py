@@ -661,3 +661,22 @@ def test_unigram_lm_em_matches_python_mirror(spark, q):
         assert r.logp_q == vocab[p], (r, vocab[p])
         assert r.plen == len(p)
     assert any(r.plen >= 2 for r in got)  # learned subwords, not chars
+
+
+def test_unigram_encode_fertility_sane(spark, q):
+    """Fertility under the trained vocab: every document segments into
+    at least one piece per word and at most word-length pieces
+    (1 <= fertility <= max word len), and the learned subwords
+    genuinely compress — corpus mean fertility sits well below the
+    char-level ceiling (~ mean word length)."""
+    out = rows(q, spark, "/root/testdata/sf0.01", "text_unigram_encode_docs")
+    assert len(out) == 500  # every document has in-cap words
+    tot_tok = sum(r.n_tok for r in out)
+    tot_pc = sum(r.n_pieces for r in out)
+    for r in out:
+        assert r.n_pieces >= r.n_tok, r
+        assert 1.0 <= r.fertility <= 12.0, r
+    mean_fert = tot_pc / tot_tok
+    # mean word length in the fixture is ~5 chars; char-level would be
+    # ~5 pieces/word. The EM vocab must do clearly better.
+    assert mean_fert < 3.0, mean_fert
