@@ -2379,3 +2379,168 @@ def profile_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round(abs(gap - ks_exact), 6) AS ks_err",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# differentially-private quantiles: seeded-Laplace noise on the histogram
+# ---------------------------------------------------------------------------
+
+_DPQ_EPS = 1.0
+_DPQ_QS = (50, 90, 99)
+_DPQ_TWO52 = 4503599627370496
+
+
+def _dpq_noise(seed_expr: str, hash_fn) -> str:
+    """Laplace(1/eps) via seeded inverse-CDF on the exact 2^52 dyadic
+    grid (the agg_dp_counts mechanism, shared rationale there)."""
+    u = (
+        f"((({hash_fn(seed_expr)}) % {_DPQ_TWO52} + 0.5)"
+        f" / {_DPQ_TWO52} - 0.5)"
+    )
+    return f"(-(1.0 / {_DPQ_EPS}) * sign({u}) * ln(1 - 2 * abs({u})))"
+
+
+def _dpq_sql() -> str:
+    noise = _dpq_noise("'dpq:' || CAST(node AS VARCHAR)", hash60_duckdb_sql)
+    qsel = ", ".join(f"({q})" for q in _DPQ_QS)
+    return f"""
+WITH cents AS (
+  SELECT least({_DQ_CENTS} // {_DQ_LEAF_W}, {_DQ_LEAF_MAX}) AS leaf
+  FROM lineitem
+),
+n8 AS (SELECT i AS node FROM generate_series(0, {_KS_NODES - 1}) AS t(i)),
+hist AS (
+  SELECT node, CAST(count(leaf) AS BIGINT) AS c FROM (
+    SELECT p.node, c.leaf FROM n8 p
+    LEFT JOIN cents c ON c.leaf >> {_KS_LVL} = p.node
+  ) GROUP BY node
+),
+noisy AS (
+  SELECT node, greatest(c + {noise}, 0.0) AS nc FROM hist
+),
+cdf AS (
+  SELECT node, sum(nc) OVER (ORDER BY node) AS cum,
+         sum(nc) OVER () AS n
+  FROM noisy
+),
+targets AS (SELECT q FROM (VALUES {qsel}) t(q)),
+hit AS (
+  SELECT q, node, cum, n,
+         row_number() OVER (PARTITION BY q ORDER BY node) AS rn
+  FROM targets JOIN cdf
+    ON cum >= n * q / 100.0
+),
+excdf AS (
+  SELECT node, sum(c) OVER (ORDER BY node) AS cum,
+         sum(c) OVER () AS n
+  FROM hist
+),
+ex AS (
+  SELECT q, CAST((min(node) + 1) * {_DQ_LEAF_W * (1 << _KS_LVL)} - 1
+                 AS BIGINT) AS exact_cents
+  FROM targets JOIN excdf ON cum >= (n * q + 99) // 100
+  GROUP BY q
+)
+SELECT h.q AS qpct,
+       CAST((h.node + 1) * {_DQ_LEAF_W * (1 << _KS_LVL)} - 1 AS BIGINT)
+         AS dp_cents,
+       e.exact_cents,
+       round(abs(CAST((h.node + 1) * {_DQ_LEAF_W * (1 << _KS_LVL)} - 1
+                 AS DOUBLE) - e.exact_cents) / e.exact_cents, 4)
+         AS rel_err
+FROM hit h JOIN ex e ON e.q = h.q
+WHERE h.rn = 1
+"""
+
+
+@register("agg_dp_quantile", oracle=_dpq_sql())
+def agg_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private quantiles by the noisy-histogram
+    mechanism (Dwork & Roth 2014 §3.4 composed with the dyadic
+    domain): the price domain's 256 level-8 buckets get ONE exact
+    count each, every count gets an independent seeded Laplace(1/eps)
+    draw (parallel composition — disjoint buckets share the epsilon,
+    the reason histogram DP scales to any quantile set for one noise
+    cost), negatives clamp to 0, and p50/p90/p99 read off the noisy
+    CDF. The DP boundary sits at the histogram: everything after the
+    noise is post-processing, so releasing ALL THREE quantiles (or a
+    hundred) costs the same privacy budget. Composes the round-10
+    themes: the histogram is the level-8 slice of the quantile
+    sketch's dyadic grid, the noise is agg_dp_counts' seeded
+    inverse-CDF mechanism. Plan: one map-side-combined groupBy into
+    256 cells, scalar noise on the aggregate, one 256-row window —
+    private percentile telemetry costs nothing at 100 TB. The exact
+    quantile at the same bucket granularity rides along as the
+    verifier (rel_err is what the noise + bucketing cost). Emitted:
+    (qpct, dp_cents, exact_cents, rel_err)."""
+    from ..functions.hashing import hash60_spark_sql
+
+    noise = _dpq_noise("concat('dpq:', CAST(node AS STRING))",
+                       hash60_spark_sql)
+    li = load(spark, sf_dir, "lineitem").select(
+        F.expr(
+            f"least({_DQ_CENTS} div {_DQ_LEAF_W}, {_DQ_LEAF_MAX})"
+        ).alias("leaf")
+    )
+    nodes = spark.range(0, _KS_NODES).selectExpr("id AS node")
+    hist = (
+        nodes.join(
+            F.broadcast(
+                li.groupBy(
+                    F.expr(f"leaf >> {_KS_LVL}").alias("node")
+                ).agg(F.count("*").alias("c0"))
+            ),
+            "node",
+            "left",
+        )
+        .selectExpr("node", "CAST(COALESCE(c0, 0) AS BIGINT) AS c")
+    )
+    noisy = hist.selectExpr(
+        "node", f"greatest(c + {noise}, 0.0) AS nc"
+    )
+    cdf = noisy.selectExpr(
+        "node",
+        "sum(nc) OVER (ORDER BY node) AS cum",
+        "sum(nc) OVER () AS n",
+    )
+    targets = spark.range(0, len(_DPQ_QS)).selectExpr(
+        f"element_at(array({', '.join(str(q) for q in _DPQ_QS)}),"
+        " CAST(id + 1 AS INT)) AS q"
+    )
+    hit = (
+        targets.join(F.broadcast(cdf), F.expr("cum >= n * q / 100.0"))
+        .selectExpr(
+            "q",
+            "node",
+            "row_number() OVER (PARTITION BY q ORDER BY node) AS rn",
+        )
+        .filter("rn = 1")
+    )
+    excdf = hist.selectExpr(
+        "node",
+        "sum(c) OVER (ORDER BY node) AS cum",
+        "sum(c) OVER () AS n",
+    )
+    ex = (
+        targets.join(
+            F.broadcast(excdf), F.expr("cum >= (n * q + 99) div 100")
+        )
+        .groupBy("q")
+        .agg(
+            F.expr(
+                f"CAST((min(node) + 1) * {_DQ_LEAF_W * (1 << _KS_LVL)} - 1"
+                " AS BIGINT) AS exact_cents"
+            )
+        )
+    )
+    return (
+        hit.join(ex, "q")
+        .selectExpr(
+            "q AS qpct",
+            f"CAST((node + 1) * {_DQ_LEAF_W * (1 << _KS_LVL)} - 1 AS BIGINT)"
+            " AS dp_cents",
+            "exact_cents",
+            f"round(abs(CAST((node + 1) * {_DQ_LEAF_W * (1 << _KS_LVL)} - 1"
+            " AS DOUBLE) - exact_cents) / exact_cents, 4) AS rel_err",
+        )
+    )

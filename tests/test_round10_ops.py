@@ -680,3 +680,31 @@ def test_unigram_encode_fertility_sane(spark, q):
     # mean word length in the fixture is ~5 chars; char-level would be
     # ~5 pieces/word. The EM vocab must do clearly better.
     assert mean_fert < 3.0, mean_fert
+
+
+def test_dp_quantile_noise_is_post_processing(spark, q):
+    """Histogram DP for quantiles: the released percentile sits on a
+    level-8 bucket boundary, and with eps=1 noise (sigma ~ 1.4 counts)
+    against bucket counts in the hundreds the noisy CDF crossing lands
+    on (or next to) the exact bucket — rel_err bounded at both SFs.
+    The exact column equals the true bucket-granularity percentile
+    recomputed via DuckDB."""
+    import duckdb
+
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        out = rows(q, spark, sf, "agg_dp_quantile")
+        assert {r.qpct for r in out} == {50, 90, 99}
+        for r in out:
+            assert r.dp_cents % 65536 == 65535  # a bucket boundary
+            assert r.rel_err <= 0.05, (sf, r)
+        (p50,) = [r for r in out if r.qpct == 50]
+        true_med = duckdb.sql(
+            f"SELECT median(l_extendedprice) FROM"
+            f" read_parquet('{sf}/lineitem.parquet')"
+        ).fetchone()[0]
+        # the bucket ceiling of the true median is within one bucket
+        assert abs(p50.exact_cents / 100.0 - true_med) <= 65536 / 100.0, (
+            sf,
+            p50.exact_cents,
+            true_med,
+        )
