@@ -2544,3 +2544,144 @@ def agg_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DOUBLE) - exact_cents) / exact_cents, 4) AS rel_err",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming Bloom membership: word masks maintained as bounded stream state
+# ---------------------------------------------------------------------------
+
+_SBL_BATCHES = 3
+
+
+def _stream_bloom_sql() -> str:
+    return _bloom_sql()
+
+
+@register("stream_sketch_bloom", oracle=_stream_bloom_sql())
+def stream_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bloom membership — the third streaming sketch beside
+    stream_sketch_ndv (KMV minima) and stream_sketch_quantile (dyadic
+    grid): the orders stream arrives in 3 micro-batches and ONE
+    streaming aggregation maintains bit_or per 32-bit word — the
+    ENTIRE stream state is <= 4,096 word rows FOREVER, however many
+    keys flow (exact streaming membership state grows with the key
+    universe). bit_or is idempotent and associative, so micro-batch
+    merge IS the batch build — duplicate custkeys across batches (or
+    replayed batches) change nothing, which makes the filter safe
+    under at-least-once delivery. The drained mask table then feeds
+    the SAME probe/stat layers as sketch_bloom_rollup (present keys
+    must all hit; disjoint synthetic keys measure FPR; the batch-built
+    direct filter must match word-for-word) — the oracle is literally
+    that key's SQL, proving the micro-batch path changes the
+    execution, not the value."""
+    from ..functions.hashing import hash60_spark_sql
+    from .streaming_q import _landing_zone, _stage_batch
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"), F.col("o_orderkey").alias("ok")
+    )
+    stream_dir = _landing_zone(spark, "stream_sketch_bloom")
+    for i in range(_SBL_BATCHES):
+        _stage_batch(
+            o.filter(F.col("ok") % _SBL_BATCHES == i).drop("ok"),
+            stream_dir,
+            f"batch{i + 1}.parquet",
+            i + 1,
+        )
+    hx = hash60_spark_sql("concat(CAST(j AS STRING), ':', CAST(k AS STRING))")
+    stream = spark.readStream.schema("k bigint").parquet(stream_dir)
+    masks = (
+        stream.select(
+            "k", F.explode(F.sequence(F.lit(1), F.lit(_BLOOM_K))).alias("j")
+        )
+        .selectExpr(f"({hx}) % {_BLOOM_M} AS p")
+        .selectExpr(
+            "p div 32 AS w",
+            "shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT)) AS bit",
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(bit) AS mask"))
+    )
+    merged = pin(
+        run_available_now_sketch(masks, "stream_sketch_bloom"),
+        label="sbl_merged",
+    )
+    # post-drain batch layers: identical to sketch_bloom_rollup's
+    mk = o.drop("ok").distinct()
+    pos = pin(
+        mk.select(
+            "k", F.explode(F.sequence(F.lit(1), F.lit(_BLOOM_K))).alias("j")
+        ).selectExpr("k", f"({hx}) % {_BLOOM_M} AS p"),
+        label="sbl_pos",
+    )
+    mask_expr = "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))) AS mask"
+    hit = (
+        "min(CASE WHEN (shiftright(COALESCE(mask, 0), CAST(p % 32 AS INT)))"
+        " & 1 = 1 THEN 1 ELSE 0 END) AS hit"
+    )
+    direct = (
+        pos.select("k", "p")
+        .distinct()
+        .groupBy(F.expr("p div 32").alias("w"))
+        .agg(F.expr(mask_expr))
+    )
+    ndiff = (
+        merged.subtract(direct)
+        .unionByName(direct.subtract(merged))
+        .agg(F.expr("count(*) AS n_diff"))
+    )
+    stats = merged.agg(
+        F.expr("count(*) AS n_words"),
+        F.expr("CAST(sum(bit_count(mask)) AS BIGINT) AS bits_set"),
+    )
+
+    def probe_stats(probe_pos: DataFrame, n_col: str, hits_col: str):
+        ph = (
+            probe_pos.withColumn("pw", F.expr("p div 32"))
+            .join(merged.withColumnRenamed("w", "pw"), "pw", "left")
+            .groupBy("k")
+            .agg(F.expr(hit))
+        )
+        return ph.agg(
+            F.expr(f"count(*) AS {n_col}"),
+            F.expr(f"CAST(sum(hit) AS BIGINT) AS {hits_col}"),
+        )
+
+    pstats = probe_stats(
+        pos.filter(F.col("k") % _BLOOM_PROBE_MOD == 0)
+        .select("k", "p")
+        .distinct(),
+        "n_present",
+        "n_present_hits",
+    )
+    ab = spark.range(1, _BLOOM_ABSENT_N + 1).select(
+        F.concat(F.lit("a:"), F.col("id").cast("string")).alias("k")
+    )
+    apos = ab.select(
+        "k", F.explode(F.sequence(F.lit(1), F.lit(_BLOOM_K))).alias("j")
+    ).selectExpr("k", f"({hx}) % {_BLOOM_M} AS p")
+    astats = probe_stats(apos, "n_absent", "n_absent_hits")
+    return (
+        stats.crossJoin(F.broadcast(pstats))
+        .crossJoin(F.broadcast(astats))
+        .crossJoin(F.broadcast(ndiff))
+        .selectExpr(
+            "n_words",
+            "bits_set",
+            "n_present",
+            "n_present_hits",
+            "n_absent",
+            "n_absent_hits",
+            "round(CAST(n_absent_hits AS DOUBLE) / n_absent, 6)"
+            " AS fpr_measured",
+            f"round(power(CAST(bits_set AS DOUBLE) / {_BLOOM_M},"
+            f" {_BLOOM_K}), 6) AS fpr_expected",
+            "(n_diff = 0) AS merged_equals_direct",
+        )
+    )
+
+
+def run_available_now_sketch(agg: DataFrame, name: str) -> DataFrame:
+    from ..streaming.ingest import run_available_now
+
+    return run_available_now(agg, query_name=name, output_mode="complete")

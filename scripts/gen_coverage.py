@@ -182,7 +182,8 @@ SECTIONS = [
         "stream_admission_embedding", "agg_dp_counts",
         "sketch_bloom_rollup", "profile_drift_ks",
         "stream_admission_span", "text_unigram_lm_em",
-        "text_unigram_encode_docs", "agg_dp_quantile"]),
+        "text_unigram_encode_docs", "agg_dp_quantile",
+        "stream_sketch_bloom"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

@@ -708,3 +708,15 @@ def test_dp_quantile_noise_is_post_processing(spark, q):
             p50.exact_cents,
             true_med,
         )
+
+
+def test_stream_bloom_batch_equivalent(spark, q):
+    """The streaming Bloom drains batch-equivalent: the micro-batch
+    bit_or state must match the direct batch build word-for-word
+    (merged_equals_direct), keep the no-false-negative contract, and
+    stay inside the predicted FPR band — same contracts as the batch
+    key, proven through the streaming path."""
+    (r,) = rows(q, spark, "/root/testdata/sf0.01", "stream_sketch_bloom")
+    assert r.merged_equals_direct
+    assert r.n_present_hits == r.n_present > 0
+    assert r.n_absent == 256 and r.n_absent_hits <= 8
