@@ -2142,7 +2142,7 @@ def _ks_sql() -> str:
     h_build = _dq_node_hash_duck("CAST(lvl AS VARCHAR)", "node")
     h_probe = _dq_node_hash_duck(f"CAST({_KS_LVL} AS VARCHAR)", "node")
     build_cells = " UNION ALL ".join(
-        f"SELECT side, lvl, {i} AS r, {h_build} % {p} AS c, cnt FROM nodes"
+        f"SELECT side, {i} AS r, {h_build} % {p} AS c, cnt FROM nodes"
         for i, p in enumerate(_CM_PRIMES)
     )
     probe_cells = " UNION ALL ".join(
@@ -2162,17 +2162,13 @@ leafs AS (
   FROM cents, mm GROUP BY 1, 2
 ),
 nodes AS (
-  SELECT side, u.lvl AS lvl, u.node AS node, sum(cnt) AS cnt FROM (
-    SELECT side, cnt,
-           unnest(list_transform(generate_series(0, {_DQ_LEVELS - 1}),
-                  l -> struct_pack(lvl := l, node := leaf >> l))) AS s
-    FROM leafs
-  ) t, LATERAL (SELECT s.lvl AS lvl, s.node AS node) u
-  GROUP BY side, u.lvl, u.node
+  SELECT side, {_KS_LVL} AS lvl, leaf >> {_KS_LVL} AS node,
+         sum(cnt) AS cnt
+  FROM leafs GROUP BY side, leaf >> {_KS_LVL}
 ),
 grid AS MATERIALIZED (
-  SELECT side, lvl, r, c, CAST(sum(cnt) AS BIGINT) AS cnt
-  FROM ({build_cells}) GROUP BY side, lvl, r, c
+  SELECT side, r, c, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM ({build_cells}) GROUP BY side, r, c
 ),
 n8 AS (SELECT i AS node FROM generate_series(0, {_KS_NODES - 1}) AS t(i)),
 probe AS ({probe_cells}),
@@ -2181,7 +2177,7 @@ est AS (
   FROM probe p
   CROSS JOIN (VALUES (0), (1)) s(side)
   LEFT JOIN grid g
-    ON g.side = s.side AND g.lvl = {_KS_LVL} AND g.r = p.r AND g.c = p.c
+    ON g.side = s.side AND g.r = p.r AND g.c = p.c
   GROUP BY s.side, p.node
 ),
 cdf AS (
@@ -2260,27 +2256,42 @@ def profile_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", F.col("l_shipdate")).alias("mon"),
         "l_extendedprice",
     )
+    h_probe = _dq_node_hash_spark(f"CAST({_KS_LVL} AS STRING)", "node")
+    cell_structs = ", ".join(
+        f"struct({i} AS r, ({h_probe}) % {p} AS c)"
+        for i, p in enumerate(_CM_PRIMES)
+    )
+    # the LEVEL-8 slice only: a deployment reads this slice of the
+    # stored full grids with partition pruning; rebuilding all 16
+    # levels here just to probe one was 4x the key's cost (bench r10)
+    nodes = li.groupBy(
+        "mon",
+        F.expr(
+            f"least({_DQ_CENTS} div {_DQ_LEAF_W}, {_DQ_LEAF_MAX})"
+            f" >> {_KS_LVL}"
+        ).alias("node"),
+    ).agg(F.count("*").alias("cnt"))
     mgrid = pin(
-        _dq_grid(li, extra_keys=["mon"]), label="ks_monthly_grid"
+        nodes.selectExpr(
+            "mon", "cnt", f"explode(array({cell_structs})) AS rc"
+        )
+        .select("mon", "rc.r", "rc.c", "cnt")
+        .groupBy("mon", "r", "c")
+        .agg(F.expr("CAST(sum(cnt) AS BIGINT) AS cnt")),
+        label="ks_monthly_grid",
     )
     mx = mgrid.agg(F.max("mon").alias("mx"))
     sgrid = pin(
         mgrid.crossJoin(F.broadcast(mx))
         .selectExpr(
             "CASE WHEN mon = mx THEN 1 ELSE 0 END AS side",
-            "lvl",
             "r",
             "c",
             "cnt",
         )
-        .groupBy("side", "lvl", "r", "c")
+        .groupBy("side", "r", "c")
         .agg(F.expr("CAST(sum(cnt) AS BIGINT) AS cnt")),
         label="ks_side_grid",
-    )
-    h_probe = _dq_node_hash_spark(f"CAST({_KS_LVL} AS STRING)", "node")
-    cell_structs = ", ".join(
-        f"struct({i} AS r, ({h_probe}) % {p} AS c)"
-        for i, p in enumerate(_CM_PRIMES)
     )
     probe = (
         spark.range(0, _KS_NODES)
@@ -2291,7 +2302,7 @@ def profile_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = (
         probe.join(
-            F.broadcast(sgrid.filter(F.col("lvl") == _KS_LVL)),
+            F.broadcast(sgrid),
             ["side", "r", "c"],
             "left",
         )

@@ -150,6 +150,9 @@ R9_ADDITIONS = [
 R10_ADDITIONS = [
     "sketch_quantile_dyadic",  # dyadic CM grid + 16-level fold descent
     "sim_ivfpq_topk",          # IVF cells -> PQ-coded ADC -> exact re-rank
+    "sketch_bloom_rollup",     # per-month filters, word-wise OR rollup
+    "profile_drift_ks",        # K-S from merged monthly quantile grids
+    "text_unigram_lm_em",      # 2-round hard-EM unigram tokenizer trainer
 ]
 
 HEADLINE = (R2_HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R4B_ADDITIONS
