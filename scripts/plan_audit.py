@@ -135,6 +135,11 @@ NESTED_LOOP_ALLOWED = {
     "sketch_quantile_dyadic",  # 1-row grid map + 4-row quantile result folds
     "sketch_quantile_rollup",  # same 1-row merged-grid map + 4-row result folds
     "stream_sketch_quantile",  # same descent over the drained stream grid
+    "sketch_bloom_rollup",   # paired 1-row filter-stat aggregate folds
+    "stream_sketch_bloom",   # same post-drain 1-row stat folds
+    "profile_drift_ks",      # 1-row exact-KS fold + 2-row side driver
+    "agg_dp_quantile",       # 3 targets x 256-row CDF theta join + 1-row folds
+    "text_unigram_encode_docs",  # word table x the 1-row vocab-map fold
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's
@@ -154,6 +159,9 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "ts_survival_km",        # log-space cumprod over the #churn-days table
     "win_rolling_corr",      # rolling moments over the day-grain table
     "agg_pareto_coverage",   # prefix-sum offsets over n_parts rows (8)
+    "profile_drift_ks",      # argmax over the 256-boundary gap table
+    "agg_dp_quantile",       # noisy + exact CDF prefixes over 256 buckets
+    "text_unigram_lm_em",    # final rank over the pinned vocab table
 }
 
 
@@ -219,6 +227,13 @@ NESTED_LOOP_STAGE_ALLOWED = {
     ("text_bpe_vocab", "bpe_best"),
     ("text_bpe_encode_docs", "bpe_best"),
     ("text_tokenizer_fertility", "bpe_best"),
+    # hard-EM rounds: word table x the 1-row vocab map + 1-row total
+    ("text_unigram_lm_em", "ulm_vocab1"),
+    ("text_unigram_lm_em", "ulm_vocab2"),
+    ("text_unigram_encode_docs", "ulm_vocab1"),
+    ("text_unigram_encode_docs", "ulm_vocab2"),
+    # 1-row max-month fold splitting the stored monthly grids
+    ("profile_drift_ks", "ks_side_grid"),
 }
 
 # stage plans allowed an unpartitioned WindowExec: (key, pin label),
@@ -228,6 +243,11 @@ UNPARTITIONED_WINDOW_STAGE_ALLOWED = {
     # frame (invisible pre-r6; was mis-allowlisted at key level, which
     # broke the final-plan tiny-window pin — VERDICT r6 #1)
     ("pack_length_pairs", "pack_pairs_pos"),
+    # seed-vocab top-192 rank over the Heaps-bounded substring
+    # frequency table (the text_vocab_growth class: a model table,
+    # never the corpus)
+    ("text_unigram_lm_em", "ulm_vocab1"),
+    ("text_unigram_encode_docs", "ulm_vocab1"),
 }
 
 

@@ -167,6 +167,9 @@ def test_allowlisted_windows_are_genuinely_tiny(audit_rows):
         # the risk-set identity (deaths before day) and the log-space
         # cumulative product — both bounded by the calendar
         "ts_survival_km": 2,
+        # noisy CDF (cum + total) and exact CDF (cum + total) over the
+        # 256-bucket histogram — four by design
+        "agg_dp_quantile": 4,
     }
     for key in UNPARTITIONED_WINDOW_ALLOWED:
         assert audit_rows[key]["unpart_win"] == expected.get(key, 1), (
@@ -176,7 +179,15 @@ def test_allowlisted_windows_are_genuinely_tiny(audit_rows):
     # stage-allowlisted windows are pinned the same way (the key-level
     # loop above sees FINAL plans only; a window living inside a pinned
     # stage is counted by stage_unpart_win — VERDICT r6 #1)
-    stage_expected = {"pack_length_pairs": 1}
+    stage_expected = {
+        "pack_length_pairs": 1,
+        # ONE logical seed-vocab rank window in the ulm_vocab1 stage;
+        # the rn <= 192 filter triggers WindowGroupLimit, so the
+        # physical plan carries 4 structural window nodes (partial +
+        # final WindowGroupLimit, Window, and the limit's re-use)
+        "text_unigram_lm_em": 4,
+        "text_unigram_encode_docs": 4,
+    }
     for key in {k for k, _ in UNPARTITIONED_WINDOW_STAGE_ALLOWED}:
         assert audit_rows[key]["stage_unpart_win"] == stage_expected[key], (
             key,
