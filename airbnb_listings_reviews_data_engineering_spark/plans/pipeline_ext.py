@@ -5637,3 +5637,143 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _IVFPQ_K)
         .select("q_id", "vec_id", "cos_sim", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# privacy release pipeline: scrub -> k-anon gate -> DP release, one plan
+# ---------------------------------------------------------------------------
+
+_PVR_EMAIL = "[a-z0-9.]+@[a-z0-9.]+"
+_PVR_SSN = r"\d{3}-\d{2}-\d{4}"
+# the composite gates on UNIQUE trigrams (corpus_c < 2): text_kanon_risk's
+# k=5 marks ~98% of this synthetic corpus high-risk (every doc drops, a
+# broken fixture); singleton-gram fraction > 0.5 is the memorization-risk
+# rule that actually separates (median 0.38, max 0.67 at sf0.01)
+_PVR_KANON_K = 2
+_PVR_TWO52 = 4503599627370496
+
+
+def _pvr_noise(seed_expr: str, b: str, hash_fn) -> str:
+    """agg_dp_counts' seeded-Laplace mechanism (curation_ext._dp_noise_sql
+    — duplicated here because curation_ext imports this module; the
+    rationale and the exact-dyadic argument live there)."""
+    u = f"((({hash_fn(seed_expr)}) % {_PVR_TWO52} + 0.5) / {_PVR_TWO52} - 0.5)"
+    return f"(-({b}) * sign({u}) * ln(1 - 2 * abs({u})))"
+
+
+def _pvr_sql() -> str:
+    n_cnt = _pvr_noise("'pv:' || source || ':cnt'", "1.0",
+                       hash60_duckdb_sql)
+    n_tok = _pvr_noise("'pv:' || source || ':tok'", "64.0",
+                       hash60_duckdb_sql)
+    return rf"""
+WITH scrub AS (
+  SELECT doc_id, source,
+         regexp_replace(
+           regexp_replace(text, '{_PVR_EMAIL}', '<EMAIL>', 'g'),
+           '{_PVR_SSN}', '<ID>', 'g') AS text
+  FROM documents
+),
+tokd AS (SELECT doc_id, string_split(text, ' ') AS tok FROM scrub),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(tok) - 2),
+                i -> tok[i] || ' ' || tok[i + 1] || ' ' || tok[i + 2])) AS g
+  FROM tokd
+),
+freq AS (SELECT g, count(*) AS corpus_c FROM grams GROUP BY g),
+risk AS (
+  SELECT gr.doc_id,
+         sum(CASE WHEN f.corpus_c < {_PVR_KANON_K} THEN 1 ELSE 0 END)
+           > 0.5 * count(*) AS high_risk
+  FROM grams gr JOIN freq f ON gr.g = f.g GROUP BY gr.doc_id
+),
+kept AS (
+  SELECT s.source, s.text FROM scrub s
+  LEFT JOIN risk r USING (doc_id)
+  WHERE NOT COALESCE(r.high_risk, FALSE)
+),
+g AS (
+  SELECT source, count(*)::BIGINT AS n,
+         CAST(sum(least(len(string_split(text, ' ')), 64)) AS BIGINT) AS ts
+  FROM kept GROUP BY source
+)
+SELECT source,
+       round(n + {n_cnt}, 4) AS n_docs_noisy,
+       round(ts + {n_tok}, 4) AS n_tokens_noisy
+FROM g
+"""
+
+
+@register("pipeline_privacy_release", oracle=_pvr_sql())
+def pipeline_privacy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The privacy battery end-to-end in ONE plan — what a data vendor
+    runs before publishing corpus statistics: (1) SCRUB: redact
+    email-like and SSN-like spans corpus-wide (text_pii_scrub's regex
+    pass, full text); (2) K-ANON GATE on the SCRUBBED text: drop every
+    document whose rare-3-gram fraction exceeds 50% (text_kanon_risk's
+    memorization-risk rule — scrubbing first matters, a redacted email
+    can no longer make its trigram rare); (3) DP RELEASE: per-source
+    document counts and 64-clipped token sums of the SURVIVORS through
+    the seeded-Laplace mechanism (agg_dp_counts' release boundary).
+    Stage ordering is the cheap-first discipline: the scrub is a map,
+    the gate is one gram-frequency groupBy + join-back + anti-filter,
+    and the release is a scalar expression on the K-row aggregate —
+    each stage runs only on what the previous one kept. Emitted:
+    (source, n_docs_noisy, n_tokens_noisy) — production publishes ONLY
+    these; the exact intermediates stay inside the trusted curator."""
+    from ..functions.hashing import hash60_spark_sql
+
+    n_cnt = _pvr_noise("concat('pv:', source, ':cnt')", "1.0",
+                       hash60_spark_sql)
+    n_tok = _pvr_noise("concat('pv:', source, ':tok')", "64.0",
+                       hash60_spark_sql)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scrub = pin(
+        docs.select(
+            "doc_id",
+            "source",
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), _PVR_EMAIL, "<EMAIL>"),
+                _PVR_SSN,
+                "<ID>",
+            ).alias("text"),
+        ),
+        label="pvr_scrubbed",
+    )
+    tokd = scrub.select("doc_id", F.split("text", " ").alias("tok"))
+    grams = tokd.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tok") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("tok", i),
+                    F.element_at("tok", i + 1),
+                    F.element_at("tok", i + 2),
+                ),
+            )
+        ).alias("g"),
+    )
+    freq = grams.groupBy("g").agg(F.count("*").alias("corpus_c"))
+    rare = F.when(F.col("corpus_c") < _PVR_KANON_K, 1).otherwise(0)
+    risk = (
+        grams.join(freq, "g")
+        .groupBy("doc_id")
+        .agg((F.sum(rare) > 0.5 * F.count("*")).alias("high_risk"))
+    )
+    kept = (
+        scrub.join(risk, "doc_id", "left")
+        .filter(~F.coalesce("high_risk", F.lit(False)))
+        .select("source", "text")
+    )
+    g = kept.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(F.least(F.size(F.split("text", " ")), F.lit(64))).alias("ts"),
+    )
+    return g.select(
+        "source",
+        F.expr(f"round(n + {n_cnt}, 4)").alias("n_docs_noisy"),
+        F.expr(f"round(ts + {n_tok}, 4)").alias("n_tokens_noisy"),
+    )

@@ -183,7 +183,8 @@ SECTIONS = [
         "sketch_bloom_rollup", "profile_drift_ks",
         "stream_admission_span", "text_unigram_lm_em",
         "text_unigram_encode_docs", "agg_dp_quantile",
-        "stream_sketch_bloom"]),
+        "stream_sketch_bloom",
+        "pipeline_privacy_release"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

@@ -720,3 +720,54 @@ def test_stream_bloom_batch_equivalent(spark, q):
     assert r.merged_equals_direct
     assert r.n_present_hits == r.n_present > 0
     assert r.n_absent == 256 and r.n_absent_hits <= 8
+
+
+# --- privacy release pipeline --------------------------------------------------
+
+
+def test_privacy_release_gate_and_noise(spark, q):
+    """The composite's three stages are all live: per-source releases
+    sit within the Laplace worst case of the exact SURVIVOR counts
+    (recomputed independently: scrub -> singleton-trigram risk ->
+    drop), the k-anon gate genuinely drops documents at sf0.01, and
+    every source still gets a release (the gate is a filter, not a
+    collapse)."""
+    import math
+
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    out = {r.source: r for r in rows(q, spark, sf, "pipeline_privacy_release")}
+    kept = dict(
+        duckdb.sql(
+            f"""
+WITH scrub AS (
+  SELECT doc_id, source,
+         regexp_replace(regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+',
+           '<EMAIL>', 'g'), '\\d{{3}}-\\d{{2}}-\\d{{4}}', '<ID>', 'g') AS text
+  FROM read_parquet('{sf}/documents.parquet')
+),
+tokd AS (SELECT doc_id, string_split(text, ' ') AS tok FROM scrub),
+grams AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tok)-2),
+          i -> tok[i]||' '||tok[i+1]||' '||tok[i+2])) AS g FROM tokd),
+freq AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+risk AS (SELECT gr.doc_id, sum(CASE WHEN f.c < 2 THEN 1 ELSE 0 END)
+                > 0.5 * count(*) AS hr
+         FROM grams gr JOIN freq f USING (g) GROUP BY gr.doc_id)
+SELECT source, count(*) FROM scrub s LEFT JOIN risk r USING (doc_id)
+WHERE NOT COALESCE(hr, FALSE) GROUP BY source
+"""
+        ).fetchall()
+    )
+    raw = dict(
+        duckdb.sql(
+            f"SELECT source, count(*) FROM"
+            f" read_parquet('{sf}/documents.parquet') GROUP BY source"
+        ).fetchall()
+    )
+    assert set(out) == set(raw)  # every source released
+    bound = math.log(2**51) + 1e-9
+    for src, r in out.items():
+        assert abs(r.n_docs_noisy - kept[src]) <= bound, (src, r, kept[src])
+    # the gate is live: fewer docs survive than exist
+    assert sum(kept.values()) < sum(raw.values()) - 10
