@@ -10,9 +10,10 @@ pieces' counts. Both steps are pure column arithmetic:
 - The corpus collapses to the DISTINCT word table weighted by count
   (Heaps-bounded however big the corpus — the same reduction the BPE
   trainer uses), so EM cost is iterations x one word-table pass.
-- The Viterbi DP unrolls over the <= 12 word positions as chained
-  projections (the dyadic-descent discipline: bounded loops unroll,
-  no recursion), with piece logprobs read from ONE broadcast map row.
+- The Viterbi DP runs as ONE runtime ``aggregate`` fold over the
+  <= 12 word positions (the dyadic-descent discipline), with piece
+  logprobs read from ONE broadcast map row; the DuckDB oracle unrolls
+  the same arithmetic as chained CTEs (materialized — no collapse).
 - Scores are ln-quantized to BIGINT (round(ln(p) * 1e6)) so every
   comparison is integer and the chosen segmentation is bitwise equal
   cross-engine (the ml_logreg_gd determinism discipline).
@@ -346,9 +347,10 @@ def text_unigram_lm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     EM pruning that distinguishes unigram-LM from BPE's greedy merges.
 
     Scale shape: the corpus collapses to the distinct word table
-    (Heaps-bounded) before any EM work; the Viterbi DP is 12 unrolled
-    map-side projections reading piece logprobs from ONE broadcast map
-    row (no join, no shuffle inside the DP); each M-step is one
+    (Heaps-bounded) before any EM work; the Viterbi DP and traceback
+    each run as ONE map-side `aggregate` fold reading piece logprobs
+    from ONE broadcast map row (no join, no shuffle, and no unrolled
+    projection chain — see _ulm_dp_fold on why); each M-step is one
     explode + map-side-combined groupBy. EM at 100 TB costs
     iterations x one word-table pass + the initial tokenize. All
     scores are ln-quantized BIGINTs (round(ln(p)*1e6)), so the
