@@ -1844,3 +1844,113 @@ def stream_admission_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fs_delete(root, spark)
     return final
+
+
+# ---------------------------------------------------------------------------
+# streaming DP release: per-batch noisy counts + cumulative budget ledger
+# ---------------------------------------------------------------------------
+
+_SDP_BATCHES = 3
+_SDP_EPS = 0.5          # per-release epsilon
+_SDP_TWO52 = 4503599627370496
+
+
+def _sdp_noise(seed_expr: str, hash_fn) -> str:
+    """agg_dp_counts' seeded-Laplace mechanism at scale 1/eps (the
+    exact-dyadic argument lives there)."""
+    u = (
+        f"((({hash_fn(seed_expr)}) % {_SDP_TWO52} + 0.5)"
+        f" / {_SDP_TWO52} - 0.5)"
+    )
+    return f"(-(1.0 / {_SDP_EPS}) * sign({u}) * ln(1 - 2 * abs({u})))"
+
+
+def _sdp_sql() -> str:
+    from ..functions.hashing import hash60_duckdb_sql
+
+    noise = _sdp_noise(
+        "'sdp:' || o_orderpriority || ':' || CAST(b AS VARCHAR)",
+        hash60_duckdb_sql,
+    )
+    return f"""
+WITH src AS (
+  SELECT o_orderpriority, o_orderkey % {_SDP_BATCHES} + 1 AS b FROM orders
+)
+SELECT b AS batch, o_orderpriority AS prio,
+       round(count(*) + {noise}, 4) AS n_noisy,
+       round({_SDP_EPS} * b, 4) AS eps_spent
+FROM src GROUP BY b, o_orderpriority
+"""
+
+
+@register("stream_dp_release", oracle=_sdp_sql())
+def stream_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP under CONTINUAL OBSERVATION: the orders stream arrives in 3
+    micro-batches and every batch publishes per-priority counts through
+    the seeded-Laplace mechanism with a FRESH seed per (group, batch) —
+    sequential composition, so the ledger carries the cumulative
+    epsilon each release has cost (eps_spent = 0.5 x batches so far;
+    the budget line a continual-release deployment alerts on). Each
+    batch's release depends only on that batch's rows, so a replayed
+    or late batch re-derives the identical noise (the seed is the
+    batch tag, not wall-clock) — deterministic for the gate, and the
+    production swap is the same secret-seed move as agg_dp_counts.
+    Emitted: (batch, prio, n_noisy, eps_spent) — the full release
+    ledger after the stream drains. The oracle replays the batch split
+    as a GROUP BY, proving the micro-batch path changes execution, not
+    values: per-batch foreachBatch releases, appended through the
+    atomic publish layer, equal the batch-computed ledger."""
+    import os
+
+    from ..functions.hashing import hash60_spark_sql
+    from ..sources.atomic import publish_parquet, read_published
+    from ..sources.staging import fs_delete
+
+    noise = _sdp_noise(
+        "concat('sdp:', prio, ':', CAST(batch AS STRING))",
+        hash60_spark_sql,
+    )
+    o = load(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority AS prio",
+        f"o_orderkey % {_SDP_BATCHES} + 1 AS batch",
+    )
+    root = _landing_zone(spark, "stream_dp_release")
+    stream_dir = os.path.join(root, "in")
+    led_target = os.path.join(root, "ledger")
+    for i in range(1, _SDP_BATCHES + 1):
+        _stage_batch(
+            o.filter(F.col("batch") == i), stream_dir,
+            f"batch{i}.parquet", i,
+        )
+
+    def apply_batch(batch_df, _bid):
+        rel = batch_df.groupBy("batch", "prio").agg(
+            F.expr(f"round(count(*) + {noise}, 4) AS n_noisy"),
+            F.expr(f"round({_SDP_EPS} * min(batch), 4) AS eps_spent"),
+        )
+        prev = read_published(spark, led_target)
+        if prev is not None:
+            rel = rel.unionByName(prev)
+        publish_parquet(rel, led_target)
+
+    stream = (
+        spark.readStream.schema("prio string, batch bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    ckpt = os.path.join(root, "ckpt")
+    sq = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    final = pin(
+        read_published(spark, led_target).select(
+            "batch", "prio", "n_noisy", "eps_spent"
+        ),
+        label="stream_dp_release",
+    )
+    fs_delete(root, spark)
+    return final

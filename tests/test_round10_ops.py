@@ -771,3 +771,35 @@ WHERE NOT COALESCE(hr, FALSE) GROUP BY source
         assert abs(r.n_docs_noisy - kept[src]) <= bound, (src, r, kept[src])
     # the gate is live: fewer docs survive than exist
     assert sum(kept.values()) < sum(raw.values()) - 10
+
+
+def test_stream_dp_release_budget_ledger(spark, q):
+    """Continual-observation DP: 3 batches x 5 priorities each release
+    a noisy count with a fresh (group, batch) seed, and the ledger's
+    cumulative epsilon is exactly 0.5 x batch. Each release sits
+    within the Laplace worst case of its batch's exact count, and
+    noise draws differ across batches for the same group (fresh seeds
+    — reusing one would compose to nothing)."""
+    import math
+
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    out = rows(q, spark, sf, "stream_dp_release")
+    assert len(out) == 15  # 3 batches x 5 priorities
+    exact = {
+        (b, p): n
+        for p, b, n in duckdb.sql(
+            f"SELECT o_orderpriority, o_orderkey % 3 + 1, count(*) FROM"
+            f" read_parquet('{sf}/orders.parquet') GROUP BY 1, 2"
+        ).fetchall()
+    }
+    bound = (1 / 0.5) * (math.log(2**51) + 1e-9)
+    draws = {}
+    for r in out:
+        assert r.eps_spent == round(0.5 * r.batch, 4)
+        d = r.n_noisy - exact[(r.batch, r.prio)]
+        assert d != 0 and abs(d) <= bound, (r, exact[(r.batch, r.prio)])
+        draws.setdefault(r.prio, set()).add(round(d, 4))
+    for prio, ds in draws.items():
+        assert len(ds) == 3, (prio, ds)  # fresh noise per batch
