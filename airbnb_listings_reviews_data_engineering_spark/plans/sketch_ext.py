@@ -2696,3 +2696,129 @@ def run_available_now_sketch(agg: DataFrame, name: str) -> DataFrame:
     from ..streaming.ingest import run_available_now
 
     return run_available_now(agg, query_name=name, output_mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# theta bottom-k rollup: the LAST sketch family gets its mergeable form
+# ---------------------------------------------------------------------------
+
+
+def _theta_rollup_sql() -> str:
+    h = hash60_duckdb_sql("CAST(k AS VARCHAR)")
+    est = (
+        f"CASE WHEN ns < {_BK_K} THEN ns"
+        f" ELSE CAST(round(({_BK_K} - 1) * ({_H} / hk)) AS BIGINT) END"
+    )
+    return f"""
+WITH mk AS (
+  SELECT DISTINCT date_trunc('month', o_orderdate) AS mon, o_custkey AS k
+  FROM orders
+),
+hm AS (SELECT mon, {h} AS h FROM mk),
+monthly AS (
+  SELECT mon, h FROM (
+    SELECT mon, h, row_number() OVER (PARTITION BY mon ORDER BY h) AS rn
+    FROM hm
+  ) WHERE rn <= {_BK_K}
+),
+merged AS (
+  SELECT h FROM (SELECT DISTINCT h FROM monthly) ORDER BY h LIMIT {_BK_K}
+),
+direct AS (
+  SELECT h FROM (SELECT DISTINCT h FROM hm) ORDER BY h LIMIT {_BK_K}
+),
+diff AS (
+  SELECT count(*) AS n_diff FROM (
+    SELECT h FROM merged EXCEPT SELECT h FROM direct
+    UNION ALL
+    (SELECT h FROM direct EXCEPT SELECT h FROM merged)
+  )
+),
+stats AS (SELECT count(*) AS ns, CAST(max(h) AS DOUBLE) AS hk FROM merged),
+ex AS (SELECT count(DISTINCT o_custkey)::BIGINT AS n_exact FROM orders),
+mc AS (SELECT CAST(count(DISTINCT mon) AS BIGINT) AS n_months FROM mk),
+scored AS (SELECT n_months, n_exact, {est} AS est, n_diff
+           FROM stats, ex, mc, diff)
+SELECT n_months, n_exact, est,
+       round(abs(est - n_exact) / CAST(n_exact AS DOUBLE), 4) AS rel_err,
+       (n_diff = 0) AS merged_equals_direct
+FROM scored
+"""
+
+
+@register("sketch_theta_rollup", oracle=_theta_rollup_sql())
+def sketch_theta_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable theta bottom-k rollup — the last sketch family gets
+    its stored-artifact form (count-min: sketch_countmin_rollup;
+    quantiles: sketch_quantile_rollup; membership: sketch_bloom_rollup;
+    HLL: agg_hll_sketch_rollup; this completes the set): one bottom-128
+    sample of distinct custkey hashes is stored PER MONTH, and any
+    coarser period is answered by unioning the stored samples and
+    re-cutting to the 128 smallest. The merge is EXACT, not
+    approximate: any of the k smallest hashes over the whole period is
+    among its own month's k smallest, so bottom-k(union of monthly
+    bottom-ks) IS bottom-k(period) — emitted as merged_equals_direct
+    and replayed by the oracle. The NDV estimate keeps
+    sketch_theta_bottomk's adaptive form ((k-1)*H/h_k, exact below
+    saturation). Scale shape: the per-month sample is a
+    mon-partitioned window over distinct hashes; the merge and the
+    direct verifier are TakeOrderedAndProject (distributed top-k, no
+    single-partition window, no corpus sort); stats are 1-row folds."""
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders")
+    mk = o.select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
+        F.col("o_custkey").alias("k"),
+    ).distinct()
+    hm = pin(
+        mk.selectExpr(
+            "mon", hash60_spark_sql("CAST(k AS STRING)") + " AS h"
+        ),
+        label="theta_ru_hm",
+    )
+    monthly = (
+        hm.withColumn(
+            "rn", F.row_number().over(W.partitionBy("mon").orderBy("h"))
+        )
+        .filter(F.col("rn") <= _BK_K)
+        .select("mon", "h")
+    )
+    merged = pin(
+        monthly.select("h").distinct().orderBy("h").limit(_BK_K),
+        label="theta_ru_merged",
+    )
+    direct = hm.select("h").distinct().orderBy("h").limit(_BK_K)
+    ndiff = (
+        merged.subtract(direct)
+        .unionByName(direct.subtract(merged))
+        .agg(F.expr("count(*) AS n_diff"))
+    )
+    stats = merged.agg(
+        F.expr("count(*) AS ns"),
+        F.expr("CAST(max(h) AS DOUBLE) AS hk"),
+    )
+    ex = o.agg(
+        F.expr("CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact")
+    )
+    mc = mk.agg(
+        F.expr("CAST(count(DISTINCT mon) AS BIGINT) AS n_months")
+    )
+    est = (
+        f"CASE WHEN ns < {_BK_K} THEN ns"
+        f" ELSE CAST(round(({_BK_K} - 1) * ({_H} / hk)) AS BIGINT) END"
+    )
+    return (
+        stats.crossJoin(F.broadcast(ex))
+        .crossJoin(F.broadcast(mc))
+        .crossJoin(F.broadcast(ndiff))
+        .selectExpr("n_months", "n_exact", f"{est} AS est", "n_diff")
+        .selectExpr(
+            "n_months",
+            "n_exact",
+            "est",
+            "round(abs(est - n_exact) / CAST(n_exact AS DOUBLE), 4)"
+            " AS rel_err",
+            "(n_diff = 0) AS merged_equals_direct",
+        )
+    )

@@ -140,6 +140,7 @@ NESTED_LOOP_ALLOWED = {
     "profile_drift_ks",      # 1-row exact-KS fold + 2-row side driver
     "agg_dp_quantile",       # 3 targets x 256-row CDF theta join + 1-row folds
     "text_unigram_encode_docs",  # word table x the 1-row vocab-map fold
+    "sketch_theta_rollup",   # paired 1-row sample-stat aggregate folds
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's

@@ -803,3 +803,16 @@ def test_stream_dp_release_budget_ledger(spark, q):
         draws.setdefault(r.prio, set()).add(round(d, 4))
     for prio, ds in draws.items():
         assert len(ds) == 3, (prio, ds)  # fresh noise per batch
+
+
+def test_theta_rollup_merge_exact_and_error_band(spark, q):
+    """Bottom-k rollup merge is EXACT (bottom-k of the monthly
+    bottom-ks IS the period bottom-k — set identity, not
+    approximation), and the NDV estimate stays in the ~1/sqrt(k-2)
+    band at every SF."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"):
+        (r,) = rows(q, spark, sf, "sketch_theta_rollup")
+        assert r.merged_equals_direct, sf
+        assert r.n_months == 80
+        assert r.rel_err <= 0.3, (sf, r.est, r.n_exact)
