@@ -1106,20 +1106,12 @@ def text_kanon_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # differentially-private release: seeded-Laplace counts + clipped sums
 # ---------------------------------------------------------------------------
 
-_DP_TWO52 = 4503599627370496  # 2^52: (h % 2^52 + 0.5) / 2^52 is an EXACT dyadic
 _DP_EPS = 1.0
 _DP_CLIP = 64  # per-document token-contribution bound (the sum's sensitivity)
 
-
-def _dp_noise_sql(seed_expr: str, b: str, hash_fn) -> str:
-    """Laplace(b) noise via inverse-CDF over a SEEDED uniform: u =
-    (hash60(seed) % 2^52 + 0.5) / 2^52 - 0.5 in (-0.5, 0.5) \\ {0},
-    noise = -b * sign(u) * ln(1 - 2|u|). Every step before ln is exact
-    dyadic-rational arithmetic, so u is bitwise-identical cross-engine
-    and the ln inputs match to the bit (the text_bigram_logprob
-    precedent covers ln itself)."""
-    u = f"((({hash_fn(seed_expr)}) % {_DP_TWO52} + 0.5) / {_DP_TWO52} - 0.5)"
-    return f"(-({b}) * sign({u}) * ln(1 - 2 * abs({u})))"
+# the seeded-Laplace mechanism is shared by every DP surface
+# (functions/privacy.py holds the exact-dyadic determinism argument)
+from ..functions.privacy import seeded_laplace_sql as _dp_noise_sql  # noqa: E402,E501
 
 
 def _dp_sql() -> str:

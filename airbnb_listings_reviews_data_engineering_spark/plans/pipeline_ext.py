@@ -5650,15 +5650,7 @@ _PVR_SSN = r"\d{3}-\d{2}-\d{4}"
 # broken fixture); singleton-gram fraction > 0.5 is the memorization-risk
 # rule that actually separates (median 0.38, max 0.67 at sf0.01)
 _PVR_KANON_K = 2
-_PVR_TWO52 = 4503599627370496
-
-
-def _pvr_noise(seed_expr: str, b: str, hash_fn) -> str:
-    """agg_dp_counts' seeded-Laplace mechanism (curation_ext._dp_noise_sql
-    — duplicated here because curation_ext imports this module; the
-    rationale and the exact-dyadic argument live there)."""
-    u = f"((({hash_fn(seed_expr)}) % {_PVR_TWO52} + 0.5) / {_PVR_TWO52} - 0.5)"
-    return f"(-({b}) * sign({u}) * ln(1 - 2 * abs({u})))"
+from ..functions.privacy import seeded_laplace_sql as _pvr_noise  # noqa: E402
 
 
 def _pvr_sql() -> str:

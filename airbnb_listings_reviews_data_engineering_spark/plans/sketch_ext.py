@@ -2398,17 +2398,14 @@ def profile_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DPQ_EPS = 1.0
 _DPQ_QS = (50, 90, 99)
-_DPQ_TWO52 = 4503599627370496
+
+from ..functions.privacy import seeded_laplace_sql as _slap  # noqa: E402
 
 
 def _dpq_noise(seed_expr: str, hash_fn) -> str:
-    """Laplace(1/eps) via seeded inverse-CDF on the exact 2^52 dyadic
-    grid (the agg_dp_counts mechanism, shared rationale there)."""
-    u = (
-        f"((({hash_fn(seed_expr)}) % {_DPQ_TWO52} + 0.5)"
-        f" / {_DPQ_TWO52} - 0.5)"
-    )
-    return f"(-(1.0 / {_DPQ_EPS}) * sign({u}) * ln(1 - 2 * abs({u})))"
+    """Laplace(1/eps) via the shared seeded mechanism
+    (functions/privacy.py holds the exact-dyadic argument)."""
+    return _slap(seed_expr, f"1.0 / {_DPQ_EPS}", hash_fn)
 
 
 def _dpq_sql() -> str:

@@ -1852,17 +1852,14 @@ def stream_admission_span(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SDP_BATCHES = 3
 _SDP_EPS = 0.5          # per-release epsilon
-_SDP_TWO52 = 4503599627370496
+
+from ..functions.privacy import seeded_laplace_sql as _slap  # noqa: E402
 
 
 def _sdp_noise(seed_expr: str, hash_fn) -> str:
-    """agg_dp_counts' seeded-Laplace mechanism at scale 1/eps (the
-    exact-dyadic argument lives there)."""
-    u = (
-        f"((({hash_fn(seed_expr)}) % {_SDP_TWO52} + 0.5)"
-        f" / {_SDP_TWO52} - 0.5)"
-    )
-    return f"(-(1.0 / {_SDP_EPS}) * sign({u}) * ln(1 - 2 * abs({u})))"
+    """Laplace(1/eps) via the shared seeded mechanism
+    (functions/privacy.py holds the exact-dyadic argument)."""
+    return _slap(seed_expr, f"1.0 / {_SDP_EPS}", hash_fn)
 
 
 def _sdp_sql() -> str:
