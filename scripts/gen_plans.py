@@ -41,6 +41,9 @@ SHOWCASE = [
     ("sketch_kmv_ndv", "bitwise-gated NDV sketch: two map-side-combined groupBys into K=64 register minima, no sort, no value buffering; estimate is exact integer sums + one IEEE division"),
     ("sketch_countmin_heavy", "count-min grid: one groupBy over the d-exploded stream into 12,288 cells, broadcast probe join, min over d rows"),
     ("dedup_components", "near-dup clustering: alternating large-star/small-star contraction, O(log n) rounds regardless of graph diameter (final star-extraction plan; per-round plans pinned)"),
+    ("text_unigram_lm_em", "unigram-LM tokenizer training: hard-EM rounds as runtime aggregate folds over the pinned Heaps-bounded word table (no unrolled projection chain — CollapseProject would explode it), broadcast vocab map, final rank via WindowGroupLimit"),
+    ("profile_drift_ks", "sketch-native K-S drift: level-8 grid slice per month, side split by one broadcast max-month fold, 256-boundary CDFs via side-partitioned windows, argmax boundary"),
+    ("sketch_bloom_rollup", "mergeable membership: month-keyed 32-bit word masks, word-level bit_or re-agg, broadcast probe joins, self-certified merged==direct"),
 ]
 
 SF = "/root/testdata/sf0.01"
