@@ -32,3 +32,20 @@ def norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity; matches DuckDB list_cosine_similarity bitwise."""
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def gram_positions(tok: Column | str, n: int) -> Column:
+    """1-based start positions for n-grams over a token array — guarded.
+
+    ``F.sequence(1, size - (n-1))`` silently produces a DESCENDING
+    sequence (``[1, 0]``) when ``size < n`` because Spark infers step
+    -1 when start > stop, and ``element_at(tok, 0)`` then raises at
+    runtime. DuckDB's ``generate_series(1, size - (n-1))`` yields an
+    empty list instead. This helper matches the oracle: documents with
+    fewer than ``n`` tokens contribute an empty position list, so the
+    downstream explode drops them on both engines.
+    """
+    t = F.col(tok) if isinstance(tok, str) else tok
+    return F.when(
+        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))

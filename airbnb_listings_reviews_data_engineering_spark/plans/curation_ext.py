@@ -17,7 +17,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..checkpoint import pin
-from ..functions.arrays import as_double_array
+from ..functions.arrays import as_double_array, gram_positions
 from .registry import load, register
 
 # ---------------------------------------------------------------------------
@@ -741,7 +741,7 @@ def text_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size("tok") - 1),
+                gram_positions("tok", 2),
                 lambda i: F.concat_ws(
                     " ", F.element_at("tok", i), F.element_at("tok", i + 1)
                 ),
@@ -1076,7 +1076,7 @@ def text_kanon_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size("tok") - 2),
+                gram_positions("tok", 3),
                 lambda i: F.concat_ws(
                     " ",
                     F.element_at("tok", i),
@@ -1634,7 +1634,7 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokd.select(
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.size("tok") - 1),
+                    gram_positions("tok", 2),
                     lambda i: F.struct(
                         F.element_at("tok", i).alias("l"),
                         F.element_at("tok", i + 1).alias("r"),

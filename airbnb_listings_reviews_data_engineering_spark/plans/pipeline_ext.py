@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..checkpoint import pin
 
-from ..functions.arrays import as_double_array, cosine
+from ..functions.arrays import as_double_array, cosine, gram_positions
 from ..functions.hashing import hash60_duckdb_sql
 from ..operators import dedup as D
 from ..operators import multimodal as MM
@@ -3550,7 +3550,7 @@ def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.size("tok") - 2),
+                    gram_positions("tok", 3),
                     lambda i: F.concat_ws(
                         " ",
                         F.element_at("tok", i),
@@ -5711,7 +5711,16 @@ def pipeline_privacy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stage ordering is the cheap-first discipline: the scrub is a map,
     the gate is one gram-frequency groupBy + join-back + anti-filter,
     and the release is a scalar expression on the K-row aggregate —
-    each stage runs only on what the previous one kept. Emitted:
+    each stage runs only on what the previous one kept. DP accounting
+    caveat: the stated sensitivities (1 per doc count, 64 per clipped
+    token sum) hold only CONDITIONAL on the gate's survivor set. The
+    k-anon gate couples documents — adding/removing one document
+    shifts corpus trigram frequencies and can flip OTHER documents'
+    high_risk verdicts — so the unconditional sensitivity of the
+    composite exceeds these bounds; the gate itself is not
+    privacy-accounted here (a production release would need a
+    stability-based or smooth-sensitivity argument for the gate, or a
+    gate keyed on per-doc-only statistics). Emitted:
     (source, n_docs_noisy, n_tokens_noisy) — production publishes ONLY
     these; the exact intermediates stay inside the trusted curator."""
     from ..functions.hashing import hash60_spark_sql
@@ -5738,7 +5747,7 @@ def pipeline_privacy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size("tok") - 2),
+                gram_positions("tok", 3),
                 lambda i: F.concat_ws(
                     " ",
                     F.element_at("tok", i),

@@ -1884,10 +1884,16 @@ FROM src GROUP BY b, o_orderpriority
 def stream_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DP under CONTINUAL OBSERVATION: the orders stream arrives in 3
     micro-batches and every batch publishes per-priority counts through
-    the seeded-Laplace mechanism with a FRESH seed per (group, batch) —
-    sequential composition, so the ledger carries the cumulative
-    epsilon each release has cost (eps_spent = 0.5 x batches so far;
-    the budget line a continual-release deployment alerts on). Each
+    the seeded-Laplace mechanism with a FRESH seed per (group, batch).
+    Composition accounting: at EVENT level (one order is the protected
+    unit) the batches partition orders disjointly by o_orderkey, so the
+    releases compose in PARALLEL and the whole drained stream costs
+    eps = 0.5 total. The ledger's eps_spent = 0.5 x batches-so-far is
+    the deliberately looser sequential-composition sum — the right
+    alert line when the adversary's target may span batches (e.g. a
+    customer whose orders land in several micro-batches; a full
+    user-level guarantee would additionally require bounding per-user
+    contributions per batch, which this demo does not do). Each
     batch's release depends only on that batch's rows, so a replayed
     or late batch re-derives the identical noise (the seed is the
     batch tag, not wall-clock) — deterministic for the gate, and the
