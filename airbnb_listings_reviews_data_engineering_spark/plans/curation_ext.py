@@ -108,12 +108,12 @@ def _semdedup_k(sf_dir: str) -> int:
         return _SD_K
 
 
-def _semdedup_sql() -> str:
+def _semdedup_sql(k: int = _SD_K) -> str:
     from .pipeline_ext import _kmeans_blocks
 
     return (
         "WITH "
-        + _kmeans_blocks(_SD_K, _SD_DIMS, _SD_ITERS)
+        + _kmeans_blocks(k, _SD_DIMS, _SD_ITERS)
         + f""",
 corpus AS (
   SELECT vec_id, v FROM e
@@ -146,7 +146,11 @@ LEFT JOIN (SELECT cid, count(*) AS n_dup_pairs,
     )
 
 
-@register("dedup_semdedup", oracle=_semdedup_sql(), gate_sf_max=0.01)
+@register(
+    "dedup_semdedup",
+    oracle=_semdedup_sql(),
+    oracle_tmpl=lambda sf_dir: _semdedup_sql(_semdedup_k(sf_dir)),
+)
 def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDedup (Abbas et al., arXiv:2303.09540): semantic near-dup
     removal where the blocking key is a LEARNED k-means cluster rather
@@ -796,12 +800,12 @@ def text_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SD_PROBES = 2
 
 
-def _semdedup_mp_sql() -> str:
+def _semdedup_mp_sql(k: int = _SD_K) -> str:
     from .pipeline_ext import _kmeans_blocks
 
     return (
         "WITH "
-        + _kmeans_blocks(_SD_K, _SD_DIMS, _SD_ITERS)
+        + _kmeans_blocks(k, _SD_DIMS, _SD_ITERS)
         + f""",
 corpus AS (
   SELECT vec_id, v FROM e
@@ -831,8 +835,11 @@ FROM pairs
     )
 
 
-@register("dedup_semdedup_multiprobe", oracle=_semdedup_mp_sql(),
-          gate_sf_max=0.01)
+@register(
+    "dedup_semdedup_multiprobe",
+    oracle=_semdedup_mp_sql(),
+    oracle_tmpl=lambda sf_dir: _semdedup_mp_sql(_semdedup_k(sf_dir)),
+)
 def dedup_semdedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDedup with MULTI-PROBE assignment: every vector lands in its
     TWO nearest centroids' cells, so near-dup pairs whose members sit

@@ -47,13 +47,20 @@ class QuerySpec:
     oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
     doc: str
     # Spark side reads a scale knob from the parquet footers (SemDedup
-    # k, FFD group count, the pHash fixture cap) while the oracle SQL
-    # hard-codes the gate-scale value. Cross-engine parity holds only
-    # up to ``gate_sf_max``; above it the local checker downgrades to a
-    # rows-only check with a loud SKIP instead of reporting a bogus
-    # mismatch (ADVICE r7). The driver gate runs at sf0.01, within the
-    # bound for every key.
+    # k, FFD group count). Cross-engine parity above gate scale used to
+    # be capped by ``gate_sf_max``; since round 11 such keys instead
+    # provide ``oracle_tmpl`` — a callable rendering the oracle SQL
+    # with the SAME footer-derived knob for a given sf_dir — so the
+    # local mirror hash-matches at every scale. ``oracle`` stays the
+    # gate-scale (sf0.01) rendering, which is what the driver runs.
     gate_sf_max: float | None = None
+    oracle_tmpl: Callable[[str], str] | None = None
+
+    def oracle_for(self, sf_dir: str) -> str | None:
+        """Oracle SQL whose scale knobs match the Spark side at sf_dir."""
+        if self.oracle_tmpl is not None:
+            return self.oracle_tmpl(sf_dir)
+        return self.oracle
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -63,6 +70,7 @@ def register(
     key: str,
     oracle: str | None = None,
     gate_sf_max: float | None = None,
+    oracle_tmpl: Callable[[str], str] | None = None,
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a driver-contract query under ``key``."""
 
@@ -75,6 +83,7 @@ def register(
             oracle=oracle,
             doc=fn.__doc__ or "",
             gate_sf_max=gate_sf_max,
+            oracle_tmpl=oracle_tmpl,
         )
         return fn
 

@@ -1470,9 +1470,10 @@ def _ffd_groups(sf_dir: str) -> int:
     except Exception:  # noqa: BLE001 — fall back to the oracle's count
         return _FFD_GRP
 
-_FFD_SQL = f"""
+def _ffd_sql(n_grp: int = _FFD_GRP) -> str:
+    return f"""
 WITH RECURSIVE lens AS (
-  SELECT doc_id % {_FFD_GRP} AS grp, doc_id,
+  SELECT doc_id % {n_grp} AS grp, doc_id,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
   FROM documents
 ),
@@ -1513,7 +1514,11 @@ FROM t JOIN fin f USING (grp)
 """
 
 
-@register("pack_bin_ffd", oracle=_FFD_SQL, gate_sf_max=0.01)
+@register(
+    "pack_bin_ffd",
+    oracle=_ffd_sql(),
+    oracle_tmpl=lambda sf_dir: _ffd_sql(_ffd_groups(sf_dir)),
+)
 def pack_bin_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing bin packing of documents into fixed-token
     context windows — the sequence-packing pass that turns a cleaned

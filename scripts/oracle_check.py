@@ -104,15 +104,19 @@ def main() -> int:
         if key not in oracles:
             print(f"ok   {key}: rows-only ({len(srows)} rows)")
             continue
-        # Scaled-parameter keys (SemDedup k, FFD groups, ...): the Spark
-        # side reads its scale knob from parquet footers while the
-        # oracle hard-codes the gate-scale value, so cross-engine parity
-        # only holds up to the key's declared gate_sf_max. Above it this
-        # checker downgrades to rows-only rather than reporting a bogus
-        # mismatch (ADVICE r7).
+        # Scaled-parameter keys (SemDedup k, FFD groups): the Spark side
+        # reads its scale knob from parquet footers; such keys register
+        # an oracle_tmpl that renders the SQL with the SAME knob for
+        # this sf_dir, so the compare hash-matches at every scale (the
+        # driver's static oracle is the sf0.01 rendering of the same
+        # template — asserted by tests/test_driver_oracle.py). Keys
+        # still declaring only gate_sf_max downgrade to rows-only above
+        # the bound (ADVICE r7; no registered key does as of round 11).
         spec = REGISTRY.get(key)
+        osql = spec.oracle_for(sf_dir) if spec is not None else oracles[key]
         if (
             spec is not None
+            and spec.oracle_tmpl is None
             and spec.gate_sf_max is not None
             and sf > spec.gate_sf_max + 1e-12
         ):
@@ -123,13 +127,13 @@ def main() -> int:
             )
             continue
         try:
-            orel = con.sql(oracles[key])
+            orel = con.sql(osql)
             type_errs = lint_oracle_types(orel.columns, orel.types, key)
             if type_errs:
                 failures.append((key, "; ".join(type_errs)))
                 print(f"FAIL {key}: {'; '.join(type_errs)}")
                 continue
-            rel = con.execute(oracles[key])
+            rel = con.execute(osql)
             ocols = [d[0] for d in rel.description]
             orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001

@@ -130,3 +130,28 @@ def test_short_doc_corpus_runs_and_matches_oracle(spark, tmp_path, sf_dir, key):
     oracle_sorted = sorted(tuple(sorted(r)) for r in oracle_rows)
     assert len(spark_rows) == len(oracle_rows), (key, spark_rows, oracle_rows)
     assert spark_sorted == oracle_sorted, (key, spark_sorted[:5], oracle_sorted[:5])
+
+
+def test_scaled_oracle_templates_render_gate_scale_statically():
+    """The driver runs the STATIC oracle at sf0.01; every oracle_tmpl
+    key must render byte-identical SQL there, and must render a
+    DIFFERENT (scale-matched) SQL at sf0.1 — else the template is dead
+    code and the parity ceiling silently returns."""
+    from airbnb_listings_reviews_data_engineering_spark.plans import (
+        all_queries,
+    )
+
+    tmpl_keys = {
+        k: s for k, s in all_queries().items() if s.oracle_tmpl is not None
+    }
+    assert set(tmpl_keys) >= {
+        "dedup_semdedup",
+        "dedup_semdedup_multiprobe",
+        "pack_bin_ffd",
+    }
+    for k, s in tmpl_keys.items():
+        assert s.gate_sf_max is None, f"{k}: tmpl keys must drop gate_sf_max"
+        assert s.oracle == s.oracle_for("/root/testdata/sf0.01"), k
+        assert s.oracle != s.oracle_for("/root/testdata/sf0.1"), (
+            f"{k}: oracle_tmpl ignores the scale knob at sf0.1"
+        )
