@@ -8,6 +8,9 @@
 #      stale keys) + the SURVEY.md generated key-index refresh
 #   3. the survey completeness check (every registered key named)
 #   4. the full pytest suite
+#   5. the sf0.1 bench with the per-key time budget: any headline key
+#      over PER_KEY_BUDGET_SEC normalized seconds without a named
+#      allowlist entry in bench.py goes RED (VERDICT r10 #3)
 #
 # The log file's mtime is the proof the gate ran at HEAD: the judge
 # compares it against the last code commit. Run from /root/repo:
@@ -31,9 +34,22 @@ echo "== 3/4 survey completeness check"
 python scripts/check_survey.py || {
   echo "EXIT GATE RED: survey check failed"; exit 1; }
 
-echo "== 4/4 full pytest"
+echo "== 4/5 full pytest"
 python -m pytest tests/ -q --tb=line 2>&1 | tail -3
 rc=${PIPESTATUS[0]}
 [ "$rc" -eq 0 ] || { echo "EXIT GATE RED: pytest exit $rc"; exit 1; }
+
+echo "== 5/5 bench per-key budget (sf0.1)"
+python bench.py 2>/dev/null | tee scripts/last_bench_run.log | tail -1
+python - <<'PY' || { echo "EXIT GATE RED: per-key bench budget exceeded"; exit 1; }
+import json, sys
+lines = [l for l in open("scripts/last_bench_run.log") if l.strip().startswith("{")]
+head = json.loads(lines[-1])
+viol = head.get("budget_violations", {})
+if viol:
+    print(f"budget violations (> normalized budget, no allowlist): {viol}")
+    sys.exit(1)
+print(f"per-key budget ok (violations: none)")
+PY
 
 echo "== exit gate GREEN: $(date -u +%Y-%m-%dT%H:%M:%SZ)"

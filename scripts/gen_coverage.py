@@ -185,7 +185,8 @@ SECTIONS = [
         "text_unigram_encode_docs", "agg_dp_quantile",
         "stream_sketch_bloom",
         "pipeline_privacy_release", "stream_dp_release",
-        "sketch_theta_rollup"]),
+        "sketch_theta_rollup",
+        "sim_ivfpq_apply"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

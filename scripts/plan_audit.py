@@ -127,6 +127,7 @@ NESTED_LOOP_ALLOWED = {
     "sample_doremi_weights",  # 1-row corpus-total + 1-row weight-total folds
     "sample_rho_loss",   # 1-row (nh, np, V) totals folded into the vocab-row lambda table
     "sim_ivfpq_topk",   # 1-row centroid/codebook arrays + tiny probe/query folds
+    "sim_ivfpq_apply",  # same search folds, codebooks read from the artifact
     "sketch_countmin_windowed",  # 1-row max-day fold onto daily grids/probes
     "sketch_join_cardinality",  # crossJoin of paired 1-row est/exact aggs
     "sketch_range_count",  # 1-row grid map + fixed probe/range literal folds
@@ -180,9 +181,10 @@ NESTED_LOOP_STAGE_ALLOWED = {
     ("ml_kmeans", "kmeans_cents"),
     ("sim_ivf_join_learned", "kmeans_cents"),
     ("sim_pq_quantize", "kmeans_cents"),  # per-subspace codebooks
-    # grouped per-subspace Lloyd: the 8x-exploded subspace frame
-    # crossJoins the ONE-row broadcast codebook array per round
-    ("sim_ivfpq_topk", "ivfpq_cb"),
+    # grouped per-subspace Lloyd training runs inside the artifact
+    # publish job since r11 (no per-round cb pins; the bounded learning
+    # set made them a net cost) — only the subs explode stays pinned,
+    # and it contains no nested loop, so no stage entry is needed.
     ("sample_cluster_balanced", "kmeans_cents"),
     ("sample_prototype_pruning", "kmeans_cents"),
     # 1-row plane-array fold building the pinned eval-side index
