@@ -3999,23 +3999,65 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECON_N = 3          # n-gram order (13 on real text; 3 fits the tiny vocab)
 _DECON_EVAL_MOD = 97  # doc_id % 97 == 0 plays the benchmark suite
 
-_DECON_SQL = f"""
-WITH tok AS (
-  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
-),
-grams AS (
-  SELECT doc_id, source,
+
+def _decon_gram_ctes(
+    *,
+    carry: str = "",
+    name: str = "tok",
+    with_text: bool = False,
+    keep_short: bool = False,
+    with_pos: bool = False,
+) -> str:
+    """Shared decontamination scaffolding (VERDICT r10 #7): the token
+    CTE + positional trigram explode + distinct eval-suite gram set
+    that text_decontaminate/_bloom, pipeline_curation_funnel and
+    text_span_excise all open with. Emits CTE bodies ``{name}``,
+    ``grams`` and ``ev``; options select the family's variant —
+    ``keep_short`` keeps <N-token docs as one NULL-gram row (the
+    contamination report lists EVERY training doc, short ones with
+    n_hits 0), while the filtered form drops them (the excision and
+    funnel paths re-join on the token table and only need real grams);
+    ``with_pos`` carries the gram start position (excision needs it).
+    text_decontaminate and _bloom must keep IDENTICAL oracle SQL (the
+    bloom variant's gate proves its pruning changes the plan, not the
+    values) — both read the same rendered string below."""
+    cols = "doc_id" + (f", {carry}" if carry else "")
+    sel_text = ", text" if with_text else ""
+    tok = (
+        f"{name} AS (\n"
+        f"  SELECT {cols}{sel_text}, string_split(text, ' ') AS w"
+        f" FROM documents\n)"
+    )
+    if keep_short:
+        grams = f"""grams AS (
+  SELECT {cols},
          unnest(CASE WHEN len(w) < {_DECON_N} THEN [NULL]
                 ELSE list_transform(
                        generate_series(1, len(w) - {_DECON_N - 1}),
                        i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
                 END) AS g
-  FROM tok
-),
-ev AS (
+  FROM {name}
+)"""
+        ev = f"""ev AS (
   SELECT DISTINCT g FROM grams
   WHERE doc_id % {_DECON_EVAL_MOD} = 0 AND g IS NOT NULL
-)
+)"""
+    else:
+        pos_col = "i AS pos, " if with_pos else ""
+        grams = f"""grams AS (
+  SELECT doc_id, {pos_col}w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS g
+  FROM {name}, unnest(generate_series(1, len(w) - {_DECON_N - 1})) AS t(i)
+  WHERE len(w) >= {_DECON_N}
+)"""
+        ev = (
+            f"ev AS (SELECT DISTINCT g FROM grams"
+            f" WHERE doc_id % {_DECON_EVAL_MOD} = 0)"
+        )
+    return ",\n".join([tok, grams, ev])
+
+
+_DECON_SQL = f"""
+WITH {_decon_gram_ctes(carry="source", keep_short=True)}
 SELECT t.doc_id, t.source,
        count(DISTINCT CASE WHEN ev.g IS NOT NULL THEN t.g END) AS n_hits,
        count(DISTINCT CASE WHEN ev.g IS NOT NULL THEN t.g END) > 0
@@ -4170,16 +4212,8 @@ _FUN_STOP = "('the', 'a', 'of', 'and', 'to')"
 _FUN_MIN, _FUN_MAX = 20, 95
 
 _CURATION_FUNNEL_SQL = f"""
-WITH docs AS (
-  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
-),
+WITH {_decon_gram_ctes(name="docs", with_text=True)},
 tr AS (SELECT * FROM docs WHERE doc_id % {_DECON_EVAL_MOD} <> 0),
-grams AS (
-  SELECT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS g
-  FROM docs, unnest(generate_series(1, len(w) - {_DECON_N - 1})) AS t(i)
-  WHERE len(w) >= {_DECON_N}
-),
-ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % {_DECON_EVAL_MOD} = 0),
 cont AS (
   SELECT DISTINCT t.doc_id FROM grams t JOIN ev USING (g)
   WHERE t.doc_id % {_DECON_EVAL_MOD} <> 0
@@ -4895,17 +4929,7 @@ mm_pair_dedup.__doc__ = mm_pair_dedup.__doc__.format(ham=_PH_HAM)
 # ---------------------------------------------------------------------------
 
 _EXCISE_SQL = f"""
-WITH tok AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-),
-grams AS (
-  SELECT doc_id, i AS pos, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS g
-  FROM tok, unnest(generate_series(1, len(w) - {_DECON_N - 1})) AS t(i)
-  WHERE len(w) >= {_DECON_N}
-),
-ev AS (
-  SELECT DISTINCT g FROM grams WHERE doc_id % {_DECON_EVAL_MOD} = 0
-),
+WITH {_decon_gram_ctes(with_pos=True)},
 hits AS (
   SELECT t.doc_id, list(t.pos) AS starts
   FROM grams t JOIN ev USING (g)
