@@ -5906,3 +5906,223 @@ def pipeline_privacy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"round(n + {n_cnt}, 4)").alias("n_docs_noisy"),
         F.expr(f"round(ts + {n_tok}, 4)").alias("n_tokens_noisy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fill-in-the-middle transform (PSM reordering for infilling training)
+# ---------------------------------------------------------------------------
+
+_FIM_MIN_TOK = 3  # below this the doc passes through untransformed
+
+
+def _fim_sql() -> str:
+    h = hash60_duckdb_sql("concat('fim:', CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n,
+         {h} AS h
+  FROM documents
+),
+cut AS (
+  SELECT doc_id, w, n,
+         1 + h % greatest(n // 3, 1) AS p1,
+         n - CAST((h // 64) % greatest(n // 3, 1) AS BIGINT) AS p2
+  FROM tok WHERE n >= {_FIM_MIN_TOK}
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
+       CAST(p1 AS INT) AS p1, CAST(p2 AS INT) AS p2,
+       TRUE AS fim_applied,
+       concat('<PRE>', COALESCE(array_to_string(w[1:p1], ' '), ''),
+              '<SUF>', COALESCE(array_to_string(w[p2 + 1:n], ' '), ''),
+              '<MID>', COALESCE(array_to_string(w[p1 + 1:p2], ' '), ''))
+         AS fim_text
+FROM cut
+UNION ALL
+SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
+       CAST(0 AS INT) AS p1, CAST(0 AS INT) AS p2,
+       FALSE AS fim_applied,
+       array_to_string(w, ' ') AS fim_text
+FROM tok WHERE n < {_FIM_MIN_TOK}
+"""
+
+
+@register("text_fim_transform", oracle=_fim_sql())
+def text_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle reordering (Bavarian et al., arXiv:2207.14255):
+    each document's token stream is cut into (prefix, middle, suffix) at
+    two pivots and re-emitted in PSM order with sentinel markers —
+    applied to a fraction of a pretraining corpus, this teaches a
+    causal LM to infill, for free. The pivots here are HASH-derived
+    per-doc (the deterministic analog of the paper's random spans: the
+    same doc always cuts identically, which is what makes the transform
+    replayable and the gate bitwise): p1 in the first third, p2 in the
+    last third, both from one hash60 of the doc id. Documents under
+    {mintok} tokens pass through unchanged with fim_applied=false (the
+    paper's rate-gate analog; also the short-doc guard — a pivot
+    formula on a 1-token doc would emit out-of-range slices).
+
+    Scale shape: a pure 1:1 row map — one scan, one projection, zero
+    shuffles, zero joins; slice/concat are column expressions, so the
+    whole transform lives in one WholeStageCodegen span at corpus
+    scale. Emitted: (doc_id, n_tok, p1, p2, fim_applied, fim_text).""".format(
+        mintok=_FIM_MIN_TOK
+    )
+    from ..functions.hashing import hash60
+
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+        F.size(F.split("text", " ")).alias("n"),
+        hash60(F.concat(F.lit("fim:"), F.col("doc_id").cast("string"))).alias(
+            "h"
+        ),
+    )
+    third = F.greatest(F.floor(F.col("n") / 3).cast("bigint"), F.lit(1))
+    ok = F.col("n") >= _FIM_MIN_TOK
+    # h // 64 as a SHIFT: h / 64 through double division drops low
+    # bits of the 60-bit hash (> 2^53), flipping the pivot vs the
+    # oracle's exact integer division
+    cut = tok.select(
+        "doc_id",
+        "w",
+        "n",
+        F.when(ok, (F.lit(1) + F.col("h") % third).cast("int"))
+        .otherwise(F.lit(0))
+        .alias("p1"),
+        F.when(
+            ok,
+            (F.col("n") - (F.shiftright("h", 6) % third)).cast("int"),
+        )
+        .otherwise(F.lit(0))
+        .alias("p2"),
+    )
+    # ONE scan, one projection: transformed and passthrough rows are a
+    # CASE branch, not a union of two table reads (the size filter is a
+    # computed predicate, so a union branch cannot push down and would
+    # scan the corpus twice)
+    return cut.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tok"),
+        "p1",
+        "p2",
+        (F.col("p1") > 0).alias("fim_applied"),
+        F.when(
+            F.col("p1") > 0,
+            F.concat(
+                F.lit("<PRE>"),
+                F.expr("array_join(slice(w, 1, p1), ' ')"),
+                F.lit("<SUF>"),
+                F.expr("array_join(slice(w, p2 + 1, n - p2), ' ')"),
+                F.lit("<MID>"),
+                F.expr("array_join(slice(w, p1 + 1, p2 - p1), ' ')"),
+            ),
+        )
+        .otherwise(F.array_join("w", " "))
+        .alias("fim_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# canonicalized exact dedup (normalization layer ahead of the hash)
+# ---------------------------------------------------------------------------
+
+_CANON_VARIANT_MOD = 11  # every 11th doc gets a case/whitespace variant
+
+
+def _canon_dedup_sql() -> str:
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  -- planted variants: upper-cased first word + doubled spaces; exact
+  -- dedup is blind to them, the canonical layer is not
+  SELECT doc_id + 300000 AS doc_id,
+         regexp_replace(upper(substr(text, 1, 5)) || substr(text, 6),
+                        ' ', '  ', 'g') AS text
+  FROM documents WHERE doc_id % {_CANON_VARIANT_MOD} = 0
+),
+canon AS (
+  SELECT doc_id, text,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS ch,
+         md5(text) AS eh
+  FROM corpus
+)
+SELECT ch AS canon_hash,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(count(DISTINCT eh) AS BIGINT) AS n_exact_distinct,
+       min(doc_id) AS keeper_id,
+       CAST(count(*) - 1 AS BIGINT) AS n_dropped
+FROM canon
+GROUP BY ch
+HAVING count(*) > 1
+"""
+
+
+@register("dedup_canonical_text", oracle=_canon_dedup_sql())
+def dedup_canonical_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized exact dedup — the normalization layer web-corpus
+    pipelines (C4, RefinedWeb) run AHEAD of the content hash: lowercase,
+    collapse every non-alphanumeric run to one space, trim, THEN hash.
+    Case and whitespace/punctuation variants of the same text collapse
+    to one canonical group; raw-md5 exact dedup (dedup_exact) is blind
+    to all of them. The fixture plants such variants (upper-cased head
+    + doubled spaces) for every {mod}th doc, so each planted group
+    shows n_exact_distinct = 2 raw hashes folding into 1 canonical
+    group. Keep-rule is min(doc_id) — deterministic at any parallelism.
+
+    Scale shape: identical to dedup_exact — one scan, a map-side
+    normalization expression, one groupBy on the canonical hash with
+    partial aggregation; no joins, no windows. The normalization adds
+    zero shuffle bytes (the hash is fixed-width regardless of text
+    size). Emitted per surviving group: (canon_hash, n_members,
+    n_exact_distinct, keeper_id, n_dropped).""".format(
+        mod=_CANON_VARIANT_MOD
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    variant_text = F.regexp_replace(
+        F.concat(
+            F.upper(F.substring("text", 1, 5)),
+            F.expr("substr(text, 6)"),
+        ),
+        " ",
+        "  ",
+    )
+    # fixture variants ride the SAME scan: each source row explodes to
+    # [original] or [original, variant] — a union branch would read the
+    # corpus twice for what is a per-row derivation
+    corpus = docs.select(
+        F.explode(
+            F.when(
+                F.col("doc_id") % _CANON_VARIANT_MOD == 0,
+                F.array(
+                    F.struct(F.col("doc_id"), F.col("text")),
+                    F.struct(
+                        (F.col("doc_id") + 300000).alias("doc_id"),
+                        variant_text.alias("text"),
+                    ),
+                ),
+            ).otherwise(
+                F.array(F.struct(F.col("doc_id"), F.col("text")))
+            )
+        ).alias("r")
+    ).select("r.doc_id", "r.text")
+    canon = corpus.select(
+        "doc_id",
+        F.md5(
+            F.trim(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")
+            )
+        ).alias("ch"),
+        F.md5("text").alias("eh"),
+    )
+    return (
+        canon.groupBy(F.col("ch").alias("canon_hash"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.countDistinct("eh").alias("n_exact_distinct"),
+            F.min("doc_id").alias("keeper_id"),
+            (F.count("*") - 1).alias("n_dropped"),
+        )
+        .filter(F.col("n_members") > 1)
+    )

@@ -187,6 +187,8 @@ SECTIONS = [
         "pipeline_privacy_release", "stream_dp_release",
         "sketch_theta_rollup",
         "sim_ivfpq_apply"]),
+    ("Round-11 additions (FIM transform, canonical dedup)", [
+        "text_fim_transform", "dedup_canonical_text"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

@@ -92,10 +92,23 @@ def main() -> int:
         help="round number recorded in the state file (0 = infer from "
         "max CORRECTNESS round + 1)",
     )
+    ap.add_argument(
+        "--keys", default="",
+        help="comma-separated explicit cohort (overrides the oldest-"
+        "evidence picker; for re-verifying keys whose previous rotation "
+        "hit an infrastructure failure)",
+    )
     args = ap.parse_args()
     rnd = args.round or (max(driver_sample_rounds().values(), default=0) + 1)
 
-    cohort = pick_cohort(args.n)
+    if args.keys:
+        known = set(registered_keys())
+        cohort = [k for k in args.keys.split(",") if k]
+        unknown = [k for k in cohort if k not in known]
+        if unknown:
+            raise SystemExit(f"unknown keys: {unknown}")
+    else:
+        cohort = pick_cohort(args.n)
     state = load_state()
     results: dict[str, str] = {}
     t_start = time.time()
@@ -118,8 +131,10 @@ def main() -> int:
             f"({time.time() - t0:.1f}s, fresh process)"
         )
         if not ok:
-            tail = "\n".join(proc.stdout.splitlines()[-6:])
-            print(f"  --- stdout tail ---\n{tail}")
+            tail = "\n".join(
+                (proc.stdout.splitlines() + proc.stderr.splitlines())[-8:]
+            )
+            print(f"  --- output tail ---\n{tail}")
 
     json.dump(state, open(STATE_PATH, "w"), indent=1, sort_keys=True)
     n_fail = sum(1 for v in results.values() if v != "ok")

@@ -155,3 +155,51 @@ def test_scaled_oracle_templates_render_gate_scale_statically():
         assert s.oracle != s.oracle_for("/root/testdata/sf0.1"), (
             f"{k}: oracle_tmpl ignores the scale knob at sf0.1"
         )
+
+
+def test_fim_transform_reassembles_original(spark, sf_dir):
+    """PSM parts concatenated back in PMS order must equal the source
+    text for every transformed doc (the transform is a lossless
+    reordering), and passthrough rows must be verbatim."""
+    from airbnb_listings_reviews_data_engineering_spark.plans import (
+        all_queries,
+    )
+
+    out = all_queries()["text_fim_transform"].fn(spark, sf_dir)
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    rows = out.collect()
+    assert len(rows) == len(docs)
+    for r in rows:
+        src = docs[r["doc_id"]]
+        if not r["fim_applied"]:
+            assert r["fim_text"] == src
+            continue
+        body = r["fim_text"]
+        assert body.startswith("<PRE>")
+        pre, rest = body[5:].split("<SUF>", 1)
+        suf, mid = rest.split("<MID>", 1)
+        reassembled = " ".join(x for x in (pre, mid, suf) if x)
+        assert reassembled == src, (r["doc_id"], reassembled[:60], src[:60])
+        assert 1 <= r["p1"] <= r["p2"] <= r["n_tok"]
+
+
+def test_canonical_dedup_catches_planted_variants(spark, sf_dir):
+    """Every planted case/whitespace variant group must fold: the
+    variant (doc_id + 300000) and its source share a canonical hash but
+    have 2 distinct exact hashes, and the keeper is always the source
+    (min id)."""
+    from airbnb_listings_reviews_data_engineering_spark.plans import (
+        all_queries,
+    )
+
+    out = all_queries()["dedup_canonical_text"].fn(spark, sf_dir).collect()
+    n_src = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    planted = [r for r in out if r["n_exact_distinct"] >= 2]
+    # every 11th doc got a variant; all of those groups must surface
+    assert len(planted) >= n_src // 11
+    for r in out:
+        assert r["keeper_id"] < 300000  # keeper is never the variant
+        assert r["n_dropped"] == r["n_members"] - 1
