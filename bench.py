@@ -162,9 +162,16 @@ R10_ADDITIONS = [
     "text_unigram_lm_em",      # 2-round hard-EM unigram tokenizer trainer
 ]
 
+# round-11 breadth: the two new training-data transforms (both
+# single-scan shapes — they track the map-side/groupBy cost floor)
+R11_ADDITIONS = [
+    "text_fim_transform",    # PSM reordering, hash pivots, one projection
+    "dedup_canonical_text",  # normalize-then-hash dedup, one groupBy
+]
+
 HEADLINE = (R2_HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R4B_ADDITIONS
             + R4C_ADDITIONS + R4D_ADDITIONS + R5_ADDITIONS + R7_ADDITIONS
-            + R8_ADDITIONS + R9_ADDITIONS + R10_ADDITIONS)
+            + R8_ADDITIONS + R9_ADDITIONS + R10_ADDITIONS + R11_ADDITIONS)
 
 # --- per-key time budget (VERDICT r10 #3) ------------------------------
 # No single headline key may exceed this many NORMALIZED seconds at
