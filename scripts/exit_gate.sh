@@ -21,16 +21,16 @@ cd "$(dirname "$0")/.."
 
 echo "== exit gate: $(date -u +%Y-%m-%dT%H:%M:%SZ) @ $(git rev-parse --short HEAD)"
 
-echo "== 1/4 full oracle mirror (sf0.01)"
+echo "== 1/5 full oracle mirror (sf0.01)"
 python scripts/oracle_check.py 2>/dev/null | tee scripts/last_mirror_run.log | tail -2
 grep -q "^0 failures" <(tail -2 scripts/last_mirror_run.log) || {
   echo "EXIT GATE RED: oracle mirror has failures"; exit 1; }
 
-echo "== 2/4 coverage + survey index regeneration"
+echo "== 2/5 coverage + survey index regeneration"
 python scripts/gen_coverage.py scripts/last_mirror_run.log || {
   echo "EXIT GATE RED: coverage generation failed"; exit 1; }
 
-echo "== 3/4 survey completeness check"
+echo "== 3/5 survey completeness check"
 python scripts/check_survey.py || {
   echo "EXIT GATE RED: survey check failed"; exit 1; }
 
