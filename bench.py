@@ -182,11 +182,13 @@ HEADLINE = (R2_HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R4B_ADDITIONS
 # a busy box cannot flag a quiet-plan key.
 PER_KEY_BUDGET_SEC = 3.0
 PER_KEY_BUDGET_ALLOWLIST = {
-    # ANN serving composite: corpus coding + cell probe + per-query ADC
-    # maps + top-c exact re-rank is a ~12-AQE-stage chain; at sf0.1 the
-    # cost is stage-scheduling floor on local[32], not data volume
-    # (profiled r11: corpus coding 0.4 s, full chain ~3.4 s).
-    "sim_ivfpq_apply": "ANN serving chain: ~12 AQE stages of scheduling floor",
+    # ANN serving composite: cell probe + per-query ADC maps + top-c
+    # exact re-rank over the published PQ-coded index; ~2.7 s quiet at
+    # sf0.1 (inside budget) — allowlisted as load headroom because the
+    # chain is ~10 AQE stages of scheduling floor, which normalization
+    # under-corrects on a busy box (same mode that tripped
+    # mm_pair_dedup at 2.66 s quiet).
+    "sim_ivfpq_apply": "ANN serving chain: AQE stage floor; ~2.7 s quiet",
     # Cross-modal composite judged acceptable in the r10 plan audit at
     # 2.85 s: the fixture plants an (image, caption) pair per document
     # so cost scales 1:1 with corpus; the caption leg is already

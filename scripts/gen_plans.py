@@ -44,7 +44,7 @@ SHOWCASE = [
     ("text_unigram_lm_em", "unigram-LM tokenizer training: hard-EM rounds as runtime aggregate folds over the pinned Heaps-bounded word table (no unrolled projection chain — CollapseProject would explode it), broadcast vocab map, final rank via WindowGroupLimit"),
     ("profile_drift_ks", "sketch-native K-S drift: level-8 grid slice per month, side split by one broadcast max-month fold, 256-boundary CDFs via side-partitioned windows, argmax boundary"),
     ("sketch_bloom_rollup", "mergeable membership: month-keyed 32-bit word masks, word-level bit_or re-agg, broadcast probe joins, self-certified merged==direct"),
-    ("sim_ivfpq_apply", "IVF-PQ serving path: codebooks read from the published artifact (scan, not training lineage), map-side corpus coding, broadcast per-query ADC maps, top-c exact re-rank"),
+    ("sim_ivfpq_apply", "IVF-PQ serving path: codebooks + PQ-coded corpus index read from the published artifacts (scans, not training/coding lineage), broadcast per-query ADC maps, top-c exact re-rank — raw vectors touched only for the survivor fetch"),
     ("text_fim_transform", "fill-in-the-middle reordering: ONE scan, one projection — hash-derived pivots, CASE-branched passthrough (no union re-scan), zero exchanges"),
     ("dedup_canonical_text", "canonicalized exact dedup: normalization expression + single groupBy on the canonical hash; fixture variants ride the same scan via per-row explode"),
 ]
