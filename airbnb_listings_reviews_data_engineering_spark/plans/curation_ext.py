@@ -1620,9 +1620,7 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     count tables each reduce map-side; PMI is one ln over ratios of
     exact integers per surviving bigram (bitwise cross-engine), the
     count floor prunes the candidate set BEFORE the joins, and the
-    final top-20 is a TakeOrdered, not a global sort.""".format(
-        mc=_PMI_MIN_COUNT
-    )
+    final top-20 is a TakeOrdered, not a global sort."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     # pinned: the unigram/bigram counts and the totals all read the
     # token table, and the vocab-sized unigram table feeds BOTH PMI
@@ -1682,6 +1680,15 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "bigram")
         .limit(20)
     )
+
+
+# substitute AFTER definition: chaining .format() onto the literal made
+# it an expression, not a docstring — __doc__ was None and the registry
+# doc rendered empty (the same ADVICE r11 bug as text_fim_transform,
+# caught by tests/test_round12_ops.py::test_every_registered_key_has_a_doc)
+text_collocation_pmi.__doc__ = text_collocation_pmi.__doc__.format(
+    mc=_PMI_MIN_COUNT
+)
 
 
 # ---------------------------------------------------------------------------

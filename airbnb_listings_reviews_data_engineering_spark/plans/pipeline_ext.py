@@ -2101,6 +2101,230 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- dedup-policy end-to-end composite ---------------------------------------
+# (VERDICT r11 #6: the realistic chain canonicalize -> exact -> MinHash-
+# LSH cluster -> soft-weight, with a funnel accounting table)
+
+_DPOL_MAX_ID = 500   # corpus slice: ids < 500 at EVERY sf, so the fixed
+_DPOL_EXACT_OFF = 10000   # variant-id namespaces below can never collide
+_DPOL_CANON_OFF = 20000   # with real ids (bounded by the filter, not the
+_DPOL_NEAR_OFF = 30000    # corpus size — unlike dedup_canonical_text's
+#                           full-corpus fixture, which derives its offset)
+_DPOL_EXACT_MOD = 7   # every 7th doc: byte-identical copy
+_DPOL_CANON_MOD = 11  # every 11th doc: case/whitespace variant
+_DPOL_NEAR_MOD = 5    # every 5th doc: first-word-drop near-dup
+
+
+def _dedup_policy_sql() -> str:
+    band_cond = " OR ".join(
+        "(" + " AND ".join(f"a.h{b*2+r} = b.h{b*2+r}" for r in range(2)) + ")"
+        for b in range(_BANDS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END)"
+        for j in range(_NUM_HASHES)
+    )
+    return f"""
+WITH RECURSIVE corpus0 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < {_DPOL_MAX_ID}
+),
+raw AS (
+  SELECT doc_id, text FROM corpus0
+  UNION ALL
+  SELECT doc_id + {_DPOL_EXACT_OFF} AS doc_id, text
+  FROM corpus0 WHERE doc_id % {_DPOL_EXACT_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {_DPOL_CANON_OFF} AS doc_id,
+         regexp_replace(upper(substr(text, 1, 5)) || substr(text, 6),
+                        ' ', '  ', 'g') AS text
+  FROM corpus0 WHERE doc_id % {_DPOL_CANON_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {_DPOL_NEAR_OFF} AS doc_id,
+         regexp_replace(text, '^[a-z]+ ', '') AS text
+  FROM corpus0 WHERE doc_id % {_DPOL_NEAR_MOD} = 0
+),
+canon0 AS (
+  SELECT doc_id, text,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS ch
+  FROM raw
+),
+corpus AS (
+  SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+  FROM canon0 GROUP BY ch
+),
+{_minhash_sig_sql().strip()},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_cond})
+  WHERE round(({agree}) / {float(_NUM_HASHES)}, 4) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.d = r.node
+),
+comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+lab AS (
+  SELECT c.doc_id, coalesce(k.component, c.doc_id) AS component
+  FROM corpus c LEFT JOIN comp k ON c.doc_id = k.node
+),
+counts AS (
+  SELECT (SELECT count(*) FROM raw) AS n_raw,
+         (SELECT count(*) FROM corpus) AS n_surv,
+         (SELECT count(DISTINCT component) FROM lab) AS n_units
+)
+SELECT CAST(0 AS INT) AS stage_id, 'raw' AS stage,
+       CAST(n_raw AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS n_dropped,
+       CAST(n_raw AS BIGINT) AS n_units
+FROM counts
+UNION ALL
+SELECT CAST(1 AS INT), 'canonical_exact', CAST(n_surv AS BIGINT),
+       CAST(n_raw - n_surv AS BIGINT), CAST(n_surv AS BIGINT)
+FROM counts
+UNION ALL
+SELECT CAST(2 AS INT), 'neardup_soft_weight', CAST(n_surv AS BIGINT),
+       CAST(0 AS BIGINT), CAST(n_units AS BIGINT)
+FROM counts
+"""
+
+
+@register("pipeline_dedup_policy", oracle=_dedup_policy_sql())
+def pipeline_dedup_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup POLICY chain a production corpus run actually ships,
+    end to end with funnel accounting: canonicalize (C4-style
+    lowercase + punctuation-collapse) -> exact dedup on the canonical
+    hash (keep min id) -> MinHash-LSH near-dup clustering of the
+    survivors -> SOFT-weight each survivor 1/|cluster| (SoftDedup) —
+    the three policies the engine ships separately
+    (dedup_canonical_text, pipeline_dedup_corpus, dedup_soft_weights)
+    composed the way a data mixer runs them: hard-drop redundant BYTES
+    (exact/canonical dups carry zero extra information), soft-weight
+    redundant CONTENT (near-dups keep variety at reduced mass). The
+    fixture plants all three duplicate classes under disjoint id
+    namespaces (byte-copies of every 7th doc, case/whitespace variants
+    of every 11th, first-word-drop near-dups of every 5th), so each
+    stage has observable work and the funnel pins it: stage 1 must
+    absorb exactly the exact+canonical plants, stage 2's unit count
+    must fold every near-dup pair into its source cluster. Emitted:
+    (stage_id, stage, n_docs, n_dropped, n_units) where n_units at the
+    soft stage = distinct clusters = the weighted corpus's exact total
+    training mass (sum of 1/m weights is n_clusters by construction —
+    reported as the exact integer instead of a float sum, which would
+    be accumulation-order-dependent).
+
+    Scale shape: one corpus scan explodes the fixture variants
+    map-side; stage 1 is a single groupBy on the canonical hash
+    (min-struct keeper — no join-back); stage 2 reuses the banded
+    LSH pair join + log-rounds components; the funnel rows are
+    1-row aggregates broadcast-crossed — no collect, no corpus
+    re-scan (raw and survivor frames are pinned once each)."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _DPOL_MAX_ID)
+        .select("doc_id", "text")
+    )
+    canon_text = F.regexp_replace(
+        F.concat(
+            F.upper(F.substring("text", 1, 5)), F.expr("substr(text, 6)")
+        ),
+        " ",
+        "  ",
+    )
+    near_text = F.regexp_replace("text", r"^[a-z]+ ", "")
+    variants = F.filter(
+        F.array(
+            F.struct(F.col("doc_id"), F.col("text")),
+            F.when(
+                F.col("doc_id") % _DPOL_EXACT_MOD == 0,
+                F.struct(
+                    (F.col("doc_id") + _DPOL_EXACT_OFF).alias("doc_id"),
+                    F.col("text"),
+                ),
+            ),
+            F.when(
+                F.col("doc_id") % _DPOL_CANON_MOD == 0,
+                F.struct(
+                    (F.col("doc_id") + _DPOL_CANON_OFF).alias("doc_id"),
+                    canon_text.alias("text"),
+                ),
+            ),
+            F.when(
+                F.col("doc_id") % _DPOL_NEAR_MOD == 0,
+                F.struct(
+                    (F.col("doc_id") + _DPOL_NEAR_OFF).alias("doc_id"),
+                    near_text.alias("text"),
+                ),
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    raw = pin(
+        docs.select(F.explode(variants).alias("r")).select(
+            "r.doc_id", "r.text"
+        ),
+        label="dpol_raw",
+    )
+    surv = pin(
+        raw.withColumn(
+            "ch",
+            F.md5(
+                F.trim(
+                    F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")
+                )
+            ),
+        )
+        .groupBy("ch")
+        .agg(F.min(F.struct("doc_id", "text")).alias("k"))
+        .select("k.doc_id", "k.text"),
+        label="dpol_survivors",
+    )
+    pairs = D.minhash_lsh_pairs(
+        surv, "doc_id", "text", _NUM_HASHES, _BANDS, 0.5, 3
+    )
+    comp = D.connected_components(pairs)
+    lab = surv.join(comp, surv.doc_id == comp.node, "left").select(
+        surv.doc_id,
+        F.coalesce("component", surv.doc_id).alias("component"),
+    )
+    n_raw = raw.agg(F.count("*").alias("n_raw"))
+    n_surv = surv.agg(F.count("*").alias("n_surv"))
+    n_units = (
+        lab.select("component").distinct().agg(F.count("*").alias("n_units"))
+    )
+    c = (
+        F.broadcast(n_raw)
+        .crossJoin(F.broadcast(n_surv))
+        .crossJoin(F.broadcast(n_units))
+    )
+    r0 = c.select(
+        F.lit(0).alias("stage_id"),
+        F.lit("raw").alias("stage"),
+        F.col("n_raw").cast("bigint").alias("n_docs"),
+        F.lit(0).cast("bigint").alias("n_dropped"),
+        F.col("n_raw").cast("bigint").alias("n_units"),
+    )
+    r1 = c.select(
+        F.lit(1).alias("stage_id"),
+        F.lit("canonical_exact").alias("stage"),
+        F.col("n_surv").cast("bigint").alias("n_docs"),
+        (F.col("n_raw") - F.col("n_surv")).cast("bigint").alias("n_dropped"),
+        F.col("n_surv").cast("bigint").alias("n_units"),
+    )
+    r2 = c.select(
+        F.lit(2).alias("stage_id"),
+        F.lit("neardup_soft_weight").alias("stage"),
+        F.col("n_surv").cast("bigint").alias("n_docs"),
+        F.lit(0).cast("bigint").alias("n_dropped"),
+        F.col("n_units").cast("bigint").alias("n_units"),
+    )
+    return r0.unionByName(r1).unionByName(r2)
+
+
 # --- substring-level dedup --------------------------------------------------
 
 _SPAN_W = 6          # tokens per span window
@@ -3396,6 +3620,60 @@ def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wavs = MM.synthesize_pcm(ids, "doc_id", n_samples=64)
     return MM.audio_window_rms(wavs, window=16)
+
+
+# ---------------------------------------------------------------------------
+# real PNG pixel decode (zlib inflate + all-five-filter unfilter)
+# ---------------------------------------------------------------------------
+
+_DECODE_PNG_SQL = """
+WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id < 150
+), dims AS (
+  SELECT doc_id, 16 + doc_id % 48 AS w, 16 + (doc_id * 7) % 48 AS h
+  FROM ids
+), px AS (
+  SELECT doc_id, w, h,
+         list_sum(flatten(list_transform(generate_series(0, h - 1),
+           y -> list_transform(generate_series(0, w - 1),
+             x -> (x * 7 + y * 13 + doc_id) % 256)))) AS s
+  FROM dims
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(s AS BIGINT) AS sum_intensity,
+       CAST((s * 10000) // (w * h) AS BIGINT) AS mean_intensity_e4
+FROM px
+"""
+
+
+@register("mm_decode_png", oracle=_DECODE_PNG_SQL)
+def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode without a codec library (VERDICT r11 #3):
+    each row synthesizes a VALID 8-bit grayscale PNG (zlib-compressed
+    IDAT, correct CRCs) whose scanline filter types cycle through ALL
+    FIVE PNG filters (None/Sub/Up/Average/Paeth), and the operator
+    decodes it back — chunk walk, IDAT inflate, per-row unfilter —
+    emitting exact integer pixel statistics (operators/multimodal.py::
+    decode_png_stats). Because 4 of 5 rows are filter-encoded, a
+    decoder that skipped unfiltering would get nearly every pixel
+    wrong: the oracle regenerating the stats arithmetically from the
+    pixel formula proves the full encode -> inflate -> unfilter ->
+    stats round trip bitwise. This upgrades the multimodal decode
+    boundary from plumbing-only to a working codec path; the fake-
+    decode branch (mm_decode_fake) remains for payload types that DO
+    need an external codec (JPEG entropy decode).
+
+    Scale shape: a 1:1 Arrow-batched map — no shuffle, no join;
+    per-image work is inflate (C speed) + the unfilter recurrence.
+    Stats stay in exact integers (byte sum; fixed-point mean by
+    integer floor division) — bitwise cross-engine by construction."""
+    ids = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id")
+    )
+    return MM.decode_png_stats(MM.synthesize_png(ids, "doc_id"))
 
 
 # ---------------------------------------------------------------------------
@@ -5539,11 +5817,15 @@ def _ivfpq_artifact_path(
     spark: SparkSession, sf_dir: str, kind: str = "cb"
 ) -> str:
     """Staging path for an IVF-PQ artifact (``kind``: "cb" codebooks,
-    "idx" the PQ-coded corpus index), fingerprinted by
-    the embeddings table's identity (row count + newest part mtime) and
-    the PQ layout — regenerated testdata or a layout change can never
-    serve stale codebooks (the search result would silently diverge
-    from the oracle, which always trains on the current table)."""
+    "idx" the PQ-coded corpus index), fingerprinted by the embeddings
+    table's identity and the PQ layout — regenerated testdata or a
+    layout change can never serve stale codebooks (the search result
+    would silently diverge from the oracle, which always trains on the
+    current table). The identity digest covers, per part file: name,
+    byte size, and UNTRUNCATED mtime_ns (ADVICE r11: row count + whole-
+    second mtime let a corpus regenerated in-place with the same row
+    count within the same second serve stale artifacts)."""
+    import hashlib
     import os
 
     import pyarrow.parquet as pq
@@ -5553,13 +5835,19 @@ def _ivfpq_artifact_path(
 
     files = sorted(_parquet_files(os.path.join(sf_dir, "embeddings.parquet")))
     n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-    mt = max(int(os.path.getmtime(f)) for f in files)
+    ident = hashlib.md5(
+        "|".join(
+            f"{os.path.basename(f)}:{os.stat(f).st_size}"
+            f":{os.stat(f).st_mtime_ns}"
+            for f in files
+        ).encode()
+    ).hexdigest()[:16]
     base = os.path.basename(os.path.abspath(sf_dir.rstrip("/")))
     layout = (
         f"{_IVFPQ_SUBSPACES}x{_IVFPQ_SUBDIM}x{_IVFPQ_CODES}"
         f"i{_IVFPQ_ITERS}t{_IVFPQ_TRAIN_N}"
     )
-    return staging_dir(f"ivfpq_{kind}_{base}_{n}_{mt}_{layout}", spark)
+    return staging_dir(f"ivfpq_{kind}_{base}_{n}_{ident}_{layout}", spark)
 
 
 def _ivfpq_index(
@@ -5951,23 +6239,26 @@ def pipeline_privacy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fill-in-the-middle transform (PSM reordering for infilling training)
 # ---------------------------------------------------------------------------
 
-_FIM_MIN_TOK = 3  # below this the doc passes through untransformed
+_FIM_MIN_TOK = 3   # below this the doc passes through untransformed
+_FIM_RATE_PCT = 50  # paper's FIM rate: % of eligible docs transformed
 
 
 def _fim_sql() -> str:
     h = hash60_duckdb_sql("concat('fim:', CAST(doc_id AS VARCHAR))")
+    g = hash60_duckdb_sql("concat('fimgate:', CAST(doc_id AS VARCHAR))")
     return f"""
 WITH tok AS (
   SELECT doc_id, string_split(text, ' ') AS w,
          len(string_split(text, ' ')) AS n,
-         {h} AS h
+         {h} AS h,
+         {g} % 100 AS gate
   FROM documents
 ),
 cut AS (
   SELECT doc_id, w, n,
          1 + h % greatest(n // 3, 1) AS p1,
          n - CAST((h // 64) % greatest(n // 3, 1) AS BIGINT) AS p2
-  FROM tok WHERE n >= {_FIM_MIN_TOK}
+  FROM tok WHERE n >= {_FIM_MIN_TOK} AND gate < {_FIM_RATE_PCT}
 )
 SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
        CAST(p1 AS INT) AS p1, CAST(p2 AS INT) AS p2,
@@ -5982,7 +6273,7 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
        CAST(0 AS INT) AS p1, CAST(0 AS INT) AS p2,
        FALSE AS fim_applied,
        array_to_string(w, ' ') AS fim_text
-FROM tok WHERE n < {_FIM_MIN_TOK}
+FROM tok WHERE n < {_FIM_MIN_TOK} OR gate >= {_FIM_RATE_PCT}
 """
 
 
@@ -5996,17 +6287,23 @@ def text_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc (the deterministic analog of the paper's random spans: the
     same doc always cuts identically, which is what makes the transform
     replayable and the gate bitwise): p1 in the first third, p2 in the
-    last third, both from one hash60 of the doc id. Documents under
-    {mintok} tokens pass through unchanged with fim_applied=false (the
-    paper's rate-gate analog; also the short-doc guard — a pivot
-    formula on a 1-token doc would emit out-of-range slices).
+    last third, both from one hash60 of the doc id. The transform is
+    RATE-GATED the way the paper applies it — only {rate} % of eligible
+    documents are reordered, selected by a SECOND independent hash gate
+    (hash60 of "fimgate:" + doc id mod 100 < {rate}; the repo's
+    deterministic analog of the paper's Bernoulli draw — replayable,
+    uncorrelated with the pivot hash, and exactly reproduced by the
+    oracle). Gated-out documents and documents under {mintok} tokens
+    pass through unchanged with fim_applied=false (the short-doc guard
+    — a pivot formula on a 1-token doc would emit out-of-range
+    slices) — the output IS the training mix: transformed and verbatim
+    documents interleaved at the configured rate.
 
     Scale shape: a pure 1:1 row map — one scan, one projection, zero
-    shuffles, zero joins; slice/concat are column expressions, so the
-    whole transform lives in one WholeStageCodegen span at corpus
-    scale. Emitted: (doc_id, n_tok, p1, p2, fim_applied, fim_text).""".format(
-        mintok=_FIM_MIN_TOK
-    )
+    shuffles, zero joins; slice/concat and both hash gates are column
+    expressions, so the whole transform lives in one WholeStageCodegen
+    span at corpus scale. Emitted: (doc_id, n_tok, p1, p2, fim_applied,
+    fim_text)."""
     from ..functions.hashing import hash60
 
     tok = load(spark, sf_dir, "documents").select(
@@ -6016,9 +6313,15 @@ def text_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash60(F.concat(F.lit("fim:"), F.col("doc_id").cast("string"))).alias(
             "h"
         ),
+        (
+            hash60(
+                F.concat(F.lit("fimgate:"), F.col("doc_id").cast("string"))
+            )
+            % 100
+        ).alias("gate"),
     )
     third = F.greatest(F.floor(F.col("n") / 3).cast("bigint"), F.lit(1))
-    ok = F.col("n") >= _FIM_MIN_TOK
+    ok = (F.col("n") >= _FIM_MIN_TOK) & (F.col("gate") < _FIM_RATE_PCT)
     # h // 64 as a SHIFT: h / 64 through double division drops low
     # bits of the 60-bit hash (> 2^53), flipping the pivot vs the
     # oracle's exact integer division
@@ -6062,21 +6365,70 @@ def text_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# substitute AFTER definition (the mm_pair_dedup pattern): chaining
+# .format() onto the literal makes it an expression statement, not a
+# docstring — __doc__ was None and the registry doc rendered empty
+# (ADVICE r11); QuerySpec.doc reads fn.__doc__ live, so this lands
+text_fim_transform.__doc__ = text_fim_transform.__doc__.format(
+    mintok=_FIM_MIN_TOK, rate=_FIM_RATE_PCT
+)
+
+
 # ---------------------------------------------------------------------------
 # canonicalized exact dedup (normalization layer ahead of the hash)
 # ---------------------------------------------------------------------------
 
 _CANON_VARIANT_MOD = 11  # every 11th doc gets a case/whitespace variant
+_CANON_OFFSET_GATE = 1000  # variant-id offset at gate scale (sf <= 0.01)
 
 
-def _canon_dedup_sql() -> str:
+def _canon_offset(sf_dir: str) -> int:
+    """Variant-id namespace offset, derived from the CORPUS (ADVICE
+    r11: a fixed +300000 collides with real doc ids at roughly sf6 and
+    silently merges wrong rows on both engines): the smallest power of
+    10 strictly above the footer-statistics max doc_id — no scan, the
+    percentile guard's trick. At gate scale (doc_id <= 499 at sf0.01)
+    this is exactly the static 1000 the generated SQL states; sf0.1
+    (max 4999) renders 10000. Disjointness is structural: every
+    variant id is offset + id <= offset + (offset - 1) < 2*offset,
+    and every real id < offset."""
+    try:
+        import os
+
+        import pyarrow.parquet as pq
+
+        from ..functions.percentile import _parquet_files
+
+        mx = 0
+        for f in _parquet_files(os.path.join(sf_dir, "documents.parquet")):
+            md = pq.ParquetFile(f).metadata
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                col = next(
+                    rg.column(i)
+                    for i in range(rg.num_columns)
+                    if rg.column(i).path_in_schema == "doc_id"
+                )
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError("doc_id column has no min/max stats")
+                mx = max(mx, int(st.max))
+        off = 10
+        while off <= mx:
+            off *= 10
+        return off
+    except Exception:  # noqa: BLE001 — fall back to the oracle's offset
+        return _CANON_OFFSET_GATE
+
+
+def _canon_dedup_sql(off: int = _CANON_OFFSET_GATE) -> str:
     return f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   -- planted variants: upper-cased first word + doubled spaces; exact
   -- dedup is blind to them, the canonical layer is not
-  SELECT doc_id + 300000 AS doc_id,
+  SELECT doc_id + {off} AS doc_id,
          regexp_replace(upper(substr(text, 1, 5)) || substr(text, 6),
                         ' ', '  ', 'g') AS text
   FROM documents WHERE doc_id % {_CANON_VARIANT_MOD} = 0
@@ -6098,7 +6450,11 @@ HAVING count(*) > 1
 """
 
 
-@register("dedup_canonical_text", oracle=_canon_dedup_sql())
+@register(
+    "dedup_canonical_text",
+    oracle=_canon_dedup_sql(),
+    oracle_tmpl=lambda sf_dir: _canon_dedup_sql(_canon_offset(sf_dir)),
+)
 def dedup_canonical_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonicalized exact dedup — the normalization layer web-corpus
     pipelines (C4, RefinedWeb) run AHEAD of the content hash: lowercase,
@@ -6106,18 +6462,22 @@ def dedup_canonical_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     Case and whitespace/punctuation variants of the same text collapse
     to one canonical group; raw-md5 exact dedup (dedup_exact) is blind
     to all of them. The fixture plants such variants (upper-cased head
-    + doubled spaces) for every {mod}th doc, so each planted group
-    shows n_exact_distinct = 2 raw hashes folding into 1 canonical
-    group. Keep-rule is min(doc_id) — deterministic at any parallelism.
+    + doubled spaces) for every {mod}th doc under a CORPUS-DERIVED id
+    offset (the next power of 10 above the footer-stats max doc_id —
+    structurally disjoint from real ids at every scale; a fixed
+    constant collided at roughly sf6, ADVICE r11), so each planted
+    group shows n_exact_distinct = 2 raw hashes folding into 1
+    canonical group. Keep-rule is min(doc_id) — deterministic at any
+    parallelism, and the keeper is always the real doc because every
+    variant id exceeds every real id.
 
     Scale shape: identical to dedup_exact — one scan, a map-side
     normalization expression, one groupBy on the canonical hash with
     partial aggregation; no joins, no windows. The normalization adds
     zero shuffle bytes (the hash is fixed-width regardless of text
     size). Emitted per surviving group: (canon_hash, n_members,
-    n_exact_distinct, keeper_id, n_dropped).""".format(
-        mod=_CANON_VARIANT_MOD
-    )
+    n_exact_distinct, keeper_id, n_dropped)."""
+    off = _canon_offset(sf_dir)
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     variant_text = F.regexp_replace(
         F.concat(
@@ -6137,7 +6497,7 @@ def dedup_canonical_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array(
                     F.struct(F.col("doc_id"), F.col("text")),
                     F.struct(
-                        (F.col("doc_id") + 300000).alias("doc_id"),
+                        (F.col("doc_id") + off).alias("doc_id"),
                         variant_text.alias("text"),
                     ),
                 ),
@@ -6165,3 +6525,8 @@ def dedup_canonical_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_members") > 1)
     )
+
+
+dedup_canonical_text.__doc__ = dedup_canonical_text.__doc__.format(
+    mod=_CANON_VARIANT_MOD
+)

@@ -45,7 +45,6 @@ class QuerySpec:
     key: str
     fn: QueryFn
     oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
-    doc: str
     # Spark side reads a scale knob from the parquet footers (SemDedup
     # k, FFD group count). Cross-engine parity above gate scale used to
     # be capped by ``gate_sf_max``; since round 11 such keys instead
@@ -61,6 +60,17 @@ class QuerySpec:
         if self.oracle_tmpl is not None:
             return self.oracle_tmpl(sf_dir)
         return self.oracle
+
+    @property
+    def doc(self) -> str:
+        """The function's docstring, read LIVE (not captured at
+        registration): several keys substitute constants into their
+        docstring AFTER definition (``fn.__doc__ = fn.__doc__.format(...)``,
+        the mm_pair_dedup pattern) — a snapshot taken inside ``register``
+        stored the pre-substitution text, and two round-11 keys that
+        chained ``.format()`` onto the literal (making it an expression,
+        not a docstring) registered doc="" entirely (ADVICE r11)."""
+        return self.fn.__doc__ or ""
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -81,7 +91,6 @@ def register(
             key=key,
             fn=fn,
             oracle=oracle,
-            doc=fn.__doc__ or "",
             gate_sf_max=gate_sf_max,
             oracle_tmpl=oracle_tmpl,
         )

@@ -188,20 +188,25 @@ def test_fim_transform_reassembles_original(spark, sf_dir):
 
 def test_canonical_dedup_catches_planted_variants(spark, sf_dir):
     """Every planted case/whitespace variant group must fold: the
-    variant (doc_id + 300000) and its source share a canonical hash but
-    have 2 distinct exact hashes, and the keeper is always the source
-    (min id)."""
+    variant (doc_id + corpus-derived offset) and its source share a
+    canonical hash but have 2 distinct exact hashes, and the keeper is
+    always the source (min id — structurally below the offset)."""
     from airbnb_listings_reviews_data_engineering_spark.plans import (
         all_queries,
     )
+    from airbnb_listings_reviews_data_engineering_spark.plans.pipeline_ext import (
+        _canon_offset,
+    )
 
+    off = _canon_offset(sf_dir)
     out = all_queries()["dedup_canonical_text"].fn(spark, sf_dir).collect()
     n_src = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert off > n_src  # disjoint namespaces at this scale
     planted = [r for r in out if r["n_exact_distinct"] >= 2]
     # every 11th doc got a variant; all of those groups must surface
     assert len(planted) >= n_src // 11
     for r in out:
-        assert r["keeper_id"] < 300000  # keeper is never the variant
+        assert r["keeper_id"] < off  # keeper is never the variant
         assert r["n_dropped"] == r["n_members"] - 1
 
 
