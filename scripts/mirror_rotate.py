@@ -83,10 +83,38 @@ def pick_cohort(n: int) -> list[str]:
     return keys[:n]
 
 
+def report_ages(rnd: int) -> int:
+    """Print the independent-evidence age distribution and return the
+    oldest age in rounds (VERDICT r11 #5: the exit gate surfaces
+    staleness at round close — every key should be <= 2 rounds from a
+    driver sample or a fresh-process rotation)."""
+    driver = driver_sample_rounds()
+    rotated = load_state().get("rotated", {})
+    ages: dict[str, int] = {}
+    for k in registered_keys():
+        ev = max(driver.get(k, 0), rotated.get(k, {}).get("round", 0))
+        ages[k] = rnd - ev if ev else rnd
+    hist: dict[int, int] = {}
+    for a in ages.values():
+        hist[a] = hist.get(a, 0) + 1
+    oldest = max(ages.values(), default=0)
+    print(f"evidence ages at round {rnd} (age_rounds: n_keys): "
+          + ", ".join(f"{a}: {hist[a]}" for a in sorted(hist)))
+    worst = sorted(ages.items(), key=lambda kv: -kv[1])[:5]
+    print("oldest keys: " + ", ".join(f"{k}({a})" for k, a in worst))
+    print(f"oldest_fresh_process_age_rounds={oldest}")
+    return oldest
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=40)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--report", action="store_true",
+        help="print the evidence-age distribution and exit (exit code 1 "
+        "iff the oldest age exceeds 2 rounds)",
+    )
     ap.add_argument(
         "--round", type=int, default=0,
         help="round number recorded in the state file (0 = infer from "
@@ -101,6 +129,9 @@ def main() -> int:
     args = ap.parse_args()
     rnd = args.round or (max(driver_sample_rounds().values(), default=0) + 1)
 
+    if args.report:
+        return 1 if report_ages(rnd) > 2 else 0
+
     if args.keys:
         known = set(registered_keys())
         cohort = [k for k in args.keys.split(",") if k]
@@ -114,29 +145,39 @@ def main() -> int:
     t_start = time.time()
     for i, key in enumerate(cohort, 1):
         t0 = time.time()
-        proc = subprocess.run(
-            [sys.executable, os.path.join(REPO, "scripts", "oracle_check.py"),
-             args.sf_dir, key],
-            capture_output=True, text=True, timeout=600, cwd=REPO,
-        )
-        ok = proc.returncode == 0 and "0 failures" in proc.stdout
+        # one hung oracle must not lose the cohort's accumulated
+        # verdicts (ADVICE r11): TimeoutExpired is recorded as a FAIL
+        # and the state file is dumped incrementally after EVERY key
+        tail = ""
+        try:
+            proc = subprocess.run(
+                [sys.executable,
+                 os.path.join(REPO, "scripts", "oracle_check.py"),
+                 args.sf_dir, key],
+                capture_output=True, text=True, timeout=600, cwd=REPO,
+            )
+            ok = proc.returncode == 0 and "0 failures" in proc.stdout
+            if not ok:
+                tail = "\n".join(
+                    (proc.stdout.splitlines() + proc.stderr.splitlines())[-8:]
+                )
+        except subprocess.TimeoutExpired:
+            ok = False
+            tail = "TIMEOUT after 600s (fresh-process oracle_check hung)"
         results[key] = "ok" if ok else "FAIL"
         state.setdefault("rotated", {})[key] = {
             "round": rnd,
             "verdict": results[key],
             "ts": int(time.time()),
         }
+        json.dump(state, open(STATE_PATH, "w"), indent=1, sort_keys=True)
         print(
             f"[{i}/{len(cohort)}] {results[key]:4s} {key} "
-            f"({time.time() - t0:.1f}s, fresh process)"
+            f"({time.time() - t0:.1f}s, fresh process)",
+            flush=True,
         )
         if not ok:
-            tail = "\n".join(
-                (proc.stdout.splitlines() + proc.stderr.splitlines())[-8:]
-            )
             print(f"  --- output tail ---\n{tail}")
-
-    json.dump(state, open(STATE_PATH, "w"), indent=1, sort_keys=True)
     n_fail = sum(1 for v in results.values() if v != "ok")
     stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     with open(LOG_PATH, "a") as f:

@@ -85,16 +85,30 @@ def main() -> int:
     qs = queries()
     oracles = oracle_sql()
     failures = []
+    # per-key wall time (VERDICT r11 #8): the full mirror is the gate's
+    # longest non-pytest step — record each key's cost in the log and
+    # summarize the top-10 so a key whose oracle got expensive surfaces
+    # the same way a bench budget violation does
+    key_secs: dict[str, float] = {}
+    import time as _time
+
     for key, fn in qs.items():
         if only and key not in only:
             continue
+        _t0 = _time.perf_counter()
+
+        def _el(_t0=_t0, key=key) -> str:
+            dt = _time.perf_counter() - _t0
+            key_secs[key] = dt
+            return f"{dt:.1f}s"
+
         try:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
             scols = sdf.columns
         except Exception as e:  # noqa: BLE001
             failures.append((key, f"SPARK ERROR: {e}"))
-            print(f"FAIL {key}: spark error: {e}")
+            print(f"FAIL {key}: spark error: {e} ({_el()})")
             continue
         finally:
             # result fully collected (or failed) — free any checkpoint
@@ -102,7 +116,7 @@ def main() -> int:
             # don't accumulate executor storage (ADVICE r2)
             release_pins(spark)
         if key not in oracles:
-            print(f"ok   {key}: rows-only ({len(srows)} rows)")
+            print(f"ok   {key}: rows-only ({len(srows)} rows, {_el()})")
             continue
         # Scaled-parameter keys (SemDedup k, FFD groups): the Spark side
         # reads its scale knob from parquet footers; such keys register
@@ -123,7 +137,7 @@ def main() -> int:
             print(
                 f"ok   {key}: rows-only ({len(srows)} rows) — SKIPPED "
                 f"oracle compare: scaled-param key, parity pinned to "
-                f"sf <= {spec.gate_sf_max} (sf_dir is sf{sf:g})"
+                f"sf <= {spec.gate_sf_max} (sf_dir is sf{sf:g}, {_el()})"
             )
             continue
         try:
@@ -131,23 +145,23 @@ def main() -> int:
             type_errs = lint_oracle_types(orel.columns, orel.types, key)
             if type_errs:
                 failures.append((key, "; ".join(type_errs)))
-                print(f"FAIL {key}: {'; '.join(type_errs)}")
+                print(f"FAIL {key}: {'; '.join(type_errs)} ({_el()})")
                 continue
             rel = con.execute(osql)
             ocols = [d[0] for d in rel.description]
             orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append((key, f"DUCKDB ERROR: {e}"))
-            print(f"FAIL {key}: duckdb error: {e}")
+            print(f"FAIL {key}: duckdb error: {e} ({_el()})")
             continue
         sc, ss = frame_sig(scols, srows)
         oc, os_ = frame_sig(ocols, orows)
         if len(srows) != len(orows):
             failures.append((key, f"rowcount {len(srows)} vs {len(orows)}"))
-            print(f"FAIL {key}: rowcount {len(srows)} vs {len(orows)}")
+            print(f"FAIL {key}: rowcount {len(srows)} vs {len(orows)} ({_el()})")
         elif sc != oc:
             failures.append((key, f"cols {sc} vs {oc}"))
-            print(f"FAIL {key}: cols {sc} vs {oc}")
+            print(f"FAIL {key}: cols {sc} vs {oc} ({_el()})")
         elif ss != os_:
             diff = next(
                 (i for i, (a, b) in enumerate(zip(ss, os_)) if a != b), None
@@ -158,9 +172,16 @@ def main() -> int:
                 else "??"
             )
             failures.append((key, "value mismatch"))
-            print(f"FAIL {key}: value mismatch; {detail}")
+            print(f"FAIL {key}: value mismatch ({_el()}); {detail}")
         else:
-            print(f"ok   {key}: {len(srows)} rows match")
+            print(f"ok   {key}: {len(srows)} rows match ({_el()})")
+    if len(key_secs) > 1:
+        top = sorted(key_secs.items(), key=lambda kv: -kv[1])[:10]
+        print("\nslowest mirror keys (wall s):")
+        for k, dt in top:
+            print(f"  {dt:7.1f}s {k}")
+        print(f"total mirror wall: {sum(key_secs.values()):.0f}s over "
+              f"{len(key_secs)} keys")
     print(f"\n{len(failures)} failures / {len(only) if only else len(qs)} checked")
     for k, m in failures:
         print(f"  {k}: {m.splitlines()[0]}")
