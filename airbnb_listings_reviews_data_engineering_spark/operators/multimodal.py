@@ -512,6 +512,102 @@ def synthesize_png(df: DataFrame, id_col: str) -> DataFrame:
     return df.mapInPandas(batches, schema="doc_id long, payload binary")
 
 
+def synthesize_png_spec(df: DataFrame) -> DataFrame:
+    """REAL PNGs from an explicit (doc_id, w, h, seed) spec frame —
+    the generalized form of synthesize_png for fixtures that need
+    controlled dims/seed relationships (e.g. a brightness-shifted twin
+    with the SAME dims as its base: seed+1 shifts every pixel's value
+    by +1 mod 256, changing every file byte while leaving the
+    luminance STRUCTURE intact except at 255->0 wraparounds)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": [
+                        _png_bytes(int(w), int(h), seed=int(s), filtered=True)
+                        for w, h, s in zip(pdf["w"], pdf["h"], pdf["seed"])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(batches, schema="doc_id long, payload binary")
+
+
+DHASH_SCHEMA = "doc_id long, width int, height int, dhash_hi long, dhash_lo long"
+
+
+def png_dhash(df: DataFrame) -> DataFrame:
+    """Perceptual difference hash (dHash) over REAL decoded PNG pixels:
+    inflate + unfilter (``_png_decode_gray``), block-average down to the
+    canonical 9x8 grid, emit one bit per horizontally adjacent cell pair
+    (left mean > right mean) — 64 bits packed into two non-negative
+    32-bit halves (hi = bits 32..63, lo = bits 0..31; two BIGINTs avoid
+    the sign bit entirely, and DuckDB/Spark agree on xor + bit_count
+    over them for Hamming distances). The block comparison is EXACT
+    integer arithmetic — sum_a * count_b > sum_b * count_a — never a
+    float mean, so the hash is bitwise reproducible by a SQL oracle
+    from the synthesizer's pixel formula.
+
+    This is the real-pixel upgrade of the dHash used by mm_phash_dedup
+    (whose signatures derive from payload digests because its fixture
+    payloads are not decodable images): same banding/dedup machinery
+    downstream, but the signature here comes from actual luminance
+    structure, so a +1 brightness shift (which changes EVERY byte of
+    the file and both content hashes) moves almost no bits. Malformed
+    payloads yield NULL fields."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, px = _png_decode_gray(bytes(payload))
+                    # block sums on the 9x8 grid (floor-division bounds)
+                    sums = [[0] * 9 for _ in range(8)]
+                    cnts = [[0] * 9 for _ in range(8)]
+                    xb = [gx * w // 9 for gx in range(10)]
+                    yb = [gy * h // 8 for gy in range(9)]
+                    for gy in range(8):
+                        for gx in range(9):
+                            s = 0
+                            for y in range(yb[gy], yb[gy + 1]):
+                                row = px[y * w : (y + 1) * w]
+                                s += sum(row[xb[gx] : xb[gx + 1]])
+                            sums[gy][gx] = s
+                            cnts[gy][gx] = (xb[gx + 1] - xb[gx]) * (
+                                yb[gy + 1] - yb[gy]
+                            )
+                    hi = lo = 0
+                    for gy in range(8):
+                        for gx in range(8):
+                            k = gy * 8 + gx
+                            bit = (
+                                sums[gy][gx] * cnts[gy][gx + 1]
+                                > sums[gy][gx + 1] * cnts[gy][gx]
+                            )
+                            if bit:
+                                if k < 32:
+                                    lo |= 1 << k
+                                else:
+                                    hi |= 1 << (k - 32)
+                    rows.append((doc_id, w, h, hi, lo))
+                except Exception:  # noqa: BLE001 — malformed object
+                    rows.append((doc_id, None, None, None, None))
+            out = pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "dhash_hi", "dhash_lo"],
+            )
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
+            out["dhash_hi"] = out["dhash_hi"].astype("Int64")
+            out["dhash_lo"] = out["dhash_lo"].astype("Int64")
+            yield out
+
+    return df.mapInPandas(batches, schema=DHASH_SCHEMA)
+
+
 def decode_png_stats(df: DataFrame) -> DataFrame:
     """REAL image decode over Arrow batches: inflate + unfilter each
     PNG payload and emit exact integer pixel statistics — the

@@ -3677,6 +3677,132 @@ def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# perceptual dHash over real decoded pixels (+ brightness-twin hamming)
+# ---------------------------------------------------------------------------
+
+_DHASH_MAX_ID = 100
+_DHASH_TWIN_OFF = 5000
+
+_DHASH_REAL_SQL = f"""
+WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id < {_DHASH_MAX_ID}
+), dims AS (
+  SELECT doc_id AS img_id, doc_id AS base_id, doc_id AS seed,
+         16 + doc_id % 48 AS w, 16 + (doc_id * 7) % 48 AS h
+  FROM ids
+  UNION ALL
+  SELECT doc_id + {_DHASH_TWIN_OFF}, doc_id, doc_id + 1,
+         16 + doc_id % 48, 16 + (doc_id * 7) % 48
+  FROM ids
+), cells AS (
+  SELECT img_id, base_id, seed, w, h, gy, gx,
+         gx * w // 9 AS x0, (gx + 1) * w // 9 AS x1,
+         gy * h // 8 AS y0, (gy + 1) * h // 8 AS y1
+  FROM dims, unnest(generate_series(0, 7)) tg(gy),
+       unnest(generate_series(0, 8)) tx(gx)
+), sums AS (
+  SELECT img_id, base_id, gy, gx,
+         list_sum(flatten(list_transform(generate_series(y0, y1 - 1),
+           y -> list_transform(generate_series(x0, x1 - 1),
+             x -> (x * 7 + y * 13 + seed) % 256)))) AS s,
+         (x1 - x0) * (y1 - y0) AS c
+  FROM cells
+), bits AS (
+  SELECT a.img_id, a.base_id, a.gy * 8 + a.gx AS k,
+         CASE WHEN a.s * b.c > b.s * a.c THEN 1 ELSE 0 END AS bit
+  FROM sums a JOIN sums b
+    ON a.img_id = b.img_id AND a.gy = b.gy AND b.gx = a.gx + 1
+  WHERE a.gx < 8
+), hashes AS (
+  SELECT img_id, base_id,
+         CAST(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
+                       ELSE 0 END) AS BIGINT) AS hi,
+         CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
+                       ELSE 0 END) AS BIGINT) AS lo
+  FROM bits GROUP BY img_id, base_id
+)
+SELECT b.base_id AS doc_id, b.hi AS dhash_hi, b.lo AS dhash_lo,
+       CAST(bit_count(xor(b.hi, t.hi)) + bit_count(xor(b.lo, t.lo))
+            AS INT) AS twin_hamming
+FROM hashes b JOIN hashes t
+  ON b.base_id = t.base_id AND b.img_id < {_DHASH_TWIN_OFF}
+ AND t.img_id >= {_DHASH_TWIN_OFF}
+"""
+
+
+@register("mm_dhash_real", oracle=_DHASH_REAL_SQL)
+def mm_dhash_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash over REAL decoded pixels — the follow-through
+    on mm_decode_png: every base document synthesizes a valid
+    filter-cycled grayscale PNG plus a brightness-shifted TWIN (same
+    dims, every pixel +1 mod 256 — every byte of the file and both
+    content hashes change), the operator decodes both (inflate +
+    all-five-filter unfilter), block-averages to the canonical 9x8
+    dHash grid with EXACT integer comparisons (sum_a * count_b >
+    sum_b * count_a — no float means), and emits each base's 64-bit
+    hash as two sign-safe 32-bit halves plus the Hamming distance to
+    its twin. The perceptual claim is measurable: content hashes see
+    two unrelated files, the pixel-structure hash moves only at
+    255->0 wraparound cells, so twin_hamming is near zero — exactly
+    why image dedup hashes luminance structure, not bytes. The oracle
+    reproduces decode + downsample + packing arithmetically from the
+    pixel formula, so a match proves the whole pixel path bitwise,
+    GRID ARITHMETIC INCLUDED (the fake-decode dHash in mm_phash_dedup
+    proves only the banding machinery downstream of a signature).
+
+    Scale shape: synth + decode + hash is one Arrow-batched 1:1 map
+    (zero shuffles); the twin join is a 100-row broadcast self-join.
+    At corpus scale the map side dominates and the downstream banding
+    is mm_phash_dedup's blocked equi-join — no new shuffle shapes."""
+    ids = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _DHASH_MAX_ID)
+        .select("doc_id")
+    )
+    spec = ids.select(
+        F.col("doc_id").alias("base_id"),
+        (16 + F.col("doc_id") % 48).alias("w"),
+        (16 + (F.col("doc_id") * 7) % 48).alias("h"),
+    )
+    both = spec.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("base_id").alias("doc_id"),
+                    "w",
+                    "h",
+                    F.col("base_id").alias("seed"),
+                ),
+                F.struct(
+                    (F.col("base_id") + _DHASH_TWIN_OFF).alias("doc_id"),
+                    "w",
+                    "h",
+                    (F.col("base_id") + 1).alias("seed"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.doc_id", "r.w", "r.h", "r.seed")
+    dh = MM.png_dhash(MM.synthesize_png_spec(both))
+    base = dh.filter(F.col("doc_id") < _DHASH_TWIN_OFF).select(
+        "doc_id",
+        F.col("dhash_hi").alias("hi"),
+        F.col("dhash_lo").alias("lo"),
+    )
+    twin = dh.filter(F.col("doc_id") >= _DHASH_TWIN_OFF).select(
+        (F.col("doc_id") - _DHASH_TWIN_OFF).alias("doc_id"),
+        F.col("dhash_hi").alias("t_hi"),
+        F.col("dhash_lo").alias("t_lo"),
+    )
+    return base.join(F.broadcast(twin), "doc_id").select(
+        "doc_id",
+        F.col("hi").alias("dhash_hi"),
+        F.col("lo").alias("dhash_lo"),
+        F.expr("CAST(bit_count(hi ^ t_hi) + bit_count(lo ^ t_lo) AS INT)")
+        .alias("twin_hamming"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # grouped-map EWMA (Arrow applyInPandas, exact dyadic weights)
 # ---------------------------------------------------------------------------
 

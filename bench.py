@@ -174,6 +174,7 @@ R11_ADDITIONS = [
 R12_ADDITIONS = [
     "mm_decode_png",          # zlib inflate + 5-filter unfilter, Arrow map
     "pipeline_dedup_policy",  # canonical -> exact -> LSH -> soft weights
+    "mm_dhash_real",          # real-pixel dHash + brightness-twin hamming
 ]
 
 HEADLINE = (R2_HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R4B_ADDITIONS

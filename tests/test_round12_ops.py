@@ -114,6 +114,49 @@ def test_decode_png_stats_nulls_on_bad_payload(spark):
     assert rows[8]["width"] is None and rows[8]["sum_intensity"] is None
 
 
+def test_dhash_real_brightness_twin_is_near_not_equal(spark, sf_dir):
+    """The perceptual claim, asserted: a +1-brightness twin changes
+    every file byte (different md5) yet moves only wraparound dHash
+    bits — hamming must be small but the FILES must differ."""
+    import hashlib
+
+    from airbnb_listings_reviews_data_engineering_spark.operators.multimodal import (
+        _png_bytes,
+    )
+    from airbnb_listings_reviews_data_engineering_spark.plans import (
+        all_queries,
+    )
+
+    rows = all_queries()["mm_dhash_real"].fn(spark, sf_dir).collect()
+    assert len(rows) == 100
+    hams = [r["twin_hamming"] for r in rows]
+    # structure-preserving shift: well under half the 64 bits move;
+    # typically only cells straddling a 255->0 wrap flip
+    assert max(hams) <= 24 and sorted(hams)[len(hams) // 2] <= 8
+    for r in rows[:3]:
+        a = _png_bytes(16 + r["doc_id"] % 48, 16 + (r["doc_id"] * 7) % 48,
+                       seed=r["doc_id"], filtered=True)
+        b = _png_bytes(16 + r["doc_id"] % 48, 16 + (r["doc_id"] * 7) % 48,
+                       seed=r["doc_id"] + 1, filtered=True)
+        assert hashlib.md5(a).hexdigest() != hashlib.md5(b).hexdigest()
+
+
+def test_png_dhash_nulls_on_bad_payload(spark):
+    from airbnb_listings_reviews_data_engineering_spark.operators import (
+        multimodal as MM,
+    )
+
+    good = _png_bytes(18, 16, seed=3, filtered=True)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"junk"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in MM.png_dhash(df).collect()}
+    assert rows[1]["dhash_hi"] is not None and rows[1]["dhash_lo"] is not None
+    assert 0 <= rows[1]["dhash_hi"] < 2**32 and 0 <= rows[1]["dhash_lo"] < 2**32
+    assert rows[2]["dhash_hi"] is None
+
+
 # --- FIM rate gate -----------------------------------------------------------
 
 
