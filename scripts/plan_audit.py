@@ -142,6 +142,8 @@ NESTED_LOOP_ALLOWED = {
     "agg_dp_quantile",       # 3 targets x 256-row CDF theta join + 1-row folds
     "text_unigram_encode_docs",  # word table x the 1-row vocab-map fold
     "sketch_theta_rollup",   # paired 1-row sample-stat aggregate folds
+    "pipeline_dedup_policy",  # funnel rows: 3 crossJoins of paired 1-row
+    #                           count aggregates (raw/survivor/cluster)
 }
 
 # keys allowed to contain an unpartitioned WindowExec because the window's
