@@ -151,7 +151,11 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def _png_bytes(
-    width: int, height: int, seed: int = 0, filtered: bool = False
+    width: int,
+    height: int,
+    seed: int = 0,
+    filtered: bool = False,
+    flat: bool = False,
 ) -> bytes:
     """Valid 8-bit grayscale PNG whose pixel (x, y) is the deterministic
     (x*7 + y*13 + seed) % 256 — reproducible arithmetically by a SQL
@@ -159,7 +163,9 @@ def _png_bytes(
     through ALL five PNG filters (None/Sub/Up/Average/Paeth), correctly
     encoding each row against its predecessor — a decoder that skips
     unfiltering gets every pixel of 4 in 5 rows wrong, so an exact
-    stats match proves real unfiltering, not just inflate."""
+    stats match proves real unfiltering, not just inflate.
+    ``flat=True`` makes every pixel seed % 256 (a blank image — zero
+    variance — for contrast-filter fixtures)."""
     import struct
     import zlib
 
@@ -175,7 +181,11 @@ def _png_bytes(
     out = bytearray()
     prior = bytes(width)
     for y in range(height):
-        line = bytes((x * 7 + y * 13 + seed) % 256 for x in range(width))
+        line = (
+            bytes([seed % 256]) * width
+            if flat
+            else bytes((x * 7 + y * 13 + seed) % 256 for x in range(width))
+        )
         ft = (y % 5) if filtered else 0
         if ft == 0:
             enc = line
@@ -513,26 +523,71 @@ def synthesize_png(df: DataFrame, id_col: str) -> DataFrame:
 
 
 def synthesize_png_spec(df: DataFrame) -> DataFrame:
-    """REAL PNGs from an explicit (doc_id, w, h, seed) spec frame —
-    the generalized form of synthesize_png for fixtures that need
-    controlled dims/seed relationships (e.g. a brightness-shifted twin
-    with the SAME dims as its base: seed+1 shifts every pixel's value
-    by +1 mod 256, changing every file byte while leaving the
-    luminance STRUCTURE intact except at 255->0 wraparounds)."""
+    """REAL PNGs from an explicit (doc_id, w, h, seed[, flat]) spec
+    frame — the generalized form of synthesize_png for fixtures that
+    need controlled dims/seed relationships (e.g. a brightness-shifted
+    twin with the SAME dims as its base: seed+1 shifts every pixel's
+    value by +1 mod 256, changing every file byte while leaving the
+    luminance STRUCTURE intact except at 255->0 wraparounds). An
+    optional boolean ``flat`` column synthesizes a CONSTANT image
+    (every pixel = seed % 256) — the blank-image plant for contrast
+    filters."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            flats = (
+                pdf["flat"] if "flat" in pdf.columns else [False] * len(pdf)
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "payload": [
-                        _png_bytes(int(w), int(h), seed=int(s), filtered=True)
-                        for w, h, s in zip(pdf["w"], pdf["h"], pdf["seed"])
+                        _png_bytes(
+                            int(w), int(h), seed=int(s), filtered=True,
+                            flat=bool(fl),
+                        )
+                        for w, h, s, fl in zip(
+                            pdf["w"], pdf["h"], pdf["seed"], flats
+                        )
                     ],
                 }
             )
 
     return df.mapInPandas(batches, schema="doc_id long, payload binary")
+
+
+PIXEL_MOMENTS_SCHEMA = (
+    "doc_id long, n_pixels long, sum_px long, sumsq_px long"
+)
+
+
+def png_pixel_moments(df: DataFrame) -> DataFrame:
+    """First and second EXACT integer pixel moments from real decoded
+    PNGs (inflate + unfilter) — the inputs of a brightness/contrast
+    curation gate: mean from sum/n, variance from (n*ss - s^2)/n^2,
+    both computable downstream in exact fixed-point (the magnitudes
+    fit int64 for any image up to ~16M pixels of 8-bit depth).
+    Malformed payloads yield NULL fields."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, px = _png_decode_gray(bytes(payload))
+                    s = sum(px)
+                    ss = sum(v * v for v in px)
+                    rows.append((doc_id, w * h, s, ss))
+                except Exception:  # noqa: BLE001 — malformed object
+                    rows.append((doc_id, None, None, None))
+            out = pd.DataFrame(
+                rows, columns=["doc_id", "n_pixels", "sum_px", "sumsq_px"]
+            )
+            for c in ("n_pixels", "sum_px", "sumsq_px"):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return df.mapInPandas(batches, schema=PIXEL_MOMENTS_SCHEMA)
 
 
 DHASH_SCHEMA = "doc_id long, width int, height int, dhash_hi long, dhash_lo long"

@@ -3803,6 +3803,190 @@ def mm_dhash_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# blank/low-contrast image filter over real decoded pixels
+# ---------------------------------------------------------------------------
+
+_IQF_MAX_ID = 120
+_IQF_FLAT_MOD = 9          # every 9th image is a planted blank (flat) image
+_IQF_VAR_TH = 1_000_000    # keep if variance >= 100.0 (fixed-point 1e-4)
+_IQF_MEAN_LO = 200_000     # keep if 20.0 <= mean <= 235.0
+_IQF_MEAN_HI = 2_350_000
+
+_IMAGE_QUALITY_SQL = f"""
+WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id < {_IQF_MAX_ID}
+), dims AS (
+  SELECT doc_id, 16 + doc_id % 48 AS w, 16 + (doc_id * 7) % 48 AS h,
+         doc_id % {_IQF_FLAT_MOD} = 0 AS flat
+  FROM ids
+), mom AS (
+  SELECT doc_id, w * h AS n,
+         CASE WHEN flat THEN (doc_id % 256) * w * h
+              ELSE CAST(list_sum(flatten(list_transform(
+                     generate_series(0, h - 1),
+                     y -> list_transform(generate_series(0, w - 1),
+                       x -> (x * 7 + y * 13 + doc_id) % 256)))) AS BIGINT)
+         END AS s,
+         CASE WHEN flat THEN (doc_id % 256) * (doc_id % 256) * w * h
+              ELSE CAST(list_sum(flatten(list_transform(
+                     generate_series(0, h - 1),
+                     y -> list_transform(generate_series(0, w - 1),
+                       x -> ((x * 7 + y * 13 + doc_id) % 256)
+                            * ((x * 7 + y * 13 + doc_id) % 256))))) AS BIGINT)
+         END AS ss
+  FROM dims
+), feat AS (
+  SELECT doc_id,
+         CAST((s * 10000) // n AS BIGINT) AS mean_e4,
+         CAST(((ss * n - s * s) * 10000) // (n * n) AS BIGINT) AS var_e4
+  FROM mom
+)
+SELECT doc_id, mean_e4, var_e4,
+       var_e4 >= {_IQF_VAR_TH}
+       AND mean_e4 BETWEEN {_IQF_MEAN_LO} AND {_IQF_MEAN_HI} AS keep
+FROM feat
+"""
+
+
+@register("mm_image_quality_filter", oracle=_IMAGE_QUALITY_SQL)
+def mm_image_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blank / low-contrast image gate over REAL decoded pixels — the
+    standard multimodal curation filter that drops solid-color
+    placeholders, tracking pixels and over/under-exposed shots before
+    captioning or embedding. Every 9th fixture image is a planted
+    BLANK (constant luminance — a valid, filter-encoded PNG whose
+    variance is exactly zero); the operator decodes (inflate +
+    unfilter), takes exact integer first/second moments
+    (operators/multimodal.py::png_pixel_moments) and gates on
+    fixed-point mean/variance computed with pure integer arithmetic:
+    mean_e4 = s*1e4 // n, var_e4 = (n*ss - s^2)*1e4 // n^2 — no float
+    division anywhere, so the oracle reproduces the decision bitwise
+    from the pixel formula. Planted blanks must all be dropped; the
+    textured images (mod-gradient luminance, variance ~5461) must all
+    survive.
+
+    Scale shape: a 1:1 Arrow-batched map (decode + two integer sums)
+    followed by a pure column-expression gate — zero shuffles; at
+    corpus scale this is a map-side admission filter ahead of the
+    expensive embedding stages (the curation-funnel ordering: cheap
+    gates first)."""
+    ids = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _IQF_MAX_ID)
+        .select("doc_id")
+    )
+    spec = ids.select(
+        "doc_id",
+        (16 + F.col("doc_id") % 48).alias("w"),
+        (16 + (F.col("doc_id") * 7) % 48).alias("h"),
+        F.col("doc_id").alias("seed"),
+        (F.col("doc_id") % _IQF_FLAT_MOD == 0).alias("flat"),
+    )
+    mom = MM.png_pixel_moments(MM.synthesize_png_spec(spec))
+    feat = mom.select(
+        "doc_id",
+        F.expr("CAST((sum_px * 10000) DIV n_pixels AS BIGINT)").alias(
+            "mean_e4"
+        ),
+        F.expr(
+            "CAST(((sumsq_px * n_pixels - sum_px * sum_px) * 10000)"
+            " DIV (n_pixels * n_pixels) AS BIGINT)"
+        ).alias("var_e4"),
+    )
+    return feat.select(
+        "doc_id",
+        "mean_e4",
+        "var_e4",
+        (
+            (F.col("var_e4") >= _IQF_VAR_TH)
+            & F.col("mean_e4").between(_IQF_MEAN_LO, _IQF_MEAN_HI)
+        ).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# voice-activity segments over real PCM (windowed RMS -> gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+_VAD_MAX_ID = 200
+_VAD_SAMPLES = 256   # samples per fixture WAV (16 windows of 16)
+_VAD_WIN = 16
+_VAD_TH = 5_900_000  # rms_e4 activity threshold (~591.0 RMS)
+
+_VAD_SEGMENTS_SQL = f"""
+WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id < {_VAD_MAX_ID}
+), s AS (
+  SELECT doc_id, i, ((doc_id * 31 + i * 17) % 2048) - 1024 AS v
+  FROM ids, unnest(range(0, {_VAD_SAMPLES})) t(i)
+), w AS (
+  SELECT doc_id, CAST(i // {_VAD_WIN} AS INT) AS win_idx, sum(v * v) AS sumsq
+  FROM s GROUP BY doc_id, i // {_VAD_WIN}
+), r AS (
+  SELECT doc_id, win_idx, sumsq,
+         CAST(round(sqrt(sumsq / {_VAD_WIN}.0) * 10000) AS BIGINT) AS rms_e4
+  FROM w
+), a AS (
+  SELECT doc_id, win_idx, sumsq,
+         win_idx - row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY win_idx) AS grp
+  FROM r WHERE rms_e4 > {_VAD_TH}
+)
+SELECT doc_id, CAST(min(win_idx) AS INT) AS start_win,
+       CAST(max(win_idx) AS INT) AS end_win,
+       CAST(count(*) AS BIGINT) AS n_win,
+       CAST(sum(sumsq) AS BIGINT) AS energy
+FROM a GROUP BY doc_id, grp
+"""
+
+
+@register("mm_audio_vad_segments", oracle=_VAD_SEGMENTS_SQL)
+def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation over REAL PCM bytes — the
+    silence-trim step of an audio training pipeline: decode int16
+    samples from the RIFF container (mm_audio_rms's real DSP path,
+    here over 256-sample fixtures = 16 windows), compute per-window
+    RMS energy, then merge CONSECUTIVE above-threshold windows into
+    activity segments with the gaps-and-islands idiom (win_idx minus
+    its per-doc row_number is constant within a run). Emitted per
+    segment: (doc_id, start_win, end_win, n_win, energy) — energy is
+    the exact integer sum of squares, RMS the fixed-point 1e-4 value
+    the mm_audio_rms gate already proves bitwise cross-engine.
+
+    Scale shape: decode + window RMS is a 1:1 Arrow-batched map; the
+    islands window partitions by doc_id and sees only each recording's
+    (duration / window) rows — one exchange keyed on the recording,
+    no global window, no skew (every doc contributes the same 16
+    windows here; real recordings bound the partition by clip length).
+    The segment fold is the same doc-keyed aggregation."""
+    from pyspark.sql import Window as W
+
+    ids = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _VAD_MAX_ID)
+        .select("doc_id")
+    )
+    wavs = MM.synthesize_pcm(ids, "doc_id", n_samples=_VAD_SAMPLES)
+    rms = MM.audio_window_rms(wavs, window=_VAD_WIN)
+    above = rms.filter(F.col("rms_e4") > _VAD_TH)
+    grp = (
+        F.col("win_idx")
+        - F.row_number().over(W.partitionBy("doc_id").orderBy("win_idx"))
+    ).alias("grp")
+    return (
+        above.select("doc_id", "win_idx", "sumsq", grp)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("win_idx").cast("int").alias("start_win"),
+            F.max("win_idx").cast("int").alias("end_win"),
+            F.count("*").alias("n_win"),
+            F.sum("sumsq").alias("energy"),
+        )
+        .drop("grp")
+    )
+
+
+# ---------------------------------------------------------------------------
 # grouped-map EWMA (Arrow applyInPandas, exact dyadic weights)
 # ---------------------------------------------------------------------------
 

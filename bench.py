@@ -175,6 +175,8 @@ R12_ADDITIONS = [
     "mm_decode_png",          # zlib inflate + 5-filter unfilter, Arrow map
     "pipeline_dedup_policy",  # canonical -> exact -> LSH -> soft weights
     "mm_dhash_real",          # real-pixel dHash + brightness-twin hamming
+    "mm_image_quality_filter",  # blank/contrast gate on real pixel moments
+    "mm_audio_vad_segments",  # real-PCM RMS -> gaps-and-islands segments
 ]
 
 HEADLINE = (R2_HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R4B_ADDITIONS

@@ -190,7 +190,8 @@ SECTIONS = [
     ("Round-11 additions (FIM transform, canonical dedup)", [
         "text_fim_transform", "dedup_canonical_text"]),
     ("Round-12 additions (real PNG decode, dedup-policy composite)", [
-        "mm_decode_png", "pipeline_dedup_policy", "mm_dhash_real"]),
+        "mm_decode_png", "pipeline_dedup_policy", "mm_dhash_real",
+        "mm_image_quality_filter", "mm_audio_vad_segments"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

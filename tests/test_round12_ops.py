@@ -157,6 +157,71 @@ def test_png_dhash_nulls_on_bad_payload(spark):
     assert rows[2]["dhash_hi"] is None
 
 
+def test_image_quality_filter_drops_exactly_the_blanks(spark, sf_dir):
+    """Every planted flat image (doc_id % 9 == 0: constant luminance,
+    variance exactly 0) is dropped; every textured image survives."""
+    from airbnb_listings_reviews_data_engineering_spark.plans import (
+        all_queries,
+    )
+
+    rows = all_queries()["mm_image_quality_filter"].fn(spark, sf_dir).collect()
+    assert len(rows) == 120
+    dropped = {r["doc_id"] for r in rows if not r["keep"]}
+    assert dropped == {i for i in range(120) if i % 9 == 0}
+    for r in rows:
+        if r["doc_id"] % 9 == 0:
+            assert r["var_e4"] == 0
+            assert r["mean_e4"] == (r["doc_id"] % 256) * 10000
+        else:
+            assert r["var_e4"] >= 1_000_000  # textured: variance ~5461
+
+
+def test_vad_segments_are_maximal_runs(spark, sf_dir):
+    """Segments must be disjoint maximal runs of above-threshold
+    windows: within a doc, sorted segments never touch or overlap, and
+    re-deriving the runs from the raw window RMS reproduces them."""
+    from airbnb_listings_reviews_data_engineering_spark.operators import (
+        multimodal as MM,
+    )
+    from airbnb_listings_reviews_data_engineering_spark.plans import (
+        all_queries,
+    )
+    from airbnb_listings_reviews_data_engineering_spark.plans.registry import (
+        load,
+    )
+
+    segs = all_queries()["mm_audio_vad_segments"].fn(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in segs:
+        assert r["start_win"] <= r["end_win"]
+        assert r["n_win"] == r["end_win"] - r["start_win"] + 1
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["start_win"], r["end_win"])
+        )
+    for doc, spans in by_doc.items():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 + 1 < s2, (doc, spans)  # maximal: a gap separates runs
+    # ground truth from the raw windows (one sample doc)
+    ids = (
+        load(spark, sf_dir, "documents")
+        .filter("doc_id = 7")
+        .select("doc_id")
+    )
+    rms = MM.audio_window_rms(
+        MM.synthesize_pcm(ids, "doc_id", n_samples=256), window=16
+    ).collect()
+    above = sorted(r["win_idx"] for r in rms if r["rms_e4"] > 5_900_000)
+    runs, cur = [], None
+    for wi in above:
+        if cur and wi == cur[1] + 1:
+            cur[1] = wi
+        else:
+            cur = [wi, wi]
+            runs.append(cur)
+    assert [(a, b) for a, b in runs] == sorted(by_doc.get(7, []))
+
+
 # --- FIM rate gate -----------------------------------------------------------
 
 
