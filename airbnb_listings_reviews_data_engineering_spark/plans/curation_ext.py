@@ -3091,3 +3091,284 @@ def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# AdaBoost over histogram decision stumps (distributed boosting)
+# ---------------------------------------------------------------------------
+
+_ADA_ROUNDS = 3
+_ADA_WSCALE = 1_000_000  # weights quantized to int64 micro-units: integer
+#                          sums are order-independent, so the weighted
+#                          errors both engines argmin over are BITWISE
+#                          equal (the ml_logreg_gd fixed-point discipline)
+
+
+def _ada_round_sql(t: int) -> str:
+    return f"""
+w{t} AS MATERIALIZED (
+  SELECT y, price_bin, month_bin, score,
+         CAST(floor(exp(-y * score) * {_ADA_WSCALE}) AS BIGINT) AS w
+  FROM scored{t - 1}
+),
+hist{t} AS (
+  SELECT feature, bin, CAST(sum(w) AS BIGINT) AS tw,
+         CAST(sum(CASE WHEN y = 1 THEN w ELSE 0 END) AS BIGINT) AS pw
+  FROM (SELECT 'price' AS feature, price_bin AS bin, w, y FROM w{t}
+        UNION ALL
+        SELECT 'month', month_bin, w, y FROM w{t})
+  GROUP BY feature, bin
+),
+cum{t} AS (
+  SELECT feature, bin,
+         CAST(sum(tw) OVER cw AS BIGINT) AS cw,
+         CAST(sum(pw) OVER cw AS BIGINT) AS cpw,
+         CAST(sum(tw) OVER (PARTITION BY feature) AS BIGINT) AS twt,
+         CAST(sum(pw) OVER (PARTITION BY feature) AS BIGINT) AS pwt
+  FROM hist{t}
+  WINDOW cw AS (PARTITION BY feature ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cand{t} AS (
+  SELECT feature, bin, twt,
+         CASE WHEN errp <= twt - errp THEN errp ELSE twt - errp END AS err,
+         CASE WHEN errp <= twt - errp THEN 1 ELSE -1 END AS pol
+  FROM (SELECT feature, bin, twt,
+               cpw + (twt - cw) - (pwt - cpw) AS errp
+        FROM cum{t} WHERE cw < twt)
+),
+win{t} AS MATERIALIZED (
+  SELECT feature, bin, pol, err, twt,
+         round(0.5 * ln((twt - err) / CAST(greatest(err, 1) AS DOUBLE)), 6)
+           AS alpha
+  FROM (SELECT *, row_number() OVER (ORDER BY err, feature, bin) AS rn
+        FROM cand{t})
+  WHERE rn = 1
+),
+scored{t} AS MATERIALIZED (
+  SELECT s.y, s.price_bin, s.month_bin,
+         s.score + v.alpha
+           * (CASE WHEN (CASE WHEN v.feature = 'price' THEN s.price_bin
+                              ELSE s.month_bin END) > v.bin
+                   THEN v.pol ELSE -v.pol END) AS score
+  FROM scored{t - 1} s, win{t} v
+)"""
+
+
+def _adaboost_sql() -> str:
+    rounds = ",".join(_ada_round_sql(t).strip() for t in range(1, _ADA_ROUNDS + 1))
+    wins = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS INT) AS round_id, feature,"
+        f" CAST(bin AS INT) AS split_bin, CAST(pol AS INT) AS polarity,"
+        f" round(err / CAST(twt AS DOUBLE), 6) AS err_rate, alpha"
+        f" FROM win{t}"
+        for t in range(1, _ADA_ROUNDS + 1)
+    )
+    return f"""
+WITH scored0 AS MATERIALIZED (
+  SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE -1 END AS y,
+         CAST(least(floor(o_totalprice / {_STUMP_W}), {_STUMP_BINS - 1}) AS INT)
+           AS price_bin,
+         CAST(month(o_orderdate) - 1 AS INT) AS month_bin,
+         CAST(0.0 AS DOUBLE) AS score
+  FROM orders
+),
+{rounds},
+ens AS (
+  SELECT count(*) AS n,
+         CAST(sum(CASE WHEN (CASE WHEN score > 0 THEN 1 ELSE -1 END) <> y
+                       THEN 1 ELSE 0 END) AS BIGINT) AS nerr
+  FROM scored{_ADA_ROUNDS}
+)
+{wins}
+UNION ALL
+SELECT CAST(99 AS INT), 'ensemble', CAST(-1 AS INT), CAST(0 AS INT),
+       round(nerr / CAST(n AS DOUBLE), 6), CAST(0.0 AS DOUBLE)
+FROM ens
+"""
+
+
+@register("ml_adaboost_stumps", oracle=_adaboost_sql())
+def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete AdaBoost (Freund & Schapire 1997) over histogram
+    decision stumps — the boosting loop every distributed GBDT
+    descends from, run entirely as Spark aggregations. Each of the
+    {rounds} rounds: (1) per-row weights w_i = exp(-y_i * F(x_i)),
+    QUANTIZED to int64 micro-units so the weighted-error sums are
+    order-independent and bitwise cross-engine (the ml_logreg_gd
+    fixed-point discipline); (2) one weighted histogram per feature
+    (<= 64 bins each — the ONLY corpus-sized shuffle of the round, with
+    map-side combine); (3) best (feature, threshold, polarity) by
+    cumulative-window scan over the TINY histogram; (4) alpha =
+    0.5*ln((1-eps)/eps) rounded to 6 dp, and the 1-ROW winner folds
+    back onto the corpus as a broadcast to update the additive score
+    F(x) — never a collect. Emits one row per round (chosen stump,
+    weighted error rate, alpha — the error rate must stay < 0.5 and
+    the round-2+ stumps must differ from round 1, else boosting
+    degenerated) plus the final ensemble's training error row
+    (round_id 99). Split-search cost is independent of row count, the
+    boosting state is one double per row — the exact shape that holds
+    at 100 TB."""
+    base = pin(
+        load(spark, sf_dir, "orders").select(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(-1).alias("y"),
+            F.least(
+                F.floor(F.col("o_totalprice") / _STUMP_W),
+                F.lit(_STUMP_BINS - 1),
+            )
+            .cast("int")
+            .alias("price_bin"),
+            (F.month("o_orderdate") - 1).cast("int").alias("month_bin"),
+            F.lit(0.0).alias("score"),
+        ),
+        label="ada_base",
+    )
+    scored = base
+    out_rows = []
+    for t in range(1, _ADA_ROUNDS + 1):
+        w = pin(
+            scored.withColumn(
+                "w",
+                F.floor(F.exp(-F.col("y") * F.col("score")) * _ADA_WSCALE).cast(
+                    "bigint"
+                ),
+            ),
+            label=f"ada_w{t}",
+        )
+        hist = (
+            w.groupBy("price_bin")
+            .agg(
+                F.sum("w").alias("tw"),
+                F.sum(F.when(F.col("y") == 1, F.col("w")).otherwise(0)).alias(
+                    "pw"
+                ),
+            )
+            .select(
+                F.lit("price").alias("feature"),
+                F.col("price_bin").alias("bin"),
+                "tw",
+                "pw",
+            )
+            .unionByName(
+                w.groupBy("month_bin")
+                .agg(
+                    F.sum("w").alias("tw"),
+                    F.sum(
+                        F.when(F.col("y") == 1, F.col("w")).otherwise(0)
+                    ).alias("pw"),
+                )
+                .select(
+                    F.lit("month").alias("feature"),
+                    F.col("month_bin").alias("bin"),
+                    "tw",
+                    "pw",
+                )
+            )
+        )
+        wcum = (
+            W.partitionBy("feature")
+            .orderBy("bin")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        wall = W.partitionBy("feature")
+        cum = hist.select(
+            "feature",
+            "bin",
+            F.sum("tw").over(wcum).alias("cw"),
+            F.sum("pw").over(wcum).alias("cpw"),
+            F.sum("tw").over(wall).alias("twt"),
+            F.sum("pw").over(wall).alias("pwt"),
+        )
+        errp = F.col("cpw") + (F.col("twt") - F.col("cw")) - (
+            F.col("pwt") - F.col("cpw")
+        )
+        cand = cum.filter(F.col("cw") < F.col("twt")).select(
+            "feature",
+            "bin",
+            "twt",
+            errp.alias("errp"),
+        ).select(
+            "feature",
+            "bin",
+            "twt",
+            F.when(
+                F.col("errp") <= F.col("twt") - F.col("errp"), F.col("errp")
+            )
+            .otherwise(F.col("twt") - F.col("errp"))
+            .alias("err"),
+            F.when(F.col("errp") <= F.col("twt") - F.col("errp"), 1)
+            .otherwise(-1)
+            .alias("pol"),
+        )
+        # global argmin over <= 76 histogram rows: sort-limit(1) compiles
+        # to TakeOrderedAndProject (per-partition heaps), no full sort
+        win = pin(
+            cand.orderBy("err", "feature", "bin")
+            .limit(1)
+            .withColumn(
+                "alpha",
+                F.round(
+                    0.5
+                    * F.log(
+                        (F.col("twt") - F.col("err"))
+                        / F.greatest(F.col("err"), F.lit(1)).cast("double")
+                    ),
+                    6,
+                ),
+            ),
+            label=f"ada_win{t}",
+        )
+        out_rows.append(
+            win.select(
+                F.lit(t).cast("int").alias("round_id"),
+                "feature",
+                F.col("bin").cast("int").alias("split_bin"),
+                F.col("pol").cast("int").alias("polarity"),
+                F.round(
+                    F.col("err") / F.col("twt").cast("double"), 6
+                ).alias("err_rate"),
+                "alpha",
+            )
+        )
+        v = win.select(
+            F.col("feature").alias("v_feature"),
+            F.col("bin").alias("v_bin"),
+            F.col("pol").alias("v_pol"),
+            F.col("alpha").alias("v_alpha"),
+        )
+        h = F.when(
+            F.when(F.col("v_feature") == "price", F.col("price_bin"))
+            .otherwise(F.col("month_bin"))
+            > F.col("v_bin"),
+            F.col("v_pol"),
+        ).otherwise(-F.col("v_pol"))
+        scored = w.crossJoin(F.broadcast(v)).select(
+            "y",
+            "price_bin",
+            "month_bin",
+            (F.col("score") + F.col("v_alpha") * h).alias("score"),
+        )
+    ens = scored.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(
+                F.when(F.col("score") > 0, 1).otherwise(-1) != F.col("y"), 1
+            ).otherwise(0)
+        ).alias("nerr"),
+    ).select(
+        F.lit(99).cast("int").alias("round_id"),
+        F.lit("ensemble").alias("feature"),
+        F.lit(-1).cast("int").alias("split_bin"),
+        F.lit(0).cast("int").alias("polarity"),
+        F.round(F.col("nerr") / F.col("n").cast("double"), 6).alias(
+            "err_rate"
+        ),
+        F.lit(0.0).alias("alpha"),
+    )
+    out = out_rows[0]
+    for r in out_rows[1:]:
+        out = out.unionByName(r)
+    return out.unionByName(ens)
+
+
+ml_adaboost_stumps.__doc__ = ml_adaboost_stumps.__doc__.format(rounds=_ADA_ROUNDS)

@@ -3204,6 +3204,133 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- hard-mined contrastive triplets ------------------------------------------
+
+_TRIPLET_N_ANCHORS = 64
+
+_TRIPLETS_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(generate_series(1, 8),
+                        d -> CAST(embedding[d] AS DOUBLE)) AS v
+  FROM embeddings
+),
+a AS (SELECT vec_id AS anchor_id, label AS a_label, v AS a_v
+      FROM e WHERE vec_id < {_TRIPLET_N_ANCHORS}),
+scored AS (
+  SELECT a.anchor_id, a.a_label, e.vec_id AS cand_id,
+         CASE WHEN e.label = a.a_label THEN 1 ELSE 0 END AS same,
+         round(
+           list_sum(list_transform(generate_series(1, 8), d -> a.a_v[d] * e.v[d]))
+           / (sqrt(list_sum(list_transform(generate_series(1, 8), d -> a.a_v[d] * a.a_v[d])))
+              * sqrt(list_sum(list_transform(generate_series(1, 8), d -> e.v[d] * e.v[d])))),
+           4) AS cos_r
+  FROM a CROSS JOIN e
+  WHERE e.vec_id <> a.anchor_id
+),
+best AS (
+  SELECT anchor_id, same, cand_id, cos_r,
+         row_number() OVER (PARTITION BY anchor_id, same
+                            ORDER BY cos_r DESC, cand_id) AS rn
+  FROM scored
+)
+SELECT p.anchor_id, p.cand_id AS pos_id, n.cand_id AS neg_id,
+       p.cos_r AS cos_pos, n.cos_r AS cos_neg,
+       round(p.cos_r - n.cos_r, 4) AS margin
+FROM best p JOIN best n ON p.anchor_id = n.anchor_id
+WHERE p.same = 1 AND p.rn = 1 AND n.same = 0 AND n.rn = 1
+"""
+
+
+@register("sample_contrastive_triplets", oracle=_TRIPLETS_SQL)
+def sample_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-mined contrastive TRIPLETS for embedding training (the
+    triplet-loss miner of SimCLR/SBERT-style pipelines, semi-hard
+    mining of Schroff et al. 2015 FaceNet): for each anchor, the
+    hardest POSITIVE (same label, highest cosine — the in-class
+    example the model must pull even closer) and the hardest NEGATIVE
+    (different label, highest cosine — the impostor it must push
+    away), plus the triplet margin cos_pos - cos_neg that a curriculum
+    miner thresholds on (margin <= 0 triplets are the active ones).
+
+    Scale shape: the anchor batch ({_TRIPLET_N_ANCHORS} rows here) is
+    the BROADCAST side of one candidate join against the partitioned
+    corpus — candidates stream past each executor once, no corpus
+    self-join. The per-(anchor, class-side) argmax is a window over
+    the candidate rows keyed by anchor — at 100 TB the candidate set
+    comes from the IVF cell blocking (`sim_ivf_join`) instead of the
+    full corpus, same downstream plan; ties on the 4-dp-rounded cosine
+    break by candidate id, so mining is rerun-deterministic (unlike
+    RNG semi-hard sampling). Anchors with no same-label or no
+    cross-label candidate drop out via the pivot inner join on both
+    engines."""
+    from pyspark.sql import Window as W
+
+    from ..functions.arrays import as_double_array, cosine
+
+    # one decoded projection feeds both the anchor slice and the
+    # candidate stream (unpinned: 2 embeddings scans)
+    e = pin(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            "label",
+            F.slice(as_double_array("embedding"), 1, 8).alias("v"),
+        ),
+        label="triplet_base",
+    )
+    anchors = e.filter(F.col("vec_id") < _TRIPLET_N_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("v").alias("a_v"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("cand_id"),
+            F.when(F.col("label") == F.col("a_label"), 1)
+            .otherwise(0)
+            .alias("same"),
+            F.round(cosine(F.col("a_v"), F.col("v")), 4).alias("cos_r"),
+        )
+    )
+    w = W.partitionBy("anchor_id", "same").orderBy(
+        F.col("cos_r").desc(), F.col("cand_id")
+    )
+    # pinned: the pos and neg pivot branches both read the per-(anchor,
+    # side) winners — unpinned, the candidate join + window ran twice
+    best = pin(
+        scored.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        ),
+        label="triplet_best",
+    )
+    pos = best.filter(F.col("same") == 1).select(
+        "anchor_id",
+        F.col("cand_id").alias("pos_id"),
+        F.col("cos_r").alias("cos_pos"),
+    )
+    neg = best.filter(F.col("same") == 0).select(
+        "anchor_id",
+        F.col("cand_id").alias("neg_id"),
+        F.col("cos_r").alias("cos_neg"),
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "pos_id",
+        "neg_id",
+        "cos_pos",
+        "cos_neg",
+        F.round(F.col("cos_pos") - F.col("cos_neg"), 4).alias("margin"),
+    )
+
+
+sample_contrastive_triplets.__doc__ = sample_contrastive_triplets.__doc__.format(
+    _TRIPLET_N_ANCHORS=_TRIPLET_N_ANCHORS
+)
+
+
 # ---------------------------------------------------------------------------
 # cross-document boilerplate line removal (C4/CCNet-style)
 # ---------------------------------------------------------------------------

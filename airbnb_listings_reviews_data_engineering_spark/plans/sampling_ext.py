@@ -1570,3 +1570,208 @@ def pack_bin_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lens.groupBy("grp").applyInPandas(
         ffd, "grp bigint, doc_id bigint, n_tok bigint, bin_idx int"
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end training-data order: mixture -> shuffle -> pack -> manifest
+# ---------------------------------------------------------------------------
+
+_TMIX_BUDGET_X = 2     # total emitted budget = 2x corpus tokens
+_TMIX_SEQ_LEN = 2048   # packed training-sequence token budget
+_H_TMIX = hash60_duckdb_sql(
+    "'tmix:' || CAST(doc_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)"
+)
+_H_TMIX_GATE = hash60_duckdb_sql("CAST(doc_id AS VARCHAR) || '|tmix'")
+
+_TMIX_SQL = f"""
+WITH t AS (
+  SELECT doc_id, substr(source, 4, 1) AS domain,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+), dom AS (
+  SELECT domain, CAST(sum(n_tok) AS BIGINT) AS dom_tokens FROM t GROUP BY domain
+), tot AS (
+  SELECT CAST(sum(dom_tokens) AS BIGINT) AS corpus_tokens,
+         count(*) AS n_domains
+  FROM dom
+), f AS (
+  SELECT d.domain,
+         ({_TMIX_BUDGET_X} * tot.corpus_tokens
+            / CAST(tot.n_domains AS DOUBLE)) / d.dom_tokens AS factor
+  FROM dom d CROSS JOIN tot
+), reps AS (
+  SELECT t.doc_id, t.domain, t.n_tok,
+         CAST(floor(f.factor) AS BIGINT)
+           + CASE WHEN ({_H_TMIX_GATE} % 1000000) / 1000000.0
+                       < f.factor - floor(f.factor)
+                  THEN 1 ELSE 0 END AS n_rep
+  FROM t JOIN f ON t.domain = f.domain
+), inst AS (
+  SELECT doc_id, domain, n_tok,
+         unnest(generate_series(1, CAST(n_rep AS INT))) AS rep
+  FROM reps
+), keyed AS (
+  SELECT doc_id, domain, n_tok, rep, {_H_TMIX} AS hk FROM inst
+), packed AS (
+  SELECT doc_id, domain, n_tok,
+         CAST(floor((sum(n_tok) OVER (ORDER BY hk, doc_id, rep
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+              / {_TMIX_SEQ_LEN}) AS BIGINT) AS seq_id
+  FROM keyed
+)
+SELECT seq_id, count(*) AS n_items,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(count(DISTINCT domain) AS BIGINT) AS n_domains
+FROM packed GROUP BY seq_id
+"""
+
+
+@register("pipeline_training_mixture", oracle=_TMIX_SQL)
+def pipeline_training_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data-order composite — the chain a
+    pretraining loader actually runs between "curated corpus" and
+    "sequences on GPUs", as ONE plan: (1) mixture materialization —
+    every domain gets an equal share of a {budget}x-corpus token
+    budget, turned into per-document repeat counts (floor(factor) +
+    one more behind the md5 gate with probability frac(factor), the
+    sample_mixture_epochs mechanism — expected emitted tokens hit the
+    target exactly, zero RNG state); (2) instance explosion — each
+    document emits n_rep (doc, rep) instances via a guarded
+    sequence(1, n_rep) (empty when a domain is downsampled to 0
+    repeats); (3) deterministic global shuffle — instances order by
+    hash60('tmix:'||doc||':'||rep), so the two epochs of one document
+    land at independent positions and every rerun/retry reproduces the
+    identical order; (4) sequence packing — running token sum in
+    shuffle order cut into {seqlen}-token sequences; (5) the shard
+    manifest the loader consumes: per sequence, its item/distinct-doc
+    counts, token total, and domain diversity.
+
+    The oracle states steps 3-4 as one global window; THIS plan runs
+    the prefix-sum decomposition (the shuffle_deterministic /
+    pack_token_shards idiom): repartitionByRange on the shuffle key
+    splits the global order across range partitions, each partition
+    cumsums locally (Arrow-batched, order-preserving, narrow), and
+    global position = local cumsum + broadcast prefix totals. Wide ops:
+    the domain aggregate (tiny), the factor broadcast join, ONE range
+    shuffle, and the final per-sequence aggregation — the whole
+    training-order materialization costs one corpus shuffle at any
+    scale."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("source", 4, 1).alias("domain"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    # pinned: the domain aggregate and the instance stream both read it
+    docs = pin(docs, label="tmix_docs")
+    dom = pin(
+        docs.groupBy("domain").agg(F.sum("n_tok").alias("dom_tokens")),
+        label="tmix_dom",
+    )
+    tot = dom.agg(
+        F.sum("dom_tokens").alias("corpus_tokens"),
+        F.count("*").alias("n_domains"),
+    )
+    f = dom.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        (
+            (
+                _TMIX_BUDGET_X
+                * F.col("corpus_tokens")
+                / F.col("n_domains").cast("double")
+            )
+            / F.col("dom_tokens")
+        ).alias("factor"),
+    )
+    gate = (
+        F.pmod(
+            hash60(F.concat(F.col("doc_id").cast("string"), F.lit("|tmix"))),
+            F.lit(1000000),
+        )
+        / 1000000.0
+    )
+    reps = docs.join(F.broadcast(f), "domain").select(
+        "doc_id",
+        "domain",
+        "n_tok",
+        (
+            F.floor("factor").cast("bigint")
+            + F.when(gate < F.col("factor") - F.floor("factor"), 1).otherwise(0)
+        ).alias("n_rep"),
+    )
+    # guarded explode: sequence(1, 0) would be DESCENDING [1, 0] in Spark
+    # (the gram_positions pitfall); DuckDB generate_series yields empty
+    seq = F.when(
+        F.col("n_rep") >= 1, F.sequence(F.lit(1), F.col("n_rep").cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    inst = reps.select(
+        "doc_id", "domain", "n_tok", F.explode(seq).alias("rep")
+    )
+    keyed = inst.withColumn(
+        "hk",
+        hash60(
+            F.concat(
+                F.lit("tmix:"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("rep").cast("string"),
+            )
+        ),
+    )
+    n_parts = 8
+    d = pin(
+        keyed.repartitionByRange(n_parts, "hk", "doc_id", "rep")
+        .sortWithinPartitions("hk", "doc_id", "rep")
+        .withColumn("pid", F.spark_partition_id()),
+        label="tmix_ranged",
+    )
+
+    def cumsum_local(batches):
+        seen = 0
+        for pdf in batches:
+            cum = pdf["n_tok"].cumsum() + seen
+            out = pd.DataFrame(
+                {
+                    "pid": pdf["pid"],
+                    "doc_id": pdf["doc_id"],
+                    "domain": pdf["domain"],
+                    "n_tok": pdf["n_tok"],
+                    "local_cum": cum,
+                }
+            )
+            seen = int(cum.iloc[-1]) if len(cum) else seen
+            yield out
+
+    local = d.mapInPandas(
+        cumsum_local,
+        schema="pid int, doc_id long, domain string, n_tok int, local_cum long",
+    )
+    totals = d.groupBy("pid").agg(F.sum("n_tok").alias("tok"))
+    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "pid", F.coalesce(F.sum("tok").over(w_off), F.lit(0)).alias("offset")
+    )
+    packed = local.join(F.broadcast(offsets), "pid").select(
+        "doc_id",
+        "domain",
+        "n_tok",
+        (
+            (F.col("offset") + F.col("local_cum") - F.col("n_tok"))
+            / _TMIX_SEQ_LEN
+        )
+        .cast("bigint")
+        .alias("seq_id"),
+    )
+    return packed.groupBy("seq_id").agg(
+        F.count("*").alias("n_items"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+        F.countDistinct("domain").alias("n_domains"),
+    )
+
+
+pipeline_training_mixture.__doc__ = pipeline_training_mixture.__doc__.format(
+    budget=_TMIX_BUDGET_X, seqlen=_TMIX_SEQ_LEN
+)

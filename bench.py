@@ -179,10 +179,20 @@ R12_ADDITIONS = [
     "mm_audio_vad_segments",  # real-PCM RMS -> gaps-and-islands segments
 ]
 
+# round-12 second wave: the training-order composite (mixture ->
+# shuffle -> pack -> manifest, the heaviest new shape), hard-mined
+# triplets (broadcast-anchor candidate join), and 3-round boosting
+# (corpus-rescan-per-round lazy chain)
+R12B_ADDITIONS = [
+    "pipeline_training_mixture",   # explode -> range shuffle -> pack
+    "sample_contrastive_triplets", # anchor-broadcast argmax mining
+    "ml_adaboost_stumps",          # 3 weighted-histogram boosting rounds
+]
+
 HEADLINE = (R2_HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R4B_ADDITIONS
             + R4C_ADDITIONS + R4D_ADDITIONS + R5_ADDITIONS + R7_ADDITIONS
             + R8_ADDITIONS + R9_ADDITIONS + R10_ADDITIONS + R11_ADDITIONS
-            + R12_ADDITIONS)
+            + R12_ADDITIONS + R12B_ADDITIONS)
 
 # --- per-key time budget (VERDICT r10 #3) ------------------------------
 # No single headline key may exceed this many NORMALIZED seconds at

@@ -192,6 +192,10 @@ SECTIONS = [
     ("Round-12 additions (real PNG decode, dedup-policy composite)", [
         "mm_decode_png", "pipeline_dedup_policy", "mm_dhash_real",
         "mm_image_quality_filter", "mm_audio_vad_segments"]),
+    ("Round-12 second wave (triplet mining, communities, boosting, "
+     "training order)", [
+        "sample_contrastive_triplets", "graph_label_prop_communities",
+        "ml_adaboost_stumps", "pipeline_training_mixture"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

@@ -118,6 +118,10 @@ NESTED_LOOP_ALLOWED = {
     "agg_association_rules",  # crossJoin against the 1-row basket count
     "ts_survival_km",    # 1-row horizon + 1-row user-count folds
     "path_markov_attribution",  # variants x tiny matrix folds + 1-row base
+    "graph_label_prop_communities",  # crossJoin against the 1-row edge count
+    "ml_adaboost_stumps",  # crossJoins against lazy-chain 1-row stump winners
+    "sample_contrastive_triplets",  # corpus x the broadcast 64-row anchor batch
+    "pipeline_training_mixture",  # crossJoin against the 1-row corpus totals
     "ts_autocorrelation",  # 14-row lag grid x day table + 1-row moments
     "agg_rfm_segmentation",  # 1-row horizon + 3-value median cut folds
     "agg_pareto_coverage",  # 1-row grand-total folds onto the ranked frame
@@ -166,6 +170,7 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "profile_drift_ks",      # argmax over the 256-boundary gap table
     "agg_dp_quantile",       # noisy + exact CDF prefixes over 256 buckets
     "text_unigram_lm_em",    # final rank over the pinned vocab table
+    "pipeline_training_mixture",  # prefix-sum offsets over n_parts rows (8)
 }
 
 
@@ -178,6 +183,15 @@ NESTED_LOOP_STAGE_ALLOWED = {
     # centroid array (operators/clustering.assign_nearest — map-side
     # argmin, no corpus shuffle; the means step is the stage's only
     # exchange)
+    # AdaBoost weight stages: corpus x the pinned 1-ROW stump winner
+    # (the ml_logreg_gd lazy-chain fold, one per boosting round)
+    ("ml_adaboost_stumps", "ada_w2"),
+    ("ml_adaboost_stumps", "ada_w3"),
+    # range-shuffle stage folds the 1-row corpus-totals aggregate into
+    # the mixture factor broadcast join upstream
+    ("pipeline_training_mixture", "tmix_ranged"),
+    # candidate scoring: corpus x the broadcast 64-row anchor batch
+    ("sample_contrastive_triplets", "triplet_best"),
     ("dedup_semdedup", "kmeans_cents"),
     ("dedup_semdedup_multiprobe", "kmeans_cents"),
     ("ml_kmeans", "kmeans_cents"),

@@ -1,0 +1,238 @@
+"""Round-12 second-wave operators.
+
+Covers: hard-mined contrastive triplets (margin semantics, argmax
+determinism), majority-label-prop communities (planted-block recovery,
+positive modularity, NOT the connected-components collapse).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from airbnb_listings_reviews_data_engineering_spark.plans import all_queries
+
+SF001 = "/root/testdata/sf0.01"
+
+
+# --- contrastive triplets ------------------------------------------------------
+
+
+def test_triplets_one_per_anchor_and_margin(spark):
+    q = all_queries()["sample_contrastive_triplets"].fn
+    rows = q(spark, SF001).collect()
+    # one triplet per anchor (every anchor has both a same-label and a
+    # cross-label candidate in the 500-vector corpus)
+    anchors = [r.anchor_id for r in rows]
+    assert len(anchors) == len(set(anchors)) == 64
+    for r in rows:
+        # margin is exactly the rounded difference, and ids are distinct
+        assert r.margin == pytest.approx(round(r.cos_pos - r.cos_neg, 4), abs=1e-9)
+        assert r.pos_id != r.anchor_id and r.neg_id != r.anchor_id
+        assert r.pos_id != r.neg_id
+
+
+def test_triplets_positive_is_same_label_negative_is_not(spark):
+    from pyspark.sql import functions as F
+
+    from airbnb_listings_reviews_data_engineering_spark.plans.registry import load
+
+    q = all_queries()["sample_contrastive_triplets"].fn
+    out = q(spark, SF001)
+    lab = load(spark, SF001, "embeddings").select("vec_id", "label")
+    j = (
+        out.join(lab.withColumnRenamed("vec_id", "anchor_id"), "anchor_id")
+        .withColumnRenamed("label", "a_lab")
+        .join(
+            lab.select(
+                F.col("vec_id").alias("pos_id"), F.col("label").alias("p_lab")
+            ),
+            "pos_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("neg_id"), F.col("label").alias("n_lab")
+            ),
+            "neg_id",
+        )
+    )
+    bad = j.filter(
+        (F.col("a_lab") != F.col("p_lab")) | (F.col("a_lab") == F.col("n_lab"))
+    ).count()
+    assert bad == 0
+
+
+def test_triplets_hardest_negative_is_argmax(spark):
+    """The emitted negative must dominate every other cross-label
+    candidate's cosine for that anchor (verified brute force for 3
+    anchors)."""
+    from pyspark.sql import functions as F
+
+    from airbnb_listings_reviews_data_engineering_spark.functions.arrays import (
+        as_double_array,
+        cosine,
+    )
+    from airbnb_listings_reviews_data_engineering_spark.plans.registry import load
+
+    q = all_queries()["sample_contrastive_triplets"].fn
+    picked = {r.anchor_id: r for r in q(spark, SF001).collect()}
+    e = load(spark, SF001, "embeddings").select(
+        "vec_id", "label", F.slice(as_double_array("embedding"), 1, 8).alias("v")
+    )
+    anchors = {r.vec_id: r for r in e.filter(F.col("vec_id") < 3).collect()}
+    for aid, arow in anchors.items():
+        cands = (
+            e.filter(
+                (F.col("label") != arow.label) & (F.col("vec_id") != aid)
+            )
+            .select(
+                "vec_id",
+                F.round(cosine(F.lit(arow.v).cast("array<double>"), F.col("v")), 4).alias(
+                    "c"
+                ),
+            )
+            .collect()
+        )
+        best = max(cands, key=lambda r: (r.c, -r.vec_id))
+        assert picked[aid].cos_neg == pytest.approx(best.c, abs=1e-9)
+
+
+# --- label-prop communities ----------------------------------------------------
+
+
+def test_labelprop_recovers_planted_blocks(spark):
+    """Every detected community lives inside ONE planted 15-node block
+    (majority updates never let a single cross-block chord flip a
+    node), and total modularity is strongly positive."""
+    q = all_queries()["graph_label_prop_communities"].fn
+    rows = q(spark, SF001).collect()
+    assert len(rows) == 16
+    assert sum(r.n_nodes for r in rows) == 120
+    q_total = sum(r.modularity_part for r in rows)
+    assert q_total > 0.7
+    # communities are block-pure: a community's nodes span one block,
+    # so its seed label's block == every member's block; the label
+    # itself is the min member, and sizes are the 10/5 split of each
+    # 15-block (coarse 5-seeds meeting min-tie flow)
+    sizes = sorted(r.n_nodes for r in rows)
+    assert sizes == [5] * 8 + [10] * 8
+    for r in rows:
+        assert r.community % 5 == 0
+
+
+def test_labelprop_is_not_connected_components(spark):
+    """The planted graph is (nearly) one connected component thanks to
+    the cross-block chords — min-label CC would collapse it into a
+    handful of giant labels. 16 stable communities proves the majority
+    rule actually defended block boundaries."""
+    q = all_queries()["graph_label_prop_communities"].fn
+    rows = q(spark, SF001).collect()
+    comms = {r.community for r in rows}
+    # CC collapse would leave far fewer labels than planted blocks
+    assert len(comms) == 16
+    # internal edges dominate: the partition is denser than chance
+    internal = sum(r.n_internal for r in rows)
+    assert internal > 0
+
+
+# --- AdaBoost stumps -----------------------------------------------------------
+
+
+def test_adaboost_rounds_are_weak_learners(spark):
+    q = all_queries()["ml_adaboost_stumps"].fn
+    rows = {r.round_id: r for r in q(spark, SF001).collect()}
+    assert set(rows) == {1, 2, 3, 99}
+    for t in (1, 2, 3):
+        # every chosen stump must beat chance on the weighted sample
+        assert rows[t].err_rate < 0.5
+        assert rows[t].alpha > 0
+    # reweighting must move the search: round 2 picks a DIFFERENT stump
+    # than round 1 (same stump twice means the weight update is a no-op)
+    assert (rows[1].feature, rows[1].split_bin) != (
+        rows[2].feature,
+        rows[2].split_bin,
+    )
+    # the ensemble is at least as good as the first (best single) stump
+    assert rows[99].err_rate <= rows[1].err_rate + 1e-9
+
+
+def test_adaboost_round1_weights_are_uniform_stump(spark):
+    """Round 1 runs on uniform weights, so its stump must equal the
+    plain unweighted best stump over the same features."""
+    from pyspark.sql import functions as F
+
+    from airbnb_listings_reviews_data_engineering_spark.plans.registry import load
+
+    q = all_queries()["ml_adaboost_stumps"].fn
+    r1 = [r for r in q(spark, SF001).collect() if r.round_id == 1][0]
+    o = load(spark, SF001, "orders").select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(-1).alias("y"),
+        F.least(F.floor(F.col("o_totalprice") / 7812.5), F.lit(63))
+        .cast("int")
+        .alias("price_bin"),
+        (F.month("o_orderdate") - 1).cast("int").alias("month_bin"),
+    ).collect()
+    import itertools
+
+    best = None
+    for feat in ("price", "month"):
+        bins = sorted({getattr(r, f"{feat}_bin") for r in o})
+        for b, pol in itertools.product(bins[:-1], (1, -1)):
+            err = sum(
+                1
+                for r in o
+                if (pol if getattr(r, f"{feat}_bin") > b else -pol) != r.y
+            )
+            key = (err, feat, b, -pol)
+            if best is None or key < best:
+                best = key
+                bestrow = (feat, b, pol, err / len(o))
+    assert (r1.feature, r1.split_bin) == (bestrow[0], bestrow[1])
+    assert r1.err_rate == pytest.approx(bestrow[3], abs=1e-4)
+
+
+# --- training-mixture composite -------------------------------------------------
+
+
+def test_training_mixture_budget_and_packing(spark):
+    """Emitted token total lands within one md5-gate standard deviation
+    of the 2x budget, every non-terminal sequence fills >= 2048 tokens
+    once its boundary doc lands, and domains mix inside sequences."""
+    q = all_queries()["pipeline_training_mixture"].fn
+    rows = sorted(q(spark, SF001).collect(), key=lambda r: r.seq_id)
+    import duckdb
+
+    corpus_tokens = duckdb.sql(
+        "SELECT sum(len(string_split(text, ' '))) FROM "
+        f"read_parquet('{SF001}/documents.parquet')"
+    ).fetchone()[0]
+    emitted = sum(r.sum_tokens for r in rows)
+    assert abs(emitted - 2 * corpus_tokens) < 0.1 * corpus_tokens
+    # seq ids are dense 0..N
+    assert [r.seq_id for r in rows] == list(range(len(rows)))
+    # every sequence except the last spans its full budget: the doc that
+    # closes sequence s STARTS in s, so cumulative tokens through s's
+    # items reach past the boundary
+    for r in rows[:-1]:
+        assert r.sum_tokens >= 1  # non-empty
+    cum = 0
+    for r in rows[:-1]:
+        cum += r.sum_tokens
+        assert cum >= (r.seq_id + 1) * 2048
+    # the shuffle interleaves domains: a multi-item sequence should
+    # usually hold more than one domain
+    multi = [r for r in rows if r.n_items >= 5]
+    assert multi and all(r.n_domains >= 2 for r in multi)
+
+
+def test_training_mixture_repeats_docs(spark):
+    """A 2x token budget forces repeats: total emitted items must
+    exceed distinct docs emitted."""
+    q = all_queries()["pipeline_training_mixture"].fn
+    rows = q(spark, SF001).collect()
+    n_items = sum(r.n_items for r in rows)
+    import duckdb
+
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF001}/documents.parquet')"
+    ).fetchone()[0]
+    assert n_items > n_docs
