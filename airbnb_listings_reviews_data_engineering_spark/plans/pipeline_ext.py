@@ -6967,3 +6967,134 @@ def dedup_canonical_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_canonical_text.__doc__ = dedup_canonical_text.__doc__.format(
     mod=_CANON_VARIANT_MOD
 )
+
+
+# ---------------------------------------------------------------------------
+# semantic chunking: similarity-drop boundaries (RAG segmentation)
+# ---------------------------------------------------------------------------
+
+_SCHUNK_WIN = 12     # pseudo-sentence: fixed 12-token window
+_SCHUNK_TAU = 0.18   # boundary where adjacent-window Jaccard drops below
+#                      (median adjacent similarity on this corpus ~0.19,
+#                      so roughly half the window joints become cuts)
+
+_SCHUNK_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+w AS (
+  SELECT doc_id, CAST((start - 1) // {_SCHUNK_WIN} AS INT) AS w,
+         tok[start:start + {_SCHUNK_WIN - 1}] AS wtok
+  FROM (SELECT doc_id, tok,
+               unnest(range(1, len(tok) + 1, {_SCHUNK_WIN})) AS start
+        FROM t)
+),
+sim AS (
+  SELECT a.doc_id, a.w, len(a.wtok) AS n_tok,
+         round(len(list_intersect(a.wtok, b.wtok))
+           / CAST(len(list_distinct(a.wtok)) + len(list_distinct(b.wtok))
+                  - len(list_intersect(a.wtok, b.wtok)) AS DOUBLE), 4) AS jac
+  FROM w a LEFT JOIN w b ON a.doc_id = b.doc_id AND a.w = b.w + 1
+),
+flagged AS (
+  SELECT doc_id, w, n_tok, jac,
+         CASE WHEN w > 0 AND jac < {_SCHUNK_TAU} THEN 1 ELSE 0 END AS cut
+  FROM sim
+),
+assigned AS (
+  SELECT doc_id, w, n_tok, jac, cut,
+         CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY w
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+           AS chunk_id
+  FROM flagged
+)
+SELECT doc_id, chunk_id,
+       count(*) AS n_windows, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       min(w) AS first_window,
+       min(CASE WHEN cut = 0 AND w > 0 THEN jac END) AS min_internal_jac
+FROM assigned GROUP BY doc_id, chunk_id
+"""
+
+
+@register("text_semantic_chunking", oracle=_SCHUNK_SQL)
+def text_semantic_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC chunking for RAG ingestion (the similarity-drop
+    segmentation popularized by LangChain/LlamaIndex semantic
+    splitters): documents are cut where the lexical cohesion between
+    adjacent {win}-token windows DROPS — a topic shift — instead of at
+    fixed offsets (text_chunk_overlap is the fixed-offset baseline, and
+    this is its content-aware sibling; TextTiling, Hearst 1997, is the
+    classical form). Window-to-previous-window similarity is exact
+    distinct-token Jaccard (integer set sizes -> one rounded division,
+    bitwise cross-engine); a window opens a new chunk when its
+    similarity to the previous window is < {tau}; chunk id is the
+    per-document running count of cuts. Emits per chunk: window/token
+    extents and the weakest INTERNAL joint (min over non-cut
+    similarities — NULL for single-window chunks; min of rounded
+    doubles is combine-order-independent, unlike avg).
+
+    Scale shape: windows are a map-side slice explode (one scan);
+    adjacent-pair similarity is a self-equi-join on (doc_id, w) — at
+    100 TB this can also be a lag() window per doc, but the equi-join
+    form keeps each comparison key-local and never materializes a
+    per-doc sequence in one task; the cut cumsum and the chunk rollup
+    are windows/aggregates PARTITIONED BY doc_id. No corpus-global
+    state anywhere."""
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tok")
+    )
+    starts = F.sequence(F.lit(1), F.size("tok"), F.lit(_SCHUNK_WIN))
+    w = pin(
+        tok.select(
+            "doc_id", F.explode(starts).alias("start"), "tok"
+        ).select(
+            "doc_id",
+            (((F.col("start") - 1) / _SCHUNK_WIN).cast("int")).alias("w"),
+            F.slice("tok", F.col("start"), _SCHUNK_WIN).alias("wtok"),
+        ),
+        label="schunk_windows",
+    )
+    b = w.select(
+        "doc_id",
+        (F.col("w") + 1).alias("w"),
+        F.col("wtok").alias("prev_wtok"),
+    )
+    inter = F.size(F.array_intersect("wtok", "prev_wtok"))
+    union = (
+        F.size(F.array_distinct("wtok"))
+        + F.size(F.array_distinct("prev_wtok"))
+        - inter
+    )
+    sim = w.join(b, ["doc_id", "w"], "left").select(
+        "doc_id",
+        "w",
+        F.size("wtok").alias("n_tok"),
+        F.round(inter / union.cast("double"), 4).alias("jac"),
+    )
+    flagged = sim.withColumn(
+        "cut",
+        F.when(
+            (F.col("w") > 0) & (F.col("jac") < _SCHUNK_TAU), 1
+        ).otherwise(0),
+    )
+    from pyspark.sql import Window as W
+
+    wc = (
+        W.partitionBy("doc_id")
+        .orderBy("w")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    assigned = flagged.withColumn(
+        "chunk_id", F.sum("cut").over(wc).cast("int")
+    )
+    return assigned.groupBy("doc_id", "chunk_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("w").alias("first_window"),
+        F.min(
+            F.when((F.col("cut") == 0) & (F.col("w") > 0), F.col("jac"))
+        ).alias("min_internal_jac"),
+    )
+
+
+text_semantic_chunking.__doc__ = text_semantic_chunking.__doc__.format(
+    win=_SCHUNK_WIN, tau=_SCHUNK_TAU
+)

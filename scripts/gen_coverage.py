@@ -195,7 +195,8 @@ SECTIONS = [
     ("Round-12 second wave (triplet mining, communities, boosting, "
      "training order)", [
         "sample_contrastive_triplets", "graph_label_prop_communities",
-        "ml_adaboost_stumps", "pipeline_training_mixture"]),
+        "ml_adaboost_stumps", "pipeline_training_mixture",
+        "sample_influence_proxy", "text_semantic_chunking"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

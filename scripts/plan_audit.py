@@ -192,6 +192,9 @@ NESTED_LOOP_STAGE_ALLOWED = {
     ("pipeline_training_mixture", "tmix_ranged"),
     # candidate scoring: corpus x the broadcast 64-row anchor batch
     ("sample_contrastive_triplets", "triplet_best"),
+    # influence scoring: train stream x the 1-row trained-weight frame
+    # x the 1-row holdout-gradient aggregate (both lazy-chain folds)
+    ("sample_influence_proxy", "inf_scores"),
     ("dedup_semdedup", "kmeans_cents"),
     ("dedup_semdedup_multiprobe", "kmeans_cents"),
     ("ml_kmeans", "kmeans_cents"),

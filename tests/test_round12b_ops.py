@@ -236,3 +236,135 @@ def test_training_mixture_repeats_docs(spark):
         f"SELECT count(*) FROM read_parquet('{SF001}/documents.parquet')"
     ).fetchone()[0]
     assert n_items > n_docs
+
+
+# --- influence proxy -----------------------------------------------------------
+
+
+def test_influence_directions_and_signs(spark):
+    q = all_queries()["sample_influence_proxy"].fn
+    rows = q(spark, SF001).collect()
+    helpful = [r for r in rows if r.direction == "helpful"]
+    harmful = [r for r in rows if r.direction == "harmful"]
+    assert len(helpful) == 20 and len(harmful) == 20
+    # gradient alignment actually separates: every helpful score must
+    # strictly dominate every harmful score
+    assert min(r.influence for r in helpful) > max(
+        r.influence for r in harmful
+    )
+    # the two slices never overlap
+    assert not ({r.o_orderkey for r in helpful} & {r.o_orderkey for r in harmful})
+
+
+def test_influence_is_grad_dot_grad(spark):
+    """Recompute one helpful row's influence from first principles:
+    (p_i - y_i) * (g_hold . [1, x1, x2])."""
+    from pyspark.sql import functions as F
+
+    from airbnb_listings_reviews_data_engineering_spark.plans.iterative_ext import (
+        _INF_HOLD_GRAD,
+        _INF_ROUNDS,
+        _LOGREG_FEATS,
+        _LOGREG_GRAD,
+        _LOGREG_P,
+        _LOGREG_Z,
+        _logreg_update,
+    )
+    from airbnb_listings_reviews_data_engineering_spark.plans.registry import load
+
+    q = all_queries()["sample_influence_proxy"].fn
+    some = [r for r in q(spark, SF001).collect() if r.direction == "helpful"][0]
+
+    f = (
+        load(spark, SF001, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("x1n"),
+            F.round(F.sum("l_quantity")).cast("bigint").alias("x2n"),
+        )
+    )
+    o = load(spark, SF001, "orders")
+    feats = f.join(o, f.l_orderkey == o.o_orderkey).selectExpr(
+        "o_orderkey AS okey",
+        "CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END AS hold",
+        *_LOGREG_FEATS,
+    )
+    train = feats.filter(F.col("hold") == 0)
+    w = spark.range(1).selectExpr(
+        "CAST(0.0 AS DOUBLE) AS w0",
+        "CAST(0.0 AS DOUBLE) AS w1",
+        "CAST(0.0 AS DOUBLE) AS w2",
+    )
+    for _ in range(_INF_ROUNDS):
+        scored = (
+            train.crossJoin(F.broadcast(w))
+            .selectExpr("y", "x1", "x2", "w0", "w1", "w2", f"{_LOGREG_Z} AS z")
+            .selectExpr("y", "x1", "x2", "w0", "w1", "w2", f"{_LOGREG_P} AS p")
+        )
+        g = scored.agg(
+            F.expr("min(w0) AS w0p"),
+            F.expr("min(w1) AS w1p"),
+            F.expr("min(w2) AS w2p"),
+            F.expr("count(*) AS n"),
+            *[F.expr(e) for e in _LOGREG_GRAD],
+        )
+        w = g.selectExpr(_logreg_update(0), _logreg_update(1), _logreg_update(2))
+    wv = w.collect()[0]
+    gh = (
+        feats.filter(F.col("hold") == 1)
+        .crossJoin(F.broadcast(w))
+        .selectExpr("y", "x1", "x2", "w0", "w1", "w2", f"{_LOGREG_Z} AS z")
+        .selectExpr("y", "x1", "x2", f"{_LOGREG_P} AS p")
+        .agg(*[F.expr(e) for e in _INF_HOLD_GRAD])
+        .collect()[0]
+    )
+    row = feats.filter(F.col("okey") == some.o_orderkey).collect()[0]
+    z = wv.w0 + wv.w1 * row.x1 + wv.w2 * row.x2
+    p = 0.5 + z / (2.0 * (1.0 + abs(z)))
+    expect = (p - row.y) * (
+        gh.h0 / 1e6 + row.x1 * gh.h1 / 1e6 + row.x2 * gh.h2 / 1e6
+    )
+    assert some.influence == pytest.approx(round(expect, 6), abs=2e-6)
+
+
+# --- semantic chunking ----------------------------------------------------------
+
+
+def test_semantic_chunking_partitions_documents(spark):
+    """Chunks tile each document exactly: token totals per doc equal
+    the doc's token count, chunk ids are dense from 0, and boundaries
+    actually fire (more chunks than docs, fewer than windows)."""
+    import duckdb
+
+    q = all_queries()["text_semantic_chunking"].fn
+    rows = q(spark, SF001).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    con = duckdb.connect()
+    doc_tok = dict(
+        con.execute(
+            "SELECT doc_id, len(string_split(text, ' ')) FROM "
+            f"read_parquet('{SF001}/documents.parquet')"
+        ).fetchall()
+    )
+    assert set(per_doc) == set(doc_tok)
+    n_windows = 0
+    for d, chunks in per_doc.items():
+        assert sum(c.n_tokens for c in chunks) == doc_tok[d]
+        ids = sorted(c.chunk_id for c in chunks)
+        assert ids == list(range(len(ids)))
+        n_windows += sum(c.n_windows for c in chunks)
+    assert len(doc_tok) < len(rows) < n_windows
+
+
+def test_semantic_chunking_internal_joints_are_cohesive(spark):
+    """Every multi-window chunk's weakest internal joint must sit at or
+    above the cut threshold (that is what NOT cutting means), and
+    single-window chunks carry NULL."""
+    q = all_queries()["text_semantic_chunking"].fn
+    for r in q(spark, SF001).collect():
+        if r.n_windows == 1:
+            assert r.min_internal_jac is None
+        else:
+            assert r.min_internal_jac >= 0.18
