@@ -1826,3 +1826,119 @@ def agg_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------ Kneser-Ney bigram LM score
+
+_KN_D = "0.75"  # fixed absolute discount (shared literal, both engines)
+
+_KN_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+pairs AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2
+  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+               i -> [w[i], w[i + 1]])) AS p
+        FROM tok)
+),
+big AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM pairs GROUP BY w1, w2),
+h AS (
+  SELECT w1, CAST(sum(cb) AS BIGINT) AS cw,
+         count(*)::BIGINT AS n1f
+  FROM big GROUP BY w1
+),
+cont AS (SELECT w2, count(*)::BIGINT AS n1p FROM big GROUP BY w2),
+tots AS (SELECT count(*)::BIGINT AS n1all FROM big),
+scored AS (
+  SELECT p.doc_id,
+         CAST(round(ln(((b.cb - {_KN_D}) / h.cw)
+               + ((({_KN_D} * h.n1f) / h.cw)
+                  * (c.n1p / CAST(t.n1all AS DOUBLE)))) * 1000000.0)
+           AS BIGINT) AS q
+  FROM pairs p
+  JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+  JOIN h ON p.w1 = h.w1
+  JOIN cont c ON p.w2 = c.w2
+  CROSS JOIN tots t
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(CAST(sum(q) AS BIGINT) / (1000000.0 * count(*)), 6)
+         AS kn_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("text_kneser_ney_logprob", oracle=_KN_SQL)
+def text_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scoring (Kneser & Ney 1995,
+    the smoothing inside KenLM — whose per-document perplexity is THE
+    classic web-corpus quality filter, CCNet, Wenzek et al. 2020):
+    P(w2|w1) = (c(w1 w2) - D)/c(w1 .) + D * N1+(w1 .)/c(w1 .) *
+    Pcont(w2), with the CONTINUATION probability Pcont(w2) =
+    N1+(. w2)/N1+(. .) — how many contexts a word follows, not how
+    often it occurs (the insight that demotes "Francisco": frequent
+    but single-context). Fixed discount D={d}; every scored bigram is
+    observed in the counts corpus, so the discounted term is positive
+    and the distribution needs no unseen-mass branch.
+
+    Determinism: probabilities are fixed expression trees over exact
+    integer counts, and each token's nat-logprob is QUANTIZED to an
+    int64 micro-nat before the per-document sum — integer addition is
+    combine-order-independent, so the per-doc average is bitwise
+    cross-engine (the ml_logreg_gd fixed-point discipline; the plain
+    avg(ln(..)) of the add-k sibling text_bigram_logprob is the
+    contrast). Scale shape: one pair explode scan; bigram/context/
+    continuation tables are VOCAB^2-bounded aggregates with map-side
+    combine; scoring is equi-joins on word keys plus a 1-row
+    type-count fold. This is exactly how a KenLM-style filter
+    deploys over 100 TB — model tables shuffle once, documents
+    stream."""
+    from ..checkpoint import pin
+    from ..functions.arrays import gram_positions
+
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    pairs = pin(
+        tok.select(
+            "doc_id", F.explode(gram_positions("w", 2)).alias("i"), "w"
+        ).select(
+            "doc_id",
+            F.element_at("w", F.col("i")).alias("w1"),
+            F.element_at("w", F.col("i") + 1).alias("w2"),
+        ),
+        label="kn_pairs",
+    )
+    big = pin(
+        pairs.groupBy("w1", "w2").agg(F.count("*").alias("cb")),
+        label="kn_big",
+    )
+    h = big.groupBy("w1").agg(
+        F.sum("cb").alias("cw"), F.count("*").alias("n1f")
+    )
+    cont = big.groupBy("w2").agg(F.count("*").alias("n1p"))
+    tots = big.agg(F.count("*").alias("n1all"))
+    d = F.lit(float(_KN_D))
+    p_kn = (F.col("cb") - d) / F.col("cw") + (
+        (d * F.col("n1f")) / F.col("cw")
+    ) * (F.col("n1p") / F.col("n1all").cast("double"))
+    scored = (
+        pairs.join(big, ["w1", "w2"])
+        .join(h, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "doc_id",
+            F.round(F.log(p_kn) * 1000000.0).cast("bigint").alias("q"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.sum("q") / (1000000.0 * F.count("*")), 6).alias(
+            "kn_logprob"
+        ),
+    )
+
+
+text_kneser_ney_logprob.__doc__ = text_kneser_ney_logprob.__doc__.format(d=_KN_D)

@@ -1775,3 +1775,97 @@ def pipeline_training_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 pipeline_training_mixture.__doc__ = pipeline_training_mixture.__doc__.format(
     budget=_TMIX_BUDGET_X, seqlen=_TMIX_SEQ_LEN
 )
+
+
+# ---------------------------------------------------------------------------
+# Pareto-skyline selection (multi-objective data curation)
+# ---------------------------------------------------------------------------
+
+_SKY_SQL = """
+WITH scored AS (
+  SELECT doc_id,
+         round(len(list_distinct(string_split(text, ' ')))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE), 3) AS x,
+         round((length(text) - len(string_split(text, ' ')) + 1)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE), 3) AS y
+  FROM documents
+),
+lvl AS (SELECT x, max(y) AS ymax FROM scored GROUP BY x),
+kept AS (
+  SELECT x, ymax FROM (
+    SELECT x, ymax,
+           max(ymax) OVER (ORDER BY x DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+    FROM lvl
+  ) WHERE prev_max IS NULL OR ymax > prev_max
+)
+SELECT k.x AS ttr, k.ymax AS mean_tok_len,
+       count(*) AS n_docs, min(s.doc_id) AS min_doc_id
+FROM kept k JOIN scored s ON s.x = k.x AND s.y = k.ymax
+GROUP BY k.x, k.ymax
+"""
+
+
+@register("sample_pareto_skyline", oracle=_SKY_SQL)
+def sample_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-SKYLINE selection (Borzsony et al. 2001's skyline
+    operator, applied as multi-objective data curation): the documents
+    no other document dominates on BOTH axes — here type-token ratio
+    (lexical diversity) and mean token length (a word-complexity
+    proxy), each a map-side expression rounded to 3 dp. Curation uses
+    this to expose the quality-diversity FRONTIER instead of a single
+    weighted score: every point on the front is an optimal tradeoff,
+    and the mixture designer picks along it.
+
+    The 2-D skyline never needs the O(n^2) dominance anti-join: group
+    docs to their quantized x-level (max y per level — at 3 dp the
+    level table is bounded by the VALUE DOMAIN, <= ~1000 rows, however
+    many documents exist — the quantization IS the scale lever), then
+    one strict running-max sweep over the level table in x-descending
+    order keeps exactly the levels whose best y beats every
+    better-x level. Dominated same-level docs fall out by joining back
+    on (x, ymax); docs tied on BOTH rounded axes are mutually
+    non-dominating and stay (n_docs counts them). The only
+    unpartitioned window runs over the bounded level table, and the
+    only corpus-sized ops are the scoring scan, the level groupBy, and
+    the final broadcast-able front join."""
+    t = F.split("text", " ")
+    scored = pin(
+        load(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.round(
+                F.size(F.array_distinct(t)) / F.size(t).cast("double"), 3
+            ).alias("x"),
+            F.round(
+                (F.length("text") - F.size(t) + 1) / F.size(t).cast("double"),
+                3,
+            ).alias("y"),
+        ),
+        label="sky_scored",
+    )
+    lvl = scored.groupBy("x").agg(F.max("y").alias("ymax"))
+    w_prev = W.orderBy(F.col("x").desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    kept = (
+        lvl.withColumn("prev_max", F.max("ymax").over(w_prev))
+        .filter(F.col("prev_max").isNull() | (F.col("ymax") > F.col("prev_max")))
+        .select(F.col("x").alias("kx"), F.col("ymax").alias("kymax"))
+    )
+    return (
+        scored.join(
+            F.broadcast(kept),
+            (scored.x == kept.kx) & (scored.y == kept.kymax),
+        )
+        .groupBy("kx", "kymax")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .select(
+            F.col("kx").alias("ttr"),
+            F.col("kymax").alias("mean_tok_len"),
+            "n_docs",
+            "min_doc_id",
+        )
+    )

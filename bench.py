@@ -187,6 +187,8 @@ R12B_ADDITIONS = [
     "pipeline_training_mixture",   # explode -> range shuffle -> pack
     "sample_contrastive_triplets", # anchor-broadcast argmax mining
     "ml_adaboost_stumps",          # 3 weighted-histogram boosting rounds
+    "text_kneser_ney_logprob",     # pair explode + vocab-bounded KN joins
+    "sample_pareto_skyline",       # scan + level groupBy + bounded cummax
 ]
 
 HEADLINE = (R2_HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R4B_ADDITIONS

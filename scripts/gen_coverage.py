@@ -196,7 +196,8 @@ SECTIONS = [
      "training order)", [
         "sample_contrastive_triplets", "graph_label_prop_communities",
         "ml_adaboost_stumps", "pipeline_training_mixture",
-        "sample_influence_proxy", "text_semantic_chunking"]),
+        "sample_influence_proxy", "text_semantic_chunking",
+        "sample_pareto_skyline", "text_kneser_ney_logprob"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

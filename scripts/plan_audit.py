@@ -122,6 +122,7 @@ NESTED_LOOP_ALLOWED = {
     "ml_adaboost_stumps",  # crossJoins against lazy-chain 1-row stump winners
     "sample_contrastive_triplets",  # corpus x the broadcast 64-row anchor batch
     "pipeline_training_mixture",  # crossJoin against the 1-row corpus totals
+    "text_kneser_ney_logprob",  # crossJoin against the 1-row bigram-type count
     "ts_autocorrelation",  # 14-row lag grid x day table + 1-row moments
     "agg_rfm_segmentation",  # 1-row horizon + 3-value median cut folds
     "agg_pareto_coverage",  # 1-row grand-total folds onto the ranked frame
@@ -171,6 +172,9 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "agg_dp_quantile",       # noisy + exact CDF prefixes over 256 buckets
     "text_unigram_lm_em",    # final rank over the pinned vocab table
     "pipeline_training_mixture",  # prefix-sum offsets over n_parts rows (8)
+    "sample_pareto_skyline",  # strict cummax over the quantized level table
+    #                           (<= ~1000 rows: bounded by the 3-dp value
+    #                           domain, not the corpus)
 }
 
 

@@ -368,3 +368,90 @@ def test_semantic_chunking_internal_joints_are_cohesive(spark):
             assert r.min_internal_jac is None
         else:
             assert r.min_internal_jac >= 0.18
+
+
+# --- Pareto skyline -------------------------------------------------------------
+
+
+def test_skyline_is_mutually_non_dominating_and_complete(spark):
+    """No front point dominates another, and every non-front doc is
+    dominated by some front point (checked against a brute-force
+    skyline over the scored corpus)."""
+    import duckdb
+
+    q = all_queries()["sample_pareto_skyline"].fn
+    front = [(r.ttr, r.mean_tok_len) for r in q(spark, SF001).collect()]
+    for a in front:
+        for b in front:
+            if a != b:
+                assert not (a[0] >= b[0] and a[1] >= b[1])
+    con = duckdb.connect()
+    pts = con.execute(
+        "SELECT round(len(list_distinct(string_split(text,' ')))"
+        " / CAST(len(string_split(text,' ')) AS DOUBLE), 3),"
+        " round((length(text) - len(string_split(text,' ')) + 1)"
+        " / CAST(len(string_split(text,' ')) AS DOUBLE), 3)"
+        f" FROM read_parquet('{SF001}/documents.parquet')"
+    ).fetchall()
+    brute = {
+        p
+        for p in pts
+        if not any(
+            (q2[0] >= p[0] and q2[1] >= p[1] and q2 != p) for q2 in pts
+        )
+    }
+    assert set(front) == brute
+
+
+# --- Kneser-Ney LM scoring -------------------------------------------------------
+
+
+def test_kneser_ney_matches_reference_computation(spark):
+    """Recompute one document's KN logprob with a plain-Python bigram
+    model over the whole corpus and compare."""
+    import math
+
+    import duckdb
+
+    q = all_queries()["text_kneser_ney_logprob"].fn
+    got = {r.doc_id: r for r in q(spark, SF001).collect()}
+    texts = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM read_parquet('{SF001}/documents.parquet')"
+        ).fetchall()
+    )
+    from collections import Counter, defaultdict
+
+    big = Counter()
+    for t in texts.values():
+        w = t.split(" ")
+        for i in range(len(w) - 1):
+            big[(w[i], w[i + 1])] += 1
+    cw = Counter()
+    n1f = Counter()
+    n1p = Counter()
+    for (w1, w2), c in big.items():
+        cw[w1] += c
+        n1f[w1] += 1
+        n1p[w2] += 1
+    n1all = len(big)
+    D = 0.75
+    for doc_id in list(texts)[:5]:
+        w = texts[doc_id].split(" ")
+        qsum = 0
+        n = 0
+        for i in range(len(w) - 1):
+            p = (big[(w[i], w[i + 1])] - D) / cw[w[i]] + (
+                (D * n1f[w[i]]) / cw[w[i]]
+            ) * (n1p[w[i + 1]] / n1all)
+            v = math.log(p) * 1e6
+            # SQL round is half-AWAY-from-zero; Python round is banker's
+            qsum += int(math.copysign(math.floor(abs(v) + 0.5), v))
+            n += 1
+        assert got[doc_id].n_bigrams == n
+        raw = qsum / (1e6 * n)
+        # final 6-dp round is also half-away-from-zero in both engines
+        expect = math.copysign(math.floor(abs(raw) * 1e6 + 0.5), raw) / 1e6
+        assert got[doc_id].kn_logprob == pytest.approx(expect, abs=1e-9)
+    # KN logprobs are proper log-probabilities
+    assert all(r.kn_logprob < 0 for r in got.values())
