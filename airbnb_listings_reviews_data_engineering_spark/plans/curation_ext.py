@@ -3372,3 +3372,186 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ml_adaboost_stumps.__doc__ = ml_adaboost_stumps.__doc__.format(rounds=_ADA_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# BLEU-2 between candidate/reference document pairs
+# ---------------------------------------------------------------------------
+
+_BLEU_GAP = 250  # same cand/ref pairing as text_rouge_overlap
+
+_BLEU_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE doc_id < {2 * _BLEU_GAP}
+),
+grams AS (
+  SELECT doc_id, 1 AS n, unnest(w) AS g FROM tok
+  UNION ALL
+  SELECT doc_id, 2,
+         unnest(list_transform(generate_series(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i + 1]))
+  FROM tok
+),
+counts AS (
+  SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY doc_id, n, g
+),
+cand AS (SELECT doc_id AS pair_id, n, g, c FROM counts
+         WHERE doc_id < {_BLEU_GAP}),
+ref AS (SELECT doc_id - {_BLEU_GAP} AS pair_id, n, g, c FROM counts
+        WHERE doc_id >= {_BLEU_GAP}),
+ov AS (
+  SELECT c.pair_id, c.n, CAST(sum(least(c.c, r.c)) AS BIGINT) AS clip
+  FROM cand c JOIN ref r ON c.pair_id = r.pair_id
+                        AND c.n = r.n AND c.g = r.g
+  GROUP BY c.pair_id, c.n
+),
+tots AS (
+  SELECT pair_id, n, CAST(sum(c) AS BIGINT) AS tot FROM cand
+  GROUP BY pair_id, n
+),
+lens AS (
+  SELECT doc_id AS pair_id, len(w) AS c_len FROM tok
+  WHERE doc_id < {_BLEU_GAP}
+),
+rlens AS (
+  SELECT doc_id - {_BLEU_GAP} AS pair_id, len(w) AS r_len FROM tok
+  WHERE doc_id >= {_BLEU_GAP}
+),
+wide AS (
+  SELECT t1.pair_id,
+         coalesce(o1.clip, 0) AS clip1, t1.tot AS tot1,
+         coalesce(o2.clip, 0) AS clip2, t2.tot AS tot2,
+         l.c_len, rl.r_len
+  FROM tots t1
+  JOIN tots t2 ON t1.pair_id = t2.pair_id AND t1.n = 1 AND t2.n = 2
+  LEFT JOIN ov o1 ON t1.pair_id = o1.pair_id AND o1.n = 1
+  LEFT JOIN ov o2 ON t1.pair_id = o2.pair_id AND o2.n = 2
+  JOIN lens l ON t1.pair_id = l.pair_id
+  JOIN rlens rl ON t1.pair_id = rl.pair_id
+)
+SELECT pair_id AS cand_id, pair_id + {_BLEU_GAP} AS ref_id,
+       round(clip1 / CAST(tot1 AS DOUBLE), 4) AS p1,
+       round(clip2 / CAST(tot2 AS DOUBLE), 4) AS p2,
+       round(exp(least(0.0, 1.0 - (r_len / CAST(c_len AS DOUBLE)))), 4)
+         AS brevity_penalty,
+       round(CASE WHEN clip1 = 0 OR clip2 = 0 THEN 0.0
+             ELSE exp(least(0.0, 1.0 - (r_len / CAST(c_len AS DOUBLE))))
+                  * exp((ln(clip1 / CAST(tot1 AS DOUBLE))
+                         + ln(clip2 / CAST(tot2 AS DOUBLE))) / 2.0)
+             END, 4) AS bleu2
+FROM wide
+"""
+
+
+@register("eval_bleu_corpus", oracle=_BLEU_SQL)
+def eval_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus BLEU-2 (Papineni et al. 2002) between paired candidate/
+    reference documents — the machine-translation / distillation-eval
+    metric, distributed: CLIPPED n-gram precision per order (unigram +
+    bigram; clip = sum over shared grams of min(count_cand,
+    count_ref), one equi-join on (pair, n, gram) — never a per-pair
+    loop), the geometric mean of the two precisions, and the brevity
+    penalty exp(min(0, 1 - r/c)) that stops short candidates from
+    gaming precision. Pairing is doc_id vs doc_id+{gap}, the same
+    stand-in key as text_rouge_overlap (its complement: ROUGE is
+    recall-oriented, BLEU precision-oriented).
+
+    Determinism: every input to exp/ln is a ratio of exact integer
+    counts — both engines evaluate the identical expression tree on
+    bitwise-identical doubles, and the single terminal round(.., 4)
+    lands identically (same discipline as the weighted-sampling
+    -ln(u)/w key). Zero-clip pairs short-circuit to 0.0 before any
+    ln. Scale shape: one tokenize scan over the pruned pair range
+    (predicate reaches the parquet scan), gram counts with map-side
+    combine, then pair-keyed joins of pair-count-sized tables."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 2 * _BLEU_GAP)
+    )
+    tok = pin(
+        docs.select("doc_id", F.split("text", " ").alias("w")),
+        label="bleu_tok",
+    )
+    uni = tok.select("doc_id", F.lit(1).alias("n"), F.explode("w").alias("g"))
+    bi = tok.select(
+        "doc_id",
+        F.lit(2).alias("n"),
+        F.explode(
+            F.transform(
+                gram_positions("w", 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("w", i), F.element_at("w", i + 1)
+                ),
+            )
+        ).alias("g"),
+    )
+    counts = pin(
+        uni.unionByName(bi).groupBy("doc_id", "n", "g").agg(
+            F.count("*").alias("c")
+        ),
+        label="bleu_counts",
+    )
+    cand = counts.filter(F.col("doc_id") < _BLEU_GAP).select(
+        F.col("doc_id").alias("pair_id"), "n", "g", "c"
+    )
+    ref = counts.filter(F.col("doc_id") >= _BLEU_GAP).select(
+        (F.col("doc_id") - _BLEU_GAP).alias("pair_id"),
+        "n",
+        F.col("g").alias("rg"),
+        F.col("c").alias("rc"),
+    )
+    ov = (
+        cand.join(ref, (cand.pair_id == ref.pair_id) & (cand.n == ref.n)
+                  & (cand.g == ref.rg))
+        .groupBy(cand.pair_id, cand.n)
+        .agg(F.sum(F.least("c", "rc")).alias("clip"))
+    )
+    tots = cand.groupBy("pair_id", "n").agg(F.sum("c").alias("tot"))
+    lens = tok.filter(F.col("doc_id") < _BLEU_GAP).select(
+        F.col("doc_id").alias("pair_id"), F.size("w").alias("c_len")
+    )
+    rlens = tok.filter(F.col("doc_id") >= _BLEU_GAP).select(
+        (F.col("doc_id") - _BLEU_GAP).alias("pair_id"),
+        F.size("w").alias("r_len"),
+    )
+    t1 = tots.filter(F.col("n") == 1).select("pair_id", F.col("tot").alias("tot1"))
+    t2 = tots.filter(F.col("n") == 2).select("pair_id", F.col("tot").alias("tot2"))
+    o1 = ov.filter(F.col("n") == 1).select("pair_id", F.col("clip").alias("clip1"))
+    o2 = ov.filter(F.col("n") == 2).select("pair_id", F.col("clip").alias("clip2"))
+    wide = (
+        t1.join(t2, "pair_id")
+        .join(o1, "pair_id", "left")
+        .join(o2, "pair_id", "left")
+        .join(lens, "pair_id")
+        .join(rlens, "pair_id")
+        .select(
+            "pair_id",
+            F.coalesce("clip1", F.lit(0)).alias("clip1"),
+            "tot1",
+            F.coalesce("clip2", F.lit(0)).alias("clip2"),
+            "tot2",
+            "c_len",
+            "r_len",
+        )
+    )
+    bp = F.exp(F.least(F.lit(0.0), 1.0 - (F.col("r_len") / F.col("c_len").cast("double"))))
+    p1 = F.col("clip1") / F.col("tot1").cast("double")
+    p2 = F.col("clip2") / F.col("tot2").cast("double")
+    return wide.select(
+        F.col("pair_id").alias("cand_id"),
+        (F.col("pair_id") + _BLEU_GAP).alias("ref_id"),
+        F.round(p1, 4).alias("p1"),
+        F.round(p2, 4).alias("p2"),
+        F.round(bp, 4).alias("brevity_penalty"),
+        F.round(
+            F.when((F.col("clip1") == 0) | (F.col("clip2") == 0), 0.0).otherwise(
+                bp * F.exp((F.log(p1) + F.log(p2)) / 2.0)
+            ),
+            4,
+        ).alias("bleu2"),
+    )
+
+
+eval_bleu_corpus.__doc__ = eval_bleu_corpus.__doc__.format(gap=_BLEU_GAP)

@@ -7098,3 +7098,66 @@ def text_semantic_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_semantic_chunking.__doc__ = text_semantic_chunking.__doc__.format(
     win=_SCHUNK_WIN, tau=_SCHUNK_TAU
 )
+
+
+# ---------------------------------------------------------------------------
+# LSH banding S-curve: the tuning table behind every MinHash key
+# ---------------------------------------------------------------------------
+
+_SCURVE_CONFIGS = ((4, 2), (8, 2), (4, 4), (8, 4), (16, 4), (8, 8))
+#                  ^ includes the engine's own operating point
+#                    (_BANDS=4 bands x 2 rows, used by dedup_minhash_lsh)
+
+_SCURVE_SQL = f"""
+WITH cfg(bands, rows_per_band) AS (
+  VALUES {", ".join(f"({b}, {r})" for b, r in _SCURVE_CONFIGS)}
+),
+s AS (SELECT i / 20.0 AS s FROM generate_series(1, 19) g(i))
+SELECT cfg.bands, cfg.rows_per_band, s.s,
+       round(1.0 - power(1.0 - power(s.s, cfg.rows_per_band), cfg.bands), 6)
+         AS p_candidate,
+       round(exp(ln(1.0 / cfg.bands) / cfg.rows_per_band), 4) AS s_star
+FROM cfg CROSS JOIN s
+"""
+
+
+@register("dedup_lsh_s_curve", oracle=_SCURVE_SQL)
+def dedup_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH BANDING S-CURVE (Leskovec/Rajaraman/Ullman ch.3)
+    — the design table every banded key in this engine was tuned
+    against: for (bands b, rows r) a pair with true Jaccard s becomes
+    a candidate with probability 1 - (1 - s^r)^b, and the curve's
+    inflection s* ~ (1/b)^(1/r) is the de-facto similarity threshold
+    the parameters encode. The table makes the tradeoff explicit:
+    more rows -> sharper curve (fewer false candidates), more bands ->
+    lower threshold (higher recall, more candidate volume). The
+    engine's own operating point (4 bands x 2 rows, s* ~ 0.5 — the
+    0.5 verify threshold dedup_minhash_lsh applies) sits in the grid;
+    SCALING.md's measured precision/recall at that point is the
+    empirical counterpart of this analytic curve.
+
+    Pure closed-form math over a generated (config x similarity) grid
+    — no corpus read; the sf_dir parameter is ignored. power/exp/ln
+    evaluate one fixed expression tree per row on exact rational
+    inputs (i/20), so both engines agree bitwise at the terminal
+    rounds."""
+    cfg = spark.createDataFrame(
+        list(_SCURVE_CONFIGS), "bands int, rows_per_band int"
+    )
+    s = spark.range(1, 20).select((F.col("id") / 20.0).alias("s"))
+    return cfg.crossJoin(s).select(
+        "bands",
+        "rows_per_band",
+        "s",
+        F.round(
+            1.0
+            - F.pow(
+                1.0 - F.pow(F.col("s"), F.col("rows_per_band")),
+                F.col("bands"),
+            ),
+            6,
+        ).alias("p_candidate"),
+        F.round(
+            F.exp(F.log(1.0 / F.col("bands")) / F.col("rows_per_band")), 4
+        ).alias("s_star"),
+    )

@@ -189,6 +189,7 @@ R12B_ADDITIONS = [
     "ml_adaboost_stumps",          # 3 weighted-histogram boosting rounds
     "text_kneser_ney_logprob",     # pair explode + vocab-bounded KN joins
     "sample_pareto_skyline",       # scan + level groupBy + bounded cummax
+    "eval_bleu_corpus",            # clipped-gram pair joins + brevity
 ]
 
 HEADLINE = (R2_HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R4B_ADDITIONS

@@ -197,7 +197,8 @@ SECTIONS = [
         "sample_contrastive_triplets", "graph_label_prop_communities",
         "ml_adaboost_stumps", "pipeline_training_mixture",
         "sample_influence_proxy", "text_semantic_chunking",
-        "sample_pareto_skyline", "text_kneser_ney_logprob"]),
+        "sample_pareto_skyline", "text_kneser_ney_logprob",
+        "eval_bleu_corpus", "dedup_lsh_s_curve"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

@@ -123,6 +123,7 @@ NESTED_LOOP_ALLOWED = {
     "sample_contrastive_triplets",  # corpus x the broadcast 64-row anchor batch
     "pipeline_training_mixture",  # crossJoin against the 1-row corpus totals
     "text_kneser_ney_logprob",  # crossJoin against the 1-row bigram-type count
+    "dedup_lsh_s_curve",  # 6-row config grid x 19-row similarity grid (no corpus)
     "ts_autocorrelation",  # 14-row lag grid x day table + 1-row moments
     "agg_rfm_segmentation",  # 1-row horizon + 3-value median cut folds
     "agg_pareto_coverage",  # 1-row grand-total folds onto the ranked frame

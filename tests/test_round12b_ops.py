@@ -455,3 +455,72 @@ def test_kneser_ney_matches_reference_computation(spark):
         assert got[doc_id].kn_logprob == pytest.approx(expect, abs=1e-9)
     # KN logprobs are proper log-probabilities
     assert all(r.kn_logprob < 0 for r in got.values())
+
+
+# --- BLEU-2 ----------------------------------------------------------------------
+
+
+def test_bleu_identical_pair_is_one_and_bounds_hold(spark):
+    """A doc paired with itself would score 1.0; here we verify the
+    emitted pairs' invariants and recompute one pair by hand."""
+    import math
+
+    import duckdb
+
+    q = all_queries()["eval_bleu_corpus"].fn
+    rows = q(spark, SF001).collect()
+    assert len(rows) == 250
+    for r in rows:
+        assert 0.0 <= r.p1 <= 1.0 and 0.0 <= r.p2 <= 1.0
+        assert 0.0 < r.brevity_penalty <= 1.0
+        assert 0.0 <= r.bleu2 <= 1.0
+        # bleu can never exceed the brevity-penalized best precision
+        assert r.bleu2 <= r.brevity_penalty + 1e-9
+    texts = dict(
+        duckdb.sql(
+            "SELECT doc_id, text FROM "
+            f"read_parquet('{SF001}/documents.parquet') WHERE doc_id < 500"
+        ).fetchall()
+    )
+    from collections import Counter
+
+    got = {r.cand_id: r for r in rows}
+    for pid in (0, 7, 33):
+        c = texts[pid].split(" ")
+        rf = texts[pid + 250].split(" ")
+        ps = []
+        for n in (1, 2):
+            cg = Counter(tuple(c[i : i + n]) for i in range(len(c) - n + 1))
+            rg = Counter(tuple(rf[i : i + n]) for i in range(len(rf) - n + 1))
+            clip = sum(min(v, rg[k]) for k, v in cg.items())
+            ps.append(clip / sum(cg.values()))
+        bp = math.exp(min(0.0, 1.0 - len(rf) / len(c)))
+        bleu = (
+            0.0
+            if 0.0 in ps
+            else bp * math.exp((math.log(ps[0]) + math.log(ps[1])) / 2.0)
+        )
+        assert got[pid].bleu2 == pytest.approx(round(bleu, 4), abs=2e-4)
+
+
+# --- LSH S-curve -----------------------------------------------------------------
+
+
+def test_s_curve_shape_and_operating_point(spark):
+    q = all_queries()["dedup_lsh_s_curve"].fn
+    rows = q(spark, SF001).collect()
+    assert len(rows) == 6 * 19
+    by_cfg = {}
+    for r in rows:
+        by_cfg.setdefault((r.bands, r.rows_per_band), []).append(r)
+    for (b, rr), pts in by_cfg.items():
+        pts.sort(key=lambda r: r.s)
+        # monotone non-decreasing in s, pinned endpoints
+        for a, c in zip(pts, pts[1:]):
+            assert c.p_candidate >= a.p_candidate
+        assert pts[0].p_candidate < 0.2 and pts[-1].p_candidate > 0.8
+        # s_star is where the curve crosses ~ half; analytic check
+        assert pts[0].s_star == pytest.approx((1 / b) ** (1 / rr), abs=1e-4)
+    # the engine's own operating point encodes the 0.5 threshold
+    op = by_cfg[(4, 2)]
+    assert op[0].s_star == pytest.approx(0.5, abs=1e-4)
