@@ -47,6 +47,12 @@ SHOWCASE = [
     ("sim_ivfpq_apply", "IVF-PQ serving path: codebooks + PQ-coded corpus index read from the published artifacts (scans, not training/coding lineage), broadcast per-query ADC maps, top-c exact re-rank — raw vectors touched only for the survivor fetch"),
     ("text_fim_transform", "fill-in-the-middle reordering: ONE scan, one projection — hash-derived pivots, CASE-branched passthrough (no union re-scan), zero exchanges"),
     ("dedup_canonical_text", "canonicalized exact dedup: normalization expression + single groupBy on the canonical hash; fixture variants ride the same scan via per-row explode"),
+    ("pipeline_training_mixture", "training-order composite: mixture factors as a broadcast, guarded instance explode, ONE range shuffle, Arrow-local cumsum + 8-row offset broadcast, per-sequence rollup"),
+    ("sample_contrastive_triplets", "hard triplet mining: 64-row anchor batch broadcast against the partitioned corpus, per-(anchor, side) argmax windows, pos/neg pivot join"),
+    ("ml_adaboost_stumps", "3 boosting rounds: weighted histogram shuffles (map-side combine to <= 76 rows), TakeOrdered 1-row winners folded back as broadcasts, int64-quantized weights"),
+    ("sample_influence_proxy", "gradient-alignment influence: pinned feature projection, int64 GD chain + 1-row holdout-gradient fold, map-side scoring, two TakeOrdered slices"),
+    ("text_kneser_ney_logprob", "KN LM scoring: one pair-explode scan, vocab-bounded count joins, 1-row type-count fold, int64 micro-nat per-doc sums"),
+    ("sample_pareto_skyline", "2-D skyline: scan + quantized-level groupBy, strict running max over the bounded level table, broadcast front join back"),
 ]
 
 SF = "/root/testdata/sf0.01"
