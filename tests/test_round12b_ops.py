@@ -524,3 +524,44 @@ def test_s_curve_shape_and_operating_point(spark):
     # the engine's own operating point encodes the 0.5 threshold
     op = by_cfg[(4, 2)]
     assert op[0].s_star == pytest.approx(0.5, abs=1e-4)
+
+
+# --- partition-order determinism --------------------------------------------------
+
+
+def _rows_canon(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(repr(r[c]) for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "ml_adaboost_stumps",
+        "pipeline_training_mixture",
+        "text_kneser_ney_logprob",
+        "sample_influence_proxy",
+    ],
+)
+def test_round12b_partition_order_independent(key, spark):
+    """The int64-quantization determinism claim, exercised: output must
+    be BITWISE identical (repr-level, so sub-rounding drift in any
+    double fails) under a different shuffle-partition count. These four
+    keys all fold distributed float-derived state (boosting weights,
+    packing cumsums, micro-nat log-sums, gradient dots) where a naive
+    float sum would drift with combine order."""
+    from airbnb_listings_reviews_data_engineering_spark.checkpoint import (
+        release_pins,
+    )
+
+    q = all_queries()[key].fn
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    a = _rows_canon(q(spark, SF001))
+    release_pins(spark)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        b = _rows_canon(q(spark, SF001))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        release_pins(spark)
+    assert a == b

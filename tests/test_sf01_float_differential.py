@@ -58,6 +58,15 @@ FLOAT_SENSITIVE_KEYS = [
     "sketch_quantile_dyadic", # dyadic descent over float ranks
     "stream_mv_merge",        # incremental MV float accumulators
     "pipeline_privacy_release",  # seeded-Laplace noise arithmetic
+    # round-12 second wave: every new float-emitting family
+    "sample_contrastive_triplets",  # rounded cosine argmax + margins
+    "graph_label_prop_communities",  # modularity contributions
+    "ml_adaboost_stumps",     # exp()-derived int64 weights, ln alphas
+    "sample_influence_proxy",  # Elliott-sigmoid residual x int64 grads
+    "text_semantic_chunking",  # rounded Jaccard min over chunk joints
+    "text_kneser_ney_logprob",  # micro-nat int64 log-sums
+    "sample_pareto_skyline",  # quantized 2-D score levels
+    "eval_bleu_corpus",       # exp/ln geometric mean + brevity penalty
 ]
 
 QUERIES = all_queries()
