@@ -1869,3 +1869,110 @@ def sample_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_doc_id",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# temporal split with embargo (leakage-safe time-based evaluation)
+# ---------------------------------------------------------------------------
+
+_EMB_TEST_DAYS = 180
+_EMB_GAP_DAYS = 60
+
+_TEMPORAL_SPLIT_SQL = f"""
+WITH mx AS (SELECT max(o_orderdate) AS mx FROM orders),
+lab AS (
+  SELECT o_custkey,
+         CASE WHEN o_orderdate >= mx - INTERVAL {_EMB_TEST_DAYS} DAY
+              THEN 'test'
+              WHEN o_orderdate >= mx - INTERVAL {_EMB_TEST_DAYS + _EMB_GAP_DAYS} DAY
+              THEN 'embargo'
+              ELSE 'train' END AS split,
+         o_orderdate
+  FROM orders, mx
+),
+base AS (
+  SELECT split, count(*) AS n_rows,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+         strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,
+         strftime(max(o_orderdate), '%Y-%m-%d') AS max_date
+  FROM lab GROUP BY split
+),
+leak AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT o_custkey FROM lab WHERE split = 'train'
+    INTERSECT
+    SELECT o_custkey FROM lab WHERE split = 'test'
+  )
+)
+SELECT split, n_rows, n_customers, min_date, max_date FROM base
+UNION ALL
+SELECT 'train_test_customer_overlap', n, n, NULL, NULL FROM leak
+"""
+
+
+@register("split_temporal_embargo", oracle=_TEMPORAL_SPLIT_SQL)
+def split_temporal_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL train/test split with an EMBARGO gap — the leakage-safe
+    evaluation protocol for time-dependent data (standard in
+    quant-finance CV, de Prado 2018 'purged k-fold', and the right
+    split whenever labels leak across adjacent time like trends or
+    sessions): test = the last {test} days (boundary DERIVED from the
+    data's max date, so the split is reproducible from the table
+    alone), an {gap}-day embargo immediately before it is assigned to
+    NEITHER side, and train is everything earlier. Row-level time
+    splits with no gap let rows milliseconds apart straddle the
+    boundary — the embargo breaks that adjacency channel. Emits per
+    split: rows, distinct customers, date extent — plus the
+    train/test CUSTOMER overlap row, the entity-leakage statistic an
+    eval pipeline must either accept (time-split semantics) or route
+    to split_train_test_group (entity-split semantics); reporting it
+    makes the tradeoff auditable. One scan + a 1-row max-date fold;
+    the label is a map-side CASE, aggregates shuffle once."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    mx = F.broadcast(o.agg(F.max("o_orderdate").alias("mx")))
+    lab = pin(
+        o.crossJoin(mx).select(
+            "o_custkey",
+            F.when(
+                F.col("o_orderdate")
+                >= F.expr(f"mx - INTERVAL {_EMB_TEST_DAYS} DAY"),
+                "test",
+            )
+            .when(
+                F.col("o_orderdate")
+                >= F.expr(
+                    f"mx - INTERVAL {_EMB_TEST_DAYS + _EMB_GAP_DAYS} DAY"
+                ),
+                "embargo",
+            )
+            .otherwise("train")
+            .alias("split"),
+            "o_orderdate",
+        ),
+        label="temb_lab",
+    )
+    base = lab.groupBy("split").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_date"),
+    )
+    leak = (
+        lab.filter(F.col("split") == "train")
+        .select("o_custkey")
+        .intersect(lab.filter(F.col("split") == "test").select("o_custkey"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("train_test_customer_overlap").alias("split"),
+            F.col("n").alias("n_rows"),
+            F.col("n").alias("n_customers"),
+            F.lit(None).cast("string").alias("min_date"),
+            F.lit(None).cast("string").alias("max_date"),
+        )
+    )
+    return base.unionByName(leak)
+
+
+split_temporal_embargo.__doc__ = split_temporal_embargo.__doc__.format(
+    test=_EMB_TEST_DAYS, gap=_EMB_GAP_DAYS
+)

@@ -197,6 +197,8 @@ NESTED_LOOP_STAGE_ALLOWED = {
     ("pipeline_training_mixture", "tmix_ranged"),
     # candidate scoring: corpus x the broadcast 64-row anchor batch
     ("sample_contrastive_triplets", "triplet_best"),
+    # temporal-split labeling: corpus x the 1-row max-date fold
+    ("split_temporal_embargo", "temb_lab"),
     # influence scoring: train stream x the 1-row trained-weight frame
     # x the 1-row holdout-gradient aggregate (both lazy-chain folds)
     ("sample_influence_proxy", "inf_scores"),

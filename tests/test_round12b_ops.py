@@ -565,3 +565,36 @@ def test_round12b_partition_order_independent(key, spark):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         release_pins(spark)
     assert a == b
+
+
+# --- temporal embargo split --------------------------------------------------------
+
+
+def test_temporal_embargo_partitions_time(spark):
+    import datetime
+
+    import duckdb
+
+    q = all_queries()["split_temporal_embargo"].fn
+    rows = {r.split: r for r in q(spark, SF001).collect()}
+    assert set(rows) == {"train", "embargo", "test", "train_test_customer_overlap"}
+    mx = duckdb.sql(
+        f"SELECT max(o_orderdate) FROM read_parquet('{SF001}/orders.parquet')"
+    ).fetchone()[0]
+    test_start = (mx - datetime.timedelta(days=180)).date()
+    emb_start = (mx - datetime.timedelta(days=240)).date()
+    # date extents respect the boundaries and the embargo gap is empty
+    # of both train and test rows
+    assert rows["test"].min_date >= str(test_start)
+    assert rows["embargo"].max_date < str(test_start)
+    assert rows["embargo"].min_date >= str(emb_start)
+    assert rows["train"].max_date < str(emb_start)
+    n_orders = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF001}/orders.parquet')"
+    ).fetchone()[0]
+    assert (
+        rows["train"].n_rows + rows["embargo"].n_rows + rows["test"].n_rows
+        == n_orders
+    )
+    # the overlap statistic is honest: time splits share customers
+    assert 0 < rows["train_test_customer_overlap"].n_rows <= rows["test"].n_customers
