@@ -604,3 +604,134 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+_XML_SQL = """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+FROM supplier WHERE s_suppkey < 100
+"""
+
+
+@register("src_xml", oracle=_XML_SQL)
+def src_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink roundtrip via Spark 4's BUILT-IN xml data source
+    (the spark-xml package merged upstream in 4.0): write a supplier
+    slice as <supplier> row elements, read it back SCHEMA-FIRST with an
+    explicit rowTag. XML is the interchange format of enterprise feeds
+    (the reference world's listings arrive as CSV, but partner/booking
+    feeds are commonly XML); schema-first matters doubly here because
+    XML inference costs a full scan AND type-widens numeric elements.
+    The reader is splittable on row-element boundaries, so a 100 TB
+    feed parallelizes like any file source; predicate pushdown does
+    not reach into XML (a parse is always paid), which is exactly why
+    the pattern is XML -> parquet ONCE, then every downstream query
+    reads columnar — this key demonstrates the ingest edge of that
+    funnel."""
+    tag = _sf_tag(sf_dir)
+    staged = os.path.join(staging_root(spark), f"supplier_xml_{tag}")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") < 100)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    )
+    (
+        supp.write.format("xml")
+        .option("rootTag", "suppliers")
+        .option("rowTag", "supplier")
+        .mode("overwrite")
+        .save(staged)
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema(supp.schema)
+        .load(staged)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    )
+
+
+_PYDS_N = 1000
+_PYDS_PARTS = 8
+
+_PYDS_SQL = f"""
+SELECT i AS id,
+       CAST('0x' || substr(md5('pyds:' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+         AS h,
+       CAST(CAST('0x' || substr(md5('pyds:' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+            % 10 AS INT) AS bucket
+FROM generate_series(0, {_PYDS_N - 1}) g(i)
+"""
+
+
+@register("src_python_datasource", oracle=_PYDS_SQL)
+def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via Spark 4's PYTHON DATA SOURCE API
+    (pyspark.sql.datasource — the extension point for systems with no
+    native reader: internal feed services, bespoke binary stores,
+    paginated APIs). The source is registered once per session and
+    declares its OWN partitioning ({parts} InputPartitions over
+    {n} ids), so Spark schedules one reader task per partition —
+    exactly how a paginated-API connector parallelizes page ranges
+    across executors. Rows are generated deterministically (id +
+    the engine's md5-derived hash60 of 'pyds:'||id), which is what
+    lets the DuckDB oracle reproduce the connector's output exactly —
+    the parity gate covers the full read path: plan -> Python worker
+    -> Arrow batches -> rows.
+
+    Scale judgment: reader code runs Python-side (the API Arrow-
+    batches the yielded rows), so this is for INGEST EDGES where no
+    JVM connector exists — land the feed once, convert to parquet,
+    never re-read through Python (the same funnel argument as
+    src_xml). The partitions() contract is the lever that keeps a
+    100 TB ingest parallel."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _SeqReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", _PYDS_N))
+            self.parts = int(options.get("parts", _PYDS_PARTS))
+
+        def partitions(self):
+            step = (self.n + self.parts - 1) // self.parts
+            return [
+                InputPartition((i * step, min((i + 1) * step, self.n)))
+                for i in range(self.parts)
+            ]
+
+        def read(self, part):
+            import hashlib
+
+            lo, hi = part.value
+            for i in range(lo, hi):
+                h = int(hashlib.md5(f"pyds:{i}".encode()).hexdigest()[:15], 16)
+                yield (i, h, h % 10)
+
+    class _SeqSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "spark_graft_seqsrc"
+
+        def schema(self):
+            return "id bigint, h bigint, bucket int"
+
+        def reader(self, schema):
+            return _SeqReader(self.options)
+
+    # idempotent per session: re-registration replaces the class (the
+    # key runs repeatedly under bench reps)
+    spark.dataSource.register(_SeqSource)
+    return (
+        spark.read.format("spark_graft_seqsrc")
+        .option("n", str(_PYDS_N))
+        .option("parts", str(_PYDS_PARTS))
+        .load()
+    )
+
+
+src_python_datasource.__doc__ = src_python_datasource.__doc__.format(
+    parts=_PYDS_PARTS, n=_PYDS_N
+)

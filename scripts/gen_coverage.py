@@ -199,7 +199,8 @@ SECTIONS = [
         "sample_influence_proxy", "text_semantic_chunking",
         "sample_pareto_skyline", "text_kneser_ney_logprob",
         "eval_bleu_corpus", "dedup_lsh_s_curve",
-        "split_temporal_embargo"]),
+        "split_temporal_embargo", "src_xml",
+        "src_python_datasource"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

@@ -598,3 +598,51 @@ def test_temporal_embargo_partitions_time(spark):
     )
     # the overlap statistic is honest: time splits share customers
     assert 0 < rows["train_test_customer_overlap"].n_rows <= rows["test"].n_customers
+
+
+# --- XML source ---------------------------------------------------------------------
+
+
+def test_src_xml_roundtrip_is_real_xml_and_typed(spark):
+    """The staged file must be genuine XML row elements (not a parquet
+    in disguise), and the schema-first read must preserve the numeric
+    types exactly."""
+    import glob
+    import os
+
+    from airbnb_listings_reviews_data_engineering_spark.sources.staging import (
+        staging_root,
+    )
+
+    q = all_queries()["src_xml"].fn
+    df = q(spark, SF001)
+    assert df.schema["s_acctbal"].dataType.typeName() == "double"
+    assert df.schema["s_suppkey"].dataType.typeName() in ("long", "integer")
+    rows = {r.s_suppkey: r for r in df.collect()}
+    assert len(rows) == 100
+    staged = glob.glob(
+        os.path.join(staging_root(spark), "supplier_xml_*sf0p01*", "*.xml")
+    ) or glob.glob(
+        os.path.join(staging_root(spark), "supplier_xml_*sf0p01*", "part-*")
+    )
+    assert staged
+    body = open(staged[0]).read()
+    assert "<supplier>" in body and "<s_acctbal>" in body
+
+
+# --- Python data source -----------------------------------------------------------
+
+
+def test_python_datasource_partitions_contract(spark):
+    """The custom source must declare its own partitioning: 8 reader
+    tasks, together covering exactly ids 0..999 with the engine hash."""
+    q = all_queries()["src_python_datasource"].fn
+    df = q(spark, SF001)
+    assert df.rdd.getNumPartitions() == 8
+    rows = df.collect()
+    assert sorted(r.id for r in rows) == list(range(1000))
+    import hashlib
+
+    for r in rows[:20]:
+        h = int(hashlib.md5(f"pyds:{r.id}".encode()).hexdigest()[:15], 16)
+        assert r.h == h and r.bucket == h % 10
