@@ -1957,3 +1957,139 @@ def stream_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fs_delete(root, spark)
     return final
+
+
+# ---------------------------------------------------------------------------
+# streaming custom connector (Spark 4 Python Data Source, stream side)
+# ---------------------------------------------------------------------------
+
+_SPYDS_PAGE = 100
+_SPYDS_PAGES = 3
+
+_SPYDS_SQL = f"""
+WITH rows_all AS (
+  SELECT i AS id,
+         CAST(CAST('0x' || substr(md5('spyds:' || CAST(i AS VARCHAR)), 1, 15)
+              AS BIGINT) % 10 AS INT) AS bucket
+  FROM generate_series(0, {_SPYDS_PAGE * _SPYDS_PAGES - 1}) g(i)
+)
+SELECT CAST(id // {_SPYDS_PAGE} AS INT) AS page, count(*) AS n_rows,
+       min(id) AS min_id, max(id) AS max_id,
+       CAST(sum(bucket) AS BIGINT) AS sum_bucket
+FROM rows_all GROUP BY 1
+"""
+
+
+@register("stream_python_datasource", oracle=_SPYDS_SQL)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING custom connector on Spark 4's Python Data Source API
+    (SimpleDataSourceStreamReader — the stream half of
+    src_python_datasource's batch reader): the source serves a
+    deterministic paginated feed ({pages} pages x {page} rows) through
+    the OFFSET CONTRACT — initialOffset/read(start) -> (rows,
+    nextOffset) — and the engine checkpoints those offsets, which is
+    what buys exactly-once across restarts for a connector to a system
+    with no native reader (an internal feed API, a paginated export).
+    The drain loop below restarts the query once per page against the
+    SAME checkpoint: each start resumes from the committed offset and
+    ingests exactly one new page into the parquet sink — a restart
+    drill per micro-batch, not just one lucky pass; offsets exhaust at
+    page {pages} and later drains append nothing (re-invocations are
+    idempotent, which the bench's repeat runs rely on). Output is the
+    per-page accounting of everything landed; rows carry the engine's
+    md5-hash60 bucket so the oracle reproduces the connector's payload
+    exactly, covering plan -> Python stream worker -> Arrow -> sink.
+
+    Scale judgment: same as the batch connector — Python-side read is
+    for the ingest EDGE; land once (this key's parquet sink IS that
+    landing), then downstream reads columnar. State is one tiny offset
+    JSON per micro-batch."""
+    import os
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    from .merge_queries import _scratch_dir
+
+    page, pages = _SPYDS_PAGE, _SPYDS_PAGES
+
+    class _FeedReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"i": 0}
+
+        def read(self, start):
+            import hashlib
+
+            i = start["i"]
+            if i >= page * pages:
+                return iter([]), start
+            rows = [
+                (
+                    j,
+                    int(
+                        hashlib.md5(f"spyds:{j}".encode()).hexdigest()[:15],
+                        16,
+                    )
+                    % 10,
+                )
+                for j in range(i, i + page)
+            ]
+            return iter(rows), {"i": i + page}
+
+        def readBetweenOffsets(self, start, end):
+            # replay path (post-failure re-read of a committed range)
+            import hashlib
+
+            return iter(
+                (
+                    j,
+                    int(
+                        hashlib.md5(f"spyds:{j}".encode()).hexdigest()[:15],
+                        16,
+                    )
+                    % 10,
+                )
+                for j in range(start["i"], end["i"])
+            )
+
+    class _FeedSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "spark_graft_seqstream"
+
+        def schema(self):
+            return "id bigint, bucket int"
+
+        def simpleStreamReader(self, schema):
+            return _FeedReader()
+
+    spark.dataSource.register(_FeedSource)
+    root = _scratch_dir(spark, "spyds", stable=True)
+    sink = os.path.join(root, "landed")
+    ckpt = os.path.join(root, "ckpt")
+    stream = spark.readStream.format("spark_graft_seqstream").load()
+    for _ in range(pages):
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    landed = spark.read.schema("id bigint, bucket int").parquet(sink)
+    return landed.groupBy(
+        (F.col("id") / page).cast("int").alias("page")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+        F.sum("bucket").alias("sum_bucket"),
+    )
+
+
+stream_python_datasource.__doc__ = stream_python_datasource.__doc__.format(
+    pages=_SPYDS_PAGES, page=_SPYDS_PAGE
+)

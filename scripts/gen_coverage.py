@@ -200,7 +200,7 @@ SECTIONS = [
         "sample_pareto_skyline", "text_kneser_ney_logprob",
         "eval_bleu_corpus", "dedup_lsh_s_curve",
         "split_temporal_embargo", "src_xml",
-        "src_python_datasource"]),
+        "src_python_datasource", "stream_python_datasource"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

@@ -646,3 +646,19 @@ def test_python_datasource_partitions_contract(spark):
     for r in rows[:20]:
         h = int(hashlib.md5(f"pyds:{r.id}".encode()).hexdigest()[:15], 16)
         assert r.h == h and r.bucket == h % 10
+
+
+def test_stream_python_datasource_pages_land_exactly_once(spark):
+    """Three checkpointed drains land the three pages exactly once
+    (offset contract), and a fourth invocation appends nothing."""
+    q = all_queries()["stream_python_datasource"].fn
+    rows = {r.page: r for r in q(spark, SF001).collect()}
+    assert set(rows) == {0, 1, 2}
+    for p, r in rows.items():
+        assert r.n_rows == 100
+        assert (r.min_id, r.max_id) == (p * 100, p * 100 + 99)
+        assert 0 <= r.sum_bucket <= 900
+    again = {r.page: r for r in q(spark, SF001).collect()}
+    assert {p: (r.n_rows, r.sum_bucket) for p, r in again.items()} == {
+        p: (r.n_rows, r.sum_bucket) for p, r in rows.items()
+    }
