@@ -208,10 +208,6 @@ def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortWithinPartitions("doc_id")
         .withColumn("pid", F.spark_partition_id())
     )
-    # shared by the per-partition-totals job and the local-cumsum pass:
-    # compute the range shuffle once (pin() tracks the blocks so the
-    # harness frees them via release_pins between queries).
-    d = pin(d, label="pack_token_shards")
 
     def cumsum_local(batches):
         seen = 0
@@ -227,10 +223,23 @@ def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             seen = int(cum.iloc[-1]) if len(cum) else seen
             yield out
 
-    local = d.mapInPandas(
-        cumsum_local, schema="pid int, n_tok int, local_cum long"
+    # The cumsum runs on the LIVE range-shuffled frame (narrow, order
+    # preserved by sortWithinPartitions), and what gets pinned is its
+    # OUTPUT, with pid and local_cum baked in as data columns. Pinning
+    # the ranged input instead (the pre-r13 shape) was wrong in
+    # `parquet` checkpoint mode: the staged files are re-read under
+    # Spark's bin-packing, so one read partition could concatenate
+    # several original pids and the `seen` carry double-counted across
+    # the boundary (ADVICE r12). Downstream of this pin only layout-
+    # independent ops (groupBy pid, broadcast join) remain; the pin is
+    # still shared by the totals job and the shard aggregation.
+    local = pin(
+        d.mapInPandas(
+            cumsum_local, schema="pid int, n_tok int, local_cum long"
+        ),
+        label="pack_token_shards",
     )
-    totals = d.groupBy("pid").agg(F.sum("n_tok").alias("tok"))
+    totals = local.groupBy("pid").agg(F.sum("n_tok").alias("tok"))
     w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
     offsets = totals.select(
         "pid", F.coalesce(F.sum("tok").over(w_off), F.lit(0)).alias("offset")
@@ -1721,11 +1730,10 @@ def pipeline_training_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     n_parts = 8
-    d = pin(
+    d = (
         keyed.repartitionByRange(n_parts, "hk", "doc_id", "rep")
         .sortWithinPartitions("hk", "doc_id", "rep")
-        .withColumn("pid", F.spark_partition_id()),
-        label="tmix_ranged",
+        .withColumn("pid", F.spark_partition_id())
     )
 
     def cumsum_local(batches):
@@ -1744,11 +1752,22 @@ def pipeline_training_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             seen = int(cum.iloc[-1]) if len(cum) else seen
             yield out
 
-    local = d.mapInPandas(
-        cumsum_local,
-        schema="pid int, doc_id long, domain string, n_tok int, local_cum long",
+    # Cumsum on the LIVE ranged frame, pin the OUTPUT (pid + local_cum
+    # as data columns) — pinning the ranged input was layout-dependent
+    # in parquet checkpoint mode, where re-read bin-packing can merge
+    # pids in one read partition and the `seen` carry then crosses pid
+    # boundaries (ADVICE r12; same fix as pack_token_shards).
+    local = pin(
+        d.mapInPandas(
+            cumsum_local,
+            schema=(
+                "pid int, doc_id long, domain string, n_tok int,"
+                " local_cum long"
+            ),
+        ),
+        label="tmix_ranged",
     )
-    totals = d.groupBy("pid").agg(F.sum("n_tok").alias("tok"))
+    totals = local.groupBy("pid").agg(F.sum("n_tok").alias("tok"))
     w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
     offsets = totals.select(
         "pid", F.coalesce(F.sum("tok").over(w_off), F.lit(0)).alias("offset")
