@@ -23,7 +23,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.staging import staging_root
+from ..checkpoint import pin
+from ..sources.staging import fs_delete, staging_root
 from .registry import load, register
 
 
@@ -641,13 +642,22 @@ def src_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mode("overwrite")
         .save(staged)
     )
-    return (
+    # pin() materializes the XML parse before the staged dir is removed
+    # (a lazily-returned scan would read a deleted path); the delete
+    # follows the repo's _scratch_dir convention — staged fixture dirs
+    # don't outlive the call (ADVICE r12). The pin doubles as the
+    # demonstrated funnel: XML is parsed ONCE, downstream consumers
+    # read the materialized columnar form.
+    out = pin(
         spark.read.format("xml")
         .option("rowTag", "supplier")
         .schema(supp.schema)
         .load(staged)
-        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+        label="src_xml_reread",
     )
+    fs_delete(staged, spark)
+    return out
 
 
 _PYDS_N = 1000

@@ -2066,7 +2066,14 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             return _FeedReader()
 
     spark.dataSource.register(_FeedSource)
-    root = _scratch_dir(spark, "spyds", stable=True)
+    # Fingerprint the feed constants into the stable scratch name: the
+    # committed streaming offsets and landed rows are only valid for ONE
+    # (page, pages) feed shape, so a constant change (or a stale dir
+    # from an older code version) must land on a fresh checkpoint+sink
+    # instead of silently mixing with the old feed (ADVICE r12).
+    root = _scratch_dir(
+        spark, f"spyds_{_SPYDS_PAGE}x{_SPYDS_PAGES}", stable=True
+    )
     sink = os.path.join(root, "landed")
     ckpt = os.path.join(root, "ckpt")
     stream = spark.readStream.format("spark_graft_seqstream").load()

@@ -604,12 +604,15 @@ def test_temporal_embargo_partitions_time(spark):
 
 
 def test_src_xml_roundtrip_is_real_xml_and_typed(spark):
-    """The staged file must be genuine XML row elements (not a parquet
-    in disguise), and the schema-first read must preserve the numeric
-    types exactly."""
+    """The schema-first read must preserve the numeric types exactly,
+    the writer must emit genuine XML row elements (not a parquet in
+    disguise), and the operator must clean up its staged dir after
+    materializing (ADVICE r12 — staged fixture dirs don't outlive the
+    call)."""
     import glob
     import os
 
+    from airbnb_listings_reviews_data_engineering_spark.plans.registry import load
     from airbnb_listings_reviews_data_engineering_spark.sources.staging import (
         staging_root,
     )
@@ -620,14 +623,33 @@ def test_src_xml_roundtrip_is_real_xml_and_typed(spark):
     assert df.schema["s_suppkey"].dataType.typeName() in ("long", "integer")
     rows = {r.s_suppkey: r for r in df.collect()}
     assert len(rows) == 100
-    staged = glob.glob(
-        os.path.join(staging_root(spark), "supplier_xml_*sf0p01*", "*.xml")
-    ) or glob.glob(
-        os.path.join(staging_root(spark), "supplier_xml_*sf0p01*", "part-*")
+    # the operator deletes its staged dir once the parse is pinned
+    assert not glob.glob(
+        os.path.join(staging_root(spark), "supplier_xml_*sf0p01*")
     )
-    assert staged
-    body = open(staged[0]).read()
-    assert "<supplier>" in body and "<s_acctbal>" in body
+    # the same writer the operator uses emits genuine XML row elements
+    probe = os.path.join(staging_root(spark), "xml_body_probe")
+    (
+        load(spark, SF001, "supplier")
+        .filter("s_suppkey < 5")
+        .select("s_suppkey", "s_acctbal")
+        .write.format("xml")
+        .option("rootTag", "suppliers")
+        .option("rowTag", "supplier")
+        .mode("overwrite")
+        .save(probe)
+    )
+    try:
+        staged = glob.glob(os.path.join(probe, "*.xml")) or glob.glob(
+            os.path.join(probe, "part-*")
+        )
+        assert staged
+        body = open(staged[0]).read()
+        assert "<supplier>" in body and "<s_acctbal>" in body
+    finally:
+        import shutil
+
+        shutil.rmtree(probe, ignore_errors=True)
 
 
 # --- Python data source -----------------------------------------------------------
