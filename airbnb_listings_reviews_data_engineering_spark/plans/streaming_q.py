@@ -149,6 +149,174 @@ def stream_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- keyed admission state with event-time-timer TTL expiry -----------------
+
+_SSA_GAP_MS = 86_400_000          # 1-day session TTL
+_SSA_CAP = 3                      # admits per session
+_SSA_B1 = "2024-01-11"            # batch-1/2 boundary (ts tercile-ish)
+_SSA_B2 = "2024-01-21"            # batch-2/3 boundary
+
+_SSA_SQL = f"""
+WITH e AS (
+  SELECT event_id, ts, user_id,
+         CASE WHEN ts < TIMESTAMP '{_SSA_B1}' THEN 1
+              WHEN ts < TIMESTAMP '{_SSA_B2}' THEN 2 ELSE 3 END AS bseq
+  FROM events
+),
+wm AS (
+  SELECT epoch_ms(max(ts) FILTER (WHERE bseq = 1)) AS wm2,
+         epoch_ms(max(ts) FILTER (WHERE bseq <= 2)) AS wm3,
+         epoch_ms(max(ts)) AS wm4
+  FROM e
+),
+g AS (
+  SELECT e.*, CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                      >= CAST({_SSA_GAP_MS} AS BIGINT) * 1000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, sid
+      ORDER BY ts, event_id) AS rn
+  FROM s
+),
+batch_rows AS (
+  SELECT user_id, 'batch' AS kind, bseq,
+         count(*) FILTER (WHERE rn <= {_SSA_CAP}) AS n_admit,
+         count(*) FILTER (WHERE rn > {_SSA_CAP}) AS n_reject,
+         CAST(sum(new_sess) AS BIGINT) AS n_open,
+         CAST(0 AS BIGINT) AS n_expired
+  FROM r GROUP BY user_id, bseq
+),
+u AS (
+  SELECT user_id,
+         bool_or(bseq = 1) AS e1, bool_or(bseq = 2) AS e2,
+         bool_or(bseq = 3) AS e3,
+         epoch_ms(max(ts) FILTER (WHERE bseq = 1)) AS te1,
+         epoch_ms(max(ts) FILTER (WHERE bseq <= 2)) AS te2,
+         epoch_ms(max(ts)) AS te3
+  FROM e GROUP BY user_id
+),
+f AS (
+  SELECT u.*, wm.wm3, wm.wm4,
+         (u.e1 AND NOT u.e2 AND u.te1 + {_SSA_GAP_MS} < wm.wm2) AS fired2
+  FROM u CROSS JOIN wm
+),
+f2 AS (
+  SELECT f.*,
+         (NOT f.e3 AND NOT f.fired2 AND (f.e1 OR f.e2)
+          AND f.te2 + {_SSA_GAP_MS} < f.wm3) AS fired3
+  FROM f
+),
+f3 AS (
+  SELECT f2.*,
+         ((f2.e3 OR (NOT f2.fired2 AND NOT f2.fired3
+                     AND (f2.e1 OR f2.e2)))
+          AND f2.te3 + {_SSA_GAP_MS} < f2.wm4) AS fired4
+  FROM f2
+),
+expired_rows AS (
+  SELECT user_id, 'expired' AS kind, 2 AS bseq,
+         CAST(0 AS BIGINT) AS n_admit, CAST(0 AS BIGINT) AS n_reject,
+         CAST(0 AS BIGINT) AS n_open, CAST(1 AS BIGINT) AS n_expired
+  FROM f3 WHERE fired2
+  UNION ALL
+  SELECT user_id, 'expired', 3, 0, 0, 0, 1 FROM f3 WHERE fired3
+  UNION ALL
+  SELECT user_id, 'expired', 4, 0, 0, 0, 1 FROM f3 WHERE fired4
+)
+SELECT * FROM batch_rows UNION ALL SELECT * FROM expired_rows
+"""
+
+
+@register("stream_stateful_admission", oracle=_SSA_SQL)
+def stream_stateful_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed admission state with TIMER-driven TTL expiry — the custom
+    stateful operator class (per-key counters + timers) production
+    streams need beyond session_window (streaming/ingest.
+    stateful_admission). The events table lands as THREE ts-ordered
+    micro-batch files (calendar terciles); per user, value state tracks
+    the live session (last_ts, n_in_sess): a >= 1-day gap opens a new
+    session, the first {cap} events of a session are admitted, the rest
+    rejected, and an EVENT-TIME timer at last_ts + 1 day expires idle
+    state — per firing the operator emits an 'expired' accounting row
+    and drops the key's state (the TTL bound that keeps the state store
+    finite on an unbounded user space).
+
+    The oracle replays the ENTIRE state machine — admissions AND
+    timers — as window CTEs over the event log: the watermark during
+    micro-batch b is the floored-ms max event time of batches < b
+    (delay 0), timers fire strictly below it and only for keys with no
+    input that batch, and availableNow's final no-data batch flushes
+    timers under the global max watermark. Stream/batch equivalence for
+    timer semantics, not just aggregates."""
+    from datetime import datetime, timezone
+
+    from ..streaming.ingest import stateful_admission
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    stream_dir = _landing_zone(spark, "stream_stateful_admission")
+    try:
+        b1 = F.lit(_SSA_B1).cast("timestamp")
+        b2 = F.lit(_SSA_B2).cast("timestamp")
+        batches = [
+            ev.filter(F.col("ts") < b1).withColumn("bseq", F.lit(1)),
+            ev.filter((F.col("ts") >= b1) & (F.col("ts") < b2)).withColumn(
+                "bseq", F.lit(2)
+            ),
+            ev.filter(F.col("ts") >= b2).withColumn("bseq", F.lit(3)),
+        ]
+        for seq, b in enumerate(batches, start=1):
+            _stage_batch(b, stream_dir, f"batch{seq}.parquet", seq)
+        # the final no-data micro-batch is what flushes end-of-stream
+        # timers; it is on by default — pinned here because the oracle
+        # replays its firings (bseq 4)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint, bseq int"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+            .withWatermark("ts", "0 seconds")
+        )
+
+        def _ms(day: str) -> int:
+            return int(
+                datetime.fromisoformat(day)
+                .replace(tzinfo=timezone.utc)
+                .timestamp()
+                * 1000
+            )
+
+        out = stateful_admission(
+            stream,
+            gap_ms=_SSA_GAP_MS,
+            cap=_SSA_CAP,
+            fired_bseq_bounds_ms=(_ms(_SSA_B1), _ms(_SSA_B2)),
+        )
+        result = run_available_now(
+            out, query_name="stream_stateful_admission", output_mode="update"
+        )
+        # materialize off the landing zone before the finally removes it
+        return pin(result, label="ssa_result")
+    finally:
+        from ..sources.staging import fs_delete
+
+        fs_delete(stream_dir, spark)
+
+
+stream_stateful_admission.__doc__ = stream_stateful_admission.__doc__.format(
+    cap=_SSA_CAP
+)
+
+
 _STREAM_STREAM_SQL = """
 SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
        round(p.value, 4) AS purchase_value

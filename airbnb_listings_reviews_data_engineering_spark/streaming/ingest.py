@@ -190,6 +190,123 @@ def session_windows(
     )
 
 
+def stateful_admission(
+    events: DataFrame,
+    *,
+    gap_ms: int,
+    cap: int,
+    fired_bseq_bounds_ms: tuple[int, int],
+) -> DataFrame:
+    """Keyed admission control with TIMER-DRIVEN state expiry — the
+    custom-stateful-streaming class (per-key counters + TTL) a
+    production stream reaches for beyond ``session_window``.
+
+    Per user the value state holds ``(last_ts_ms, n_in_sess)``. Each
+    micro-batch the group's rows (sorted by ts, event_id) run a session
+    state machine: an event at >= ``gap_ms`` after the previous one
+    opens a new session; the first ``cap`` events of a session are
+    admitted, the rest rejected. After processing, an EVENT-TIME timer
+    is (re)registered at ``last_ts_ms + gap_ms``; when the watermark
+    passes it with no new input for the key, the timed-out callback
+    emits an ``expired`` accounting row and clears the state — the TTL
+    expiry that bounds state size on an unbounded key space (Spark
+    drops the per-key state entry; without it a 100 TB stream's state
+    store grows with every user ever seen).
+
+    Determinism contract (what lets a batch oracle replay the timers):
+    event-time timers only — the watermark during micro-batch b is the
+    floored-ms max event time of batches < b, a pure function of the
+    staged batch boundaries; timers fire strictly-less-than the
+    watermark, and only for keys with no input rows in the firing
+    batch. ``fired_bseq_bounds_ms`` maps the firing watermark back to
+    a batch sequence number for the accounting row (wm < b1 -> fired
+    in batch 2, < b2 -> 3, else the availableNow no-data flush batch,
+    reported as 4).
+
+    Engine note: Spark 4's transformWithStateInPandas is the same
+    operator class with finer-grained state/timer APIs, but its state
+    server requires the protobuf Python runtime, which this engine does
+    not assume; applyInPandasWithState's GroupState + EventTimeTimeout
+    expresses identical semantics on the stock runtime.
+    """
+    import numpy as np  # noqa: PLC0415 — worker-side import
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = (
+        "user_id bigint, kind string, bseq int, n_admit bigint,"
+        " n_reject bigint, n_open bigint, n_expired bigint"
+    )
+    state_schema = "last_ts_us bigint, n_in_sess bigint"
+    gap_us = gap_ms * 1000
+    b1_ms, b2_ms = fired_bseq_bounds_ms
+
+    def admission(key, pdfs, state: GroupState):
+        user = key[0]
+        if state.hasTimedOut:
+            wm = state.getCurrentWatermarkMs()
+            state.remove()
+            fired_bseq = 2 if wm < b1_ms else 3 if wm < b2_ms else 4
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user,
+                        "kind": "expired",
+                        "bseq": fired_bseq,
+                        "n_admit": 0,
+                        "n_reject": 0,
+                        "n_open": 0,
+                        "n_expired": 1,
+                    }
+                ]
+            )
+            return
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        last_ts, n_in = state.get if state.exists else (None, 0)
+        ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        n = len(ts_us)
+        prev = np.empty(n, dtype=np.int64)
+        prev[0] = last_ts if last_ts is not None else np.int64(-(2**62))
+        prev[1:] = ts_us[:-1]
+        new_sess = (ts_us - prev) >= gap_us
+        sid_start = np.maximum.accumulate(
+            np.where(new_sess, np.arange(n), -1)
+        )
+        pos = np.where(
+            sid_start >= 0,
+            np.arange(n) - sid_start + 1,
+            np.arange(n) + 1 + n_in,
+        )
+        state.update((int(ts_us[-1]), int(pos[-1])))
+        # ms-floored like the watermark itself (EventTimeStats tracks
+        # event time in whole milliseconds)
+        state.setTimeoutTimestamp(int(ts_us[-1]) // 1000 + gap_ms)
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user,
+                    "kind": "batch",
+                    "bseq": int(pdf["bseq"].iloc[0]),
+                    "n_admit": int((pos <= cap).sum()),
+                    "n_reject": int((pos > cap).sum()),
+                    "n_open": int(new_sess.sum()),
+                    "n_expired": 0,
+                }
+            ]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        admission,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def stateful_user_stats(events: DataFrame) -> DataFrame:
     """Arbitrary stateful per-key streaming (applyInPandasWithState):
     running event count + max value per user. The state schema is the

@@ -201,6 +201,8 @@ SECTIONS = [
         "eval_bleu_corpus", "dedup_lsh_s_curve",
         "split_temporal_embargo", "src_xml",
         "src_python_datasource", "stream_python_datasource"]),
+    ("Round-13 (stateful timers, spectral audio, GIF decode)", [
+        "stream_stateful_admission"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

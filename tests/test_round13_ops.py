@@ -105,3 +105,132 @@ def test_prefix_sum_keys_layout_independent_in_parquet_mode(
     spark.conf.set(MODE_CONF, "local")
     in_local = _sig(q(spark, SF001))
     assert in_parquet == in_local
+
+
+# --- stream_stateful_admission (keyed state + event-time-timer TTL) ----------
+
+
+def _run_admission(spark, batches, gap_ms, cap, tmp_path):
+    """Stage crafted (event_id, epoch_s, user_id) batches and drain the
+    stateful-admission operator over them."""
+    import pandas as pd
+
+    from airbnb_listings_reviews_data_engineering_spark.plans.streaming_q import (
+        _stage_batch,
+    )
+    from airbnb_listings_reviews_data_engineering_spark.streaming.ingest import (
+        run_available_now,
+        stateful_admission,
+    )
+
+    stream_dir = str(tmp_path / "in")
+    import os
+
+    os.makedirs(stream_dir)
+    for seq, rows in enumerate(batches, start=1):
+        pdf = pd.DataFrame(rows, columns=["event_id", "epoch", "user_id"])
+        df = spark.createDataFrame(pdf).select(
+            "event_id",
+            F.timestamp_seconds("epoch").alias("ts"),
+            "user_id",
+            F.lit(seq).alias("bseq"),
+        )
+        _stage_batch(df, stream_dir, f"batch{seq}.parquet", seq)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, bseq int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .withWatermark("ts", "0 seconds")
+    )
+    out = stateful_admission(
+        stream,
+        gap_ms=gap_ms,
+        cap=cap,
+        fired_bseq_bounds_ms=(2_000_000, 4_000_000),
+    )
+    res = run_available_now(
+        out, query_name=f"ssa_test_{tmp_path.name}", output_mode="update"
+    )
+    return [tuple(r) for r in res.collect()]
+
+
+def test_admission_ttl_expiry_boundary_is_strictly_less_than(spark, tmp_path):
+    """TTL boundary pin: a timer at exactly the watermark must NOT fire
+    (Spark's event-time timeout condition is timeoutTimestamp <
+    watermark); one millisecond-equivalent below it must. G = 3600 s.
+
+    user 1: last event 1000 s -> timer 4600 s; batch-2 max ts is exactly
+    4600 s, so the flush watermark == 4600000 ms -> no expiry.
+    user 2: last event 999 s -> timer 4599 s < 4600 s -> expires."""
+    rows = _run_admission(
+        spark,
+        [
+            [(1, 1000, 1), (2, 999, 2)],
+            [(3, 4600, 9)],
+        ],
+        gap_ms=3_600_000,
+        cap=3,
+        tmp_path=tmp_path,
+    )
+    expired = {r[0] for r in rows if r[1] == "expired"}
+    assert 2 in expired
+    assert 1 not in expired
+    # the expiring firing happened under the flush watermark (>= b2
+    # bound) and is attributed to the flush batch
+    exp2 = [r for r in rows if r[0] == 2 and r[1] == "expired"][0]
+    assert exp2[2] == 4 and exp2[6] == 1
+
+
+def test_admission_state_cleared_on_expiry_reopens_session(spark, tmp_path):
+    """After a timer fires and clears state, the user's next event must
+    open a NEW session (n_open = 1) with a reset admission counter."""
+    rows = _run_admission(
+        spark,
+        [
+            # u1: 4 events in one session -> 3 admits, 1 reject
+            [(1, 1000, 1), (2, 1010, 1), (3, 1020, 1), (4, 1030, 1)],
+            # watermark movers only (u9): timers fire only for keys with
+            # NO input in the firing batch, so u1 must sit idle while the
+            # watermark climbs past its 1030+3600 timer — batch 2 raises
+            # wm to 1030 (no fire), batch 3 runs under wm 9000 (fires)
+            [(5, 9000, 9)],
+            [(6, 9500, 9)],
+            # u1 returns: new session, counter reset -> admit again
+            [(7, 20000, 1), (8, 20010, 1)],
+        ],
+        gap_ms=3_600_000,
+        cap=3,
+        tmp_path=tmp_path,
+    )
+    u1 = sorted(
+        [r for r in rows if r[0] == 1], key=lambda r: (r[1], r[2])
+    )
+    # batch 1: one session opened, 3 admitted, 1 rejected
+    b1 = [r for r in u1 if r[1] == "batch" and r[2] == 1][0]
+    assert (b1[3], b1[4], b1[5]) == (3, 1, 1)
+    exp = [r for r in u1 if r[1] == "expired"]
+    assert len(exp) == 1 and exp[0][6] == 1
+    # batch 4: fresh session, both admitted
+    b4 = [r for r in u1 if r[1] == "batch" and r[2] == 4][0]
+    assert (b4[3], b4[4], b4[5]) == (2, 0, 1)
+
+
+def test_admission_cap_continues_across_batches_without_gap(spark, tmp_path):
+    """A session spanning two micro-batches keeps ONE admission
+    counter: 2 admits in batch 1 + 2 more events within the gap in
+    batch 2 -> only 1 more admit (cap 3), no new session opened."""
+    rows = _run_admission(
+        spark,
+        [
+            [(1, 1000, 1), (2, 1010, 1)],
+            [(3, 1500, 1), (4, 1510, 1)],
+        ],
+        gap_ms=3_600_000,
+        cap=3,
+        tmp_path=tmp_path,
+    )
+    b2 = [r for r in rows if r[0] == 1 and r[1] == "batch" and r[2] == 2][0]
+    assert (b2[3], b2[4], b2[5]) == (1, 1, 0)
