@@ -370,6 +370,176 @@ def synthesize_pcm(df: DataFrame, id_col: str, n_samples: int = 64) -> DataFrame
     return df.mapInPandas(batches, schema="doc_id long, payload binary")
 
 
+def _wav_container(sample_rate: int, data: bytes) -> bytes:
+    """Wrap raw 16-bit mono PCM bytes in a valid RIFF/WAVE container."""
+    import struct
+
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# Spectral constants: frame of 16 samples, rfft-style bins 0..8.
+# The Hann window and DFT twiddles are INTEGER-QUANTIZED (scales 2^7 and
+# 2^8): for N=16 every twiddle magnitude is one of {1, .98079, .92388,
+# .83147, .70711, .55557, .38268, .19509, 0} whose scaled values sit far
+# from any .5 rounding boundary, so round() agrees across numpy and
+# DuckDB libm and the whole STFT is EXACT int64 arithmetic — the only
+# way a cross-engine bitwise gate can check a Fourier transform.
+SPEC_FRAME = 16
+SPEC_BANDS = SPEC_FRAME // 2 + 1     # 9 one-sided bins
+SPEC_HANN_SCALE = 128                # 2^7
+SPEC_TWIDDLE_SCALE = 256             # 2^8
+SPEC_ENERGY_DIV = 1 << 20            # per-frame energy rescale (int DIV)
+
+SPECTROGRAM_SCHEMA = "doc_id long, frame_idx int, band int, energy long"
+
+
+def _spec_tables():
+    import numpy as np
+
+    j = np.arange(SPEC_FRAME)
+    hann = (
+        SPEC_HANN_SCALE
+        - np.round(
+            np.cos(2 * np.pi * j / SPEC_FRAME) * SPEC_HANN_SCALE
+        ).astype(np.int64)
+    )
+    k = np.arange(SPEC_BANDS)[:, None]
+    ang = 2 * np.pi * ((k * j) % SPEC_FRAME) / SPEC_FRAME
+    tc = np.round(np.cos(ang) * SPEC_TWIDDLE_SCALE).astype(np.int64)
+    ts = np.round(np.sin(ang) * SPEC_TWIDDLE_SCALE).astype(np.int64)
+    return hann, tc, ts
+
+
+def tone_cycle(k0: int, amp: int = 1000) -> list[int]:
+    """One 16-sample cycle of a bin-aligned tone: sample i is
+    round(amp * sin(2*pi*((k0*i) mod 16)/16)). The sine magnitudes
+    {0, .38268, .70711, .92388, 1} scaled by amp=1000 sit far from .5,
+    so numpy and DuckDB round identically (same reason the twiddle
+    tables are cross-engine safe)."""
+    import numpy as np
+
+    i = np.arange(SPEC_FRAME)
+    return [
+        int(v)
+        for v in np.round(
+            amp * np.sin(2 * np.pi * ((k0 * i) % SPEC_FRAME) / SPEC_FRAME)
+        ).astype(np.int64)
+    ]
+
+
+def synthesize_tone_pcm(
+    df: DataFrame,
+    id_col: str,
+    n_samples: int,
+    bin_mod: int,
+    duty_block: int = 0,
+    idle_dc: int = 0,
+) -> DataFrame:
+    """One real WAV per row carrying a BIN-ALIGNED planted tone: doc's
+    tone bin k0 = 1 + doc_id % bin_mod (frequency k0 * sr / 16 Hz —
+    bin 1 is 500 Hz at sr=8000). With ``duty_block`` > 0 the tone is
+    GATED: blocks of that many samples alternate tone / idle
+    ((i // duty_block) % 2 == 0 is active), the voice-activity
+    fixture; 0 means continuous tone. Idle samples carry the constant
+    ``idle_dc`` (a mic's DC offset — nonzero so a naive time-domain
+    energy gate sees signal everywhere and only the band gate
+    discriminates)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(n_samples)
+        active = (
+            ((i // duty_block) % 2 == 0)
+            if duty_block
+            else np.ones(n_samples, dtype=bool)
+        )
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for d in ids:
+                k0 = 1 + int(d) % bin_mod
+                cyc = np.asarray(tone_cycle(k0), dtype=np.int64)
+                v = np.where(active, cyc[i % SPEC_FRAME], idle_dc)
+                payloads.append(
+                    _wav_container(
+                        8000, v.astype("<i2").tobytes()
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(batches, schema="doc_id long, payload binary")
+
+
+def audio_spectrogram_bands(
+    df: DataFrame, frame: int = SPEC_FRAME, hop: int = 8
+) -> DataFrame:
+    """REAL STFT over PCM bytes with exact integer arithmetic: RIFF
+    walk -> int16 samples -> framed (length ``frame``, stride ``hop``)
+    -> integer-quantized Hann window -> integer-quantized one-sided
+    DFT (matmul against the 2^8-scaled twiddle tables) -> per-band
+    energy re^2 + im^2, rescaled by an exact integer DIV 2^20 so a
+    clip's frame energies sum within int64. Emits one row per
+    (doc, frame, band) — the spectrogram a frequency-domain gate
+    (VAD, bandwidth filter, tone detect) consumes.
+
+    Bounds making int64 exact: |sample| <= 2^10ish, hann <= 2^8,
+    windowed <= 2^18, |re| <= 16 * 2^18 * 2^8 = 2^26, re^2 <= 2^52,
+    re^2+im^2 <= 2^53 — exact; the DIV keeps 31-frame clip sums
+    around 2^38. Arrow-batched 1:1 map, zero shuffles."""
+    import struct
+
+    import numpy as np
+
+    assert frame == SPEC_FRAME  # tables are built for N=16
+
+    def _pcm(b: bytes) -> "np.ndarray":
+        off = 12
+        while off + 8 <= len(b):
+            cid = b[off : off + 4]
+            size = struct.unpack("<I", b[off + 4 : off + 8])[0]
+            if cid == b"data":
+                return np.frombuffer(
+                    b[off + 8 : off + 8 + size], dtype="<i2"
+                )
+            off += 8 + size + (size & 1)
+        return np.empty(0, dtype="<i2")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hann, tc, ts = _spec_tables()
+        for pdf in it:
+            out_id, out_f, out_b, out_e = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = _pcm(bytes(payload)).astype(np.int64)
+                n_frames = (len(s) - frame) // hop + 1 if len(s) >= frame else 0
+                for fi in range(n_frames):
+                    w = s[fi * hop : fi * hop + frame] * hann
+                    re = tc @ w
+                    im = ts @ w
+                    e = (re * re + im * im) // SPEC_ENERGY_DIV
+                    out_id.extend([doc_id] * SPEC_BANDS)
+                    out_f.extend([fi] * SPEC_BANDS)
+                    out_b.extend(range(SPEC_BANDS))
+                    out_e.extend(int(x) for x in e)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_id,
+                    "frame_idx": pd.array(out_f, dtype="int32"),
+                    "band": pd.array(out_b, dtype="int32"),
+                    "energy": pd.array(out_e, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=SPECTROGRAM_SCHEMA)
+
+
 def audio_window_rms(df: DataFrame, window: int = 16) -> DataFrame:
     """Windowed RMS energy over REAL PCM bytes: walk the RIFF chunks to
     the ``data`` payload, decode int16 samples with numpy (vectorized,

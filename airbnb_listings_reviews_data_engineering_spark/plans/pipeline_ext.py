@@ -4114,6 +4114,201 @@ def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# frequency-domain audio: integer STFT spectrogram + band-gated VAD
+# ---------------------------------------------------------------------------
+
+# Shared integer-DFT SQL fragments (operators/multimodal._spec_tables):
+# Hann at scale 2^7, one-sided N=16 twiddles at scale 2^8, per-frame
+# energy rescaled by exact integer DIV 2^20. Every quantized constant
+# sits far from a .5 rounding boundary, so numpy and DuckDB round
+# identically and the whole transform is exact int64.
+_SPEC_HANN = "(128 - CAST(round(cos(2*pi()*{j}/16.0)*128) AS BIGINT))"
+_SPEC_COS = "CAST(round(cos(2*pi()*(({k}*{j})%16)/16.0)*256) AS BIGINT)"
+_SPEC_SIN = "CAST(round(sin(2*pi()*(({k}*{j})%16)/16.0)*256) AS BIGINT)"
+_SPEC_TONE = (
+    "CAST(round(1000*sin(2*pi()*(({k0}*{i})%16)/16.0)) AS BIGINT)"
+)
+
+_SPG_MAX_ID = 100
+_SPG_SAMPLES = 256
+_SPG_HOP = 8
+_SPG_FRAMES = (_SPG_SAMPLES - 16) // _SPG_HOP + 1
+_SPG_BIN_MOD = 7
+
+_SPECTROGRAM_SQL = f"""
+WITH ids AS (
+  SELECT doc_id, 1 + doc_id % {_SPG_BIN_MOD} AS k0
+  FROM documents WHERE doc_id < {_SPG_MAX_ID}
+), fj AS (
+  SELECT f, j FROM unnest(range(0, {_SPG_FRAMES})) t(f),
+                   unnest(range(0, 16)) u(j)
+), w AS (
+  SELECT d.doc_id, fj.f, fj.j,
+         {_SPEC_TONE.format(k0="d.k0", i="(fj.f*" + str(_SPG_HOP) + "+fj.j)")}
+           * {_SPEC_HANN.format(j="fj.j")} AS wv
+  FROM ids d, fj
+), dft AS (
+  SELECT w.doc_id, w.f, b.b,
+         CAST(sum(w.wv * {_SPEC_COS.format(k="b.b", j="w.j")}) AS BIGINT) AS re,
+         CAST(sum(w.wv * {_SPEC_SIN.format(k="b.b", j="w.j")}) AS BIGINT) AS im
+  FROM w, unnest(range(0, 9)) b(b)
+  GROUP BY w.doc_id, w.f, b.b
+), agg AS (
+  SELECT doc_id, b AS band,
+         CAST(sum((re*re + im*im) // 1048576) AS BIGINT) AS energy
+  FROM dft GROUP BY doc_id, b
+)
+SELECT doc_id, CAST(band AS INT) AS band, energy,
+       energy = max(energy) OVER (PARTITION BY doc_id) AS is_peak
+FROM agg
+"""
+
+
+@register("mm_audio_spectrogram", oracle=_SPECTROGRAM_SQL)
+def mm_audio_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL STFT spectrogram over PCM bytes — the frequency-domain
+    feature extraction an audio training pipeline runs (operators/
+    multimodal.audio_spectrogram_bands): RIFF walk -> int16 samples ->
+    50%-overlap Hann frames (N=16, hop 8) -> one-sided DFT -> per-band
+    energy. The transform is EXACT int64 arithmetic (integer-quantized
+    Hann at 2^7 and twiddles at 2^8, energies rescaled by integer DIV
+    2^20), which is what lets the DuckDB oracle replay a Fourier
+    transform bitwise — a float FFT is unverifiable cross-engine.
+
+    The fixture plants BIN-ALIGNED tones (bin k0 = 1 + doc % 7, i.e.
+    k0*500 Hz at sr=8000); correctness is spectral: emitted per
+    (doc, band) total energy MUST concentrate at the planted bin
+    (is_peak marks the argmax band — always k0, with the Hann mainlobe
+    spilling ~20% into k0±1).
+
+    Scale shape: decode + frame + windowed integer matmul is a 1:1
+    Arrow-batched map (9x16 twiddle tables live in the closure); the
+    only shuffle is the (doc, band) energy fold — recording-keyed,
+    no skew; the peak flag is a doc-partitioned window over 9 rows."""
+    from pyspark.sql import Window as W
+
+    ids = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _SPG_MAX_ID)
+        .select("doc_id")
+    )
+    wavs = MM.synthesize_tone_pcm(
+        ids, "doc_id", n_samples=_SPG_SAMPLES, bin_mod=_SPG_BIN_MOD
+    )
+    spec = MM.audio_spectrogram_bands(wavs, hop=_SPG_HOP)
+    agg = spec.groupBy("doc_id", "band").agg(F.sum("energy").alias("energy"))
+    return agg.select(
+        "doc_id",
+        "band",
+        "energy",
+        (
+            F.col("energy")
+            == F.max("energy").over(W.partitionBy("doc_id"))
+        ).alias("is_peak"),
+    )
+
+
+_VBD_MAX_ID = 150
+_VBD_SAMPLES = 256
+_VBD_DUTY = 64       # 64-sample tone/idle blocks -> frames 0-3, 8-11 active
+_VBD_BIN_MOD = 3     # tones in the 'speech band' bins 1..3
+_VBD_IDLE_DC = 50    # idle-block DC offset (leaks ~1.6e8 into bins 1-3)
+_VBD_TH = 1_000_000_000  # in-band gate: tone ~8.2e10, DC leak ~1.6e8
+
+_VAD_BAND_SQL = f"""
+WITH ids AS (
+  SELECT doc_id, 1 + doc_id % {_VBD_BIN_MOD} AS k0
+  FROM documents WHERE doc_id < {_VBD_MAX_ID}
+), fj AS (
+  SELECT f, j FROM unnest(range(0, {_VBD_SAMPLES // 16})) t(f),
+                   unnest(range(0, 16)) u(j)
+), w AS (
+  SELECT d.doc_id, fj.f, fj.j,
+         CASE WHEN ((fj.f*16 + fj.j) // {_VBD_DUTY}) % 2 = 0
+              THEN {_SPEC_TONE.format(k0="d.k0", i="(fj.f*16+fj.j)")}
+              ELSE {_VBD_IDLE_DC} END
+           * {_SPEC_HANN.format(j="fj.j")} AS wv
+  FROM ids d, fj
+), dft AS (
+  SELECT w.doc_id, w.f, b.b,
+         CAST(sum(w.wv * {_SPEC_COS.format(k="b.b", j="w.j")}) AS BIGINT) AS re,
+         CAST(sum(w.wv * {_SPEC_SIN.format(k="b.b", j="w.j")}) AS BIGINT) AS im
+  FROM w, unnest(range(1, 4)) b(b)
+  GROUP BY w.doc_id, w.f, b.b
+), fe AS (
+  SELECT doc_id, f,
+         CAST(sum((re*re + im*im) // 1048576) AS BIGINT) AS inband
+  FROM dft GROUP BY doc_id, f
+), a AS (
+  SELECT doc_id, f, inband,
+         f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+  FROM fe WHERE inband > {_VBD_TH}
+)
+SELECT doc_id, CAST(min(f) AS INT) AS start_frame,
+       CAST(max(f) AS INT) AS end_frame,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(inband) AS BIGINT) AS inband_energy
+FROM a GROUP BY doc_id, grp
+"""
+
+
+@register("mm_audio_vad_band", oracle=_VAD_BAND_SQL)
+def mm_audio_vad_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation gated on BAND ENERGY — the
+    frequency-domain upgrade of mm_audio_vad_segments' raw-RMS gate: a
+    frame is active iff its energy inside the speech band (bins 1-3)
+    exceeds the gate, so a DC mic offset (planted in the idle blocks)
+    no longer fools the detector the way it would a time-domain energy
+    gate. Pipeline: real PCM decode -> non-overlapping Hann frames ->
+    integer one-sided DFT restricted to bins 1-3 -> per-frame in-band
+    energy -> gaps-and-islands merge of consecutive active frames.
+    The fixture alternates 64-sample tone/idle blocks (tones
+    bin-aligned in 1..3), so every doc must emit EXACTLY two segments
+    (frames 0-3 and 8-11) — pinned by the oracle and the pytest.
+
+    Scale shape: identical to mm_audio_vad_segments (1:1 Arrow map,
+    recording-keyed islands window) with the DFT restricted to the
+    gate's 3 bins — band gating costs 3/9 of the full spectrogram."""
+    from pyspark.sql import Window as W
+
+    ids = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _VBD_MAX_ID)
+        .select("doc_id")
+    )
+    wavs = MM.synthesize_tone_pcm(
+        ids,
+        "doc_id",
+        n_samples=_VBD_SAMPLES,
+        bin_mod=_VBD_BIN_MOD,
+        duty_block=_VBD_DUTY,
+        idle_dc=_VBD_IDLE_DC,
+    )
+    spec = MM.audio_spectrogram_bands(wavs, hop=16)
+    fe = (
+        spec.filter(F.col("band").between(1, 3))
+        .groupBy("doc_id", "frame_idx")
+        .agg(F.sum("energy").alias("inband"))
+        .filter(F.col("inband") > _VBD_TH)
+    )
+    grp = (
+        F.col("frame_idx")
+        - F.row_number().over(W.partitionBy("doc_id").orderBy("frame_idx"))
+    ).alias("grp")
+    return (
+        fe.select("doc_id", "frame_idx", "inband", grp)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("frame_idx").cast("int").alias("start_frame"),
+            F.max("frame_idx").cast("int").alias("end_frame"),
+            F.count("*").alias("n_frames"),
+            F.sum("inband").alias("inband_energy"),
+        )
+        .drop("grp")
+    )
+
+
+# ---------------------------------------------------------------------------
 # grouped-map EWMA (Arrow applyInPandas, exact dyadic weights)
 # ---------------------------------------------------------------------------
 
