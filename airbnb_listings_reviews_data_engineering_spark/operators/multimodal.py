@@ -292,6 +292,11 @@ def probe_media(df: DataFrame) -> DataFrame:
                     return ("wav", None, None, sr, ch)
                 off += 8 + size + (size & 1)
             return ("wav", None, None, None, None)
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            if len(b) < 13:
+                return ("gif", None, None, None, None)
+            w, h = struct.unpack("<HH", b[6:10])
+            return ("gif", w, h, None, None)
         if b[:2] == b"\xff\xd8":  # JPEG: scan to the first SOF marker
             off = 2
             while off + 9 <= len(b):
@@ -665,6 +670,238 @@ def _png_decode_gray(b: bytes) -> tuple[int, int, bytearray]:
     return w, h, out
 
 
+# --- real GIF decode (pure-Python LZW — no codec library) --------------------
+
+
+def _gif_lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-flavor LZW compression (spec appendix F): variable code
+    width starting min+1, LSB-first bit packing, CLEAR emitted when the
+    table reaches 4096 entries. The encoder bumps its code width one
+    entry AFTER crossing 2^width (next_code == 2^width + 1) because the
+    decoder's table lags the encoder's by exactly one entry."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    bitbuf = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 255)
+            bitbuf >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        if next_code == 4096:
+            emit(clear, width)
+            table, next_code, width = fresh()
+        else:
+            table[wc] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        w = bytes([ch])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(bitbuf & 255)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int = 8) -> bytearray:
+    """GIF LZW decompression: variable width LSB-first codes, the
+    KwKwK case (code == next unassigned entry), CLEAR resets, width
+    bump when next_code reaches 2^width (cap 12)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    bitbuf = nbits = pos = 0
+
+    def read(width: int) -> int:
+        nonlocal bitbuf, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated")
+            bitbuf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+        return code
+
+    table: list[bytes] = []
+    width = min_code_size + 1
+    next_code = eoi + 1
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            if code >= clear:
+                raise ValueError("bad first LZW code")
+            entry = table[code]
+        elif code < next_code:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError("LZW code out of range")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table.append(prev + entry[:1])
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def _gif_bytes(
+    width: int, height: int, seed: int = 0, flat: bool = False
+) -> bytes:
+    """Valid GIF89a, 8-bit grayscale global palette (entry i is
+    (i, i, i), so LZW indices ARE gray values), pixel (x, y) =
+    (x*7 + y*13 + seed) % 256 — the SAME formula as ``_png_bytes`` so
+    a (w, h, seed)-matched PNG/GIF pair decodes to identical pixels
+    (the cross-codec dHash-parity fixture)."""
+    import struct
+
+    px = (
+        bytes([seed % 256]) * (width * height)
+        if flat
+        else bytes(
+            (x * 7 + y * 13 + seed) % 256
+            for y in range(height)
+            for x in range(width)
+        )
+    )
+    lzw = _gif_lzw_encode(px)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # GCT, 256 gray
+    for i in range(256):
+        out += bytes([i, i, i])
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out.append(8)  # LZW min code size
+    for i in range(0, len(lzw), 255):
+        blk = lzw[i : i + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _gif_decode_gray(b: bytes) -> tuple[int, int, bytearray]:
+    """REAL GIF decode for 8-bit non-interlaced grayscale-palette
+    images: header + logical screen descriptor -> global color table
+    (must be grayscale: r == g == b) -> skip extensions -> image
+    descriptor -> LZW sub-blocks -> ``_gif_lzw_decode`` -> palette
+    lookup. Raises on interlace, local palettes, color palettes, or
+    truncation — callers map that to NULL fields, never a job abort."""
+    import struct
+
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    _, _, flags, _, _ = struct.unpack("<HHBBB", b[6:13])
+    off = 13
+    if not flags & 0x80:
+        raise ValueError("no global color table")
+    n_colors = 2 << (flags & 7)
+    palette = b[off : off + 3 * n_colors]
+    off += 3 * n_colors
+    gray = []
+    for i in range(n_colors):
+        r, g, bl = palette[3 * i : 3 * i + 3]
+        if r != g or g != bl:
+            raise ValueError("color palette; only grayscale supported")
+        gray.append(r)
+    while off < len(b):
+        marker = b[off]
+        if marker == 0x21:  # extension: label + sub-blocks
+            off += 2
+            while b[off]:
+                off += 1 + b[off]
+            off += 1
+        elif marker == 0x2C:
+            _, _, w, h, iflags = struct.unpack("<HHHHB", b[off + 1 : off + 10])
+            if iflags & 0x80:
+                raise ValueError("local color table unsupported")
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            off += 10
+            mcs = b[off]
+            off += 1
+            lzw = bytearray()
+            while b[off]:
+                ln = b[off]
+                lzw += b[off + 1 : off + 1 + ln]
+                off += 1 + ln
+            idx = _gif_lzw_decode(bytes(lzw), mcs)
+            if len(idx) != w * h:
+                raise ValueError("decoded pixel count mismatch")
+            return w, h, bytearray(gray[i] for i in idx)
+        elif marker == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{marker:02x}")
+    raise ValueError("no image data")
+
+
+def _decode_gray_any(b: bytes) -> tuple[int, int, bytearray]:
+    """Container dispatch by DECODING, not magic-byte sniffing: PNG ->
+    inflate + unfilter, GIF -> LZW + palette. Everything downstream
+    (pixel moments, dHash, quality gates) is codec-agnostic."""
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return _png_decode_gray(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_decode_gray(b)
+    raise ValueError("no stdlib decoder for this container")
+
+
+def synthesize_gif_spec(df: DataFrame) -> DataFrame:
+    """REAL GIFs from an explicit (doc_id, w, h, seed[, flat]) spec
+    frame — the GIF twin of ``synthesize_png_spec`` (same pixel
+    formula, different container + entropy coder)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            flats = (
+                pdf["flat"] if "flat" in pdf.columns else [False] * len(pdf)
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": [
+                        _gif_bytes(int(w), int(h), seed=int(s), flat=bool(fl))
+                        for w, h, s, fl in zip(
+                            pdf["w"], pdf["h"], pdf["seed"], flats
+                        )
+                    ],
+                }
+            )
+
+    return df.mapInPandas(batches, schema="doc_id long, payload binary")
+
+
 def synthesize_png(df: DataFrame, id_col: str) -> DataFrame:
     """One deterministic REAL PNG per row (Arrow-batched): dims derive
     from the id, pixel content from (x, y, id), and the scanline filter
@@ -737,14 +974,16 @@ def png_pixel_moments(df: DataFrame) -> DataFrame:
     curation gate: mean from sum/n, variance from (n*ss - s^2)/n^2,
     both computable downstream in exact fixed-point (the magnitudes
     fit int64 for any image up to ~16M pixels of 8-bit depth).
-    Malformed payloads yield NULL fields."""
+    Malformed payloads yield NULL fields. Accepts every container
+    ``_decode_gray_any`` covers (PNG and GIF) — the stats are
+    codec-agnostic once pixels exist."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    w, h, px = _png_decode_gray(bytes(payload))
+                    w, h, px = _decode_gray_any(bytes(payload))
                     s = sum(px)
                     ss = sum(v * v for v in px)
                     rows.append((doc_id, w * h, s, ss))
@@ -788,7 +1027,7 @@ def png_dhash(df: DataFrame) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    w, h, px = _png_decode_gray(bytes(payload))
+                    w, h, px = _decode_gray_any(bytes(payload))
                     # block sums on the 9x8 grid (floor-division bounds)
                     sums = [[0] * 9 for _ in range(8)]
                     cnts = [[0] * 9 for _ in range(8)]
@@ -855,7 +1094,7 @@ def decode_png_stats(df: DataFrame) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    w, h, px = _png_decode_gray(bytes(payload))
+                    w, h, px = _decode_gray_any(bytes(payload))
                     s = sum(px)
                     npx = w * h
                     rows.append(

@@ -323,3 +323,96 @@ def test_vad_band_gate_rejects_what_a_raw_rms_gate_admits(spark):
             assert inband[(doc, f)] * 5 < _VBD_TH
         for f in list(range(0, 4)) + list(range(8, 12)):
             assert inband[(doc, f)] > _VBD_TH
+
+
+# --- GIF decode (pure-Python LZW) --------------------------------------------
+
+
+def test_gif_lzw_roundtrip_with_table_reset():
+    """The LZW pair must survive a dictionary overflow: 20k random
+    bytes force >4096 table entries, so the encoder emits CLEAR and
+    both sides rebuild mid-stream."""
+    import random
+
+    from airbnb_listings_reviews_data_engineering_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    rnd = random.Random(13)
+    data = bytes(rnd.randrange(256) for _ in range(20000))
+    assert bytes(_gif_lzw_decode(_gif_lzw_encode(data))) == data
+
+
+def test_gif_and_png_same_pixels_same_dhash(spark):
+    """Container-independent perceptual dedup: a (w, h, seed)-matched
+    PNG/GIF pair decodes to identical pixels, so dHash must agree bit
+    for bit across codecs."""
+    from airbnb_listings_reviews_data_engineering_spark.operators import (
+        multimodal as MM,
+    )
+
+    spec = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        (16 + F.col("id") % 48).alias("w"),
+        (16 + (F.col("id") * 7) % 48).alias("h"),
+        F.col("id").alias("seed"),
+    )
+    png = {
+        r.doc_id: (r.width, r.height, r.dhash_hi, r.dhash_lo)
+        for r in MM.png_dhash(MM.synthesize_png_spec(spec)).collect()
+    }
+    gif = {
+        r.doc_id: (r.width, r.height, r.dhash_hi, r.dhash_lo)
+        for r in MM.png_dhash(MM.synthesize_gif_spec(spec)).collect()
+    }
+    assert png == gif and len(png) == 20
+
+
+def test_probe_media_reports_gif_dims(spark):
+    from airbnb_listings_reviews_data_engineering_spark.operators import (
+        multimodal as MM,
+    )
+
+    spec = spark.range(3).select(
+        F.col("id").alias("doc_id"),
+        F.lit(33).alias("w"),
+        F.lit(21).alias("h"),
+        F.col("id").alias("seed"),
+    )
+    probed = MM.probe_media(MM.synthesize_gif_spec(spec)).collect()
+    for r in probed:
+        assert (r.fmt, r.width, r.height) == ("gif", 33, 21)
+
+
+def test_gif_decode_rejects_color_palette_and_interlace(spark):
+    """Robustness contract: unsupported GIF layouts surface as NULL
+    stats, never an abort."""
+    import pandas as pd
+
+    from airbnb_listings_reviews_data_engineering_spark.operators import (
+        multimodal as MM,
+    )
+    from airbnb_listings_reviews_data_engineering_spark.operators.multimodal import (
+        _gif_bytes,
+    )
+
+    good = bytearray(_gif_bytes(8, 8, seed=1))
+    color = bytearray(good)
+    color[13 + 3 * 10 + 1] ^= 0xFF  # palette entry 10: g != r
+    interlaced = bytearray(good)
+    # image descriptor flags byte: header(13) + palette(768) + 0x2C + 8
+    idesc = 13 + 768
+    assert good[idesc] == 0x2C
+    interlaced[idesc + 9] |= 0x40
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "payload": [bytes(good), bytes(color), bytes(interlaced)],
+        }
+    )
+    out = {
+        r.doc_id: r.n_pixels
+        for r in MM.decode_png_stats(spark.createDataFrame(pdf)).collect()
+    }
+    assert out[1] == 64 and out[2] is None and out[3] is None
