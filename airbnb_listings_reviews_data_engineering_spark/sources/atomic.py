@@ -29,6 +29,7 @@ partition path; the pointer-swap shape is identical.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 
@@ -36,6 +37,53 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.utils import AnalysisException
 
 KEEP_VERSIONS = 2  # current + previous (cheap rollback / concurrent readers)
+
+FAILPOINT_ENV = "SPARK_GRAFT_ATOMIC_FAILPOINT"
+PID_MARKER = ".publisher.pid"
+
+
+class ConcurrentPublishError(RuntimeError):
+    """Optimistic-concurrency loss: the published version moved past the
+    base this writer read (Delta/Iceberg's ConcurrentModificationException
+    analog). The caller re-reads the new base and retries its merge."""
+
+
+def _failpoint(name: str) -> None:
+    """Crash-injection point for the publish crash drills: when the
+    environment selects this failpoint, die HARD (os._exit — no finally
+    blocks, no interpreter cleanup), the honest simulation of a killed
+    publisher. No-op in production."""
+    if os.environ.get(FAILPOINT_ENV) == name:
+        os._exit(17)
+
+
+@contextlib.contextmanager
+def _publish_lock(versions: str):
+    """Exclusive flock over the commit critical section (sweep -> CAS ->
+    rename -> pointer swap). The DATA write happens outside the lock;
+    only the metadata transition is serialized — the same split a
+    lakehouse commit protocol makes (long parquet write, short commit).
+    Without it, a second publisher's recovery sweep could delete a
+    version another live publisher has renamed but not yet pointed to."""
+    import fcntl
+
+    fd = os.open(os.path.join(versions, ".lock"), os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
 
 
 def _versions_dir(target_path: str) -> str:
@@ -129,62 +177,124 @@ def _migrate_plain_dir(target: str, versions: str) -> None:
     os.replace(tmp_link, target)
 
 
-def publish_parquet(df: DataFrame, target_path: str) -> str:
-    """Write ``df`` ONCE, then atomically repoint the published symlink.
-    Returns the new version directory.
-
-    The write lands in a ``.tmp-*`` staging dir and is rename(2)d to its
-    ``v_N`` name only after Spark finishes — so a ``v_N`` directory, once
-    visible, is COMPLETE by construction. A publish that dies mid-write
-    leaves only a ``.tmp-*`` orphan, which version listing ignores, the
-    next publish sweeps, and the GC never counts (counting a partial
-    ``v_N`` would make the retention logic delete the good previous
-    version while keeping the corrupt one).
-
-    Safe to call with a ``df`` whose lineage reads the currently
-    published version (the write lands in a sibling dir, so Spark never
-    overwrites its own input).
-    """
+def stage_parquet(df: DataFrame, target_path: str) -> str:
+    """Write ``df`` ONCE into a fresh ``.tmp-*`` staging dir under the
+    versions dir and return its path — the (long, unlocked) data half
+    of a publish. The staging dir carries a hidden ``.publisher.pid``
+    marker so recovery sweeps can tell a crashed publisher's orphan
+    (dead pid -> sweep) from a LIVE concurrent publisher's in-flight
+    write (alive pid -> leave alone); hidden files are invisible to
+    parquet readers, so the marker rides along into the version dir
+    harmlessly."""
     import uuid
 
     target = os.path.abspath(target_path.rstrip("/"))
     versions = _versions_dir(target)
-    if os.path.isdir(target) and not os.path.islink(target):
-        _migrate_plain_dir(target, versions)
     os.makedirs(versions, exist_ok=True)
-
-    for orphan in os.listdir(versions):  # crashed earlier publishes
-        if orphan.startswith(".tmp-"):
-            shutil.rmtree(os.path.join(versions, orphan), ignore_errors=True)
-
-    # a publish that crashed BETWEEN the v_N rename and the pointer swap
-    # leaves a complete-but-never-committed v_N above the published one;
-    # counting it would make the GC below retire the last actually-
-    # published version one publish early (round-2 review). The pointer
-    # is the commit record: discard any version newer than it.
-    if os.path.islink(target):
-        published_n = int(os.path.basename(os.path.realpath(target))[2:])
-        for d in os.listdir(versions):
-            if d.startswith("v_") and int(d[2:]) > published_n:
-                shutil.rmtree(os.path.join(versions, d), ignore_errors=True)
-
-    existing = sorted(d for d in os.listdir(versions) if d.startswith("v_"))
-    next_n = 1 + (int(existing[-1][2:]) if existing else 0)
-    new_version = os.path.join(versions, f"v_{next_n:010d}")
     staging = os.path.join(versions, f".tmp-{uuid.uuid4().hex[:12]}")
+    os.makedirs(staging)
+    with open(os.path.join(staging, PID_MARKER), "w") as f:
+        f.write(str(os.getpid()))
+    # append, not overwrite: overwrite would delete the pid marker with
+    # the directory; append into the empty dir writes the same files
+    df.write.mode("append").parquet(staging)
+    return staging
 
-    df.write.mode("overwrite").parquet(staging)  # the ONE write
-    os.rename(staging, new_version)  # v_N appears complete or not at all
 
-    tmp_link = target + ".ln.tmp"
-    if os.path.lexists(tmp_link):
-        os.remove(tmp_link)
-    os.symlink(new_version, tmp_link)
-    os.replace(tmp_link, target)  # atomic pointer swap
+def commit_staged(
+    target_path: str, staging: str, expected_version: int | None = None
+) -> str:
+    """Atomically commit a staged directory as the next published
+    version — the (short, flock-serialized) metadata half of a publish.
 
-    for stale in existing[: max(0, len(existing) + 1 - KEEP_VERSIONS)]:
-        shutil.rmtree(os.path.join(versions, stale), ignore_errors=True)
+    Under the lock: sweep DEAD publishers' orphans (pid-marker check;
+    a live racer's staging is never touched), discard any version newer
+    than the pointer (a crash landed it but never committed it — the
+    pointer is the commit record), then CAS: with ``expected_version``
+    set, the currently published version must still be exactly that
+    (0 = expect never-published) or the staged data is discarded and
+    ``ConcurrentPublishError`` raises — the stale writer LOST and must
+    re-read the new base (optimistic concurrency, Delta/Iceberg
+    semantics). The rename makes ``v_N`` appear complete-or-not-at-all;
+    the ``os.replace`` of the symlink is the single atomic commit
+    point. Failpoints ``pre_rename``/``post_rename`` let the crash
+    drills kill a publisher at each boundary.
+    """
+    target = os.path.abspath(target_path.rstrip("/"))
+    versions = _versions_dir(target)
+    os.makedirs(versions, exist_ok=True)
+    with _publish_lock(versions):
+        if os.path.isdir(target) and not os.path.islink(target):
+            _migrate_plain_dir(target, versions)
+
+        for orphan in os.listdir(versions):  # crashed earlier publishes
+            path = os.path.join(versions, orphan)
+            if not orphan.startswith(".tmp-") or path == staging:
+                continue
+            try:
+                with open(os.path.join(path, PID_MARKER)) as f:
+                    owner = int(f.read().strip())
+            except (OSError, ValueError):
+                owner = None  # no marker: died before writing it
+            if owner is None or not _pid_alive(owner):
+                shutil.rmtree(path, ignore_errors=True)
+
+        # a publish that crashed BETWEEN the v_N rename and the pointer
+        # swap leaves a complete-but-never-committed v_N above the
+        # published one; counting it would make the GC below retire the
+        # last actually-published version one publish early (round-2
+        # review). The pointer is the commit record: discard any
+        # version newer than it.
+        if os.path.islink(target):
+            published_n = int(os.path.basename(os.path.realpath(target))[2:])
+            for d in os.listdir(versions):
+                if d.startswith("v_") and int(d[2:]) > published_n:
+                    shutil.rmtree(
+                        os.path.join(versions, d), ignore_errors=True
+                    )
+        else:
+            published_n = 0
+
+        if expected_version is not None and published_n != expected_version:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise ConcurrentPublishError(
+                f"{target_path}: published version is {published_n}, "
+                f"writer expected {expected_version} — another publish "
+                "committed first; re-read the base and retry"
+            )
+
+        existing = sorted(
+            d for d in os.listdir(versions) if d.startswith("v_")
+        )
+        next_n = 1 + (int(existing[-1][2:]) if existing else 0)
+        new_version = os.path.join(versions, f"v_{next_n:010d}")
+
+        _failpoint("pre_rename")
+        os.rename(staging, new_version)  # v_N appears complete or not at all
+        _failpoint("post_rename")
+
+        tmp_link = target + ".ln.tmp"
+        if os.path.lexists(tmp_link):
+            os.remove(tmp_link)
+        os.symlink(new_version, tmp_link)
+        os.replace(tmp_link, target)  # atomic pointer swap
+
+        for stale in existing[: max(0, len(existing) + 1 - KEEP_VERSIONS)]:
+            shutil.rmtree(os.path.join(versions, stale), ignore_errors=True)
     return new_version
+
+
+def publish_parquet(
+    df: DataFrame, target_path: str, expected_version: int | None = None
+) -> str:
+    """Write ``df`` ONCE, then atomically repoint the published symlink.
+    Returns the new version directory. ``expected_version`` opts into
+    optimistic concurrency (see commit_staged). Stage + commit; safe to
+    call with a ``df`` whose lineage reads the currently published
+    version (the write lands in a sibling dir, so Spark never
+    overwrites its own input)."""
+    staging = stage_parquet(df, target_path)
+    return commit_staged(target_path, staging, expected_version)
 
 
 def diff_versions(
@@ -267,10 +377,13 @@ def drop_published(target_path: str) -> None:
 
 __all__ = [
     "AnalysisException",
+    "ConcurrentPublishError",
+    "commit_staged",
     "current_version",
     "diff_versions",
     "drop_published",
     "list_versions",
     "publish_parquet",
     "read_published",
+    "stage_parquet",
 ]
