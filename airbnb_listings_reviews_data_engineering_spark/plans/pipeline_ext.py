@@ -1003,9 +1003,25 @@ def cogrouped_pandas_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     events = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    # o_orderdate cast to TIMESTAMP before the Arrow boundary: a DATE
+    # column crosses into pandas as object-dtype datetime.date, which
+    # drops merge_asof onto its per-row python-object comparison path —
+    # ~5s of the key's 10.6s mirror wall (VERDICT r12 #7). As
+    # datetime64 the merge is vectorized; ordering semantics identical
+    # (midnight(d) <= ts iff d <= ts::date).
     orders = load(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate", "o_totalprice"
+        F.col("o_custkey").alias("user_id"),
+        "o_orderkey",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        "o_totalprice",
     )
+    # Prune the orders side to users that exist in the events stream
+    # (broadcast semi join): a cogroup key present only on the orders
+    # side still costs one Python invocation and emits NOTHING — at
+    # sf0.01 that is 1350 of 1500 groups. Same answer by construction:
+    # the output is driven by event rows alone.
+    ev_users = events.select("user_id").distinct()
+    orders = orders.join(F.broadcast(ev_users), "user_id", "left_semi")
     return (
         events.groupBy("user_id")
         .cogroup(orders.groupBy("user_id"))
