@@ -106,9 +106,40 @@ def report_ages(rnd: int) -> int:
     return oldest
 
 
+def _run_one(key: str, sf_dir: str, child_cpus: int) -> tuple[str, bool, str, float]:
+    """One fresh-process oracle check; returns (key, ok, tail, secs)."""
+    t0 = time.time()
+    tail = ""
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(child_cpus))
+    try:
+        proc = subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "scripts", "oracle_check.py"),
+             sf_dir, key],
+            capture_output=True, text=True, timeout=600, cwd=REPO, env=env,
+        )
+        ok = proc.returncode == 0 and "0 failures" in proc.stdout
+        if not ok:
+            tail = "\n".join(
+                (proc.stdout.splitlines() + proc.stderr.splitlines())[-8:]
+            )
+    except subprocess.TimeoutExpired:
+        ok = False
+        tail = "TIMEOUT after 600s (fresh-process oracle_check hung)"
+    return key, ok, tail, time.time() - t0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=40)
+    ap.add_argument(
+        "--workers", type=int, default=1,
+        help="fresh processes to run concurrently (VERDICT r12 #5: "
+        "~250 keys/round needs parallelism; each child JVM is capped "
+        "to --child-cpus cores so N children share the box). Isolation "
+        "is unchanged — every key still gets its own process.",
+    )
+    ap.add_argument("--child-cpus", type=int, default=8)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument(
         "--report", action="store_true",
@@ -143,41 +174,36 @@ def main() -> int:
     state = load_state()
     results: dict[str, str] = {}
     t_start = time.time()
-    for i, key in enumerate(cohort, 1):
-        t0 = time.time()
-        # one hung oracle must not lose the cohort's accumulated
-        # verdicts (ADVICE r11): TimeoutExpired is recorded as a FAIL
-        # and the state file is dumped incrementally after EVERY key
-        tail = ""
-        try:
-            proc = subprocess.run(
-                [sys.executable,
-                 os.path.join(REPO, "scripts", "oracle_check.py"),
-                 args.sf_dir, key],
-                capture_output=True, text=True, timeout=600, cwd=REPO,
+    # one hung oracle must not lose the cohort's accumulated verdicts
+    # (ADVICE r11): TimeoutExpired is recorded as a FAIL and the state
+    # file is dumped incrementally after EVERY completion. Completions
+    # are funneled through this single thread, so the state writes
+    # never race even with --workers > 1.
+    from concurrent.futures import ThreadPoolExecutor, as_completed
+
+    done = 0
+    with ThreadPoolExecutor(max_workers=max(1, args.workers)) as ex:
+        futs = [
+            ex.submit(_run_one, key, args.sf_dir, args.child_cpus)
+            for key in cohort
+        ]
+        for fut in as_completed(futs):
+            key, ok, tail, secs = fut.result()
+            done += 1
+            results[key] = "ok" if ok else "FAIL"
+            state.setdefault("rotated", {})[key] = {
+                "round": rnd,
+                "verdict": results[key],
+                "ts": int(time.time()),
+            }
+            json.dump(state, open(STATE_PATH, "w"), indent=1, sort_keys=True)
+            print(
+                f"[{done}/{len(cohort)}] {results[key]:4s} {key} "
+                f"({secs:.1f}s, fresh process)",
+                flush=True,
             )
-            ok = proc.returncode == 0 and "0 failures" in proc.stdout
             if not ok:
-                tail = "\n".join(
-                    (proc.stdout.splitlines() + proc.stderr.splitlines())[-8:]
-                )
-        except subprocess.TimeoutExpired:
-            ok = False
-            tail = "TIMEOUT after 600s (fresh-process oracle_check hung)"
-        results[key] = "ok" if ok else "FAIL"
-        state.setdefault("rotated", {})[key] = {
-            "round": rnd,
-            "verdict": results[key],
-            "ts": int(time.time()),
-        }
-        json.dump(state, open(STATE_PATH, "w"), indent=1, sort_keys=True)
-        print(
-            f"[{i}/{len(cohort)}] {results[key]:4s} {key} "
-            f"({time.time() - t0:.1f}s, fresh process)",
-            flush=True,
-        )
-        if not ok:
-            print(f"  --- output tail ---\n{tail}")
+                print(f"  --- output tail ---\n{tail}")
     n_fail = sum(1 for v in results.values() if v != "ok")
     stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     with open(LOG_PATH, "a") as f:
