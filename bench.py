@@ -192,10 +192,22 @@ R12B_ADDITIONS = [
     "eval_bleu_corpus",            # clipped-gram pair joins + brevity
 ]
 
+# round-13: the frequency-domain audio pair (integer STFT), the second
+# real image codec (pure-Python LZW — the heaviest per-row map of the
+# decode family), and the keyed-state-with-timers streaming composite
+# (4 sequential micro-batches + the no-data timer flush; the price is
+# micro-batch scheduling, an allowlist entry documents it)
+R13_ADDITIONS = [
+    "mm_audio_spectrogram",       # framed integer DFT, 1:1 Arrow map
+    "mm_audio_vad_band",          # band-gated VAD islands
+    "mm_decode_gif",              # LZW decode + palette, Arrow map
+    "stream_stateful_admission",  # keyed state + event-time-timer TTL
+]
+
 HEADLINE = (R2_HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R4B_ADDITIONS
             + R4C_ADDITIONS + R4D_ADDITIONS + R5_ADDITIONS + R7_ADDITIONS
             + R8_ADDITIONS + R9_ADDITIONS + R10_ADDITIONS + R11_ADDITIONS
-            + R12_ADDITIONS + R12B_ADDITIONS)
+            + R12_ADDITIONS + R12B_ADDITIONS + R13_ADDITIONS)
 
 # --- per-key time budget (VERDICT r10 #3) ------------------------------
 # No single headline key may exceed this many NORMALIZED seconds at

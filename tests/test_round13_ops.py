@@ -416,3 +416,48 @@ def test_gif_decode_rejects_color_palette_and_interlace(spark):
         for r in MM.decode_png_stats(spark.createDataFrame(pdf)).collect()
     }
     assert out[1] == 64 and out[2] is None and out[3] is None
+
+
+def test_integer_dft_matches_numpy_rfft_within_quantization():
+    """The spectrogram's quantized integer transform must approximate
+    the TRUE Hann STFT: for random frames, per-band energies from the
+    int64 path (descaled by the Hann/twiddle/DIV scale factors) must
+    match |rfft(hann * x)|^2 within the quantization error budget —
+    tying the oracle-checkable arithmetic to the reference transform,
+    not just to itself."""
+    import numpy as np
+
+    from airbnb_listings_reviews_data_engineering_spark.operators.multimodal import (
+        SPEC_ENERGY_DIV,
+        SPEC_FRAME,
+        SPEC_HANN_SCALE,
+        SPEC_TWIDDLE_SCALE,
+        _spec_tables,
+    )
+
+    rng = np.random.default_rng(99)
+    hann_q, tc, ts = _spec_tables()
+    j = np.arange(SPEC_FRAME)
+    hann_true = 0.5 - 0.5 * np.cos(2 * np.pi * j / SPEC_FRAME)
+    scale = (2 * SPEC_HANN_SCALE) * SPEC_TWIDDLE_SCALE  # hann*2^7*2 , tw*2^8
+    for _ in range(50):
+        x = rng.integers(-1024, 1024, SPEC_FRAME).astype(np.int64)
+        w = x * hann_q
+        e_int = ((tc @ w) ** 2 + (ts @ w) ** 2) * 1.0  # pre-DIV energies
+        spec = np.fft.rfft(x * hann_true)
+        # rfft sign convention: exp(-i...) -> imag = -sin sum; energy
+        # is sign-agnostic. Descale: int path scales amplitude by
+        # 2*SPEC_HANN_SCALE (hann in [0,2*128]) * SPEC_TWIDDLE_SCALE.
+        e_true = (np.abs(spec) ** 2) * (scale**2)
+        # floor the denominator at 1% of the frame's peak energy:
+        # quantization error is absolute-ish, so a near-null band's
+        # RELATIVE error is meaningless — what matters is error
+        # relative to the energies a gate would act on
+        denom = np.maximum(e_true, 0.01 * e_true.max())
+        rel = np.abs(e_int - e_true) / denom
+        assert rel.max() < 0.08, rel
+        # summed one-sided energy agrees tightly (same convention
+        # on both sides, so quantization noise largely cancels)
+        assert abs(e_int.sum() - e_true.sum()) / e_true.sum() < 0.01
+    # and the committed DIV keeps values exact integers
+    assert SPEC_ENERGY_DIV == 1 << 20
