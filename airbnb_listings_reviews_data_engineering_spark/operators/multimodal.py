@@ -810,13 +810,15 @@ def _gif_bytes(
     return bytes(out)
 
 
-def _gif_decode_gray(b: bytes) -> tuple[int, int, bytearray]:
+def _gif_decode_frames(b: bytes) -> list[tuple[int, int, bytearray]]:
     """REAL GIF decode for 8-bit non-interlaced grayscale-palette
-    images: header + logical screen descriptor -> global color table
-    (must be grayscale: r == g == b) -> skip extensions -> image
-    descriptor -> LZW sub-blocks -> ``_gif_lzw_decode`` -> palette
-    lookup. Raises on interlace, local palettes, color palettes, or
-    truncation — callers map that to NULL fields, never a job abort."""
+    images, ALL frames: header + logical screen descriptor -> global
+    color table (must be grayscale: r == g == b) -> skip extensions
+    (incl. the per-frame Graphics Control Extension animations carry)
+    -> per image descriptor: LZW sub-blocks -> ``_gif_lzw_decode`` ->
+    palette lookup. Raises on interlace, local palettes, color
+    palettes, or truncation — callers map that to NULL fields, never a
+    job abort."""
     import struct
 
     if b[:6] not in (b"GIF87a", b"GIF89a"):
@@ -834,6 +836,7 @@ def _gif_decode_gray(b: bytes) -> tuple[int, int, bytearray]:
         if r != g or g != bl:
             raise ValueError("color palette; only grayscale supported")
         gray.append(r)
+    frames: list[tuple[int, int, bytearray]] = []
     while off < len(b):
         marker = b[off]
         if marker == 0x21:  # extension: label + sub-blocks
@@ -855,15 +858,24 @@ def _gif_decode_gray(b: bytes) -> tuple[int, int, bytearray]:
                 ln = b[off]
                 lzw += b[off + 1 : off + 1 + ln]
                 off += 1 + ln
+            off += 1  # skip the 0x00 block terminator
             idx = _gif_lzw_decode(bytes(lzw), mcs)
             if len(idx) != w * h:
                 raise ValueError("decoded pixel count mismatch")
-            return w, h, bytearray(gray[i] for i in idx)
+            frames.append((w, h, bytearray(gray[i] for i in idx)))
         elif marker == 0x3B:
             break
         else:
             raise ValueError(f"unexpected GIF block 0x{marker:02x}")
-    raise ValueError("no image data")
+    if not frames:
+        raise ValueError("no image data")
+    return frames
+
+
+def _gif_decode_gray(b: bytes) -> tuple[int, int, bytearray]:
+    """First (or only) frame of a grayscale GIF — the still-image
+    entry point ``_decode_gray_any`` dispatches to."""
+    return _gif_decode_frames(b)[0]
 
 
 def _decode_gray_any(b: bytes) -> tuple[int, int, bytearray]:
@@ -875,6 +887,111 @@ def _decode_gray_any(b: bytes) -> tuple[int, int, bytearray]:
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return _gif_decode_gray(b)
     raise ValueError("no stdlib decoder for this container")
+
+
+def _gif_animation_bytes(
+    width: int, height: int, seed: int, n_frames: int
+) -> bytes:
+    """Valid ANIMATED GIF89a: one grayscale global palette, then per
+    frame a Graphics Control Extension (10 cs delay) + full-size image
+    descriptor + real LZW data. Frame f's pixel (x, y) is
+    (x*7 + y*13 + seed + f*31) % 256 — each frame is a distinct,
+    arithmetically replayable image."""
+    import struct
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    for i in range(256):
+        out += bytes([i, i, i])
+    # Netscape looping extension — what makes it an animation proper
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for f in range(n_frames):
+        out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"  # GCE: 100ms delay
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out.append(8)
+        px = bytes(
+            (x * 7 + y * 13 + seed + f * 31) % 256
+            for y in range(height)
+            for x in range(width)
+        )
+        lzw = _gif_lzw_encode(px)
+        for i in range(0, len(lzw), 255):
+            blk = lzw[i : i + 255]
+            out += bytes([len(blk)]) + blk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def synthesize_gif_animation(
+    df: DataFrame, *, frames_expr: str = "2 + doc_id % 3"
+) -> DataFrame:
+    """One animated GIF per (doc_id, w, h, seed) spec row with
+    ``frames_expr``-many frames (evaluated per doc in pandas)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            nf = pdf.eval(frames_expr)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": [
+                        _gif_animation_bytes(
+                            int(w), int(h), int(s), int(n)
+                        )
+                        for w, h, s, n in zip(
+                            pdf["w"], pdf["h"], pdf["seed"], nf
+                        )
+                    ],
+                }
+            )
+
+    return df.mapInPandas(batches, schema="doc_id long, payload binary")
+
+
+GIF_FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, width int, height int, "
+    "sum_intensity long"
+)
+
+
+def gif_frame_stats(df: DataFrame, every: int = 1) -> DataFrame:
+    """REAL frame extraction from animated GIFs: decode every frame
+    (full LZW per frame), keep every ``every``-th, emit exact integer
+    stats per kept frame — the video-pipeline frame-sampling shape
+    (decode -> temporal subsample -> per-frame features) on a
+    container the stdlib can genuinely decode. Malformed payloads
+    yield a single NULL-fields row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    frames = _gif_decode_frames(bytes(payload))
+                    for fi, (w, h, px) in enumerate(frames):
+                        if fi % every:
+                            continue
+                        rows.append((doc_id, fi, w, h, sum(px)))
+                except Exception:  # noqa: BLE001 — malformed object
+                    rows.append((doc_id, None, None, None, None))
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "frame_idx",
+                    "width",
+                    "height",
+                    "sum_intensity",
+                ],
+            )
+            out["frame_idx"] = out["frame_idx"].astype("Int32")
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
+            out["sum_intensity"] = out["sum_intensity"].astype("Int64")
+            yield out
+
+    return df.mapInPandas(batches, schema=GIF_FRAME_SCHEMA)
 
 
 def synthesize_gif_spec(df: DataFrame) -> DataFrame:

@@ -4190,6 +4190,81 @@ def mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# animated-GIF frame sampling (real multi-frame decode)
+# ---------------------------------------------------------------------------
+
+_GFS_MAX_ID = 100
+
+_GIF_FRAMES_SQL = f"""
+WITH ids AS (
+  SELECT doc_id, 16 + doc_id % 24 AS w, 16 + (doc_id * 5) % 24 AS h,
+         2 + doc_id % 3 AS nf
+  FROM documents WHERE doc_id < {_GFS_MAX_ID}
+), fr AS (
+  SELECT doc_id, w, h, f
+  FROM ids, unnest(range(0, nf)) t(f)
+  WHERE f % 2 = 0
+), px AS (
+  SELECT doc_id, f, w, h,
+         list_sum(flatten(list_transform(generate_series(0, h - 1),
+           y -> list_transform(generate_series(0, w - 1),
+             x -> (x * 7 + y * 13 + doc_id + f * 31) % 256)))) AS s
+  FROM fr
+)
+SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height, CAST(s AS BIGINT) AS sum_intensity,
+       CAST((s * 10000) // (w * h) AS BIGINT) AS mean_intensity_e4
+FROM px
+"""
+
+
+@register("mm_gif_frame_sample", oracle=_GIF_FRAMES_SQL)
+def mm_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-style frame sampling: each row synthesizes a valid
+    ANIMATED GIF89a (Netscape loop extension, per-frame Graphics
+    Control Extensions, 2-4 full-size frames each independently LZW
+    compressed), and the operator decodes EVERY frame, keeps every 2nd
+    (temporal subsampling), and emits exact per-frame pixel stats —
+    the decode -> frame-sample -> per-frame-features shape of a video
+    training pipeline, on a container the stdlib genuinely decodes
+    (operators/multimodal.gif_frame_stats). This retires the byte-
+    slicing stand-in as the only frame-sampling path: mm_frame_sample
+    keeps exercising the opaque-payload plumbing, THIS key proves the
+    real thing end to end (frame f's pixels differ from frame f-1, so
+    a decoder that returned the first frame repeatedly fails the
+    oracle).
+
+    Scale shape: 1:1 Arrow-batched map, no shuffle; per-payload work
+    is n_frames LZW walks. The temporal subsample happens INSIDE the
+    decoder loop (skip before palette mapping), the cheap-gate-first
+    ordering a real frame sampler uses."""
+    ids = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _GFS_MAX_ID)
+        .select("doc_id")
+    )
+    spec = ids.select(
+        "doc_id",
+        (16 + F.col("doc_id") % 24).alias("w"),
+        (16 + (F.col("doc_id") * 5) % 24).alias("h"),
+        F.col("doc_id").alias("seed"),
+    )
+    frames = MM.gif_frame_stats(
+        MM.synthesize_gif_animation(spec), every=2
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "width",
+        "height",
+        "sum_intensity",
+        F.expr(
+            "CAST((sum_intensity * 10000) DIV (width * height) AS BIGINT)"
+        ).alias("mean_intensity_e4"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # frequency-domain audio: integer STFT spectrogram + band-gated VAD
 # ---------------------------------------------------------------------------
 

@@ -201,6 +201,7 @@ R13_ADDITIONS = [
     "mm_audio_spectrogram",       # framed integer DFT, 1:1 Arrow map
     "mm_audio_vad_band",          # band-gated VAD islands
     "mm_decode_gif",              # LZW decode + palette, Arrow map
+    "mm_gif_frame_sample",        # animated-GIF multi-frame decode
     "stream_stateful_admission",  # keyed state + event-time-timer TTL
 ]
 

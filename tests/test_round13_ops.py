@@ -461,3 +461,39 @@ def test_integer_dft_matches_numpy_rfft_within_quantization():
         assert abs(e_int.sum() - e_true.sum()) / e_true.sum() < 0.01
     # and the committed DIV keeps values exact integers
     assert SPEC_ENERGY_DIV == 1 << 20
+
+
+def test_gif_animation_frames_decode_distinctly(spark):
+    """Animated-GIF decode must return EVERY frame with its own
+    pixels: frame f's formula offsets by f*31, so a decoder that
+    repeated frame 0 (or dropped frames after the first terminator)
+    fails. Frame parity with the arithmetic formula is checked for
+    one payload end to end."""
+    from airbnb_listings_reviews_data_engineering_spark.operators.multimodal import (
+        _gif_animation_bytes,
+        _gif_decode_frames,
+    )
+
+    frames = _gif_decode_frames(_gif_animation_bytes(20, 12, seed=7, n_frames=4))
+    assert len(frames) == 4
+    for f, (w, h, px) in enumerate(frames):
+        assert (w, h) == (20, 12)
+        expect = bytes(
+            (x * 7 + y * 13 + 7 + f * 31) % 256
+            for y in range(12)
+            for x in range(20)
+        )
+        assert bytes(px) == expect
+
+
+def test_gif_frame_sample_keeps_every_second_frame(spark):
+    from airbnb_listings_reviews_data_engineering_spark.plans import all_queries
+
+    rows = all_queries()["mm_gif_frame_sample"].fn(spark, SF001).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert len(by_doc) == 100
+    for doc, fs in by_doc.items():
+        nf = 2 + doc % 3
+        assert sorted(fs) == [f for f in range(nf) if f % 2 == 0]
