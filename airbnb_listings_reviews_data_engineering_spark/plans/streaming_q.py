@@ -317,6 +317,124 @@ stream_stateful_admission.__doc__ = stream_stateful_admission.__doc__.format(
 )
 
 
+# --- emit-on-close sessionization (the canonical timer delivery) -------------
+
+_SSF_SQL = f"""
+WITH e AS (
+  SELECT event_id, ts, user_id,
+         CAST(round(value * 10000) AS BIGINT) AS vq,
+         CASE WHEN ts < TIMESTAMP '{_SSA_B1}' THEN 1
+              WHEN ts < TIMESTAMP '{_SSA_B2}' THEN 2 ELSE 3 END AS bseq
+  FROM events
+),
+wm AS (
+  SELECT epoch_ms(max(ts) FILTER (WHERE bseq = 1)) AS wm2,
+         epoch_ms(max(ts) FILTER (WHERE bseq <= 2)) AS wm3,
+         epoch_ms(max(ts)) AS wm4
+  FROM e
+),
+g AS (
+  SELECT e.*, CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                      >= CAST({_SSA_GAP_MS} AS BIGINT) * 1000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+),
+sess AS (
+  SELECT user_id, sid, min(ts) AS st, max(ts) AS en,
+         count(*) AS n, CAST(sum(vq) AS BIGINT) AS sv,
+         min(bseq) AS b_first, max(bseq) AS b_last
+  FROM s GROUP BY user_id, sid
+),
+nx AS (
+  SELECT sess.*,
+         coalesce(lead(b_first) OVER (PARTITION BY user_id ORDER BY sid),
+                  99) AS next_b,
+         lead(sid) OVER (PARTITION BY user_id ORDER BY sid) AS next_sid
+  FROM sess
+),
+cls AS (
+  SELECT nx.*,
+         ((b_last + 1 <= 2 AND next_b > 2
+           AND epoch_ms(en) + {_SSA_GAP_MS} < wm.wm2)
+          OR (b_last + 1 <= 3 AND next_b > 3
+              AND epoch_ms(en) + {_SSA_GAP_MS} < wm.wm3)
+          OR (next_b > 3
+              AND epoch_ms(en) + {_SSA_GAP_MS} < wm.wm4)) AS fired
+  FROM nx CROSS JOIN wm
+)
+SELECT user_id, epoch_us(st) AS start_us, epoch_us(en) AS end_us,
+       n AS n_events, sv AS sum_value_e4,
+       CASE WHEN fired THEN 'timer' ELSE 'gap' END AS closed_by
+FROM cls WHERE fired OR next_sid IS NOT NULL
+"""
+
+
+@register("stream_session_finalize", oracle=_SSF_SQL)
+def stream_session_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMIT-ON-CLOSE sessionization (streaming/ingest.session_finalize)
+    — the canonical event-time-timer DELIVERY pattern: each finished
+    session is emitted exactly once, at the moment it closes — by the
+    GAP rule when the user's next event arrives >= 1 day later
+    (data-driven close, possibly several per micro-batch), or by an
+    EVENT-TIME TIMER when the watermark passes last_ts + 1 day with
+    the user idle (timer-driven close, incl. availableNow's no-data
+    flush). Only a user's final session may go unemitted (still open
+    when the stream ends). stream_session_window emits final AGGREGATE
+    state; THIS key emits a complete append-only feed of closed
+    sessions with the CLOSE MECHANISM attributed per row — the oracle
+    replays both mechanisms (which batch's watermark, if any, closed
+    each session before the user's next event arrived) from the event
+    log alone.
+
+    Scale shape: per-key state is one open session (4 ints); state is
+    keyed by user and dropped on every close, so the store tracks open
+    sessions only — the soak-proven bound of stateful_admission
+    applies unchanged."""
+    from ..streaming.ingest import session_finalize
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.round(F.col("value") * 10000).cast("long").alias("vq"),
+    )
+    stream_dir = _landing_zone(spark, "stream_session_finalize")
+    try:
+        b1 = F.lit(_SSA_B1).cast("timestamp")
+        b2 = F.lit(_SSA_B2).cast("timestamp")
+        batches = [
+            ev.filter(F.col("ts") < b1),
+            ev.filter((F.col("ts") >= b1) & (F.col("ts") < b2)),
+            ev.filter(F.col("ts") >= b2),
+        ]
+        for seq, b in enumerate(batches, start=1):
+            _stage_batch(b, stream_dir, f"batch{seq}.parquet", seq)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint, vq bigint"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+            .withWatermark("ts", "0 seconds")
+        )
+        out = session_finalize(stream, gap_ms=_SSA_GAP_MS)
+        result = run_available_now(
+            out, query_name="stream_session_finalize", output_mode="update"
+        )
+        return pin(result, label="ssf_result")
+    finally:
+        from ..sources.staging import fs_delete
+
+        fs_delete(stream_dir, spark)
+
+
 _STREAM_STREAM_SQL = """
 SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
        round(p.value, 4) AS purchase_value

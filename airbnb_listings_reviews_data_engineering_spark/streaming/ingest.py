@@ -307,6 +307,101 @@ def stateful_admission(
     )
 
 
+def session_finalize(events: DataFrame, *, gap_ms: int) -> DataFrame:
+    """EMIT-ON-CLOSE sessionization — the canonical timer pattern a
+    stream that must DELIVER finished sessions (not just account for
+    them) runs: per user the value state holds the OPEN session
+    (start, last event, count, value sum in exact 1e-4 int units); a
+    new event >= ``gap_ms`` after the previous one CLOSES the held
+    session (emitted immediately, data-driven close) and opens a new
+    one; an event-time timer at last_ts + gap closes a trailing idle
+    session (timer-driven close) — so every session is emitted exactly
+    once, when it closes, and only a user's final session can remain
+    unemitted (still open at end of stream, when the watermark never
+    passed its horizon). Downstream consumers get a complete, append-
+    only feed of finished sessions.
+
+    Determinism: same contract as stateful_admission (ts-ordered
+    batches, per-batch watermark = floored-ms max prior event time,
+    strict-< firing, availableNow's no-data flush) — a batch oracle
+    replays exactly which sessions closed. The input must carry ``vq``
+    (value pre-quantized to 1e-4 int64 by SPARK's round — quantizing
+    here with numpy would use banker's rounding and diverge from the
+    SQL oracle's half-away round on exact .5 products)."""
+    import numpy as np  # noqa: PLC0415 — worker-side import
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = (
+        "user_id bigint, start_us bigint, end_us bigint,"
+        " n_events bigint, sum_value_e4 bigint, closed_by string"
+    )
+    state_schema = (
+        "start_us bigint, last_ts_us bigint, n bigint, sum_e4 bigint"
+    )
+    gap_us = gap_ms * 1000
+
+    def finalize(key, pdfs, state: GroupState):
+        user = key[0]
+        if state.hasTimedOut:
+            start, last, n, sv = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user,
+                        "start_us": start,
+                        "end_us": last,
+                        "n_events": n,
+                        "sum_value_e4": sv,
+                        "closed_by": "timer",
+                    }
+                ]
+            )
+            return
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        vq = pdf["vq"].to_numpy().astype(np.int64)
+        start, last, n, sv = (
+            state.get if state.exists else (None, None, 0, 0)
+        )
+        closed = []
+        for t, v in zip(ts_us, vq):
+            t = int(t)
+            if last is not None and t - last >= gap_us:
+                closed.append(
+                    {
+                        "user_id": user,
+                        "start_us": start,
+                        "end_us": last,
+                        "n_events": n,
+                        "sum_value_e4": sv,
+                        "closed_by": "gap",
+                    }
+                )
+                start, n, sv = None, 0, 0
+            if start is None:
+                start = t
+            n += 1
+            sv += int(v)
+            last = t
+        state.update((start, last, n, sv))
+        state.setTimeoutTimestamp(last // 1000 + gap_ms)
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        finalize,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def stateful_user_stats(events: DataFrame) -> DataFrame:
     """Arbitrary stateful per-key streaming (applyInPandasWithState):
     running event count + max value per user. The state schema is the

@@ -203,6 +203,7 @@ R13_ADDITIONS = [
     "mm_decode_gif",              # LZW decode + palette, Arrow map
     "mm_gif_frame_sample",        # animated-GIF multi-frame decode
     "stream_stateful_admission",  # keyed state + event-time-timer TTL
+    "stream_session_finalize",    # emit-on-close sessions (gap + timer)
 ]
 
 HEADLINE = (R2_HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R4B_ADDITIONS

@@ -203,7 +203,8 @@ SECTIONS = [
         "src_python_datasource", "stream_python_datasource"]),
     ("Round-13 (stateful timers, spectral audio, GIF decode)", [
         "stream_stateful_admission", "mm_audio_spectrogram",
-        "mm_audio_vad_band", "mm_decode_gif", "mm_gif_frame_sample"]),
+        "mm_audio_vad_band", "mm_decode_gif", "mm_gif_frame_sample",
+        "stream_session_finalize"]),
     ("Geospatial (grid-blocked joins, anchor kNN)", [
         "geo_dist_rings", "geo_grid_join", "geo_knn_anchor",
         "geo_point_in_polygon", "geo_knn_join"]),

@@ -497,3 +497,72 @@ def test_gif_frame_sample_keeps_every_second_frame(spark):
     for doc, fs in by_doc.items():
         nf = 2 + doc % 3
         assert sorted(fs) == [f for f in range(nf) if f % 2 == 0]
+
+
+def test_session_finalize_gap_vs_timer_attribution(spark, tmp_path):
+    """Emit-on-close contract: a session closed by a later event in
+    the SAME batch emits with closed_by='gap'; a session whose user
+    goes idle while the watermark passes its horizon emits with
+    closed_by='timer'; a trailing still-open session is never emitted."""
+    import os
+
+    import pandas as pd
+
+    from airbnb_listings_reviews_data_engineering_spark.plans.streaming_q import (
+        _stage_batch,
+    )
+    from airbnb_listings_reviews_data_engineering_spark.streaming.ingest import (
+        run_available_now,
+        session_finalize,
+    )
+
+    stream_dir = str(tmp_path / "in")
+    os.makedirs(stream_dir)
+    batches = [
+        # u1: two sessions in ONE batch (gap close), second stays open
+        # u2: one session, then idle forever (timer close at flush)
+        [(1, 1000, 1, 5), (2, 1010, 1, 7), (3, 99000, 1, 11),
+         (4, 1000, 2, 13)],
+        # watermark mover (u9): wm at flush = 999000 > 1010+3600 and
+        # > 1000+3600, but NOT > 99000+3600? 999000 > 102600 -> u1's
+        # trailing session WOULD close too; keep it open by moving wm
+        # only to 100000 (u9 ts 100000): 100000 < 102600 -> open.
+        [(5, 100000, 9, 0)],
+    ]
+    for seq, rows in enumerate(batches, start=1):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "epoch", "user_id", "vq"]
+        )
+        df = spark.createDataFrame(pdf).select(
+            "event_id",
+            F.timestamp_seconds("epoch").alias("ts"),
+            "user_id",
+            F.col("vq").cast("long"),
+        )
+        _stage_batch(df, stream_dir, f"batch{seq}.parquet", seq)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, vq bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .withWatermark("ts", "0 seconds")
+    )
+    out = session_finalize(stream, gap_ms=3_600_000)
+    res = run_available_now(
+        out, query_name=f"ssf_test_{tmp_path.name}", output_mode="update"
+    )
+    rows = {(r.user_id, r.start_us): r for r in res.collect()}
+    # u1's first session: gap-closed by event 3 in the same batch
+    s1 = rows[(1, 1_000_000_000)]
+    assert (s1.end_us, s1.n_events, s1.sum_value_e4, s1.closed_by) == (
+        1_010_000_000, 2, 12, "gap",
+    )
+    # u1's trailing session (99000s): wm never passes 99000+3600 -> open
+    assert (1, 99_000_000_000) not in rows
+    # u2: timer-closed at the flush (wm 100000s > 1000+3600)
+    s2 = rows[(2, 1_000_000_000)]
+    assert (s2.n_events, s2.sum_value_e4, s2.closed_by) == (1, 13, "timer")
+    # u9's own session stays open (nothing ever advances wm past it)
+    assert all(u != 9 for u, _ in rows)
