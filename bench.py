@@ -237,6 +237,14 @@ PER_KEY_BUDGET_ALLOWLIST = {
     # scales 1:1 with corpus; the caption leg is semi-join-reduced to
     # image-band survivors (r9); steady-state ~2.7 s quiet.
     "mm_pair_dedup": 4.0,
+    # The two keyed-state timer keys drain 4-5 SEQUENTIAL micro-batches
+    # plus the no-data timer flush — the cross-batch state/timer
+    # semantics ARE the thing being verified, and each micro-batch is
+    # ~1s of scheduling floor at any data size (state-partition sizing
+    # was tried and moved nothing; the batches cannot be parallelized
+    # by definition). ~5.8s quiet at sf0.1.
+    "stream_stateful_admission": 8.0,
+    "stream_session_finalize": 8.0,
 }
 
 
