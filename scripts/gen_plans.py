@@ -53,6 +53,9 @@ SHOWCASE = [
     ("sample_influence_proxy", "gradient-alignment influence: pinned feature projection, int64 GD chain + 1-row holdout-gradient fold, map-side scoring, two TakeOrdered slices"),
     ("text_kneser_ney_logprob", "KN LM scoring: one pair-explode scan, vocab-bounded count joins, 1-row type-count fold, int64 micro-nat per-doc sums"),
     ("sample_pareto_skyline", "2-D skyline: scan + quantized-level groupBy, strict running max over the bounded level table, broadcast front join back"),
+    ("mm_audio_spectrogram", "integer STFT: 1:1 Arrow map (framed int64 Hann+DFT matmul in the closure), (doc, band) energy fold, doc-partitioned 9-row peak window"),
+    ("mm_gif_frame_sample", "animated-GIF frame sampling: one Arrow map per payload (multi-frame LZW decode + temporal subsample inside the decoder loop), zero shuffles"),
+    ("cogrouped_pandas_asof", "cogrouped pandas as-of join: broadcast semi-prune of the orders side, ONE cogroup exchange, vectorized merge_asof per user (datetime64 keys — the r13 fix)"),
 ]
 
 SF = "/root/testdata/sf0.01"
