@@ -247,7 +247,11 @@ def stream_stateful_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     rejected, and an EVENT-TIME timer at last_ts + 1 day expires idle
     state — per firing the operator emits an 'expired' accounting row
     and drops the key's state (the TTL bound that keeps the state store
-    finite on an unbounded user space).
+    finite on an unbounded user space). Generalizes the reference's
+    only stateful accumulation (the reviews $addToSet,
+    Airbnb_Review_ETL.py:102 — unbounded per-key growth, no expiry) to
+    the state class production streams need: bounded, timer-expired,
+    admission-gated.
 
     The oracle replays the ENTIRE state machine — admissions AND
     timers — as window CTEs over the event log: the watermark during
