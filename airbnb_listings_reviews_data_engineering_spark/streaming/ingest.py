@@ -251,22 +251,39 @@ def stateful_admission(
             state.remove()
             fired_bseq = 2 if wm < b1_ms else 3 if wm < b2_ms else 4
             yield pd.DataFrame(
-                [
-                    {
-                        "user_id": user,
-                        "kind": "expired",
-                        "bseq": fired_bseq,
-                        "n_admit": 0,
-                        "n_reject": 0,
-                        "n_open": 0,
-                        "n_expired": 1,
-                    }
-                ]
+                {
+                    "user_id": [user],
+                    "kind": ["expired"],
+                    "bseq": [fired_bseq],
+                    "n_admit": [0],
+                    "n_reject": [0],
+                    "n_open": [0],
+                    "n_expired": [1],
+                }
             )
             return
-        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        # Hot path: ~1,500 keys per micro-batch each pay this function's
+        # constant overhead, so it is kept to numpy column extraction —
+        # the earlier pd.concat(...).sort_values(["ts", "event_id"]) form
+        # cost ~450 us/key and dominated addBatch (~1 s/batch at sf0.1;
+        # guide §4.2: hand batches to vectorized native code). Only the
+        # ts values are needed in order: rows tied on ts have gap 0, so
+        # their relative order (the event_id tiebreak) cannot change
+        # new_sess, pos, or the emitted counts — np.sort on the ts array
+        # is equivalent to the full (ts, event_id) row sort here. bseq is
+        # constant within a micro-batch (one staged file per trigger).
+        bseq0 = None
+        ts_parts = []
+        for p in pdfs:
+            if len(p):
+                if bseq0 is None:
+                    bseq0 = int(p["bseq"].iloc[0])
+                ts_parts.append(p["ts"].to_numpy())
         last_ts, n_in = state.get if state.exists else (None, 0)
-        ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ts_us = (
+            ts_parts[0] if len(ts_parts) == 1 else np.concatenate(ts_parts)
+        ).astype("datetime64[us]").astype(np.int64)
+        ts_us.sort()
         n = len(ts_us)
         prev = np.empty(n, dtype=np.int64)
         prev[0] = last_ts if last_ts is not None else np.int64(-(2**62))
@@ -284,18 +301,17 @@ def stateful_admission(
         # ms-floored like the watermark itself (EventTimeStats tracks
         # event time in whole milliseconds)
         state.setTimeoutTimestamp(int(ts_us[-1]) // 1000 + gap_ms)
+        n_admit = int((pos <= cap).sum())
         yield pd.DataFrame(
-            [
-                {
-                    "user_id": user,
-                    "kind": "batch",
-                    "bseq": int(pdf["bseq"].iloc[0]),
-                    "n_admit": int((pos <= cap).sum()),
-                    "n_reject": int((pos > cap).sum()),
-                    "n_open": int(new_sess.sum()),
-                    "n_expired": 0,
-                }
-            ]
+            {
+                "user_id": [user],
+                "kind": ["batch"],
+                "bseq": [bseq0],
+                "n_admit": [n_admit],
+                "n_reject": [n - n_admit],
+                "n_open": [int(new_sess.sum())],
+                "n_expired": [0],
+            }
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
@@ -350,21 +366,33 @@ def session_finalize(events: DataFrame, *, gap_ms: int) -> DataFrame:
             start, last, n, sv = state.get
             state.remove()
             yield pd.DataFrame(
-                [
-                    {
-                        "user_id": user,
-                        "start_us": start,
-                        "end_us": last,
-                        "n_events": n,
-                        "sum_value_e4": sv,
-                        "closed_by": "timer",
-                    }
-                ]
+                {
+                    "user_id": [user],
+                    "start_us": [start],
+                    "end_us": [last],
+                    "n_events": [n],
+                    "sum_value_e4": [sv],
+                    "closed_by": ["timer"],
+                }
             )
             return
-        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
-        ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        vq = pdf["vq"].to_numpy().astype(np.int64)
+        # Hot path (same rationale as stateful_admission above): numpy
+        # column extraction + one stable ts argsort instead of
+        # pd.concat(...).sort_values(["ts", "event_id"]) — rows tied on
+        # ts always share a session (gap 0 cannot close) and sums/counts
+        # commute, so the event_id tiebreak cannot change any emitted
+        # session's (start, end, n, sum) or its close attribution.
+        parts = [p for p in pdfs if len(p)]
+        if len(parts) == 1:
+            ts_raw = parts[0]["ts"].to_numpy()
+            vq = parts[0]["vq"].to_numpy()
+        else:
+            ts_raw = np.concatenate([p["ts"].to_numpy() for p in parts])
+            vq = np.concatenate([p["vq"].to_numpy() for p in parts])
+        ts_us = ts_raw.astype("datetime64[us]").astype(np.int64)
+        order = np.argsort(ts_us, kind="stable")
+        ts_us = ts_us[order]
+        vq = vq[order].astype(np.int64)
         start, last, n, sv = (
             state.get if state.exists else (None, None, 0, 0)
         )
