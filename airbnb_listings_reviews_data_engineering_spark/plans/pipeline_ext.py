@@ -25,7 +25,7 @@ from ..operators import dedup as D
 from ..operators import multimodal as MM
 from ..operators import similarity as S
 from ..operators import text as TX
-from .registry import load, register
+from .registry import fan_out, load, register
 
 # --- shared corpus builders -------------------------------------------------
 
@@ -47,7 +47,10 @@ def _variant_corpus(spark: SparkSession, sf_dir: str, max_id: int | None = None)
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.regexp_replace("text", r"^[a-z]+ ", "").alias("text"),
     )
-    return docs.unionByName(variants)
+    # heavy per-doc signature maps (md5-per-shingle) follow this corpus;
+    # spread the unsplittable single-row-group read across the cores
+    # (guide §2.5) — no-op when the source has enough row groups
+    return fan_out(spark, docs.unionByName(variants), f"{sf_dir}/documents.parquet")
 
 
 _NUM_HASHES = 8

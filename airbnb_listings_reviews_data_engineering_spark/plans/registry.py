@@ -136,7 +136,73 @@ def lint_oracle_types(columns, types, key: str) -> list[str]:
     return errs
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Parquet-footer split counts, cached per path: the fan-out decision
+# (below) needs "how many independently-readable units does this source
+# physically offer", which is the ROW-GROUP count, not the planner's
+# split count — a single-row-group file sliced into 32 byte-range splits
+# still delivers every row to the one split holding the row-group
+# midpoint, leaving 31 empty tasks (observed: every sf0.1 table is one
+# row group, so every scan-fed map stage ran ~single-task). Only footer
+# METADATA is cached — never rows or results.
+_SPLIT_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def _source_splits(path: str, need: int) -> tuple[int, int]:
+    """(row_groups, rows) of the parquet source, counting lazily up to
+    ``need`` row groups — a 100 TB table answers after a handful of
+    footers instead of listing thousands."""
+    cached = _SPLIT_CACHE.get(path)
+    if cached is not None and (cached[0] >= need or cached[0] < 0):
+        return cached
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    if _os.path.isdir(path):
+        files = sorted(
+            _os.path.join(path, f)
+            for f in _os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    else:
+        files = [path]
+    groups = rows = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        groups += md.num_row_groups
+        rows += md.num_rows
+        if groups >= need:
+            break
+    _SPLIT_CACHE[path] = (groups, rows)
+    return groups, rows
+
+
+def fan_out(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Round-robin repartition after an UNSPLITTABLE read (guide §2.5
+    "input skew ... repartition immediately after the read").
+
+    Use before compute-heavy map stages (per-shingle hashing, Arrow
+    decode maps, gram explodes) fed directly by a scan. The repartition
+    happens ONLY when the parquet source physically offers fewer row
+    groups than the cluster's parallelism — at production scale a table
+    has thousands of row groups and this is a zero-cost no-op; on the
+    single-row-group harness files it spreads the heavy map across all
+    cores instead of the one task that holds the lone row group.
+    Round-robin is deterministic under retry (sort-before-repartition,
+    SPARK-23207) and row-order-insensitive operators are unaffected.
+    """
+    par = spark.sparkContext.defaultParallelism
+    groups, rows = _source_splits(path, par)
+    if groups >= par:
+        return df
+    # don't shatter tiny dimension tables into near-empty tasks
+    n = min(par, max(1, rows // 32))
+    if n <= groups:
+        return df
+    return df.repartition(n)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
     """Load one driver testdata table (parquet, explicit path).
 
     events.ts has shipped in two physical shapes across testdata
@@ -151,6 +217,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamp-formatting query depends on it for oracle parity.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
+    if spread:
+        return fan_out(spark, load(spark, sf_dir, name), path)
     if name == "events":
         from pyspark.sql import functions as F
 

@@ -8,6 +8,8 @@ statement for Structured Streaming.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -45,6 +47,51 @@ def _landing_zone(spark: SparkSession, key: str, stable: bool = False) -> str:
     return root
 
 
+def _source_rows(sf_dir: str, table: str) -> int:
+    """Source row count from the parquet footers (-1 if unreadable) —
+    metadata only, shared by the staging marker and the state-layout
+    sizing below."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        from ..functions.percentile import _parquet_files
+
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in _parquet_files(os.path.join(sf_dir, f"{table}.parquet"))
+        )
+    except Exception:  # noqa: BLE001 — callers treat -1 as unknown
+        return -1
+
+
+@contextmanager
+def _stateful_layout(spark: SparkSession, sf_dir: str, table: str):
+    """Size the keyed-state store layout to the stream, scale-adaptively.
+
+    The number of state partitions is fixed at query start from
+    ``spark.sql.shuffle.partitions``. Each partition pays per-BATCH
+    store open/commit/snapshot churn, and each key pays the per-key
+    Python serde of applyInPandasWithState — so too many partitions is
+    store churn (32 partitions for a fixture-sized feed: +1.7 s on the
+    admission drain) and too few serializes the per-key machinery
+    (2 partitions: +4.3 s). Sizing by source rows picks the measured
+    sweet spot locally (~8 at sf0.1) and grows to the cluster's
+    parallelism as the feed grows — the same sizing rule a production
+    stream applies to its key cardinality/throughput (cf. the
+    stream_stream_join 4-stores-per-partition rationale below)."""
+    n_rows = _source_rows(sf_dir, table)
+    par = spark.sparkContext.defaultParallelism
+    parts = par if n_rows < 0 else min(par, max(2, n_rows // 12_500))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _ensure_staged(
     spark: SparkSession, key: str, sf_dir: str, table: str, stage_fn
 ) -> str:
@@ -64,18 +111,7 @@ def _ensure_staged(
     from ..sources.staging import fs_delete
 
     stream_dir = _landing_zone(spark, key, stable=True)
-    n_rows = -1
-    try:
-        import pyarrow.parquet as pq
-
-        from ..functions.percentile import _parquet_files
-
-        n_rows = sum(
-            pq.ParquetFile(f).metadata.num_rows
-            for f in _parquet_files(os.path.join(sf_dir, f"{table}.parquet"))
-        )
-    except Exception:  # noqa: BLE001 — marker falls back to sf_dir only
-        pass
+    n_rows = _source_rows(sf_dir, table)
     marker = os.path.join(stream_dir, "_staged.json")
     want = {"sf_dir": os.path.abspath(sf_dir), "n_rows": n_rows}
     have = None
@@ -362,7 +398,9 @@ def stream_stateful_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         cap=_SSA_CAP,
         fired_bseq_bounds_ms=(_ms(_SSA_B1), _ms(_SSA_B2)),
     )
-    with timed_span(spark, "ssa_drain"):
+    with timed_span(spark, "ssa_drain"), _stateful_layout(
+        spark, sf_dir, "events"
+    ):
         result = run_available_now(
             out, query_name="stream_stateful_admission", output_mode="update"
         )
@@ -489,7 +527,9 @@ def stream_session_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts", "0 seconds")
     )
     out = session_finalize(stream, gap_ms=_SSA_GAP_MS)
-    with timed_span(spark, "ssf_drain"):
+    with timed_span(spark, "ssf_drain"), _stateful_layout(
+        spark, sf_dir, "events"
+    ):
         result = run_available_now(
             out, query_name="stream_session_finalize", output_mode="update"
         )

@@ -34,6 +34,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing sizes partitions by BYTES; with the default 1m
+        # floor a few-MB shuffle coalesces to 1-3 partitions and every
+        # post-shuffle compute-heavy stage (md5 position streams, GD
+        # rounds, label-prop) runs near-serial on this harness. With
+        # parallelismFirst (default true) AQE caps partitions at
+        # defaultParallelism, so the floor only matters for small
+        # shuffles: 16k keeps those stages parallel while a production
+        # shuffle (total bytes >> parallelism * advisory size) is sized
+        # by bytes exactly as before. Measured: 12 mixed keys 16.5 s ->
+        # 12.7 s at sf0.1 (OPTIMIZATION_r13.md); scale-parameterized.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "16k"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # 16g: local mode puts every "executor" in the driver JVM; an 8g
