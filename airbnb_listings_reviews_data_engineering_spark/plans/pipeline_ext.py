@@ -2026,7 +2026,7 @@ def dedup_span_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitwise cross-engine."""
     from ..functions.hashing import hash60_spark_sql
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     gram_h = hash60_spark_sql(f"concat_ws(' ', slice(w, i + 1, {_SPANX_N}))")
     grams = docs.select(
         "doc_id", F.split("text", " ").alias("w")
@@ -2502,7 +2502,7 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     array rebuild), two corpus-scale shuffles total, posting table
     pinned once. Span hashes are hash60 (md5-derived), bitwise-equal
     cross-engine; n_spans counts MAXIMAL merged spans."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     return D.duplicated_span_excise(
         docs, "doc_id", "text", n=_SPANX_N, min_count=2
     )
@@ -2523,7 +2523,7 @@ def dedup_span_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan shape: the canonical occurrence rides the dup-gram aggregate
     as a min() over a composite (doc * 2^20 + pos) key — no extra
     shuffle, one filter more than the aggressive form."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     return D.duplicated_span_excise(
         docs, "doc_id", "text", n=_SPANX_N, min_count=2, keep_first=True
     )
@@ -5785,7 +5785,8 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.col("doc_id") * 2, F.col("doc_id") * 2 + 1)
         ).alias("doc_id")
     )
-    return _phash_pair_frame(ids)
+    # spread the unsplittable scan before the dHash HOF chain (§2.5)
+    return _phash_pair_frame(fan_out(spark, ids, f"{sf_dir}/documents.parquet"))
 
 
 def _mm_pair_sql() -> str:
@@ -5909,7 +5910,14 @@ def mm_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                 )
             ).alias("p")
-        ).select("p.pair_id", "p.caption"),
+        # spread before the pin: BOTH signature legs (dHash HOF chain,
+        # caption minhash) read this checkpoint, and the single-row-
+        # group documents scan would otherwise pin it on one partition
+        # and serialize the heaviest two stages of the key (guide §2.5)
+        ).select("p.pair_id", "p.caption")
+        .transform(
+            lambda d: fan_out(spark, d, f"{sf_dir}/documents.parquet")
+        ),
         label="mm_pair_corpus",
     )
     img = pin(

@@ -1301,7 +1301,9 @@ def stream_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         span_excise_against_index,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread=True: the standing gram index (positional explode + hash60
+    # per gram) is built off this scan; unsplit it runs single-task
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     fresh = (
         lambda m: f"array_join(transform(sequence(1, {m}), k ->"
         " concat('nv', cast(doc_id as string), 'x', cast(k as string))), ' ')"
