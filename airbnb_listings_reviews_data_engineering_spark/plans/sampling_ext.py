@@ -1106,7 +1106,9 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     one merge — never a global sort). Weight sums round to 4 dp before
     ranking (Gumbel key 6 dp, doc_id tie-break), so selection is
     deterministic cross-engine at any partitioning."""
-    docs = load(spark, sf_dir, "documents")
+    # spread=True: the md5-per-bigram hash below is the key's heaviest
+    # map and the single-row-group scan would run it single-task (§2.5)
+    docs = load(spark, sf_dir, "documents", spread=True)
     tok = docs.select("doc_id", "source", F.split("text", " ").alias("w"))
     grams = tok.select(
         "doc_id",

@@ -122,7 +122,9 @@ def _ensure_staged(
         pass
     if have != want:
         fs_delete(stream_dir)
-        os.makedirs(stream_dir, exist_ok=True)
+        # recreate through the guarded helper route (_scratch_dir owns
+        # the one sanctioned local mkdir), never a direct makedirs
+        stream_dir = _landing_zone(spark, key, stable=True)
         stage_fn(stream_dir)
         with open(marker, "w") as f:
             json.dump(want, f)
@@ -1637,7 +1639,9 @@ def stream_admission_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.atomic import publish_parquet, read_published
     from ..sources.staging import fs_delete
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread=True: the standing index is a full-corpus minhash
+    # signature (md5 per shingle) built off this scan each run (§2.5)
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     nov1 = _SAE_NOVEL.format(lo=1, pfx="nv", **_SAE_SPARK_FMT)
     nov1v = _SAE_NOVEL.format(lo=2, pfx="nv", **_SAE_SPARK_FMT)
     nov2 = _SAE_NOVEL.format(lo=1, pfx="fz", **_SAE_SPARK_FMT)
