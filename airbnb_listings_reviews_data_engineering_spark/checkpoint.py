@@ -130,6 +130,39 @@ class timed_span:
         return False
 
 
+class small_pin_floor:
+    """Scope a lower AQE partition-coalescing floor around an EAGER pin
+    of a small frame whose materialized layout feeds many compute-heavy
+    downstream passes (unrolled GD/boosting rounds riding a pinned
+    feature table). With Spark's default 1m floor a few-MB shuffle
+    coalesces to 1-3 partitions and the pin freezes that near-serial
+    layout into every later pass; a 16k floor keeps the pinned layout
+    parallel. Scoped, not session-wide: a session-wide 16k floor
+    measured SLOWER on 7 of 8 probed keys at sf0.1 (the extra
+    near-empty tasks cost more than they parallelize —
+    OPTIMIZATION_r13.md), and at production scale the pinned table's
+    bytes dwarf any floor, so this is a local-harness no-op there by
+    construction."""
+
+    _KEY = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+
+    def __init__(self, spark: SparkSession, size: str = "16k"):
+        self._spark = spark
+        self._size = size
+
+    def __enter__(self):
+        self._prev = self._spark.conf.get(self._KEY, None)
+        self._spark.conf.set(self._KEY, self._size)
+        return self
+
+    def __exit__(self, *exc):
+        if self._prev is None:
+            self._spark.conf.unset(self._KEY)
+        else:
+            self._spark.conf.set(self._KEY, self._prev)
+        return False
+
+
 def checkpoint_mode(spark: SparkSession) -> str:
     mode = spark.conf.get(MODE_CONF, None) or os.environ.get(MODE_ENV, "local")
     mode = mode.lower()

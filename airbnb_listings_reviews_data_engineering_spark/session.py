@@ -34,19 +34,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # AQE coalescing sizes partitions by BYTES; with the default 1m
-        # floor a few-MB shuffle coalesces to 1-3 partitions and every
-        # post-shuffle compute-heavy stage (md5 position streams, GD
-        # rounds, label-prop) runs near-serial on this harness. With
-        # parallelismFirst (default true) AQE caps partitions at
-        # defaultParallelism, so the floor only matters for small
-        # shuffles: 16k keeps those stages parallel while a production
-        # shuffle (total bytes >> parallelism * advisory size) is sized
-        # by bytes exactly as before. Measured: 12 mixed keys 16.5 s ->
-        # 12.7 s at sf0.1 (OPTIMIZATION_r13.md); scale-parameterized.
+        # AQE coalescing floor: Spark's default (1m). A session-wide 16k
+        # floor was tried in r13 and REVERTED: interleaved fresh-process
+        # A/B at sf0.1 showed 1m faster on 7 of 8 probed keys (e.g.
+        # eval_bleu_corpus 1.85->0.83, sample_rho_loss 1.57->0.78,
+        # profile_drift_ks 3.59->2.25, sketch_bloom_rollup 2.74->1.95;
+        # OPTIMIZATION_r13.md) — the extra near-empty post-shuffle tasks
+        # cost more than their parallelism buys on most shapes. The ONE
+        # shape that wants a lower floor (a small pinned frame whose
+        # layout feeds many compute-heavy downstream passes) gets it
+        # scoped via checkpoint.small_pin_floor instead.
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "16k"),
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "1m"),
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
