@@ -1744,12 +1744,19 @@ def stream_admission_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    def _stage(stream_dir: str) -> None:
+        _stage_batch(b1, stream_dir, "batch1.parquet", 1)
+        _stage_batch(b2, stream_dir, "batch2.parquet", 2)
+
+    # incoming batches staged once per (sf_dir, row count); the GROWING
+    # published index + decisions stay per-run (fresh uuid root below) —
+    # the index growth IS the computation being measured
+    stream_dir = _ensure_staged(
+        spark, "stream_admission_e2e", sf_dir, "documents", _stage
+    )
     root = _landing_zone(spark, "stream_admission_e2e")
-    stream_dir = os.path.join(root, "in")
     idx_target = os.path.join(root, "index")
     dec_target = os.path.join(root, "decisions")
-    _stage_batch(b1, stream_dir, "batch1.parquet", 1)
-    _stage_batch(b2, stream_dir, "batch2.parquet", 2)
     # the standing index starts as the corpus's signature table
     publish_parquet(
         minhash_signature(docs, "doc_id", "text"), idx_target
@@ -2005,12 +2012,18 @@ def stream_admission_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    def _stage(stream_dir: str) -> None:
+        _stage_batch(b1, stream_dir, "batch1.parquet", 1)
+        _stage_batch(b2, stream_dir, "batch2.parquet", 2)
+
+    # incoming batches staged once per (sf_dir, row count); the growing
+    # published index + decisions stay per-run — see stream_admission_e2e
+    stream_dir = _ensure_staged(
+        spark, "stream_admission_embedding", sf_dir, "embeddings", _stage
+    )
     root = _landing_zone(spark, "stream_admission_embedding")
-    stream_dir = os.path.join(root, "in")
     idx_target = os.path.join(root, "index")
     dec_target = os.path.join(root, "decisions")
-    _stage_batch(b1, stream_dir, "batch1.parquet", 1)
-    _stage_batch(b2, stream_dir, "batch2.parquet", 2)
     # the standing index starts as the corpus's (id, vector, bucket) table
     publish_parquet(
         S.with_lsh_bucket(base, "vec_id", "v", planes, "pid", 8).select(
@@ -2254,12 +2267,18 @@ def stream_admission_span(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    def _stage(stream_dir: str) -> None:
+        _stage_batch(b1, stream_dir, "batch1.parquet", 1)
+        _stage_batch(b2, stream_dir, "batch2.parquet", 2)
+
+    # incoming batches staged once per (sf_dir, row count); the growing
+    # published index + decisions stay per-run — see stream_admission_e2e
+    stream_dir = _ensure_staged(
+        spark, "stream_admission_span", sf_dir, "documents", _stage
+    )
     root = _landing_zone(spark, "stream_admission_span")
-    stream_dir = os.path.join(root, "in")
     idx_target = os.path.join(root, "index")
     dec_target = os.path.join(root, "decisions")
-    _stage_batch(b1, stream_dir, "batch1.parquet", 1)
-    _stage_batch(b2, stream_dir, "batch2.parquet", 2)
     publish_parquet(
         positional_gram_index(docs, "text", n=_SAS_N), idx_target
     )
@@ -2387,14 +2406,20 @@ def stream_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority AS prio",
         f"o_orderkey % {_SDP_BATCHES} + 1 AS batch",
     )
+    def _stage(stream_dir: str) -> None:
+        for i in range(1, _SDP_BATCHES + 1):
+            _stage_batch(
+                o.filter(F.col("batch") == i), stream_dir,
+                f"batch{i}.parquet", i,
+            )
+
+    # incoming batches staged once per (sf_dir, row count); the budget
+    # ledger stays per-run — the cumulative release IS the computation
+    stream_dir = _ensure_staged(
+        spark, "stream_dp_release", sf_dir, "orders", _stage
+    )
     root = _landing_zone(spark, "stream_dp_release")
-    stream_dir = os.path.join(root, "in")
     led_target = os.path.join(root, "ledger")
-    for i in range(1, _SDP_BATCHES + 1):
-        _stage_batch(
-            o.filter(F.col("batch") == i), stream_dir,
-            f"batch{i}.parquet", i,
-        )
 
     def apply_batch(batch_df, _bid):
         rel = batch_df.groupBy("batch", "prio").agg(
