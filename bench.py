@@ -237,6 +237,16 @@ PER_KEY_BUDGET_ALLOWLIST = {
     # scales 1:1 with corpus; the caption leg is semi-join-reduced to
     # image-band survivors (r9); steady-state ~2.7 s quiet.
     "mm_pair_dedup": 4.0,
+    # Alternating-star contraction: 3+ rounds of (pin, count, exceptAll
+    # convergence probe) = ~12 SEQUENTIAL job barriers, the shape that
+    # bursty external load inflates hardest and the load normalization
+    # under-corrects (same mode as sim_ivfpq_apply above; r13 gate draw:
+    # 3.06 normalized with QUIET interleaved probes 0.92/1.07 while
+    # untouched control keys read 1.3x baseline). Quiet ~2.0-2.2 s at
+    # sf0.1; examined r13 (OPTIMIZATION_r13.md) — per-round cost is
+    # star-contraction shuffles + measured job floors, the right 100 TB
+    # shape. Cap at 2x quiet, same headroom ratio as the entries above.
+    "dedup_components": 4.0,
     # The two keyed-state timer keys drain 4-5 SEQUENTIAL micro-batches
     # plus the no-data timer flush — the cross-batch state/timer
     # semantics ARE the thing being verified, and each micro-batch is
