@@ -392,17 +392,38 @@ def connected_components(
     keyed on node ids; the edge frame is pin()'ed per round and the
     predecessor released (same bounded-storage / linear-plan-growth
     discipline as the label-prop form — lineage truncation per round is
-    what keeps the planner from OOMing). Convergence check: pinned edge
-    counts equal AND new \\ old empty (exceptAll probe on two pinned
-    frames). Nodes appearing only in self-pairs keep their own label
-    (the node universe is taken from ``pairs`` before dropping loops).
+    what keeps the planner from OOMing).
+
+    Barrier budget (round 14, guide §1.2): ONE job per round. The
+    per-round pin is LAZY (localCheckpoint blocks materialize inside the
+    first action over them) and that first action is the convergence
+    aggregate itself — count(*) plus an order-independent content
+    fingerprint (bit_xor of xxhash64 over the distinct canonical edges),
+    so the old pin-job + count-job + exceptAll-job chain (~3 sequential
+    barriers x ~rounds, the shape bursty host load inflates hardest —
+    bench.py's dedup_components allowlist rationale) collapses to one.
+    Equal (count, xor) across a round is a PROBABILISTIC set-equality
+    signal (xor collision ~2^-64); exactness is preserved because the
+    fixpoint is then CONFIRMED by the same exceptAll emptiness probe as
+    before — run once at the signaled fixpoint instead of every
+    count-equal round, and on the (never-observed) collision the loop
+    simply continues. The shared ``raw`` projection is pinned lazily
+    too: the eager nodes/edges pins each re-executed the whole upstream
+    pair-generation subtree (band joins etc.) — now it runs once.
+    Nodes appearing only in self-pairs keep their own label (the node
+    universe is taken from ``pairs`` before dropping loops).
     Returns (node, component) with component = min doc id in the group.
     """
     global LAST_CC_ROUNDS
     LAST_CC_ROUNDS = 0
-    raw = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    raw = pin(
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")),
+        eager=False,
+        label="cc_raw",
+    )
     nodes = pin(
         raw.selectExpr("u AS node").union(raw.selectExpr("v AS node")).distinct(),
+        eager=False,
         label="cc_nodes",
     )
     edges = pin(
@@ -411,9 +432,20 @@ def connected_components(
             F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
         )
         .distinct(),
+        eager=False,
         label="cc_star_edges",
     )
-    n_edges = edges.count()
+
+    def _probe(df: DataFrame) -> tuple[int, int]:
+        """(row count, order-independent content hash) in ONE job —
+        also the action that materializes a lazily pinned frame."""
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(hi, lo))").alias("x"),
+        ).first()
+        return int(row["n"]), (None if row["x"] is None else int(row["x"]))
+
+    n_edges, x_edges = _probe(edges)
     for _ in range(max_iter):
         # large-star: symmetric neighborhoods, min over N(u) + {u}
         sym = edges.select(
@@ -440,13 +472,18 @@ def connected_components(
             .union(mins_s.select(F.col("hi"), F.col("m").alias("lo")))
             .distinct()
         )
-        new_edges = pin(ss, label="cc_star_edges")
-        n_new = new_edges.count()
-        converged = n_new == n_edges and (
-            new_edges.exceptAll(edges).limit(1).count() == 0
+        new_edges = pin(ss, eager=False, label="cc_star_edges")
+        n_new, x_new = _probe(new_edges)  # one job: materialize + probe
+        converged = (
+            n_new == n_edges
+            and x_new == x_edges
+            # exact confirmation of the probabilistic (count, xor)
+            # fixpoint signal — same emptiness probe as before, now run
+            # once at the fixpoint instead of every count-equal round
+            and new_edges.exceptAll(edges).limit(1).count() == 0
         )
         release(edges)
-        edges, n_edges = new_edges, n_new
+        edges, n_edges, x_edges = new_edges, n_new, x_new
         LAST_CC_ROUNDS += 1
         if converged:
             break

@@ -2282,10 +2282,16 @@ def pipeline_dedup_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda s: s.isNotNull(),
     )
+    # LAZY pins (round 14, guide §1.2): raw and surv each need exactly
+    # one materialization, but as EAGER pins they were two standalone
+    # job barriers ahead of the (eager) minhash signature pin, which
+    # re-reads surv anyway — lazily pinned, both materialize inside the
+    # signature pin's job and the funnel still reads each exactly once.
     raw = pin(
         docs.select(F.explode(variants).alias("r")).select(
             "r.doc_id", "r.text"
         ),
+        eager=False,
         label="dpol_raw",
     )
     surv = pin(
@@ -2300,6 +2306,7 @@ def pipeline_dedup_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ch")
         .agg(F.min(F.struct("doc_id", "text")).alias("k"))
         .select("k.doc_id", "k.text"),
+        eager=False,
         label="dpol_survivors",
     )
     pairs = D.minhash_lsh_pairs(
@@ -6673,19 +6680,46 @@ def _ivfpq_index(
     return cb, read_published(spark, idx_path)
 
 
-def _ivfpq_call_broadcast(cb: DataFrame):
-    """ONE broadcast row carrying the 8 per-subspace codebook arrays,
-    split at AGGREGATION time (collect_list skips the other-subspace
-    nulls) so no per-corpus-row array filter runs downstream."""
+def _ivfpq_serving_row(cents: DataFrame, cb: DataFrame):
+    """ONE broadcast row carrying the IVF centroid array AND the 8
+    per-subspace codebook arrays, aggregated from a UNION of the two
+    tiny model tables. The serving chain previously built them as two
+    independent 1-row aggregates — two Exchange + BroadcastExchange
+    waves whose scheduling floors sit on the chain's critical path
+    (guide §2.4 "two operations keyed the same way can share one
+    exchange"; here the key is the single global group). collect_list
+    over the filtered when() reproduces each sub-array exactly (nulls
+    skipped), and every consumer is an array argmin/argmax or a map
+    build over DISTINCT struct keys, so array order cannot affect any
+    result."""
+    from ..functions.arrays import norm as _norm
+
+    u = cents.select(
+        F.lit(-1).alias("sub"),
+        F.col("cell").cast("int").alias("cid"),
+        F.col("cv"),
+    ).unionByName(
+        cb.select(F.col("sub").cast("int"), F.col("cid").cast("int"), "cv")
+    )
     return F.broadcast(
-        cb.agg(*[
+        u.agg(
             F.collect_list(
                 F.when(
-                    F.col("sub") == sub_i, F.struct("cid", "cv")
+                    F.col("sub") == -1,
+                    F.struct(
+                        F.col("cid").alias("cell"),
+                        F.col("cv"),
+                        _norm(F.col("cv")).alias("nc"),
+                    ),
                 )
-            ).alias(f"_c{sub_i}")
-            for sub_i in range(_IVFPQ_SUBSPACES)
-        ])
+            ).alias("cents"),
+            *[
+                F.collect_list(
+                    F.when(F.col("sub") == sub_i, F.struct("cid", "cv"))
+                ).alias(f"_c{sub_i}")
+                for sub_i in range(_IVFPQ_SUBSPACES)
+            ],
+        )
     )
 
 
@@ -6706,7 +6740,7 @@ def _ivfpq_code_corpus(
     cents = emb.filter(F.col("vec_id").between(1, 8)).select(
         F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("cv")
     )
-    call = _ivfpq_call_broadcast(cb)
+    model = _ivfpq_serving_row(cents, cb)
 
     def _codepick(sub_idx: int, vcol: str):
         def f(c):
@@ -6726,7 +6760,7 @@ def _ivfpq_code_corpus(
             F.slice("v", s * _IVFPQ_SUBDIM + 1, _IVFPQ_SUBDIM).alias(f"v{s}")
             for s in range(_IVFPQ_SUBSPACES)
         ],
-    ).crossJoin(S._centroid_array(cents)).crossJoin(call)
+    ).crossJoin(model)
     return enc.select(
         "vec_id",
         F.array_max(S._cell_scores(F.col("v")))["cell"].alias("cell"),
@@ -6760,7 +6794,8 @@ def _ivfpq_search(
     cents = emb.filter(F.col("vec_id").between(1, 8)).select(
         F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("cv")
     )
-    call = _ivfpq_call_broadcast(cb)
+    # centroids + codebooks in ONE broadcast wave (see _ivfpq_serving_row)
+    model = _ivfpq_serving_row(cents, cb)
 
     def _sub_cb(sub_idx: int):
         return F.col(f"_c{sub_idx}")
@@ -6777,7 +6812,7 @@ def _ivfpq_search(
             F.slice("qv", s * _IVFPQ_SUBDIM + 1, _IVFPQ_SUBDIM).alias(f"q{s}")
             for s in range(_IVFPQ_SUBSPACES)
         ],
-    ).crossJoin(S._centroid_array(cents)).crossJoin(call)
+    ).crossJoin(model)
 
     def _lutmap(sub_idx: int):
         # factory, not a default-arg lambda: F.transform feeds a

@@ -959,7 +959,9 @@ def _dq_fold_expr(leaf_w: int | None = None) -> str:
     )
 
 
-def _dq_descend(li: DataFrame, grid: DataFrame) -> DataFrame:
+def _dq_descend(
+    li: DataFrame, grid: DataFrame, cents_expr: str | None = None
+) -> DataFrame:
     """Greedy root-to-leaf quantile descent over the grid: at each
     level the left child's CM point estimate (min over the d row
     counters; an absent cell is 0) decides left/right, carrying the
@@ -992,6 +994,7 @@ def _dq_descend(li: DataFrame, grid: DataFrame) -> DataFrame:
     res = targets.crossJoin(F.broadcast(gm)).selectExpr(
         "qpct", "n", _dq_fold_expr()
     )
+    cents = _DQ_CENTS if cents_expr is None else cents_expr
     chk = (
         li.crossJoin(F.broadcast(res))
         .groupBy("qpct")
@@ -999,7 +1002,7 @@ def _dq_descend(li: DataFrame, grid: DataFrame) -> DataFrame:
             F.expr("min(n) AS n"),
             F.expr("min(est_cents) AS est_cents"),
             F.expr(
-                f"sum(CASE WHEN {_DQ_CENTS} <= est_cents THEN 1 ELSE 0 END)"
+                f"sum(CASE WHEN {cents} <= est_cents THEN 1 ELSE 0 END)"
                 " AS le"
             ),
         )
@@ -1125,8 +1128,25 @@ def sketch_quantile_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy into the bounded grid, then the descent touches 4-row
     state frames against broadcast level slices — at 100 TB the grid
     is the stored daily artifact and quantile queries never rescan."""
+    from ..checkpoint import pin
+
     li = load(spark, sf_dir, "lineitem")
-    return _dq_descend(li, _dq_grid(li))
+    # ONE lineitem pass instead of three: the grid build, the target
+    # count, and the true-rank verifier each re-scanned lineitem and
+    # re-derived the cents column (sequential passes — the gm/res
+    # broadcasts serialize them). Pin the single derived BIGINT column
+    # LAZILY (~8 bytes/row; blocks materialize inside the gm broadcast
+    # job, the first consumer) and point all three at it — same integer
+    # values, bitwise-identical descent (guide §1.2/§2.3: project before
+    # everything, never re-derive what three consumers share).
+    cents = pin(
+        li.selectExpr(f"{_DQ_CENTS} AS cents"),
+        eager=False,
+        label="dq_cents",
+    )
+    return _dq_descend(
+        cents, _dq_grid(cents, cents_expr="cents"), cents_expr="cents"
+    )
 
 
 @register("sketch_quantile_rollup", oracle=_dq_sql(monthly=True))

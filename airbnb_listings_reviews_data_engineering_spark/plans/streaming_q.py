@@ -385,12 +385,18 @@ def stream_stateful_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     # timers; it is on by default — pinned here because the oracle
     # replays its firings (bseq 4)
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    # event_id is staged (deterministic batch files) but NOT read:
+    # applyInPandasWithState ships every input column through the
+    # per-key arrow->pandas conversion (~50 us/key/column — guide §4.1
+    # "pass only the columns the function needs"), and the admission
+    # state machine uses only (ts, bseq) + the user_id key
     stream = (
         spark.readStream.schema(
             "event_id bigint, ts timestamp, user_id bigint, bseq int"
         )
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
+        .select("ts", "user_id", "bseq")
         .withWatermark("ts", "0 seconds")
     )
 
@@ -528,12 +534,14 @@ def stream_session_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, "stream_session_finalize", sf_dir, "events", _stage
         )
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    # event_id staged but not read — see stream_stateful_admission
     stream = (
         spark.readStream.schema(
             "event_id bigint, ts timestamp, user_id bigint, vq bigint"
         )
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
+        .select("ts", "user_id", "vq")
         .withWatermark("ts", "0 seconds")
     )
     out = session_finalize(stream, gap_ms=_SSA_GAP_MS)

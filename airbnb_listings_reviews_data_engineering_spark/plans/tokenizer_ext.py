@@ -284,15 +284,22 @@ def _ulm_train(spark: SparkSession, sf_dir: str):
     subfreq = subs.groupBy("p").agg(
         F.sum("cnt").cast("bigint").alias("f")
     )
-    seed = subfreq.filter(F.length("p") == 1).unionByName(
-        subfreq.filter(
-            (F.length("p") >= 2) & (F.col("f") >= _ULM_SEED_MIN)
-        )
-        .selectExpr(
-            "p", "f", "row_number() OVER (ORDER BY f DESC, p) AS rn"
-        )
-        .filter(f"rn <= {_ULM_SEED_CAP}")
-        .select("p", "f")
+    # pinned: without it the substring explode + groupBy above executes
+    # TWICE — once for the tot0 broadcast below and again when round 1's
+    # broadcast map aggregates vocab (guide §1.2 "don't compute things
+    # you throw away"; same fix as the per-round cnt pin below)
+    seed = pin(
+        subfreq.filter(F.length("p") == 1).unionByName(
+            subfreq.filter(
+                (F.length("p") >= 2) & (F.col("f") >= _ULM_SEED_MIN)
+            )
+            .selectExpr(
+                "p", "f", "row_number() OVER (ORDER BY f DESC, p) AS rn"
+            )
+            .filter(f"rn <= {_ULM_SEED_CAP}")
+            .select("p", "f")
+        ),
+        label="ulm_seed",
     )
     tot0 = seed.agg(F.sum("f").cast("bigint").alias("t"))
     vocab = seed.crossJoin(F.broadcast(tot0)).selectExpr(
@@ -318,17 +325,22 @@ def _ulm_train(spark: SparkSession, sf_dir: str):
             .selectExpr("w", "cnt", _ulm_dp_fold(d) + " AS ls")
             .selectExpr("w", "cnt", _ulm_tb_fold(d) + " AS pc1")
         )
-        cnt_r = (
+        # pin the PIECE COUNTS, not the vocab built from them: the old
+        # per-round vocab pin executed the Viterbi fold TWICE per round
+        # — once inside the tot_r broadcast job and again inside the
+        # pin's own materialization (cnt_r was unpinned lineage under
+        # both) — doubling the EM round cost. Pinning cnt_r runs the
+        # fold exactly once; tot_r and the vocab projection are then
+        # map-side reads of the pinned (Heaps-bounded) count table.
+        cnt_r = pin(
             cur.select("cnt", F.explode("pc1").alias("piece"))
             .groupBy(F.col("piece").alias("p"))
-            .agg(F.sum("cnt").cast("bigint").alias("f"))
+            .agg(F.sum("cnt").cast("bigint").alias("f")),
+            label=f"ulm_cnt{r}",
         )
         tot_r = cnt_r.agg(F.sum("f").cast("bigint").alias("t"))
-        vocab = pin(
-            cnt_r.crossJoin(F.broadcast(tot_r)).selectExpr(
-                "p", "f", _qln("f", "t") + " AS lp"
-            ),
-            label=f"ulm_vocab{r}",
+        vocab = cnt_r.crossJoin(F.broadcast(tot_r)).selectExpr(
+            "p", "f", _qln("f", "t") + " AS lp"
         )
     return words, vocab
 

@@ -244,23 +244,46 @@ def stateful_admission(
     gap_us = gap_ms * 1000
     b1_ms, b2_ms = fired_bseq_bounds_ms
 
+    # ~1,500 keys/micro-batch each yield ONE 1-row frame, and a fresh
+    # pd.DataFrame(dict-of-lists) costs ~160 us/key (~240 ms/batch of
+    # pure constructor overhead at sf0.1 — measured, guide §4.2); a
+    # deep copy of a prebuilt 1-row template plus .iat stores is ~63
+    # us/key. The templates ride the task closure (built driver-side,
+    # shipped once per task); the serializer only concatenates the
+    # yielded frames at flush, so each key must still yield a DISTINCT
+    # frame — copy, never mutate-and-share.
+    _batch_tpl = pd.DataFrame(
+        {
+            "user_id": [0],
+            "kind": ["batch"],
+            "bseq": [0],
+            "n_admit": [0],
+            "n_reject": [0],
+            "n_open": [0],
+            "n_expired": [0],
+        }
+    )
+    _expired_tpl = pd.DataFrame(
+        {
+            "user_id": [0],
+            "kind": ["expired"],
+            "bseq": [0],
+            "n_admit": [0],
+            "n_reject": [0],
+            "n_open": [0],
+            "n_expired": [1],
+        }
+    )
+
     def admission(key, pdfs, state: GroupState):
         user = key[0]
         if state.hasTimedOut:
             wm = state.getCurrentWatermarkMs()
             state.remove()
-            fired_bseq = 2 if wm < b1_ms else 3 if wm < b2_ms else 4
-            yield pd.DataFrame(
-                {
-                    "user_id": [user],
-                    "kind": ["expired"],
-                    "bseq": [fired_bseq],
-                    "n_admit": [0],
-                    "n_reject": [0],
-                    "n_open": [0],
-                    "n_expired": [1],
-                }
-            )
+            out = _expired_tpl.copy()
+            out.iat[0, 0] = user
+            out.iat[0, 2] = 2 if wm < b1_ms else 3 if wm < b2_ms else 4
+            yield out
             return
         # Hot path: ~1,500 keys per micro-batch each pay this function's
         # constant overhead, so it is kept to numpy column extraction —
@@ -302,17 +325,13 @@ def stateful_admission(
         # event time in whole milliseconds)
         state.setTimeoutTimestamp(int(ts_us[-1]) // 1000 + gap_ms)
         n_admit = int((pos <= cap).sum())
-        yield pd.DataFrame(
-            {
-                "user_id": [user],
-                "kind": ["batch"],
-                "bseq": [bseq0],
-                "n_admit": [n_admit],
-                "n_reject": [n - n_admit],
-                "n_open": [int(new_sess.sum())],
-                "n_expired": [0],
-            }
-        )
+        out = _batch_tpl.copy()
+        out.iat[0, 0] = user
+        out.iat[0, 2] = bseq0
+        out.iat[0, 3] = n_admit
+        out.iat[0, 4] = n - n_admit
+        out.iat[0, 5] = int(new_sess.sum())
+        yield out
 
     return events.groupBy("user_id").applyInPandasWithState(
         admission,
@@ -360,28 +379,45 @@ def session_finalize(events: DataFrame, *, gap_ms: int) -> DataFrame:
     )
     gap_us = gap_ms * 1000
 
+    # 1-row timer-close template — same per-key constructor-overhead
+    # rationale as stateful_admission's templates above (guide §4.2)
+    _timer_tpl = pd.DataFrame(
+        {
+            "user_id": [0],
+            "start_us": [0],
+            "end_us": [0],
+            "n_events": [0],
+            "sum_value_e4": [0],
+            "closed_by": ["timer"],
+        }
+    )
+
     def finalize(key, pdfs, state: GroupState):
         user = key[0]
         if state.hasTimedOut:
             start, last, n, sv = state.get
             state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [user],
-                    "start_us": [start],
-                    "end_us": [last],
-                    "n_events": [n],
-                    "sum_value_e4": [sv],
-                    "closed_by": ["timer"],
-                }
-            )
+            out = _timer_tpl.copy()
+            out.iat[0, 0] = user
+            out.iat[0, 1] = start
+            out.iat[0, 2] = last
+            out.iat[0, 3] = n
+            out.iat[0, 4] = sv
+            yield out
             return
         # Hot path (same rationale as stateful_admission above): numpy
         # column extraction + one stable ts argsort instead of
         # pd.concat(...).sort_values(["ts", "event_id"]) — rows tied on
         # ts always share a session (gap 0 cannot close) and sums/counts
         # commute, so the event_id tiebreak cannot change any emitted
-        # session's (start, end, n, sum) or its close attribution.
+        # session's (start, end, n, sum) or its close attribution. The
+        # session state machine itself is segment arithmetic on the
+        # sorted ts array (break positions -> per-segment count/sum via
+        # one cumsum), not a per-row Python loop: every segment except
+        # the last closes by the gap rule, the carried open session
+        # either closes at break 0 or merges into segment 0, and the
+        # last segment becomes the new state — element-for-element the
+        # same fold the row loop computed.
         parts = [p for p in pdfs if len(p)]
         if len(parts) == 1:
             ts_raw = parts[0]["ts"].to_numpy()
@@ -393,33 +429,66 @@ def session_finalize(events: DataFrame, *, gap_ms: int) -> DataFrame:
         order = np.argsort(ts_us, kind="stable")
         ts_us = ts_us[order]
         vq = vq[order].astype(np.int64)
-        start, last, n, sv = (
+        start0, last0, n0, sv0 = (
             state.get if state.exists else (None, None, 0, 0)
         )
-        closed = []
-        for t, v in zip(ts_us, vq):
-            t = int(t)
-            if last is not None and t - last >= gap_us:
-                closed.append(
-                    {
-                        "user_id": user,
-                        "start_us": start,
-                        "end_us": last,
-                        "n_events": n,
-                        "sum_value_e4": sv,
-                        "closed_by": "gap",
-                    }
-                )
-                start, n, sv = None, 0, 0
-            if start is None:
-                start = t
-            n += 1
-            sv += int(v)
-            last = t
-        state.update((start, last, n, sv))
-        state.setTimeoutTimestamp(last // 1000 + gap_ms)
-        if closed:
-            yield pd.DataFrame(closed)
+        n = len(ts_us)
+        prev = np.empty(n, dtype=np.int64)
+        prev[0] = last0 if last0 is not None else np.int64(-(2**62))
+        prev[1:] = ts_us[:-1]
+        brk = (ts_us - prev) >= gap_us
+        has_carry = last0 is not None
+        # segment starts: element 0 plus every break position
+        starts = np.flatnonzero(brk)
+        if len(starts) == 0 or starts[0] != 0:
+            starts = np.concatenate(([0], starts))
+        ends = np.append(starts[1:], n)  # exclusive
+        cs = np.concatenate(([0], np.cumsum(vq)))
+        seg_st = ts_us[starts]
+        seg_en = ts_us[ends - 1]
+        seg_n = (ends - starts).astype(np.int64)
+        seg_sv = cs[ends] - cs[starts]
+        merged0 = has_carry and not brk[0]
+        if merged0:
+            seg_st[0] = start0
+            seg_n[0] += n0
+            seg_sv[0] += sv0
+        m = len(starts)
+        k = (m - 1) + (1 if has_carry and brk[0] else 0)
+        if k:
+            st_a = np.empty(k, dtype=np.int64)
+            en_a = np.empty(k, dtype=np.int64)
+            n_a = np.empty(k, dtype=np.int64)
+            sv_a = np.empty(k, dtype=np.int64)
+            j = 0
+            if has_carry and brk[0]:
+                st_a[0], en_a[0], n_a[0], sv_a[0] = start0, last0, n0, sv0
+                j = 1
+            if m > 1:
+                st_a[j:] = seg_st[: m - 1]
+                en_a[j:] = seg_en[: m - 1]
+                n_a[j:] = seg_n[: m - 1]
+                sv_a[j:] = seg_sv[: m - 1]
+            yield pd.DataFrame(
+                {
+                    "user_id": np.full(k, user, dtype=np.int64),
+                    "start_us": st_a,
+                    "end_us": en_a,
+                    "n_events": n_a,
+                    "sum_value_e4": sv_a,
+                    "closed_by": np.full(k, "gap", dtype=object),
+                },
+                copy=False,
+            )
+        state.update(
+            (
+                int(seg_st[m - 1]),
+                int(seg_en[m - 1]),
+                int(seg_n[m - 1]),
+                int(seg_sv[m - 1]),
+            )
+        )
+        state.setTimeoutTimestamp(int(seg_en[m - 1]) // 1000 + gap_ms)
 
     return events.groupBy("user_id").applyInPandasWithState(
         finalize,

@@ -485,17 +485,64 @@ def main() -> None:
         pin_stages={k: pin_lines[k] for k in top5 if pin_lines.get(k)},
     )
     print(json.dumps(verbose))
-    # The driver records only a 2000-char stdout TAIL; the verbose line
-    # above exceeds it once pin_stages + 60 keys are in (every BENCH_r<=8
-    # has "parsed": null for exactly this reason). The tail is therefore
-    # budgeted back-to-front: the LAST line is the compact head (totals,
-    # both subtotals, calibration — always fits whole), preceded by the
-    # normalized per-key map, preceded by the raw per-key map (clipped
-    # first if the three together overflow the tail; the full record is
-    # in the verbose first line and the committed round-close log).
+    # The driver records only a 2000-char stdout TAIL and parses the
+    # LAST JSON line; every BENCH_r<=13 artifact has an empty per_query
+    # for exactly this reason (the full 91-key map at 3dp is ~2.5k chars
+    # and was printed on its own line, which the tail clipped —
+    # VERDICT r13 #1). The LAST line therefore carries the per-key map
+    # itself, 2dp, ordered by DESCENDING cost so a byte-budget cut drops
+    # only the cheapest keys: with the ~230-char head that is ~60+ of
+    # the 91 keys, covering >97% of the headline seconds.
+    # `queries_omitted`/`queries_omitted_sum` reconcile the cut against
+    # `value`; the COMPLETE maps (raw, normalized, probe ratios, pin
+    # stages) live in the verbose first line and in the
+    # `per_query_file` sidecar written next to the bench log.
+    def _fmt(v: float) -> str:
+        s = f"{v:.2f}"
+        return s.rstrip("0").rstrip(".") if "." in s else s
+
+    sidecar = "scripts/last_bench_queries.json"
+    try:
+        with open(sidecar, "w") as f:
+            json.dump(
+                {
+                    "queries": timings,
+                    "queries_norm": norm,
+                    "probe_ratios": probe_lines,
+                    "pin_stages": {
+                        k: pin_lines[k] for k in top5 if pin_lines.get(k)
+                    },
+                },
+                f,
+            )
+    except OSError:
+        sidecar = None  # bench output stays authoritative
     head = dict(summary)
     del head["queries"]
-    print(json.dumps({"queries": timings}, separators=(",", ":")))
+    head["per_query_file"] = sidecar
+    by_cost = sorted(timings, key=lambda k: timings[k], reverse=True)
+    TAIL_BUDGET = 1900  # driver tail is 2000 chars; margin for the \n
+    base_len = len(json.dumps(head, separators=(",", ":")))
+    # fixed-cost fields of the final line beyond the head + entries:
+    # "queries":{...} plus the two reconciliation fields at max width
+    overhead = len('"queries":{},') + len('"queries_omitted":99,') + len(
+        '"queries_omitted_sum":999.99,'
+    )
+    budget = TAIL_BUDGET - base_len - overhead
+    kept: dict[str, float] = {}
+    used = 0
+    for k in by_cost:
+        entry = len(k) + 4 + len(_fmt(timings[k]))  # "k":v,
+        if used + entry > budget:
+            break
+        kept[k] = timings[k]
+        used += entry
+    omitted = [k for k in by_cost if k not in kept]
+    head["queries"] = {k: float(_fmt(kept[k])) for k in kept}
+    head["queries_omitted"] = len(omitted)
+    head["queries_omitted_sum"] = round(
+        sum(timings[k] for k in omitted), 2
+    )
     print(json.dumps({"queries_norm": norm}, separators=(",", ":")))
     print(json.dumps(head, separators=(",", ":")))
 
