@@ -137,13 +137,17 @@ def _lloyd(v: DataFrame, id_col: str, k: int, iters: int, dims: int | None = Non
                     lambda s: s["m"],
                 ).alias("cv")
             )
-        # eager pin: k tiny rows, but it truncates the plan — otherwise
-        # each round nests the previous round's full lineage (see
-        # operators/dedup.py::connected_components for the failure).
+        # LAZY pin: the plan is truncated at pin time either way (the
+        # LogicalRDD replaces the round's lineage, so plan growth stays
+        # linear — the failure mode connected_components documents), but
+        # materialization folds into the FIRST consuming job (the next
+        # round's pin or the caller's terminal action) instead of one
+        # standalone k-row job per round — `iters` fewer sequential
+        # barriers per training run (round 14, guide §1.2).
         # Rounds are NOT released mid-loop: the final `assigned` lineage
         # still references the previous round's centroids; the session
         # harness frees all k-row pins via release_pins() after use.
-        cents = pin(new_cents, label="kmeans_cents")
+        cents = pin(new_cents, eager=False, label="kmeans_cents")
     return cents, assigned
 
 

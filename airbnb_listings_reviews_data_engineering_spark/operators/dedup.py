@@ -107,8 +107,13 @@ def minhash_lsh_pairs(
     # (id, 8 longs) — tiny next to the corpus, always worth keeping).
     # pin() honors the session durability mode (checkpoint.py) — local
     # blocks for dev, reliable/parquet for cluster runs.
+    # LAZY pin (round 14): both self-join sides live inside the one
+    # terminal plan, so the blocks materialize in the first consuming
+    # stage (per-block locks make the concurrent side wait-then-read) —
+    # the eager form was a standalone job barrier ahead of every
+    # LSH-consuming key (guide §1.2).
     sig = pin(minhash_signature(df, id_col, text_col, num_hashes, shingle),
-              label="minhash_sig")
+              eager=False, label="minhash_sig")
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -178,7 +183,8 @@ def simhash_pairs(
     candidates per chunk, linear in practice for uniform hashes."""
     chunk_bits = bits // chunks
     mask = (1 << chunk_bits) - 1
-    sig = pin(simhash_signature(df, id_col, text_col, bits), label="simhash_sig")
+    sig = pin(simhash_signature(df, id_col, text_col, bits),
+              eager=False, label="simhash_sig")  # lazy — see minhash_lsh_pairs
     chunk_structs = [
         F.struct(
             F.lit(i).alias("ci"),
@@ -243,6 +249,7 @@ def ngram_jaccard_pairs(
         with_shingles(df, text_col, shingle).select(
             F.col(id_col), F.array_distinct("shingles").alias("s")
         ),
+        eager=False,  # lazy — see minhash_lsh_pairs
         label="jaccard_shingles",
     )
     ex = sh.select(id_col, F.size("s").alias("n_sh"), F.explode("s").alias("g"))
@@ -771,6 +778,8 @@ def duplicated_span_excise(
                 )
             ).alias("pg"),
         ).select(id_col, F.col("pg.pos").alias("pos"), F.col("pg.h").alias("h")),
+        eager=False,  # lazy: df-cap filter + both join sides share the
+        # terminal plan (round 14 — see minhash_lsh_pairs)
         label="span_exact_postings",
     )
     # composite occurrence key (id * 2^20 + pos): min() of it names the

@@ -610,6 +610,7 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
         ),
+        eager=False,  # lazy: all four consumers share the terminal plan
         label="nb_tokens",
     )
     train = tokd.filter(F.col("doc_id") % 5 != 0)

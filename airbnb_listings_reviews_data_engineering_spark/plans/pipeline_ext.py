@@ -2043,6 +2043,7 @@ def dedup_span_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.minimizer_selected(grams, "doc_id", "pos", "h", _WSPAN_W)
         .select("doc_id", "h")
         .distinct(),
+        eager=False,  # lazy — see operators/dedup.minhash_lsh_pairs
         label="winnow_postings",
     )
     keep = (
@@ -2110,6 +2111,8 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             corpus.doc_id,
             F.coalesce("component", corpus.doc_id).alias("component"),
         ),
+        eager=False,  # lazy: size aggregate + weight join share the
+        # terminal plan (round 14)
         label="soft_labeled",
     )
     sz = lab.groupBy("component").agg(F.count("*").alias("m"))
@@ -2416,6 +2419,7 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
         .distinct(),
+        eager=False,  # lazy — see operators/dedup.minhash_lsh_pairs
         label="span_postings",
     )
     keep = (
@@ -5925,6 +5929,9 @@ def mm_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(
             lambda d: fan_out(spark, d, f"{sf_dir}/documents.parquet")
         ),
+        eager=False,  # lazy (round 14): the whole corpus->img->sig pin
+        # chain collapses into the terminal action's stage graph — three
+        # standalone job barriers become cached-on-first-use stages
         label="mm_pair_corpus",
     )
     img = pin(
@@ -5935,6 +5942,7 @@ def mm_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_b").alias("pair_b"),
             "hamming",
         ),
+        eager=False,  # lazy — see mm_pair_corpus
         label="mm_pair_img_cand",
     )
     # caption leg WITHOUT its own band self-join: the image leg already
@@ -5963,6 +5971,7 @@ def mm_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             corpus.join(F.broadcast(needed), "pair_id", "leftsemi"),
             "pair_id", "caption", _NUM_HASHES,
         ),
+        eager=False,  # lazy — see mm_pair_corpus
         label="mm_pair_cap_sig",
     )
     rows_per_band = _NUM_HASHES // _BANDS

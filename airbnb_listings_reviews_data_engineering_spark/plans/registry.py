@@ -150,29 +150,35 @@ _SPLIT_CACHE: dict[str, tuple[int, int]] = {}
 def _source_splits(path: str, need: int) -> tuple[int, int]:
     """(row_groups, rows) of the parquet source, counting lazily up to
     ``need`` row groups — a 100 TB table answers after a handful of
-    footers instead of listing thousands."""
+    footers instead of listing thousands.
+
+    Unknown sources return ``(-1, -1)`` (ADVICE r13): a URI path
+    (hdfs://, s3a:// — pyarrow here only speaks the local FS), a
+    nested/partitioned layout where the recursive walk finds nothing,
+    or an unreadable footer must make ``fan_out`` a NO-OP — the old
+    non-recursive listing returned (0, 0) for a partitioned directory,
+    which fell through to ``repartition(1)`` and funneled the corpus
+    into one partition, the exact opposite of fan_out's purpose."""
     cached = _SPLIT_CACHE.get(path)
     if cached is not None and (cached[0] >= need or cached[0] < 0):
         return cached
-    import os as _os
+    try:
+        import pyarrow.parquet as pq
 
-    import pyarrow.parquet as pq
+        from ..functions.percentile import _parquet_files
 
-    if _os.path.isdir(path):
-        files = sorted(
-            _os.path.join(path, f)
-            for f in _os.listdir(path)
-            if f.endswith(".parquet")
-        )
-    else:
-        files = [path]
-    groups = rows = 0
-    for f in files:
-        md = pq.ParquetFile(f).metadata
-        groups += md.num_row_groups
-        rows += md.num_rows
-        if groups >= need:
-            break
+        files = sorted(_parquet_files(path))  # recursive; local FS only
+        if not files:
+            raise FileNotFoundError(path)
+        groups = rows = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            groups += md.num_row_groups
+            rows += md.num_rows
+            if groups >= need:
+                break
+    except Exception:  # noqa: BLE001 — unknown source => fan_out no-op
+        groups = rows = -1
     _SPLIT_CACHE[path] = (groups, rows)
     return groups, rows
 
@@ -193,7 +199,9 @@ def fan_out(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     """
     par = spark.sparkContext.defaultParallelism
     groups, rows = _source_splits(path, par)
-    if groups >= par:
+    if groups < 0 or groups >= par:
+        # unknown source (URI / nested layout / unreadable footer) or
+        # already-parallel source: strict no-op (ADVICE r13)
         return df
     # don't shatter tiny dimension tables into near-empty tasks
     n = min(par, max(1, rows // 32))

@@ -2072,13 +2072,19 @@ def sketch_bloom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         " & 1 = 1 THEN 1 ELSE 0 END) AS hit"
     )
     # pinned: the monthly build, the direct build and the present-key
-    # probes all read the exploded position stream
+    # probes all read the exploded position stream. LAZY (round 14):
+    # every consumer lives inside the single terminal plan, so the
+    # blocks materialize once inside the first consuming stage and the
+    # other subtrees read the cache — the two eager pin jobs were pure
+    # sequential barriers ahead of a terminal action that AQE can
+    # otherwise overlap (guide §1.2/§2.6).
     pos = pin(
         mk.select(
             "mon",
             "k",
             F.explode(F.sequence(F.lit(1), F.lit(_BLOOM_K))).alias("j"),
         ).selectExpr("mon", "k", f"({hx}) % {_BLOOM_M} AS p"),
+        eager=False,
         label="bloom_pos",
     )
     monthly = pos.groupBy("mon", F.expr("p div 32").alias("w")).agg(
@@ -2086,6 +2092,7 @@ def sketch_bloom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = pin(
         monthly.groupBy("w").agg(F.expr("bit_or(mask) AS mask")),
+        eager=False,
         label="bloom_merged",
     )
     direct = (
@@ -2284,24 +2291,35 @@ def profile_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the LEVEL-8 slice only: a deployment reads this slice of the
     # stored full grids with partition pruning; rebuilding all 16
     # levels here just to probe one was 4x the key's cost (bench r10)
-    nodes = li.groupBy(
-        "mon",
-        F.expr(
-            f"least({_DQ_CENTS} div {_DQ_LEAF_W}, {_DQ_LEAF_MAX})"
-            f" >> {_KS_LVL}"
-        ).alias("node"),
-    ).agg(F.count("*").alias("cnt"))
-    mgrid = pin(
+    # ONE lineitem pass (round 14, guide §1.2): the (mon, node, cnt)
+    # aggregate is pinned LAZILY and feeds BOTH the CM grid build and
+    # the exact verifier (ex8 below previously re-scanned lineitem to
+    # count the same (side, node) populations this aggregate already
+    # holds — summing its cnt per (side, node) is count-identical).
+    # The old eager mgrid/sgrid pins were standalone job barriers; the
+    # derived grids are a few hundred rows off the pinned aggregate, so
+    # they stay lazy lineage inside the terminal plan.
+    nodes = pin(
+        li.groupBy(
+            "mon",
+            F.expr(
+                f"least({_DQ_CENTS} div {_DQ_LEAF_W}, {_DQ_LEAF_MAX})"
+                f" >> {_KS_LVL}"
+            ).alias("node"),
+        ).agg(F.count("*").alias("cnt")),
+        eager=False,
+        label="ks_nodes",
+    )
+    mgrid = (
         nodes.selectExpr(
             "mon", "cnt", f"explode(array({cell_structs})) AS rc"
         )
         .select("mon", "rc.r", "rc.c", "cnt")
         .groupBy("mon", "r", "c")
-        .agg(F.expr("CAST(sum(cnt) AS BIGINT) AS cnt")),
-        label="ks_monthly_grid",
+        .agg(F.expr("CAST(sum(cnt) AS BIGINT) AS cnt"))
     )
-    mx = mgrid.agg(F.max("mon").alias("mx"))
-    sgrid = pin(
+    mx = nodes.agg(F.max("mon").alias("mx"))
+    sgrid = (
         mgrid.crossJoin(F.broadcast(mx))
         .selectExpr(
             "CASE WHEN mon = mx THEN 1 ELSE 0 END AS side",
@@ -2310,8 +2328,7 @@ def profile_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
         .groupBy("side", "r", "c")
-        .agg(F.expr("CAST(sum(cnt) AS BIGINT) AS cnt")),
-        label="ks_side_grid",
+        .agg(F.expr("CAST(sum(cnt) AS BIGINT) AS cnt"))
     )
     probe = (
         spark.range(0, _KS_NODES)
@@ -2359,16 +2376,19 @@ def profile_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter("rn = 1")
     )
-    # exact verifier at the same boundaries, straight off the table
+    # exact verifier at the same boundaries — off the SAME pinned
+    # (mon, node, cnt) aggregate (sum of per-month counts per
+    # (side, node) is count-identical to re-counting the raw table,
+    # and integer addition is exact), so no second lineitem scan
     ex8 = (
-        li.crossJoin(F.broadcast(mx))
+        nodes.crossJoin(F.broadcast(mx))
         .selectExpr(
             "CASE WHEN mon = mx THEN 1 ELSE 0 END AS side",
-            f"least({_DQ_CENTS.replace('l_extendedprice', 'l_extendedprice')}"
-            f" div {_DQ_LEAF_W}, {_DQ_LEAF_MAX}) >> {_KS_LVL} AS node",
+            "node",
+            "cnt",
         )
         .groupBy("side", "node")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.expr("CAST(sum(cnt) AS BIGINT) AS cnt"))
     )
     exf = (
         spark.range(0, _KS_NODES)

@@ -80,7 +80,17 @@ def _stateful_layout(spark: SparkSession, sf_dir: str, table: str):
     sweet spot locally (~8 at sf0.1) and grows to the cluster's
     parallelism as the feed grows — the same sizing rule a production
     stream applies to its key cardinality/throughput (cf. the
-    stream_stream_join 4-stores-per-partition rationale below)."""
+    stream_stream_join 4-stores-per-partition rationale below).
+
+    Single-threaded-session assumption (ADVICE r13): this mutates the
+    session-global ``spark.sql.shuffle.partitions`` for the drain's
+    duration, so a query PLANNED concurrently on the same session would
+    inherit the reduced count. Every harness here (bench, mirror,
+    tests) drives one query at a time per session; a concurrent caller
+    must scope the drain to its own ``SparkSession.newSession()``. A
+    stateful checkpoint must also never be reused across runs with a
+    different computed ``parts`` (state partition count pins at first
+    run) — all drains here use fresh per-run checkpoints."""
     n_rows = _source_rows(sf_dir, table)
     par = spark.sparkContext.defaultParallelism
     parts = par if n_rows < 0 else min(par, max(2, n_rows // 12_500))
@@ -97,30 +107,47 @@ def _ensure_staged(
 ) -> str:
     """Stable landing zone with AMORTIZED staging — the stream_mv_merge
     idiom (VERDICT r7 #5): the staged micro-batch files are a pure
-    function of (sf_dir, source row count), recorded in a marker file,
-    so re-staging is skipped when the marker matches and repeated
-    invocations (bench reps, warm-up, mirror) measure the streaming
-    drain itself rather than re-writing fixture parquet every time.
-    ``stage_fn(stream_dir)`` writes the batch files. The marker pins the
-    source row count from the parquet footers, so regenerated testdata
-    invalidates the stage; the marker name starts with '_' so the file
-    source ignores it."""
+    function of the source table and the staging code, recorded in a
+    marker file, so re-staging is skipped when the marker matches and
+    repeated invocations (bench reps, warm-up, mirror) measure the
+    streaming drain itself rather than re-writing fixture parquet every
+    time. ``stage_fn(stream_dir)`` writes the batch files. The marker
+    pins (ADVICE r13): the source row count AND a per-file fingerprint
+    (name, size, untruncated mtime_ns — the percentile-cache idiom), so
+    testdata regenerated in place with the same row count still
+    invalidates; a STAGE_VERSION that call sites bump when staging
+    constants change (batch filters, boundaries); and an unreadable
+    source (n_rows == -1) never matches, so it always re-stages."""
     import json
     import os
 
+    from ..functions.percentile import _parquet_files
     from ..sources.staging import fs_delete
 
     stream_dir = _landing_zone(spark, key, stable=True)
     n_rows = _source_rows(sf_dir, table)
+    try:
+        files = sorted(_parquet_files(os.path.join(sf_dir, f"{table}.parquet")))
+        fp = [
+            [os.path.basename(f), os.stat(f).st_size, os.stat(f).st_mtime_ns]
+            for f in files
+        ]
+    except OSError:
+        fp = None
     marker = os.path.join(stream_dir, "_staged.json")
-    want = {"sf_dir": os.path.abspath(sf_dir), "n_rows": n_rows}
+    want = {
+        "sf_dir": os.path.abspath(sf_dir),
+        "n_rows": n_rows,
+        "src_fp": fp,
+        "stage_version": _STAGE_VERSION,
+    }
     have = None
     try:
         with open(marker) as f:
             have = json.load(f)
     except (OSError, ValueError):
         pass
-    if have != want:
+    if have != want or n_rows < 0 or fp is None:
         fs_delete(stream_dir)
         # recreate through the guarded helper route (_scratch_dir owns
         # the one sanctioned local mkdir), never a direct makedirs
@@ -129,6 +156,13 @@ def _ensure_staged(
         with open(marker, "w") as f:
             json.dump(want, f)
     return stream_dir
+
+
+# Bump when ANY staging constant a stage_fn closes over changes
+# (_SKN_BATCHES, _SSA_B1/_SSA_B2, batch filters, incoming-doc fixtures)
+# — the marker then invalidates every stable landing zone at once
+# (ADVICE r13: code changes silently reused stale fixture batches).
+_STAGE_VERSION = 1
 
 
 def _stage_batch(df: DataFrame, stream_dir: str, name: str, seq: int) -> None:
@@ -385,18 +419,25 @@ def stream_stateful_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     # timers; it is on by default — pinned here because the oracle
     # replays its firings (bseq 4)
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    # event_id is staged (deterministic batch files) but NOT read:
-    # applyInPandasWithState ships every input column through the
-    # per-key arrow->pandas conversion (~50 us/key/column — guide §4.1
-    # "pass only the columns the function needs"), and the admission
-    # state machine uses only (ts, bseq) + the user_id key
+    # event_id and bseq are staged (deterministic batch files) but NOT
+    # read: applyInPandasWithState ships every input column through the
+    # per-key arrow->pandas conversion (~35-60 us/key/column — guide
+    # §4.1 "pass only the columns the function needs"). event_id is
+    # unused (ties on ts commute, ingest.py), and bseq is a pure
+    # function of ts (the batches ARE the calendar terciles the _stage
+    # filters cut at _SSA_B1/_SSA_B2), so the state machine re-derives
+    # it from the same boundary constants the timer attribution already
+    # uses. Only (ts, user_id) cross the per-key boundary; ts must stay
+    # a timestamp — Spark requires the watermarked attribute in the
+    # stateful operator's child output (projecting it to a long raises
+    # 'Event-time timeout not supported without watermark').
     stream = (
         spark.readStream.schema(
             "event_id bigint, ts timestamp, user_id bigint, bseq int"
         )
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
-        .select("ts", "user_id", "bseq")
+        .select("ts", "user_id")
         .withWatermark("ts", "0 seconds")
     )
 
@@ -413,6 +454,9 @@ def stream_stateful_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap_ms=_SSA_GAP_MS,
         cap=_SSA_CAP,
         fired_bseq_bounds_ms=(_ms(_SSA_B1), _ms(_SSA_B2)),
+        # the staged batches are exactly the calendar terciles at these
+        # bounds, so bseq never crosses the Python boundary as a column
+        derive_bseq_from_ts=True,
     )
     with timed_span(spark, "ssa_drain"), _stateful_layout(
         spark, sf_dir, "events"
@@ -1213,6 +1257,7 @@ def stream_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "embeddings").select(
             "vec_id", as_double_array("embedding").alias("v")
         ),
+        eager=False,  # lazy: materializes inside the index pin's first use
         label="sde_base",
     )
     incoming = base.filter(F.col("vec_id") % _SDE_MOD == 0).select(
@@ -1226,6 +1271,8 @@ def stream_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus_bk = pin(
         S.with_lsh_bucket(base, "vec_id", "v", planes, "pid", 8),
+        eager=False,  # lazy: the first micro-batch's stream-static join
+        # materializes the standing index; later batches read the cache
         label="sde_index",
     )
     # staged once per (sf_dir, row count) — see stream_dedup_minhash
@@ -1370,7 +1417,9 @@ def stream_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS text",
     )
     index = pin(
-        positional_gram_index(docs, "text", n=_SDS_N), label="sds_gram_index"
+        positional_gram_index(docs, "text", n=_SDS_N),
+        eager=False,  # lazy — standing index materializes in batch 1
+        label="sds_gram_index",
     )
     # staged once per (sf_dir, row count) — see stream_dedup_minhash
     stream_dir = _ensure_staged(

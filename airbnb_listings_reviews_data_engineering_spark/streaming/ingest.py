@@ -196,6 +196,7 @@ def stateful_admission(
     gap_ms: int,
     cap: int,
     fired_bseq_bounds_ms: tuple[int, int],
+    derive_bseq_from_ts: bool = False,
 ) -> DataFrame:
     """Keyed admission control with TIMER-DRIVEN state expiry — the
     custom-stateful-streaming class (per-key counters + TTL) a
@@ -293,13 +294,19 @@ def stateful_admission(
         # ts values are needed in order: rows tied on ts have gap 0, so
         # their relative order (the event_id tiebreak) cannot change
         # new_sess, pos, or the emitted counts — np.sort on the ts array
-        # is equivalent to the full (ts, event_id) row sort here. bseq is
-        # constant within a micro-batch (one staged file per trigger).
+        # is equivalent to the full (ts, event_id) row sort here. With
+        # ``derive_bseq_from_ts`` the bseq column does not cross the
+        # boundary at all: when the staged batches ARE the calendar
+        # terciles cut at the ``fired_bseq_bounds_ms`` boundaries (the
+        # production key's staging), bseq is a pure function of any
+        # row's ts — one fewer per-key arrow->pandas column (~35
+        # us/key, guide §4.1). Callers whose bseq is an arbitrary
+        # sequence number keep passing it as data.
         bseq0 = None
         ts_parts = []
         for p in pdfs:
             if len(p):
-                if bseq0 is None:
+                if bseq0 is None and not derive_bseq_from_ts:
                     bseq0 = int(p["bseq"].iloc[0])
                 ts_parts.append(p["ts"].to_numpy())
         last_ts, n_in = state.get if state.exists else (None, 0)
@@ -307,6 +314,9 @@ def stateful_admission(
             ts_parts[0] if len(ts_parts) == 1 else np.concatenate(ts_parts)
         ).astype("datetime64[us]").astype(np.int64)
         ts_us.sort()
+        if derive_bseq_from_ts:
+            t0_ms = int(ts_us[0]) // 1000
+            bseq0 = 1 if t0_ms < b1_ms else 2 if t0_ms < b2_ms else 3
         n = len(ts_us)
         prev = np.empty(n, dtype=np.int64)
         prev[0] = last_ts if last_ts is not None else np.int64(-(2**62))

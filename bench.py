@@ -237,24 +237,25 @@ PER_KEY_BUDGET_ALLOWLIST = {
     # scales 1:1 with corpus; the caption leg is semi-join-reduced to
     # image-band survivors (r9); steady-state ~2.7 s quiet.
     "mm_pair_dedup": 4.0,
-    # Alternating-star contraction: 3+ rounds of (pin, count, exceptAll
-    # convergence probe) = ~12 SEQUENTIAL job barriers, the shape that
-    # bursty external load inflates hardest and the load normalization
-    # under-corrects (same mode as sim_ivfpq_apply above; r13 gate draw:
-    # 3.06 normalized with QUIET interleaved probes 0.92/1.07 while
-    # untouched control keys read 1.3x baseline). Quiet ~2.0-2.2 s at
-    # sf0.1; examined r13 (OPTIMIZATION_r13.md) — per-round cost is
-    # star-contraction shuffles + measured job floors, the right 100 TB
-    # shape. Cap at 2x quiet, same headroom ratio as the entries above.
-    "dedup_components": 4.0,
+    # dedup_components' r13 entry (4.0) is REMOVED in round 14: the
+    # connected-components rework collapsed the per-round barrier chain
+    # (pin+count+exceptAll -> ONE convergence-aggregate job per round,
+    # lazy pins), which was the burst-inflation mode the cap excused;
+    # the key now answers to the global 3.0 budget like any other
+    # (VERDICT r13 #9: shrink the allowlist by making keys cheap).
+    #
     # The two keyed-state timer keys drain 4-5 SEQUENTIAL micro-batches
     # plus the no-data timer flush — the cross-batch state/timer
     # semantics ARE the thing being verified, and each micro-batch is
     # ~1s of scheduling floor at any data size (state-partition sizing
     # was tried and moved nothing; the batches cannot be parallelized
-    # by definition). ~5.8s quiet at sf0.1.
-    "stream_stateful_admission": 8.0,
-    "stream_session_finalize": 8.0,
+    # by definition). Round 14 cut the per-key Python boundary work
+    # (~0.9 s/key measured A/B: template-copy output frames, 2-3 input
+    # columns instead of 4, vectorized SSF fold): quiet ~3.3-3.5 s at
+    # sf0.1, caps lowered 8.0 -> 6.5 (~2x quiet, the standard headroom
+    # ratio of this list).
+    "stream_stateful_admission": 6.5,
+    "stream_session_finalize": 6.5,
 }
 
 

@@ -76,6 +76,11 @@ NESTED_LOOP_ALLOWED = {
     "sim_ivf_join_learned",  # same probe + Lloyd training (k broadcast centroids)
     "sim_lsh_multiprobe",  # crossJoin against fixed n_planes rows (bucket bits)
     "text_bigram_logprob",  # 1-row vocab size folded into the tiny unigram side
+    "text_unigram_lm_em",  # 1-row round-2 total folded into the pinned
+    #                        piece-count table (round 14: the vocab
+    #                        projection moved out of its own pin into
+    #                        the final plan — same 1-row fold as
+    #                        text_unigram_logprob)
     "emb_power_iteration",  # crossJoin against the ONE-row broadcast direction
     "emb_pca_project",   # same 1-row learned direction, apply side
     "graph_pagerank",    # crossJoin against the 1-row node-count aggregate
@@ -256,11 +261,13 @@ NESTED_LOOP_STAGE_ALLOWED = {
     ("text_bpe_vocab", "bpe_best"),
     ("text_bpe_encode_docs", "bpe_best"),
     ("text_tokenizer_fertility", "bpe_best"),
-    # hard-EM rounds: word table x the 1-row vocab map + 1-row total
-    ("text_unigram_lm_em", "ulm_vocab1"),
-    ("text_unigram_lm_em", "ulm_vocab2"),
-    ("text_unigram_encode_docs", "ulm_vocab1"),
-    ("text_unigram_encode_docs", "ulm_vocab2"),
+    # hard-EM rounds: word table x the 1-row vocab map (the same fold
+    # as the old ulm_vocab{1,2} entries — round 14 pins the piece
+    # COUNTS instead of the vocab, so the stage labels moved)
+    ("text_unigram_lm_em", "ulm_cnt1"),
+    ("text_unigram_lm_em", "ulm_cnt2"),
+    ("text_unigram_encode_docs", "ulm_cnt1"),
+    ("text_unigram_encode_docs", "ulm_cnt2"),
     # 1-row max-month fold splitting the stored monthly grids
     ("profile_drift_ks", "ks_side_grid"),
 }
@@ -274,9 +281,10 @@ UNPARTITIONED_WINDOW_STAGE_ALLOWED = {
     ("pack_length_pairs", "pack_pairs_pos"),
     # seed-vocab top-192 rank over the Heaps-bounded substring
     # frequency table (the text_vocab_growth class: a model table,
-    # never the corpus)
-    ("text_unigram_lm_em", "ulm_vocab1"),
-    ("text_unigram_encode_docs", "ulm_vocab1"),
+    # never the corpus; round 14 pins the seed itself — label moved
+    # from ulm_vocab1)
+    ("text_unigram_lm_em", "ulm_seed"),
+    ("text_unigram_encode_docs", "ulm_seed"),
 }
 
 

@@ -181,12 +181,13 @@ def test_allowlisted_windows_are_genuinely_tiny(audit_rows):
     # stage is counted by stage_unpart_win — VERDICT r6 #1)
     stage_expected = {
         "pack_length_pairs": 1,
-        # ONE logical seed-vocab rank window in the ulm_vocab1 stage;
-        # the rn <= 192 filter triggers WindowGroupLimit, so the
-        # physical plan carries 4 structural window nodes (partial +
-        # final WindowGroupLimit, Window, and the limit's re-use)
-        "text_unigram_lm_em": 4,
-        "text_unigram_encode_docs": 4,
+        # ONE logical seed-vocab rank window, now inside the ulm_seed
+        # pin (round 14 pins the seed table itself — the rank window
+        # and its rn filter are captured as one window node in that
+        # stage plan; the old ulm_vocab1 capture saw the same logical
+        # window as 4 structural nodes via WindowGroupLimit)
+        "text_unigram_lm_em": 1,
+        "text_unigram_encode_docs": 1,
     }
     for key in {k for k, _ in UNPARTITIONED_WINDOW_STAGE_ALLOWED}:
         assert audit_rows[key]["stage_unpart_win"] == stage_expected[key], (
