@@ -5251,6 +5251,8 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.filter(F.col("doc_id") % _DECON_EVAL_MOD == 0)
         .select("g")
         .distinct(),
+        eager=False,  # lazy: bloom build + exact join share the
+        # terminal plan (round 14 — see minhash_lsh_pairs)
         label="bloom_eval_grams",
     )
     m_bits, k = 1 << 16, 5
